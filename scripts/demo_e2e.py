@@ -1,0 +1,43 @@
+"""Verification drive: public-API end-to-end (synth → build → query)."""
+import json
+import shutil
+import sys
+import time
+
+from uci_searchengine_spark.session import get_spark
+from uci_searchengine_spark.sources.synth import synth_pages
+from uci_searchengine_spark.operators.index_build import build_index, build_metrics
+from uci_searchengine_spark.operators.bm25 import search, score_naive
+from uci_searchengine_spark.operators.wand import score_wand
+
+IDX = "/root/repo/_data/verify_index"
+shutil.rmtree(IDX, ignore_errors=True)
+
+spark = get_spark(master="local[4]", shuffle_partitions=8)
+pages = synth_pages(spark, 200, seed=1337, partitions=5)
+t0 = time.time()
+meta = build_index(spark, pages, IDX, num_shards=4, n_buckets=4,
+                   input_snapshot="synth:seed=1337:n=200")
+print(f"BUILD ok in {time.time()-t0:.1f}s meta={meta.to_json()}")
+print("METRICS", json.dumps(build_metrics(IDX)))
+
+env = search(spark, IDX, "stop0 arbak", page=1, per_page=3)
+print("ENVELOPE", json.dumps(env, indent=1)[:900])
+
+# probe: empty/punct-only query
+print("EMPTY", json.dumps(search(spark, IDX, "!!! ...")))
+# probe: absent term
+print("ABSENT", json.dumps(search(spark, IDX, "qqqqzzzz")))
+# probe: wand vs naive agreement on a fresh query
+n = [(r["doc_id"], round(r["score"], 9)) for r in score_naive(spark, IDX, "stop3 arbast", 5).collect()]
+w = [(r["doc_id"], round(r["score"], 9)) for r in score_wand(spark, IDX, "stop3 arbast", 5).collect()]
+print("NAIVE", n)
+print("WAND ", w)
+print("AGREE", n == w)
+
+# probe: resume — rerun build on same dir/snapshot, expect all partitions skipped
+t0 = time.time()
+build_index(spark, pages, IDX, num_shards=4, n_buckets=4,
+            input_snapshot="synth:seed=1337:n=200")
+print(f"RESUME rerun in {time.time()-t0:.1f}s (should skip committed partitions)")
+spark.stop()

@@ -1,0 +1,79 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from uci_searchengine_spark import BLOCK_SIZE
+from uci_searchengine_spark.operators.codec import (
+    bm25_tf_factor,
+    decode_varints,
+    encode_varints,
+    pack_postings,
+    unpack_postings,
+)
+
+
+def test_varint_roundtrip_simple():
+    vals = np.array([0, 1, 127, 128, 255, 300, 2**21, 2**35, 2**63 - 1], dtype=np.uint64)
+    assert np.array_equal(decode_varints(encode_varints(vals)), vals)
+
+
+def test_varint_empty():
+    assert encode_varints(np.empty(0, dtype=np.uint64)) == b""
+    assert decode_varints(b"").size == 0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=500)
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(decode_varints(encode_varints(arr)), arr)
+
+
+def test_varint_count_param():
+    vals = np.arange(10, dtype=np.uint64) * 1000
+    buf = encode_varints(vals)
+    assert np.array_equal(decode_varints(buf, count=4), vals[:4])
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=700),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=50, deadline=None)
+def test_postings_roundtrip_property(doc_id_set, tf_max):
+    rng = np.random.RandomState(7)
+    doc_ids = np.array(sorted(doc_id_set), dtype=np.int64)
+    tfs = rng.randint(1, tf_max + 1, size=doc_ids.size).astype(np.int32)
+    dls = rng.randint(10, 500, size=doc_ids.size).astype(np.int64)
+    blob, bmax, offs, lasts = pack_postings(doc_ids, tfs, dls, avgdl=120.0)
+    d2, t2 = unpack_postings(blob)
+    assert np.array_equal(d2, doc_ids)
+    assert np.array_equal(t2, tfs)
+    # block metadata invariants
+    n_blocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(bmax) == len(offs) == len(lasts) == n_blocks
+    assert lasts[-1] == doc_ids[-1]
+    assert offs[0] == 0
+    factors = bm25_tf_factor(tfs, dls, 120.0)
+    for bi in range(n_blocks):
+        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, doc_ids.size)
+        assert abs(bmax[bi] - factors[lo:hi].max()) < 1e-6
+        assert lasts[bi] == doc_ids[hi - 1]
+
+
+def test_block_decode_with_offsets():
+    """Decoding an individual block via its byte offset + rebase."""
+    doc_ids = np.arange(0, 1000, 3, dtype=np.int64)  # 334 postings → 3 blocks
+    tfs = (doc_ids % 7 + 1).astype(np.int32)
+    dls = np.full(doc_ids.size, 100, dtype=np.int64)
+    blob, _, offs, lasts = pack_postings(doc_ids, tfs, dls, avgdl=100.0)
+    for bi in range(len(offs)):
+        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, doc_ids.size)
+        cnt = hi - lo
+        d, t = unpack_postings(bytes(blob), offset=int(offs[bi]), count=cnt)
+        if bi > 0:
+            d = d + (lasts[bi - 1] + 1)
+        assert np.array_equal(d, doc_ids[lo:hi])
+        assert np.array_equal(t, tfs[lo:hi])

@@ -1,0 +1,78 @@
+"""End-to-end: Spark index build + both scorers vs the single-node oracle.
+
+Rank-identity contract (FIXTURES.md §6): same top-k doc_ids in the same
+order, scores equal within 1e-9 relative tolerance, ties broken doc_id asc.
+"""
+
+import math
+
+import pytest
+
+from uci_searchengine_spark.oracle.oracle import REFERENCE_QUERIES
+
+K = 10
+
+
+def _assert_rank_identical(got: list, expected: list, query: str):
+    assert len(got) == len(expected), (query, got, expected)
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed, (query, got, expected)
+        assert math.isclose(gs, es, rel_tol=1e-9), (query, gd, gs, es)
+
+
+@pytest.mark.spark
+class TestSearchE2E:
+    def test_meta_matches_oracle(self, spark, index_small, oracle_small):
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+
+        meta = IndexMeta.load(index_small)
+        assert meta.n_docs == oracle_small.n_docs
+        assert math.isclose(meta.avgdl, oracle_small.avgdl, rel_tol=1e-12)
+
+    @pytest.mark.parametrize("query", REFERENCE_QUERIES)
+    def test_naive_scorer_matches_oracle(self, spark, index_small, oracle_small, query):
+        from uci_searchengine_spark.operators.bm25 import score_naive
+
+        expected = oracle_small.top_k(query, K)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in score_naive(spark, index_small, query, K).collect()
+        ]
+        _assert_rank_identical(got, expected, query)
+
+    @pytest.mark.parametrize("query", REFERENCE_QUERIES)
+    def test_wand_scorer_matches_oracle(self, spark, index_small, oracle_small, query):
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        expected = oracle_small.top_k(query, K)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in score_wand(spark, index_small, query, K).collect()
+        ]
+        _assert_rank_identical(got, expected, query)
+
+    def test_envelope_matches_oracle(self, spark, index_small, oracle_small):
+        from uci_searchengine_spark.operators.bm25 import search
+
+        q = "stop0 arbak"
+        got = search(spark, index_small, q, page=1, per_page=5)
+        exp = oracle_small.search(q, page=1, per_page=5)
+        assert got["total_results"] == exp["total_results"]
+        assert got["total_pages"] == exp["total_pages"]
+        assert [r["url"] for r in got["results"]] == [r["url"] for r in exp["results"]]
+        assert [r["title"] for r in got["results"]] == [
+            r["title"] for r in exp["results"]
+        ]
+        assert [r["snippet"] for r in got["results"]] == [
+            r["snippet"] for r in exp["results"]
+        ]
+        for g, e in zip(got["results"], exp["results"]):
+            assert math.isclose(g["score"], e["score"], rel_tol=1e-9)
+
+    def test_empty_query_envelope(self, spark, index_small):
+        from uci_searchengine_spark.operators.bm25 import search
+
+        got = search(spark, index_small, "!!! ...")
+        assert got["total_results"] == 0
+        assert got["results"] == []
+        assert got["total_pages"] == 0

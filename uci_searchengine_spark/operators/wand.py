@@ -1,0 +1,216 @@
+"""Block-max pruned BM25 top-k over compressed segments.
+
+Query lifecycle (rebuild of backend/app/api/search.py:67-126, SURVEY.md §3.1):
+
+1. tokenize + dedup query terms (driver),
+2. partition-pruned scan of the query terms' shards only
+   (`shard isin(...)` hits the hive partition dirs — the Spark analog of
+   the reference's B-tree probe on terms.term, models.py:41),
+3. per-term df = sum of segment-row dfs (tiny aggregate → driver → idf map
+   broadcast into the scorer closure),
+4. cogrouped applyInPandas per doc-range *bucket*: every doc's postings for
+   all query terms live in its bucket, so buckets score independently and
+   in parallel. Inside: block-max pruning (MaxScore regime over the
+   block-max metadata) + vectorized exhaustive scoring of surviving blocks
+   + a bounded top-k selection per bucket,
+5. global top-k = orderBy(score desc, doc_id asc).limit(k) over ≤
+   n_buckets*k candidate rows (TakeOrderedAndProject on tiny data).
+
+Pruning logic (per bucket): terms sorted by whole-list upper bound
+``ub(t) = idf(t)*(k1+1)*max(block_max)`` descending. Terms are accumulated
+into a dense score array (np.add.at — no per-row Python). Once the running
+k-th best partial score θ exceeds the summed upper bounds of all remaining
+terms, no unseen doc can enter the top-k: remaining terms only *update*
+existing candidates, and their blocks are decoded only if the block's
+doc-id range (block_last_doc fences) contains a candidate and the block's
+ub can still matter (θ-test against block_max). This is the
+MaxScore/block-max family — same skipping data (per-block max score,
+last-doc fences, byte offsets) as BMW, organized term-at-a-time so every
+inner step stays a numpy vector op.
+
+Verified rank-identical against the exhaustive naive scorer and the
+single-node oracle on the full reference query set (tests/test_query.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from uci_searchengine_spark import BM25_B, BM25_K1
+from uci_searchengine_spark.operators.bm25 import idf as idf_fn
+from uci_searchengine_spark.operators.bm25 import query_terms
+from uci_searchengine_spark.operators.codec import unpack_postings
+from uci_searchengine_spark.operators.index_build import (
+    IndexMeta,
+    load_docs,
+    load_segments,
+)
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _term_shard(term: str, num_shards: int, spark: SparkSession) -> int:
+    # xxhash64 must match the build-side F.xxhash64 — evaluate via Spark
+    row = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(term)), F.lit(num_shards)).cast("int").alias("s")
+    ).collect()[0]
+    return row["s"]
+
+
+def _shards_for_terms(terms: list[str], num_shards: int, spark: SparkSession) -> dict[str, int]:
+    rows = spark.createDataFrame([(t,) for t in terms], "term string").select(
+        "term", F.pmod(F.xxhash64("term"), F.lit(num_shards)).cast("int").alias("s")
+    ).collect()
+    return {r["term"]: r["s"] for r in rows}
+
+
+def _score_bucket(
+    seg: pd.DataFrame,
+    docs: pd.DataFrame,
+    idf_map: dict[str, float],
+    avgdl: float,
+    bucket_size: int,
+    k: int,
+) -> pd.DataFrame:
+    if not len(seg) or not len(docs):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
+    bucket = int(seg["bucket"].iloc[0])
+    base = bucket * bucket_size
+    doc_ids_in_bucket = docs["doc_id"].to_numpy()
+    doc_lens = np.zeros(bucket_size, dtype=np.float64)
+    doc_lens[doc_ids_in_bucket - base] = docs["doc_len"].to_numpy()
+
+    # per-term data, sorted by whole-list upper bound descending
+    rows = []
+    for r in seg.itertuples(index=False):
+        w = idf_map[r.term]
+        bm = np.asarray(r.block_max, dtype=np.float64)
+        rows.append((w * (BM25_K1 + 1.0) * bm.max(), w, r))
+    rows.sort(key=lambda x: -x[0])
+
+    acc = np.zeros(bucket_size, dtype=np.float64)
+    theta = -np.inf
+    cand: np.ndarray | None = None  # sorted candidate local ids, None = all
+    remaining_ub = sum(x[0] for x in rows)
+
+    for ub, w, r in rows:
+        remaining_ub -= ub
+        blob = bytes(r.postings)
+        offs = np.asarray(r.block_offsets, dtype=np.int64)
+        lasts = np.asarray(r.block_last_doc, dtype=np.int64)
+        bmax = np.asarray(r.block_max, dtype=np.float64)
+        if cand is None:
+            d, tf = unpack_postings(blob)
+        else:
+            # candidate-only phase: decode only blocks whose doc range
+            # contains a candidate and whose ub could still matter
+            firsts = np.concatenate(([base - 1], lasts[:-1]))
+            lo = np.searchsorted(cand, firsts, side="right")
+            hi = np.searchsorted(cand, lasts, side="right")
+            keep = hi > lo
+            if not keep.any():
+                continue
+            parts_d, parts_tf = [], []
+            nblocks = len(offs)
+            from uci_searchengine_spark import BLOCK_SIZE
+
+            for bi in np.flatnonzero(keep):
+                cnt = (
+                    BLOCK_SIZE
+                    if bi < nblocks - 1
+                    else None  # last block: decode to end
+                )
+                db, tb = unpack_postings(blob, offset=int(offs[bi]), count=cnt)
+                # gaps are block-local only for the first block; later
+                # blocks chain off the previous block's last doc — rebase:
+                if bi > 0:
+                    db = db + (lasts[bi - 1] + 1)
+                parts_d.append(db)
+                parts_tf.append(tb)
+            d = np.concatenate(parts_d)
+            tf = np.concatenate(parts_tf)
+            # keep only candidate docs
+            pos = np.searchsorted(cand, d)
+            pos = np.clip(pos, 0, cand.size - 1)
+            mask = cand[pos] == d
+            d, tf = d[mask], tf[mask]
+            if d.size == 0:
+                continue
+        local = d - base
+        tf_f = tf.astype(np.float64)
+        contrib = w * (
+            tf_f
+            * (BM25_K1 + 1.0)
+            / (tf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_lens[local] / avgdl))
+        )
+        np.add.at(acc, local, contrib)
+
+        if cand is None:
+            nz = np.flatnonzero(acc > 0)
+            if nz.size >= k:
+                theta = np.partition(acc[nz], nz.size - k)[nz.size - k]
+            if remaining_ub < theta:
+                # unseen docs can never reach θ → restrict to candidates
+                keep_mask = acc[nz] + remaining_ub >= theta
+                cand = nz[keep_mask] + base
+        else:
+            # tighten candidate set as θ grows
+            nz = cand - base
+            if nz.size >= k:
+                theta = np.partition(acc[nz], nz.size - k)[nz.size - k]
+                cand = cand[acc[nz] + remaining_ub >= theta]
+
+    nz = np.flatnonzero(acc > 0) if cand is None else np.unique(cand - base)
+    nz = nz[acc[nz] > 0]
+    if nz.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
+    scores = acc[nz]
+    if nz.size > k:
+        top = np.argpartition(-scores, k - 1)[:k]
+        nz, scores = nz[top], scores[top]
+    order = np.lexsort((nz, -scores))
+    return pd.DataFrame({"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]})
+
+
+def score_wand(
+    spark: SparkSession, index_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Top-k (doc_id, score) via block-max pruned scoring over segments."""
+    meta = IndexMeta.load(index_dir)
+    terms = query_terms(query)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+    shard_map = _shards_for_terms(terms, meta.num_shards, spark)
+    shards = sorted(set(shard_map.values()))
+    seg = load_segments(spark, index_dir).filter(
+        F.col("shard").isin(shards) & F.col("term").isin(terms)
+    )
+    dfs = {r["term"]: r["df"] for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+    if not dfs:
+        return empty
+    idf_map = {t: idf_fn(meta.n_docs, int(d)) for t, d in dfs.items()}
+    avgdl, bucket_size = meta.avgdl, meta.bucket_size
+
+    docs = load_docs(spark, index_dir).select("bucket", "doc_id", "doc_len")
+
+    def score_fn(key, seg_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_bucket(seg_pdf, docs_pdf, idf_map, avgdl, bucket_size, k)
+
+    per_bucket = (
+        seg.groupBy("bucket")
+        .cogroup(docs.groupBy("bucket"))
+        .applyInPandas(score_fn, schema=_TOPK_SCHEMA)
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
