@@ -1,0 +1,127 @@
+"""Scaling-efficiency evidence for the north rule (N → 4N parallelism).
+
+Runs the IDENTICAL index build (same deterministic input corpus, same
+shard/bucket config) at local[8] and local[32] in one process (sequential
+SparkSessions), reports docs/sec at both plus
+``eff = (T_8 / T_32) / 4`` and writes BENCH/BASELINE.md. Also reports
+query p50/p95 at both parallelism levels.
+
+This is the sandbox proxy for two cluster sizes (BASELINE.md): local[N]
+threads ≙ N executor cores; the build has no driver-side bottleneck
+(docID offsets + manifests are O(partitions)), so thread-level scaling is
+the honest signal available without a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DOCS = int(os.environ.get("SCALE_DOCS", "50000"))
+SEED = 1337
+QUERIES = [
+    "stop0",
+    "arbak stop1",
+    "stop0 stop1 stop2 stop3",
+    "arband arbast",
+    "arbak arbal arbam arban arbar arbas arbat arbav",
+]
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_at(cores: int) -> dict:
+    from uci_searchengine_spark.operators.index_build import build_index, build_metrics
+    from uci_searchengine_spark.operators.wand import score_wand
+    from uci_searchengine_spark.session import get_spark
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    idx = os.path.join(REPO, "_data", f"scale_index_c{cores}")
+    shutil.rmtree(idx, ignore_errors=True)
+    spark = get_spark(
+        app_name=f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    pages = synth_pages(spark, N_DOCS, SEED, partitions=cores * 2)
+    t0 = time.perf_counter()
+    build_index(
+        spark,
+        pages,
+        idx,
+        num_shards=32,
+        n_buckets=16,
+        input_snapshot=f"synth:seed={SEED}:n={N_DOCS}",
+        write_partitions=cores,
+    )
+    build_s = time.perf_counter() - t0
+
+    lat = []
+    for q in QUERIES:
+        t0 = time.perf_counter()
+        rows = score_wand(spark, idx, q, k=10).collect()
+        lat.append(time.perf_counter() - t0)
+    res = {
+        "cores": cores,
+        "build_seconds": round(build_s, 2),
+        "docs_per_sec": round(N_DOCS / build_s, 1),
+        "query_p50_ms": round(1000 * statistics.median(lat), 1),
+        "query_p95_ms": round(1000 * sorted(lat)[-1], 1),
+        "metrics": build_metrics(idx),
+        "top1_check": rows[0]["doc_id"] if rows else None,
+    }
+    spark.stop()
+    return res
+
+
+def main() -> None:
+    r8 = run_at(8)
+    r32 = run_at(32)
+    eff = (r8["build_seconds"] / r32["build_seconds"]) / 4.0
+    # rank-identity across parallelism is asserted in tests; record the spot check
+    identical = r8["top1_check"] == r32["top1_check"]
+    out = {"n_docs": N_DOCS, "local8": r8, "local32": r32,
+           "scaling_efficiency": round(eff, 3), "rank_spot_check_identical": identical}
+    print(json.dumps(out))
+
+    md = f"""# BENCH — measured baselines (this engine)
+
+Scaling evidence for the north rule (N → 4N parallelism, sandbox proxy:
+`local[8]` vs `local[32]`, same machine, same deterministic input).
+
+Corpus: synthetic Common-Crawl-style pages per BASELINE.json input_hint,
+seed={SEED}, n={N_DOCS} docs. Identical build config at both sizes
+(32 shards, 16 buckets); shuffle partitions and write partitions scale
+with cores.
+
+| metric | local[8] (N) | local[32] (4N) |
+|---|---|---|
+| build wall-clock (s) | {r8['build_seconds']} | {r32['build_seconds']} |
+| build docs/sec | {r8['docs_per_sec']} | {r32['docs_per_sec']} |
+| query p50 (ms) | {r8['query_p50_ms']} | {r32['query_p50_ms']} |
+| query p95 (ms) | {r8['query_p95_ms']} | {r32['query_p95_ms']} |
+| postings | {r8['metrics']['postings']} | {r32['metrics']['postings']} |
+| segment bytes | {r8['metrics']['bytes']} | {r32['metrics']['bytes']} |
+
+**Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}** (target ≥ 0.8).
+
+Top-1 doc for the probe query identical across parallelism levels:
+{identical} (full rank-identity across partitionings is asserted by
+tests/test_determinism_resume.py).
+
+Reference repo publishes no numbers (BASELINE.md): its structural bound is
+≤1 page/sec ingest (rate-limited, concurrency 1) and an index builder that
+is never invoked; any positive docs/sec here exceeds it. The honest
+comparison target is therefore the scaling criterion plus the absolute
+numbers above, regenerable with `python bench_scaling.py`.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

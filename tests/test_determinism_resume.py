@@ -1,0 +1,126 @@
+"""FIXTURES.md §9: determinism across parallelism + kill/resume."""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SEED = 1337
+N = 120
+
+
+@pytest.mark.spark
+class TestDocIds:
+    def test_dense_and_stable_across_partitionings(self, spark):
+        from uci_searchengine_spark.plans.docids import assign_doc_ids
+
+        df = spark.createDataFrame(
+            [(f"u{i:04d}",) for i in range(97)], "url string"
+        )
+        a = {
+            r["url"]: r["doc_id"]
+            for r in assign_doc_ids(df.repartition(2), "url").collect()
+        }
+        b = {
+            r["url"]: r["doc_id"]
+            for r in assign_doc_ids(df.repartition(13), "url").collect()
+        }
+        assert a == b
+        assert sorted(a.values()) == list(range(97))  # dense
+        # rank order == url order
+        assert a["u0000"] == 0 and a["u0096"] == 96
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+class TestBuildDeterminism:
+    def _build(self, spark, tmpdir, partitions, write_partitions):
+        from uci_searchengine_spark.operators.index_build import build_index
+        from uci_searchengine_spark.sources.synth import synth_pages
+
+        pages = synth_pages(spark, N, SEED, partitions=partitions)
+        build_index(
+            spark,
+            pages,
+            tmpdir,
+            num_shards=4,
+            n_buckets=4,
+            input_snapshot=f"synth:seed={SEED}:n={N}",
+            write_partitions=write_partitions,
+        )
+
+    def _segment_contents(self, spark, d):
+        from uci_searchengine_spark.operators.index_build import load_segments
+
+        rows = load_segments(spark, d).collect()
+        return sorted(
+            (
+                r["shard"],
+                r["term"],
+                r["bucket"],
+                r["df"],
+                bytes(r["postings"]).hex(),
+                tuple(r["block_last_doc"]),
+            )
+            for r in rows
+        )
+
+    def test_identical_segments_across_parallelism(self, spark, tmp_path_factory):
+        d1 = str(tmp_path_factory.mktemp("idx_p2"))
+        d2 = str(tmp_path_factory.mktemp("idx_p11"))
+        self._build(spark, d1, partitions=2, write_partitions=3)
+        self._build(spark, d2, partitions=11, write_partitions=7)
+        assert self._segment_contents(spark, d1) == self._segment_contents(spark, d2)
+
+    def test_resume_skips_committed_and_is_bit_equal(self, spark, tmp_path_factory):
+        from uci_searchengine_spark.operators.index_build import _read_manifest
+
+        d_full = str(tmp_path_factory.mktemp("idx_full"))
+        d_kill = str(tmp_path_factory.mktemp("idx_kill"))
+        self._build(spark, d_full, partitions=4, write_partitions=4)
+        self._build(spark, d_kill, partitions=4, write_partitions=4)
+
+        # simulate a kill after some manifests committed: delete half the
+        # segment manifests + their files, keep the docs stage
+        seg_manifests = sorted(
+            glob.glob(os.path.join(d_kill, "_manifest", "segments-*.json"))
+        )
+        assert len(seg_manifests) >= 2
+        killed = seg_manifests[: len(seg_manifests) // 2]
+        for m in killed:
+            pid = json.load(open(m))["partition_id"]
+            os.remove(m)
+            for f in glob.glob(
+                os.path.join(d_kill, "segments", "shard=*", f"part-{pid:05d}.parquet")
+            ):
+                os.remove(f)
+        survivors = [m for m in seg_manifests if m not in killed]
+        mtimes_before = {m: os.path.getmtime(m) for m in survivors}
+
+        self._build(spark, d_kill, partitions=4, write_partitions=4)  # resume
+
+        # committed partitions were not rewritten
+        for m, t in mtimes_before.items():
+            assert os.path.getmtime(m) == t, f"{m} was rewritten"
+        # killed partitions were rebuilt
+        for m in killed:
+            assert _read_manifest(d_kill, os.path.basename(m)[:-5])["status"] == "committed"
+        # final index identical to the uninterrupted build
+        assert self._segment_contents(spark, d_kill) == self._segment_contents(
+            spark, d_full
+        )
+
+    def test_queries_identical_across_parallelism_indexes(self, spark, tmp_path_factory):
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        d1 = str(tmp_path_factory.mktemp("idx_q2"))
+        d2 = str(tmp_path_factory.mktemp("idx_q8"))
+        self._build(spark, d1, partitions=2, write_partitions=2)
+        self._build(spark, d2, partitions=8, write_partitions=8)
+        for q in ["stop0", "arbak stop1"]:
+            r1 = [(r["doc_id"], r["score"]) for r in score_wand(spark, d1, q).collect()]
+            r2 = [(r["doc_id"], r["score"]) for r in score_wand(spark, d2, q).collect()]
+            assert r1 == r2, q

@@ -1,0 +1,209 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing — correctness vs plain numpy/python oracles."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (3, "completely different text about spark query engines and data"),
+        (4, "short one"),
+        (5, "the quick brown fox jumps over the lazy dog again and AGAIN"),  # case dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.spark
+class TestDedup:
+    def test_exact(self, spark, docs_df):
+        from uci_searchengine_spark.operators.dedup import dedup_exact
+
+        out = {r["id"]: (r["keep"], r["group_size"]) for r in dedup_exact(docs_df, "doc_id", "text").collect()}
+        # 0,1,5 share a normalized fingerprint (lowercased) → rep = 0
+        assert out[0] == (True, 3)
+        assert out[1] == (False, 3)
+        assert out[5] == (False, 3)
+        assert out[3] == (True, 1)
+
+    def test_ngram_jaccard(self, spark, docs_df):
+        from uci_searchengine_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs_df, "doc_id", "text", n=3, threshold=0.5).collect()
+        }
+        # exact dups → jaccard 1.0
+        assert pairs[(0, 1)] == pytest.approx(1.0)
+        assert pairs[(0, 5)] == pytest.approx(1.0)
+        # near dup (one word differs) → high but < 1
+        assert 0.5 <= pairs[(0, 2)] < 1.0
+        assert (0, 3) not in pairs
+
+    def test_minhash_lsh_finds_near_dups(self, spark, docs_df):
+        from uci_searchengine_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingles,
+        )
+
+        sh = shingles(docs_df, "doc_id", "text", n=3)
+        sigs = minhash_signatures(sh, n_perm=32)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4).collect()
+        }
+        assert (0, 1) in pairs and (0, 5) in pairs  # identical shingle sets
+        assert (0, 2) in pairs  # near dup: some band should collide
+        assert (0, 3) not in pairs and (3, 4) not in pairs
+
+    def test_minhash_estimates_jaccard(self, spark, docs_df):
+        """Signature agreement rate ≈ true Jaccard (property of minhash)."""
+        from uci_searchengine_spark.operators.dedup import (
+            minhash_signatures,
+            ngram_jaccard_pairs,
+            shingles,
+        )
+
+        sh = shingles(docs_df, "doc_id", "text", n=3)
+        sigs = {r["id"]: r["sig"] for r in minhash_signatures(sh, n_perm=32).collect()}
+        true_j = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs_df, "doc_id", "text", n=3, threshold=0.01).collect()
+        }
+        est = np.mean([a == b for a, b in zip(sigs[0], sigs[2])])
+        assert abs(est - true_j[(0, 2)]) < 0.35  # 32 perms → coarse but sane
+
+    def test_simhash_near_pairs(self, spark, docs_df):
+        from uci_searchengine_spark.operators.dedup import simhash, simhash_near_pairs
+
+        sh = simhash(docs_df, "doc_id", "text")
+        vals = {r["id"]: r["simhash"] for r in sh.collect()}
+        assert vals[0] == vals[1]  # identical token multiset
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_pairs(sh).collect()
+        }
+        assert pairs[(0, 1)] == 0
+        assert 0 <= pairs[(0, 2)] <= 15  # near dup within banding reach
+
+
+@pytest.mark.spark
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        # clustered vectors (10 centers + noise) — the realistic regime for
+        # near-neighbor search; iid Gaussians have near-orthogonal "nearest"
+        # neighbors where any LSH is intentionally weak
+        rng = np.random.RandomState(3)
+        centers = rng.standard_normal((10, 64))
+        vecs = (
+            centers[np.arange(100) % 10] + 0.3 * rng.standard_normal((100, 64))
+        ).astype(np.float32)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(100, dtype=np.int64), "embedding": list(map(list, vecs))}
+        )
+        return spark.createDataFrame(pdf), vecs
+
+    def test_bruteforce_matches_numpy(self, spark, emb):
+        from uci_searchengine_spark.operators.similarity import ann_bruteforce
+
+        df, vecs = emb
+        q = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        got = ann_bruteforce(df, q, k=5).collect()
+        v = vecs.astype(np.float64)
+        sims = (v @ v.T) / (
+            np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+        )
+        for qid in range(3):
+            order = np.lexsort((np.arange(100), -sims[qid]))[:5]
+            got_ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["q_id"] == qid]
+            assert got_ids == list(order), qid
+
+    def test_lsh_recall(self, spark, emb):
+        from uci_searchengine_spark.operators.similarity import ann_bruteforce, ann_lsh
+
+        df, _ = emb
+        q = df.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        exact = ann_bruteforce(df, q, k=5).collect()
+        approx = ann_lsh(df, q, k=5, n_planes=6, multiprobe_bits=2).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+        hit = total = 0
+        for r in approx:
+            total += 1
+            hit += r["vec_id"] in exact_sets[r["q_id"]]
+        assert hit / max(total, 1) > 0.5  # multiprobe SRP: coarse recall check
+        # every query at least finds itself (cosine 1.0 in its own bucket)
+        got_self = {r["q_id"] for r in approx if r["vec_id"] == r["q_id"]}
+        assert got_self == set(range(10))
+
+
+@pytest.mark.spark
+class TestTextStats:
+    def test_counts_and_quality(self, spark, docs_df):
+        from uci_searchengine_spark.functions import textstats
+
+        rows = {
+            r["doc_id"]: r
+            for r in docs_df.select(
+                "doc_id",
+                textstats.ws_token_count(F.col("text")).alias("ws"),
+                textstats.bpe_ish_token_count(F.col("text")).alias("bpe"),
+                textstats.quality_score(F.col("text")).alias("q"),
+                textstats.lang_id(F.col("text")).alias("lang"),
+                textstats.fingerprint_md5(F.col("text")).alias("fp"),
+            ).collect()
+        }
+        assert rows[0]["ws"] == 12
+        assert rows[4]["ws"] == 2
+        assert rows[0]["lang"] == "en"
+        assert 0.0 <= rows[4]["q"] < rows[0]["q"] <= 1.0
+        expected_fp = hashlib.md5(
+            b"the quick brown fox jumps over the lazy dog again and again"
+        ).hexdigest()
+        assert rows[0]["fp"] == expected_fp
+        assert rows[0]["fp"] == rows[5]["fp"]  # case-normalized
+
+
+@pytest.mark.spark
+class TestMultimodal:
+    def test_image_meta_plumbing(self, spark, docs_df):
+        from uci_searchengine_spark.operators.multimodal import decode_image_meta
+
+        d = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        out = {r["doc_id"]: r for r in decode_image_meta(d, "doc_id", "payload").collect()}
+        raw = b"the quick brown fox jumps over the lazy dog again and again"
+        h = hashlib.md5(raw).digest()
+        assert out[0]["n_bytes"] == len(raw)
+        assert out[0]["width"] == 16 + h[0]
+        assert out[0]["height"] == 16 + h[1]
+        assert out[0]["format"] in ("png", "jpeg")
+        assert out[0]["md5"] == hashlib.md5(raw).hexdigest()
+
+    def test_real_decoder_is_stubbed(self):
+        from uci_searchengine_spark.operators.multimodal import _decode_image_real
+
+        with pytest.raises(NotImplementedError):
+            _decode_image_real(b"xx")
+
+    def test_frame_samples(self, spark, docs_df):
+        from uci_searchengine_spark.operators.multimodal import sample_frames
+
+        d = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        out = sample_frames(d, "doc_id", "payload", every_n=4).collect()
+        assert all(r["frame_idx"] % 4 == 0 for r in out)
+        assert {r["doc_id"] for r in out} == {0, 1, 2, 3, 4, 5}

@@ -1,0 +1,96 @@
+"""CLI entry point — run via spark-submit or plain python.
+
+    spark-submit --py-files uci_searchengine_spark.zip -m ... OR
+    python -m uci_searchengine_spark.cli build  --pages <parquet> --index <dir>
+    python -m uci_searchengine_spark.cli synth  --n 50000 --out <parquet>
+    python -m uci_searchengine_spark.cli query  --index <dir> --q "terms..." [--k 10]
+    python -m uci_searchengine_spark.cli metrics --index <dir>
+
+On a cluster: package the module (`zip -r uci_searchengine_spark.zip
+uci_searchengine_spark`) and pass `--py-files`; everything here only uses
+SparkSession + shared-storage paths, so the same commands run on
+multi-executor deployments (north_rule: spark-submit --py-files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="uci-searchengine-spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sy = sub.add_parser("synth", help="generate the synthetic pages corpus")
+    sy.add_argument("--n", type=int, required=True)
+    sy.add_argument("--seed", type=int, default=1337)
+    sy.add_argument("--out", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--pages", required=True, help="pages parquet path")
+    b.add_argument("--index", required=True)
+    b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--buckets", type=int, default=16)
+    b.add_argument("--snapshot", default=None)
+
+    q = sub.add_parser("query", help="BM25 top-k search")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--scorer", choices=["wand", "naive"], default="wand")
+
+    m = sub.add_parser("metrics", help="print build metrics from manifests")
+    m.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "metrics":
+        from uci_searchengine_spark.operators.index_build import build_metrics
+
+        print(json.dumps(build_metrics(args.index)))
+        return 0
+
+    from uci_searchengine_spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    try:
+        if args.cmd == "synth":
+            from uci_searchengine_spark.sources.synth import synth_pages
+
+            synth_pages(spark, args.n, args.seed).write.mode("overwrite").parquet(
+                args.out
+            )
+            print(json.dumps({"written": args.out, "n": args.n}))
+        elif args.cmd == "build":
+            from uci_searchengine_spark.operators.index_build import build_index
+
+            meta = build_index(
+                spark,
+                spark.read.parquet(args.pages),
+                args.index,
+                num_shards=args.shards,
+                n_buckets=args.buckets,
+                input_snapshot=args.snapshot or f"parquet:{args.pages}",
+            )
+            print(meta.to_json())
+        elif args.cmd == "query":
+            from uci_searchengine_spark.operators.bm25 import search, score_naive
+            from uci_searchengine_spark.operators.wand import score_wand
+
+            scorer = score_wand if args.scorer == "wand" else score_naive
+            print(
+                json.dumps(
+                    search(spark, args.index, args.q, per_page=args.k, scorer=scorer),
+                    indent=2,
+                )
+            )
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

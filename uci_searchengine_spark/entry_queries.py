@@ -1,0 +1,788 @@
+"""Driver-contract queries: one entry per implemented operator family.
+
+Each entry pairs a PySpark implementation (the engine's operators applied
+to the driver's parquet testdata tables) with an ANSI-SQL oracle DuckDB
+runs on the same tables. Column names/aliases match exactly; float outputs
+are rounded identically on both sides; money aggregates go through
+decimal(18,6) so sums are exact and engine-order-independent.
+
+SURVEY.md §2 operator ids are noted per query (S scans, P filters,
+J joins, A aggregations, W windows, T sorts/topk, U set ops, F scalar
+functions) plus the training-data pipeline ops (dedup/similarity/text/
+multimodal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uci_searchengine_spark import BM25_B, BM25_K1
+from uci_searchengine_spark.functions import textstats
+from uci_searchengine_spark.functions.tokenize import tokens_col, tokens_sql_expr
+from uci_searchengine_spark.operators import dedup as dd
+from uci_searchengine_spark.operators import multimodal as mm
+from uci_searchengine_spark.operators import similarity as sim
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+BM25_QUERY_TERMS = ["data", "spark", "join"]
+
+# ---------------------------------------------------------------- helpers
+_TOKS_CTE = f"""
+toks AS (SELECT doc_id, {tokens_sql_expr('text')} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS doc_len FROM toks)
+"""
+
+
+def _doc_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+
+
+# ------------------------------------------------------- search-engine core
+def q_bm25_topk(spark, sf_dir):
+    """Flagship: BM25 top-10 for a fixed query over `documents`
+    (S7/S8, P4, J3/J4, A1-A4/A6, T1, U1 — the §3.1 lifecycle, relational
+    form; the compressed-segment form is exercised in tests/)."""
+    toks = _doc_tokens(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("t").alias("doc_len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+    posts = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    tf_part = tfd * (BM25_K1 + 1.0) / (
+        tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doc_len") / F.lit(avgdl))
+    )
+    scored = (
+        posts.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", (idf * tf_part).alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+SQL_BM25_TOPK = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """doc_len per doc (A6 — computed once at build, not per query)."""
+    return _doc_tokens(spark, sf_dir).select(
+        "doc_id", F.size("t").cast("int").alias("doc_len")
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"WITH {_TOKS_CTE} SELECT doc_id, doc_len::INT AS doc_len FROM dl"
+
+
+def q_corpus_stats(spark, sf_dir):
+    """N and avgdl (A2 — without the reference's load-all-rows bug)."""
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select(F.size("t").alias("doc_len"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("doc_len"), 6).alias("avgdl"),
+        )
+    )
+
+
+SQL_CORPUS_STATS = (
+    f"WITH {_TOKS_CTE} SELECT count(*) AS n_docs, round(avg(doc_len),6) AS avgdl FROM dl"
+)
+
+
+def q_term_df_top20(spark, sf_dir):
+    """Term dictionary with document frequency (A3/A4), top 20."""
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+SQL_TERM_DF_TOP20 = f"""
+WITH {_TOKS_CTE}
+SELECT term, count(*) AS df
+FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+
+def q_postings_for_term(spark, sf_dir):
+    """Posting list of one term (S8 point probe + A1 tf)."""
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term") == "data")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
+SQL_POSTINGS_FOR_TERM = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, count(*)::INT AS tf
+FROM (SELECT doc_id, unnest(t) AS term FROM toks) WHERE term = 'data'
+GROUP BY doc_id
+"""
+
+
+def q_distinct_sources(spark, sf_dir):
+    """COUNT(DISTINCT domain) analog (A5) over documents.source."""
+    return _t(spark, sf_dir, "documents").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+
+
+SQL_DISTINCT_SOURCES = "SELECT count(DISTINCT source) AS n_sources FROM documents"
+
+
+# --------------------------------------------------------- filters / scans
+def q_filter_en_long(spark, sf_dir):
+    """Conjunctive filter + projection (P2/P12)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 250))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+SQL_FILTER_EN_LONG = (
+    "SELECT doc_id, source, n_chars FROM documents WHERE lang='en' AND n_chars>250"
+)
+
+
+# ------------------------------------------------------------------- joins
+def q_order_customer_join(spark, sf_dir):
+    """Inner equi join + DISTINCT projection (J1/J2, U4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("c_nationkey", "o_orderstatus")
+        .distinct()
+    )
+
+
+SQL_ORDER_CUSTOMER_JOIN = """
+SELECT DISTINCT c_nationkey, o_orderstatus
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_cust_no_orders(spark, sf_dir):
+    """Anti join (J6/U2: discovered − crawled analog)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL_CUST_NO_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_cust_semi_recent(spark, sf_dir):
+    """Left-semi join (P5: id IN (...)) + group count."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+SQL_CUST_SEMI_RECENT = """
+SELECT c_mktsegment, count(*) AS n_cust FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------------- aggregations
+def q_orders_by_status(spark, sf_dir):
+    """Hash aggregate with exact decimal money sum (A7-style totals)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
+SQL_ORDERS_BY_STATUS = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped rich aggregate over lineitem (A1..A9 composite)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6)
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_topk(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join + agg + top-k (J1+A+T1 composite)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_REVENUE_TOPK = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------- windows
+def q_latest_event_per_user(spark, sf_dir):
+    """row_number() over (partition by user order by ts desc) = 1 —
+    the 'latest checkpoint row' pattern (T4/§2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_top2_orders_per_cust(spark, sf_dir):
+    """Ranked window top-N per group (pagination analog, §2.5)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_TOP2_ORDERS_PER_CUST = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling event-time window aggregate (batch semantics; the same
+    plan runs under Structured Streaming with a watermark — streaming/)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ sorts / topk
+def q_top_orders_by_price(spark, sf_dir):
+    """ORDER BY ... LIMIT (T3) → TakeOrderedAndProject."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOP_ORDERS_BY_PRICE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------- set ops
+def q_nations_union(spark, sf_dir):
+    """UNION + DISTINCT (U1/U3)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+SQL_NATIONS_UNION = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --------------------------------------------------------- scalar functions
+def q_scalar_projection(spark, sf_dir):
+    """String/math scalar surface (§2.8)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("upper_source"),
+        F.substring("text", 1, 20).alias("text_head"),
+        F.round(F.log(F.col("n_chars").cast("double")), 6).alias("log_chars"),
+        F.ceil(F.col("n_chars") / 7).cast("long").alias("chars_ceil_div"),
+    )
+
+
+SQL_SCALAR_PROJECTION = """
+SELECT doc_id, upper(source) AS upper_source, substr(text,1,20) AS text_head,
+       round(ln(n_chars),6) AS log_chars, CAST(ceil(n_chars/7.0) AS BIGINT) AS chars_ceil_div
+FROM documents
+"""
+
+
+# ------------------------------------------------------- training-data ops
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-content hash."""
+    return dd.dedup_exact(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "keep", "group_size"
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\\s+',' ','g')) AS f FROM documents),
+grp AS (SELECT f, min(doc_id) AS rep_id, count(*) AS group_size FROM fp GROUP BY f)
+SELECT fp.doc_id, fp.doc_id = grp.rep_id AS keep, grp.group_size
+FROM fp JOIN grp ON fp.f = grp.f
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.06 — the synthetic
+    corpus shares a small vocabulary, so low thresholds exercise the op)."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.06
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT id,
+         CAST(('0x' || substr(md5(g),1,8)) AS UBIGINT)::BIGINT AS shingle_id
+  FROM (
+    SELECT id,
+           CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+                ELSE [array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)]
+           END AS gs
+    FROM toks
+  ), unnest(gs) AS u(g)
+),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.shingle_id = b.shingle_id AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE i / (sa.sz + sb.sz - i) >= 0.06
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", n=3)
+    sigs = dd.minhash_signatures(sh, n_perm=32, seed=7)
+    return dd.lsh_candidate_pairs(sigs, n_bands=8, rows_per_band=4)
+
+
+def _sql_minhash() -> str:
+    params = dd.minhash_params(32, seed=7)
+    mins = ",\n    ".join(
+        f"min(((shingle_id % 2147483647) * {a} + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = []
+    for b in range(8):
+        cols = " || ',' || ".join(f"h{b*4+r}::VARCHAR" for r in range(4))
+        band_rows.append(f"SELECT id, {b} AS band, md5({cols}) AS bh FROM sigs")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT id,
+         CAST(('0x' || substr(md5(g),1,8)) AS UBIGINT)::BIGINT AS shingle_id
+  FROM (
+    SELECT id,
+           CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+                ELSE [array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)]
+           END AS gs
+    FROM toks
+  ), unnest(gs) AS u(g)
+),
+sigs AS (SELECT id, {mins} FROM grams GROUP BY id),
+bands AS ({bands})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+WHERE a.id < b.id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """60-bit SimHash per doc (near-dup fingerprint)."""
+    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def _sql_simhash() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(dd.N_SIMHASH_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2**i}::BIGINT ELSE 0 END)"
+        for i in range(dd.N_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT id, CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT)::BIGINT AS h FROM tok
+),
+bits AS (SELECT id, {bit_sums} FROM hashed GROUP BY id)
+SELECT id AS doc_id, {recompose} AS simhash FROM bits
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for 5 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.ann_bruteforce(emb, queries, k=10)
+    return out.select(
+        "q_id", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.q_vec::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))) AS c
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT q_id, vec_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, vec_id, round(c, 6) AS cosine FROM ranked WHERE rn <= 10
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Vector norm per embedding (zip_with/aggregate JVM math)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(sim.norm_expr(F.transform(F.col("embedding"), lambda x: x.cast("double"))), 6).alias("norm")
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+FROM embeddings
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    from uci_searchengine_spark.functions.textstats import LANG_MARKERS
+
+    hit_exprs = {
+        lang: (
+            "len(list_intersect(toks, ["
+            + ",".join(f"'{w}'" for w in words)
+            + "]))"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ",".join(hit_exprs.values()) + ")"
+    pred = "'und'"
+    for lang in reversed(["en", "de", "es", "fr"]):
+        pred = (
+            f"CASE WHEN {hit_exprs[lang]} > 0 AND {hit_exprs[lang]} = {best} "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(lower(text)),'\\s+') END,
+           x -> regexp_replace(x, '[^\\p{{L}}\\p{{N}}_]', '', 'g')
+         ) AS toks
+  FROM documents
+)
+SELECT doc_id, {pred} AS lang_pred FROM t
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    """Heuristic quality score per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(textstats.quality_score(F.col("text")), 2).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORES = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         CASE WHEN trim(text)='' THEN [] ELSE string_split_regex(trim(text),'\\s+') END AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS punct,
+         len(list_intersect(list_transform(toks, x -> lower(x)),
+             ['the','and','of','to','in','is','that','with'])) AS stop_hits
+  FROM t
+)
+SELECT doc_id, CAST(round(
+  (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
++ (CASE WHEN n_chars/greatest(n_tokens,1) >= 2.0 AND n_chars/greatest(n_tokens,1) <= 12.0 THEN 0.2 ELSE 0.0 END)
++ (CASE WHEN punct/greatest(n_chars,1) <= 0.2 THEN 0.2 ELSE 0.0 END)
++ (CASE WHEN stop_hits >= 2 THEN 0.2 ELSE 0.0 END), 2) AS DOUBLE) AS quality
+FROM m
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counts per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+  CAST(CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS BIGINT) AS ws_tokens,
+  CAST(ceil(length(regexp_replace(text,'[^\\p{L}\\p{N}_]','','g')) / 4.0)
+       + len(regexp_extract_all(text,'[^\\p{L}\\p{N}_\\s]+')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    """Portable md5 content fingerprint per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.fingerprint_md5(F.col("text")).alias("fp")
+    )
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\\s+',' ','g')) AS fp FROM documents
+"""
+
+
+def q_image_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload → typed metadata via
+    mapInPandas (decode stubbed deterministically — see operators/multimodal)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return mm.decode_image_meta(d, "doc_id", "payload")
+
+
+SQL_IMAGE_META = """
+SELECT doc_id,
+  length(text)::INT AS n_bytes,
+  md5(text) AS md5,
+  (16 + CAST(('0x' || substr(md5(text),1,2)) AS UBIGINT))::INT AS width,
+  (16 + CAST(('0x' || substr(md5(text),3,2)) AS UBIGINT))::INT AS height,
+  CASE WHEN CAST(('0x' || substr(md5(text),5,2)) AS UBIGINT) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+FROM documents
+"""
+
+
+def q_frame_samples(spark, sf_dir):
+    """Multimodal flatMap plumbing: payload → sampled frame rows."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return mm.sample_frames(d, "doc_id", "payload", every_n=4)
+
+
+SQL_FRAME_SAMPLES = """
+SELECT doc_id, CAST(fi AS INT) AS frame_idx, md5(substr(text, fi*64 + 1, 64)) AS frame_md5
+FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text)//64, 1), 4)) AS fi
+      FROM documents)
+"""
+
+
+QUERIES = {
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),
+    "postings_for_term": (q_postings_for_term, SQL_POSTINGS_FOR_TERM),
+    "distinct_sources": (q_distinct_sources, SQL_DISTINCT_SOURCES),
+    "filter_en_long": (q_filter_en_long, SQL_FILTER_EN_LONG),
+    "order_customer_join": (q_order_customer_join, SQL_ORDER_CUSTOMER_JOIN),
+    "cust_no_orders": (q_cust_no_orders, SQL_CUST_NO_ORDERS),
+    "cust_semi_recent": (q_cust_semi_recent, SQL_CUST_SEMI_RECENT),
+    "orders_by_status": (q_orders_by_status, SQL_ORDERS_BY_STATUS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "revenue_topk": (q_revenue_topk, SQL_REVENUE_TOPK),
+    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
+    "top2_orders_per_cust": (q_top2_orders_per_cust, SQL_TOP2_ORDERS_PER_CUST),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "top_orders_by_price": (q_top_orders_by_price, SQL_TOP_ORDERS_BY_PRICE),
+    "nations_union": (q_nations_union, SQL_NATIONS_UNION),
+    "scalar_projection": (q_scalar_projection, SQL_SCALAR_PROJECTION),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash()),
+    "simhash": (q_simhash, _sql_simhash()),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "lang_id": (q_lang_id, _sql_lang_id()),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "image_meta": (q_image_meta, SQL_IMAGE_META),
+    "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
+}

@@ -33,12 +33,10 @@ def bpe_ish_token_count(c: Column) -> Column:
     """BPE-ish token estimate: count word pieces + digits + punctuation runs
     (a GPT-2-style pre-tokenizer regex approximation, JVM-side)."""
     # count matches of: word chunks (≤4 chars each contributes pieces),
-    # approximated as ceil(chars_in_words/4) + punct runs + digit runs
+    # approximated as ceil(chars_in_words/4) + punctuation runs
     word_chars = F.length(F.regexp_replace(c, r"[^\p{L}\p{N}_]", ""))
-    punct_runs = F.size(F.split(c, r"[\p{L}\p{N}_\s]+")) - 1
-    return (F.ceil(word_chars / F.lit(4.0)) + F.greatest(punct_runs, F.lit(0))).cast(
-        "long"
-    )
+    punct_runs = F.size(F.regexp_extract_all(c, F.lit(r"[^\p{L}\p{N}_\s]+"), F.lit(0)))
+    return (F.ceil(word_chars / F.lit(4.0)) + punct_runs).cast("long")
 
 
 def quality_score(c: Column) -> Column:

@@ -24,12 +24,14 @@ from pyspark.sql import functions as F
 
 from uci_searchengine_spark.functions.textstats import fingerprint_md5
 
-# universal-hash parameters for minhash permutations (deterministic)
-MERSENNE_P = (1 << 61) - 1
+# universal-hash parameters for minhash permutations (deterministic).
+# p = 2^31-1 (Mersenne) keeps a*x+b < 2^62 — pure BIGINT arithmetic that
+# both Spark longs and the DuckDB oracle evaluate identically, no overflow.
+MERSENNE_P = (1 << 31) - 1
 
 
 def minhash_params(n_perm: int, seed: int = 7) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs via splitmix-style scrambling."""
+    """Deterministic (a, b) pairs via an LCG scramble of the seed."""
     params = []
     x = seed & 0xFFFFFFFFFFFFFFFF
     for _ in range(n_perm):
@@ -44,9 +46,9 @@ def minhash_params(n_perm: int, seed: int = 7) -> list[tuple[int, int]]:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle_id long) — distinct word n-gram ids per doc.
 
-    Shingle id = first 15 hex chars of md5 of the space-joined n-gram
-    (portable: Spark conv(md5) == DuckDB parse of the same hex). Tokens are
-    the whitespace split of lowercased text — JVM-side only.
+    Shingle id = first 8 hex chars of md5 of the space-joined n-gram
+    (32-bit; portable — Spark conv(md5) == DuckDB hex-cast of the same
+    md5). Tokens are the whitespace split of lowercased text — JVM-side.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
@@ -59,7 +61,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
         .select(
             "id",
-            F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
             .cast("long")
             .alias("shingle_id"),
         )
@@ -78,7 +80,7 @@ def minhash_signatures(
     params = minhash_params(n_perm, seed)
     aggs = [
         F.min(
-            (F.col("shingle_id") % MERSENNE_P * F.lit(a) + F.lit(b)) % MERSENNE_P
+            ((F.col("shingle_id") % MERSENNE_P) * F.lit(a) + F.lit(b)) % MERSENNE_P
         ).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
@@ -93,7 +95,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: equal signature slice in ≥1 band.
 
-    Self-equi-join on (band, band_hash) — never a cross join. id_a < id_b.
+    Self-equi-join on (band, band_key) — never a cross join. id_a < id_b.
+    Band key = md5 of the comma-joined signature slice (portable across
+    engines, unlike xxhash64).
     """
     assert n_bands * rows_per_band <= 256
     bands = sigs.select(
@@ -103,7 +107,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        F.md5(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -187,34 +191,43 @@ def ngram_jaccard_pairs(
     return out
 
 
+N_SIMHASH_BITS = 60
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash long): 64-bit SimHash over whitespace tokens.
+    """(id, simhash long): 60-bit SimHash over whitespace tokens.
 
     Bit-majority over token hashes, fully JVM-side: explode tokens →
-    xxhash64 → per-bit ±1 contributions via bitwise ops → groupBy sum →
-    reassemble. One shuffle (the groupBy), map-side combined.
+    60-bit md5-derived hash (portable: DuckDB reproduces it) → per-bit ±1
+    contributions via bitwise ops → groupBy sum → reassemble. One shuffle
+    (the groupBy), map-side combined. 60 bits so the value stays a
+    positive BIGINT in every engine.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    )
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(N_SIMHASH_BITS)
     ]
     bits = toks.groupBy("id").agg(*aggs)
     expr = F.lit(0).cast("long")
-    for i in range(64):
-        expr = expr + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    for i in range(N_SIMHASH_BITS):
+        expr = expr + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return bits.select("id", expr.alias("simhash"))
 
 
 def simhash_near_pairs(sh_df: DataFrame, bands: int = 4) -> DataFrame:
-    """Candidate near-dup pairs: equal 16-bit simhash band in ≥1 of 4 bands
+    """Candidate near-dup pairs: equal 15-bit simhash band in ≥1 of 4 bands
     (guarantees recall for Hamming distance ≤ 3). Returns pairs + hamming."""
-    width = 64 // bands
+    width = N_SIMHASH_BITS // bands
     banded = sh_df.select(
         "id",
         "simhash",

@@ -13,8 +13,12 @@ Pipeline (all declarative DataFrame ops + two sanctioned Arrow UDF stages):
    backend/app/api/tokenizer.py:12-16) — emitting one row per distinct
    (term, doc) pair, so the build shuffle carries tf-aggregated pairs,
    never raw token instances.
-5. **pack**: groupBy(shard, term, bucket) → applyInPandas → delta+varint
-   posting bytes with per-block max-score metadata (operators/codec.py).
+5. **pack**: repartition by shard → sortWithinPartitions(term, bucket,
+   doc_id) → mapInPandas group-carver → delta+varint posting bytes with
+   per-block max-score metadata (operators/codec.py). This is the explicit
+   partial-index sort-merge: the shuffle delivers each shard's postings
+   once, the sort makes groups contiguous, and packing walks them in one
+   Arrow pass (per-group Spark overhead would dominate with applyInPandas).
 
    * ``shard  = xxhash64(term) % num_shards`` → hive partition dir; query
      reads only the shards of its query terms (partition pruning ≙ the
@@ -169,27 +173,88 @@ def _tf_rows(it):
         yield out[["term", "doc_id", "tf", "doc_len"]]
 
 
-def _pack_group(key, pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
-    shard, term, bucket = key
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    doc_ids = pdf["doc_id"].to_numpy()[order]
-    tfs = pdf["tf"].to_numpy()[order]
-    dls = pdf["doc_len"].to_numpy()[order]
-    blob, block_max, offsets, block_last = pack_postings(doc_ids, tfs, dls, avgdl)
-    return pd.DataFrame(
-        [
-            {
-                "shard": shard,
-                "term": term,
-                "bucket": bucket,
-                "df": int(doc_ids.size),
-                "postings": blob,
-                "block_max": block_max,
-                "block_offsets": offsets,
-                "block_last_doc": block_last,
-            }
-        ]
-    )
+def _pack_partition(avgdl: float):
+    """mapInPandas packer over a shard-partitioned, (term,bucket,doc_id)-
+    sorted stream of flat postings.
+
+    Spark's groupBy().applyInPandas pays per-group Arrow/schema overhead —
+    ruinous for millions of tiny term groups. Instead we sort within the
+    shard partition and carve group boundaries ourselves: one Arrow pass,
+    numpy slicing per (term, bucket) group, a held-back tail so groups that
+    span Arrow batches are never split. Per-group Python is O(distinct
+    terms), never O(postings) — the hot per-posting work stays vectorized
+    in pack_postings.
+    """
+
+    def run(batches):
+        hold: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame, last_incomplete: bool):
+            nonlocal hold
+            terms = pdf["term"].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            # boundaries where (term, bucket) changes
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+            )
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(pdf)]))
+            if last_incomplete and len(starts):
+                hold = pdf.iloc[starts[-1] :]
+                starts, ends = starts[:-1], ends[:-1]
+            else:
+                hold = None
+            if not len(starts):
+                return None
+            doc_ids = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["doc_len"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            rows = []
+            for s, e in zip(starts, ends):
+                blob, bmax, offs, blast = pack_postings(
+                    doc_ids[s:e], tfs[s:e], dls[s:e], avgdl
+                )
+                rows.append(
+                    (
+                        int(shards[s]),
+                        terms[s],
+                        int(buckets[s]),
+                        int(e - s),
+                        blob,
+                        bmax,
+                        offs,
+                        blast,
+                    )
+                )
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "shard",
+                    "term",
+                    "bucket",
+                    "df",
+                    "postings",
+                    "block_max",
+                    "block_offsets",
+                    "block_last_doc",
+                ],
+            )
+
+        for pdf in batches:
+            if hold is not None:
+                pdf = pd.concat([hold, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            out = emit(pdf, last_incomplete=True)
+            if out is not None and len(out):
+                yield out
+        if hold is not None and len(hold):
+            out = emit(hold.reset_index(drop=True), last_incomplete=False)
+            if out is not None and len(out):
+                yield out
+
+    return run
 
 
 def _write_partition_fn(index_dir: str, snapshot: str, kind: str, order_cols: list[str]):
@@ -353,17 +418,15 @@ def build_index(
         "tf",
         "doc_len",
     )
-    segments = keyed.groupBy("shard", "term", "bucket").applyInPandas(
-        lambda key, pdf: _pack_group(key, pdf, avgdl), schema=SEGMENT_ROW_SCHEMA
+    segments = (
+        keyed.repartition(write_partitions, "shard")
+        .sortWithinPartitions("shard", "term", "bucket", "doc_id")
+        .mapInPandas(_pack_partition(avgdl), schema=SEGMENT_ROW_SCHEMA)
     )
-    seg_write = (
-        segments.repartition(write_partitions, "shard")
-        .mapInPandas(
-            _write_partition_fn(
-                index_dir, input_snapshot, "segments", ["term", "bucket"]
-            ),
-            schema=_WRITE_RESULT_SCHEMA,
-        )
+    # pack and write run pipelined in the same task (no shuffle between)
+    seg_write = segments.mapInPandas(
+        _write_partition_fn(index_dir, input_snapshot, "segments", ["term", "bucket"]),
+        schema=_WRITE_RESULT_SCHEMA,
     )
     seg_write.collect()
 

@@ -108,6 +108,12 @@ def ann_lsh(
         probes += [
             F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
         ]
+    if multiprobe_bits >= 2:
+        probes += [
+            F.col("qbucket").bitwiseXOR(F.lit((1 << p1) | (1 << p2)))
+            for p1 in range(n_planes)
+            for p2 in range(p1 + 1, n_planes)
+        ]
     qprobe = qb.select(
         q_id_col, q_vec_col, F.explode(F.array(*probes)).alias("bucket")
     )

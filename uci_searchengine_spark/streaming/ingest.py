@@ -1,0 +1,84 @@
+"""Structured Streaming ingestion: incremental crawl→index analog.
+
+The reference's nearest streaming construct is the resumable crawl loop
+(backend/app/api/routes.py:144-213 fresh/continue/recrawl + the in-memory
+frontier, crawler.py:58,171-172). Here that becomes:
+
+* ``stream_pages`` — ``readStream`` over a pages directory (new files =
+  newly crawled batches; on a cluster this is the landing zone of a WARC
+  ingestion job or a Kafka source with the same schema).
+* ``incremental_postings`` — foreachBatch: each micro-batch runs the SAME
+  extract→tokenize→tf dataflow as the batch builder and appends to the
+  flat-postings table; segment compaction then runs periodically (exactly
+  the reference's "continue" mode: only new documents are processed).
+* ``windowed_page_counts`` — event-time tumbling window + watermark on
+  ``warc_ts`` (late pages allowed up to the watermark), the build-metrics
+  stream (crawl_statistics analog, models.py:142-150).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uci_searchengine_spark.operators.index_build import (
+    POSTINGS_STAGE_SCHEMA,
+    _tf_rows,
+    _tokens_udf,
+)
+from uci_searchengine_spark.functions.extract import extract_html
+from uci_searchengine_spark.schema import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, pages_dir: str, max_files: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(pages_dir)
+    )
+
+
+def _batch_postings(batch: DataFrame) -> DataFrame:
+    """extract → tokenize → per-doc tf rows; doc identity = xxhash64(url)
+    (incremental batches can't see the global url order, so streaming mode
+    uses hash doc ids — documented trade-off vs the batch builder)."""
+    ex = F.col("_ex")
+    tokenized = (
+        batch.withColumn("_ex", extract_html(F.col("html"), F.col("url")))
+        .select(
+            F.xxhash64("url").alias("doc_id"),
+            _tokens_udf(ex["text"]).alias("tokens"),
+        )
+        .withColumn("doc_len", F.size("tokens").cast("int"))
+    )
+    return tokenized.select("doc_id", "doc_len", "tokens").mapInPandas(
+        _tf_rows, schema=POSTINGS_STAGE_SCHEMA
+    )
+
+
+def incremental_postings(
+    pages_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """writeStream.foreachBatch appending tf rows per micro-batch; the
+    checkpoint dir gives exactly-once file-source progress (the
+    crawler_state analog, models.py:162-179)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        _batch_postings(batch).write.mode("append").parquet(out_dir)
+
+    return (
+        pages_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_page_counts(pages_stream: DataFrame) -> DataFrame:
+    """Event-time windowed ingest metrics with late-data handling."""
+    return (
+        pages_stream.withWatermark("warc_ts", "1 hour")
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
+    )
