@@ -68,7 +68,14 @@ def main() -> None:
     snapshot = f"synth:seed=1337:n={N_DOCS}"
     if not os.environ.get("BENCH_SKIP_BUILD"):
         shutil.rmtree(INDEX_DIR, ignore_errors=True)
-        pages = synth_pages(spark, N_DOCS, seed=1337)
+        pages_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "_data", f"pages_{N_DOCS}_s1337"
+        )
+        if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+            synth_pages(spark, N_DOCS, seed=1337).write.mode("overwrite").parquet(
+                pages_path
+            )
+        pages = spark.read.parquet(pages_path)
         t0 = time.perf_counter()
         build_index(
             spark,

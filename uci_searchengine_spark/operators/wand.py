@@ -60,19 +60,12 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
-def _term_shard(term: str, num_shards: int, spark: SparkSession) -> int:
-    # xxhash64 must match the build-side F.xxhash64 — evaluate via Spark
-    row = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(term)), F.lit(num_shards)).cast("int").alias("s")
-    ).collect()[0]
-    return row["s"]
+def _shards_for_terms(terms: list[str], num_shards: int) -> dict[str, int]:
+    # driver-side xxhash64 (verified == F.xxhash64 in tests/test_xxhash.py)
+    # — saves a Spark round-trip per query
+    from uci_searchengine_spark.functions.xxhash import term_shard
 
-
-def _shards_for_terms(terms: list[str], num_shards: int, spark: SparkSession) -> dict[str, int]:
-    rows = spark.createDataFrame([(t,) for t in terms], "term string").select(
-        "term", F.pmod(F.xxhash64("term"), F.lit(num_shards)).cast("int").alias("s")
-    ).collect()
-    return {r["term"]: r["s"] for r in rows}
+    return {t: term_shard(t, num_shards) for t in terms}
 
 
 def _score_bucket(
@@ -192,7 +185,7 @@ def score_wand(
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return empty
-    shard_map = _shards_for_terms(terms, meta.num_shards, spark)
+    shard_map = _shards_for_terms(terms, meta.num_shards)
     shards = sorted(set(shard_map.values()))
     seg = load_segments(spark, index_dir).filter(
         F.col("shard").isin(shards) & F.col("term").isin(terms)
