@@ -93,9 +93,42 @@ def run_at(cores: int) -> dict:
     return res
 
 
+def _step_path(cores: int) -> str:
+    return os.path.join(REPO, "_data", f"scale_result_c{cores}_{N_DOCS}.json")
+
+
 def main() -> None:
+    """Stepwise CLI: `gen` / `run 8` / `run 32` / `report` (or no args =
+    everything in one process)."""
+    if len(sys.argv) > 1:
+        cmd = sys.argv[1]
+        if cmd == "gen":
+            from uci_searchengine_spark.session import get_spark
+
+            spark = get_spark(master="local[32]", shuffle_partitions=32)
+            ensure_corpus(spark)
+            spark.stop()
+            print(json.dumps({"corpus": pages_path()}))
+            return
+        if cmd == "run":
+            cores = int(sys.argv[2])
+            res = run_at(cores)
+            with open(_step_path(cores), "w") as f:
+                json.dump(res, f)
+            print(json.dumps(res))
+            return
+        if cmd == "report":
+            r8 = json.load(open(_step_path(8)))
+            r32 = json.load(open(_step_path(32)))
+            report(r8, r32)
+            return
+        raise SystemExit(f"unknown subcommand {cmd}")
     r8 = run_at(8)
     r32 = run_at(32)
+    report(r8, r32)
+
+
+def report(r8: dict, r32: dict) -> None:
     eff = (r8["build_seconds"] / r32["build_seconds"]) / 4.0
     # rank-identity across parallelism is asserted in tests; record the spot check
     identical = r8["top1_check"] == r32["top1_check"]

@@ -48,9 +48,10 @@ def test_postings_roundtrip_property(doc_id_set, tf_max):
     tfs = rng.randint(1, tf_max + 1, size=doc_ids.size).astype(np.int32)
     dls = rng.randint(10, 500, size=doc_ids.size).astype(np.int64)
     blob, bmax, offs, lasts = pack_postings(doc_ids, tfs, dls, avgdl=120.0)
-    d2, t2 = unpack_postings(blob)
+    d2, t2, l2 = unpack_postings(blob)
     assert np.array_equal(d2, doc_ids)
     assert np.array_equal(t2, tfs)
+    assert np.array_equal(l2, dls)
     # block metadata invariants
     n_blocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
     assert len(bmax) == len(offs) == len(lasts) == n_blocks
@@ -72,8 +73,9 @@ def test_block_decode_with_offsets():
     for bi in range(len(offs)):
         lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, doc_ids.size)
         cnt = hi - lo
-        d, t = unpack_postings(bytes(blob), offset=int(offs[bi]), count=cnt)
+        d, t, l = unpack_postings(bytes(blob), offset=int(offs[bi]), count=cnt)
         if bi > 0:
             d = d + (lasts[bi - 1] + 1)
         assert np.array_equal(d, doc_ids[lo:hi])
         assert np.array_equal(t, tfs[lo:hi])
+        assert np.array_equal(l, dls[lo:hi])

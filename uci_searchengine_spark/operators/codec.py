@@ -2,9 +2,14 @@
 
 Physical format (FIXTURES.md §2, north_star):
 
-* postings ``binary``: interleaved LEB128 varints ``gap_0 tf_0 gap_1 tf_1 …``
-  where ``gap_0 = doc_id_0 + 1`` and ``gap_i = doc_id_i - doc_id_{i-1}``
-  (always ≥ 1 — doc ids are unique and sorted ascending).
+* postings ``binary``: interleaved LEB128 varints
+  ``gap_0 tf_0 dl_0 gap_1 tf_1 dl_1 …`` where ``gap_0 = doc_id_0 + 1`` and
+  ``gap_i = doc_id_i - doc_id_{i-1}`` (always ≥ 1 — doc ids are unique and
+  sorted ascending). ``dl`` is the document length, stored inline so BM25
+  scoring needs NO side lookup — a per-query join against a doc-length
+  table would shuffle every document's length for every query at corpus
+  scale (the reference re-tokenizes every candidate doc per term at query
+  time, search.py:92 — the same mistake magnified).
 * blocks of ``BLOCK_SIZE`` (=128) postings. Per block we store:
   - ``block_offsets``: byte offset of the block's first varint (skip pointer),
   - ``block_last_doc``: last doc_id in the block (WAND skipping),
@@ -27,33 +32,40 @@ import numpy as np
 from uci_searchengine_spark import BLOCK_SIZE, BM25_B, BM25_K1
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized."""
-    v = values.astype(np.uint64, copy=False)
-    if v.size == 0:
-        return b""
-    # byte length per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
+def _varint_lengths(v: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding (≤10 shift rounds)."""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
     while True:
         nz = tmp > 0
         if not nz.any():
             break
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+        nbytes[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
+def _varint_encode_core(v: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """LEB128 bytes for the whole value array (uint8 array out)."""
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     starts = ends - nbytes
     out = np.zeros(total, dtype=np.uint8)
-    # position of each output byte within its value
     byte_idx = np.arange(total, dtype=np.int64)
     owner = np.searchsorted(ends, byte_idx, side="right")
     pos = byte_idx - starts[owner]
     chunk = (v[owner] >> (np.uint64(7) * pos.astype(np.uint64))) & np.uint64(0x7F)
     cont = byte_idx != (ends[owner] - 1)  # continuation bit on all but last byte
     out[:] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    v = values.astype(np.uint64, copy=False)
+    if v.size == 0:
+        return b""
+    return _varint_encode_core(v, _varint_lengths(v)).tobytes()
 
 
 def decode_varints(buf: bytes, offset: int = 0, count: int | None = None) -> np.ndarray:
@@ -107,9 +119,10 @@ def pack_postings(
     gaps[0] = np.uint64(doc_ids[0] + 1)
     if n > 1:
         gaps[1:] = np.diff(doc_ids).astype(np.uint64)
-    interleaved = np.empty(2 * n, dtype=np.uint64)
-    interleaved[0::2] = gaps
-    interleaved[1::2] = tfs.astype(np.uint64)
+    interleaved = np.empty(3 * n, dtype=np.uint64)
+    interleaved[0::3] = gaps
+    interleaved[1::3] = tfs.astype(np.uint64)
+    interleaved[2::3] = doc_lens.astype(np.uint64)
 
     # per-block byte offsets: encode per block so offsets are exact
     factors = bm25_tf_factor(tfs, doc_lens, avgdl)
@@ -121,7 +134,7 @@ def pack_postings(
     off = 0
     for bi in range(n_blocks):
         lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
-        enc = encode_varints(interleaved[2 * lo : 2 * hi])
+        enc = encode_varints(interleaved[3 * lo : 3 * hi])
         offsets[bi] = off
         off += len(enc)
         chunks.append(enc)
@@ -130,10 +143,82 @@ def pack_postings(
     return b"".join(chunks), block_max, offsets, block_last
 
 
+def pack_many(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    group_starts: np.ndarray,
+    avgdl: float,
+):
+    """Pack MANY posting lists at once — the batch-vectorized form of
+    :func:`pack_postings`.
+
+    Input: the concatenated postings of all groups (sorted by doc_id within
+    each group) plus ``group_starts`` (first row index of each group,
+    sorted, starting at 0). One varint encode covers the entire stream;
+    per-block maxima come from ``np.maximum.reduceat``; per-group blobs are
+    byte-range slices. Per-group Python shrinks to output assembly —
+    essential when a partition holds hundreds of thousands of rare-term
+    groups (per-group numpy overhead would dominate the build).
+
+    Returns (blobs list[bytes], block_max list[f32[]], block_offsets
+    list[i32[]], block_last list[i64[]], counts i64[]).
+    """
+    n = doc_ids.size
+    g = np.asarray(group_starts, dtype=np.int64)
+    counts = np.diff(np.append(g, n))
+
+    gaps = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+    gaps[g] = (doc_ids[g] + 1).astype(np.uint64)
+    iv = np.empty(3 * n, dtype=np.uint64)
+    iv[0::3] = gaps
+    iv[1::3] = tfs.astype(np.uint64)
+    iv[2::3] = doc_lens.astype(np.uint64)
+    nbytes = _varint_lengths(iv)
+    enc = _varint_encode_core(iv, nbytes)
+    val_start = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+
+    # global block grid: blocks are contiguous within groups, groups are
+    # contiguous in the stream → block starts partition the whole array
+    nb_per_group = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nb_per_group = np.maximum(nb_per_group, 1)
+    total_blocks = int(nb_per_group.sum())
+    rep_gstart = np.repeat(g, nb_per_group)
+    block_ord = np.arange(total_blocks, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(nb_per_group)[:-1])), nb_per_group
+    )
+    block_start = rep_gstart + block_ord * BLOCK_SIZE
+    group_end = np.repeat(g + counts, nb_per_group)
+    block_end = np.minimum(block_start + BLOCK_SIZE, group_end)
+
+    factors = bm25_tf_factor(tfs, doc_lens, avgdl)
+    bmax_all = np.maximum.reduceat(factors, block_start).astype(np.float32)
+    blast_all = doc_ids[block_end - 1].astype(np.int64)
+    bbyte = val_start[3 * block_start].astype(np.int64)
+
+    group_byte_start = val_start[3 * g]
+    group_byte_end = np.append(val_start[3 * g[1:]], enc.size) if g.size > 1 else np.array([enc.size])
+    blk_bounds = np.concatenate(([0], np.cumsum(nb_per_group)))
+
+    buf = enc.tobytes()
+    blobs, bmaxs, boffs, blasts = [], [], [], []
+    for i in range(g.size):
+        b0, b1 = int(blk_bounds[i]), int(blk_bounds[i + 1])
+        gb = int(group_byte_start[i])
+        blobs.append(buf[gb : int(group_byte_end[i])])
+        bmaxs.append(bmax_all[b0:b1])
+        boffs.append((bbyte[b0:b1] - gb).astype(np.int32))
+        blasts.append(blast_all[b0:b1])
+    return blobs, bmaxs, boffs, blasts, counts
+
+
 def unpack_postings(buf: bytes, offset: int = 0, count: int | None = None):
-    """Inverse of pack: returns (doc_ids int64[], tfs int32[])."""
-    vals = decode_varints(buf, offset=offset, count=None if count is None else 2 * count)
-    gaps = vals[0::2].astype(np.int64)
-    tfs = vals[1::2].astype(np.int32)
+    """Inverse of pack: returns (doc_ids int64[], tfs int32[], dls int32[])."""
+    vals = decode_varints(buf, offset=offset, count=None if count is None else 3 * count)
+    gaps = vals[0::3].astype(np.int64)
+    tfs = vals[1::3].astype(np.int32)
+    dls = vals[2::3].astype(np.int32)
     doc_ids = np.cumsum(gaps) - 1
-    return doc_ids, tfs
+    return doc_ids, tfs, dls

@@ -1,45 +1,59 @@
 """Inverted-index build: pages → compressed term-sharded segments.
 
-Pipeline (all declarative DataFrame ops + two sanctioned Arrow UDF stages):
+Two shuffles, two fully-parallel Arrow passes — the minimum dataflow for a
+global inverted index:
 
-1. **dedup** by url keeping latest ``warc_ts`` (input_hint; reference analog:
+**Stage 1 (docs)** — ONE range-shuffle of the pages by url, then a single
+fused mapInPandas pass per partition that does, in order:
+
+1. dedup by url keeping latest ``warc_ts`` (input_hint; reference analog:
    unique url constraint + visited-set, backend/app/database/models.py:72,
-   backend/app/api/crawler.py:175).
-2. **extract** title/text/links from html (vectorized Arrow UDF, pinned to
-   the reference extractor — see functions/extract.py).
-3. **docIDs**: deterministic dense ids by url rank (plans/docids.py).
-4. **tokenize** (vectorized, pinned tokenizer) → per-doc term frequencies
-   computed inside the same Arrow batch (reference analog:
-   backend/app/api/tokenizer.py:12-16) — emitting one row per distinct
-   (term, doc) pair, so the build shuffle carries tf-aggregated pairs,
-   never raw token instances.
-5. **pack**: repartition by shard → sortWithinPartitions(term, bucket,
-   doc_id) → mapInPandas group-carver → delta+varint posting bytes with
-   per-block max-score metadata (operators/codec.py). This is the explicit
-   partial-index sort-merge: the shuffle delivers each shard's postings
-   once, the sort makes groups contiguous, and packing walks them in one
-   Arrow pass (per-group Spark overhead would dominate with applyInPandas).
+   backend/app/api/crawler.py:175) — range partitioning co-locates every
+   row of a url, the partition sort puts the keeper first;
+2. deterministic dense docIDs: doc_id = global url rank, via a cheap
+   per-partition dedup-count pre-pass → prefix-sum offsets (stable across
+   cluster sizes — required for rank identity);
+3. extract title/text from html (pinned reference extractor,
+   functions/extract.py — per-doc parse amortized over the Arrow batch);
+4. tokenize (vectorized) → per-doc term frequencies inside the same batch
+   (reference analog: backend/app/api/tokenizer.py:12-16) — downstream
+   sees one row per distinct (term, doc), never per token instance;
+5. write the docs table (hive bucket= dirs, doc_id-sorted for row-group
+   pruning) and the flat postings parquet directly from the task, with a
+   per-partition manifest.
 
-   * ``shard  = xxhash64(term) % num_shards`` → hive partition dir; query
-     reads only the shards of its query terms (partition pruning ≙ the
-     reference's B-tree probe on terms.term, models.py:41).
-   * ``bucket = doc_id // bucket_size`` — a uniform doc-range grid. This is
-     the skew control: a head term appearing in 80% of 10^12 docs is split
-     into bounded, doc-range-contiguous segment rows (≤ bucket_size
-     postings each) instead of one giant group — the "salted
-     repartitioning" of the north star, with the salt chosen so posting
-     lists stay sorted/contiguous and never need a second merge pass.
-     Query-side scoring is embarrassingly parallel over buckets because a
-     doc's postings for *all* terms share its bucket.
-6. **write**: per-output-partition parquet files + `_manifest/*.json`
-   checkpoint (docs, postings, bytes, input-snapshot lineage). A rerun
-   skips every partition whose manifest is committed for the same input
-   snapshot → killed builds resume without rewriting completed work.
-   (Reference analog: crawler_state resumable checkpoint rows,
-   models.py:162-179, and continue-mode frontier, routes.py:158-188.)
+**Stage 2 (segments)** — range-shuffle the flat postings by (shard, term)
+(equal keys never split → a term's whole posting list lands in one
+partition, load balanced by sampled data, immune to hash-collision
+imbalance), sortWithinPartitions(shard, term, bucket, doc_id), then a
+group-carving mapInPandas packs delta+varint posting bytes with per-block
+max-score metadata (operators/codec.py) and writes hive shard= segment
+files + manifests. Per-group Spark overhead would dominate with
+applyInPandas; the carver walks each partition in one Arrow pass.
 
-Stage boundaries (docs+postings, then segments) are materialized to
-parquet, so stage 2 of a resumed build doesn't recompute extraction.
+* ``shard  = xxhash64(term) % num_shards`` → hive partition dir; query
+  reads only the shards of its query terms (partition pruning ≙ the
+  reference's B-tree probe on terms.term, models.py:41).
+* ``bucket = doc_id // bucket_size`` — a uniform doc-range grid. This is
+  the skew control: a head term appearing in 80% of 10^12 docs is split
+  into bounded, doc-range-contiguous segment rows (≤ bucket_size postings
+  each) instead of one giant group — the "salted repartitioning" of the
+  north star, with the salt chosen so posting lists stay sorted/contiguous
+  and never need a second merge pass. Query-side scoring is embarrassingly
+  parallel over buckets because a doc's postings for *all* query terms
+  share its bucket.
+* ``df_global`` is computed in the segment writer (a term's shard
+  partition sees its whole posting list) — the term_stats analog the
+  reference declares but never populates (models.py:44-51, SURVEY.md §2.9).
+
+**Checkpoint/resume**: every write goes through per-partition
+`_manifest/*.json` (docs, postings, bytes, input-snapshot lineage) with
+rename-commit. A rerun skips every partition whose manifest is committed
+for the same input snapshot → killed builds resume without rewriting
+completed work (reference analog: crawler_state checkpoint rows,
+models.py:162-179, continue-mode frontier, routes.py:158-188). Stage
+boundaries are materialized to parquet, so a resumed stage 2 never
+recomputes extraction.
 """
 
 from __future__ import annotations
@@ -58,7 +72,7 @@ from pyspark.sql import types as T
 from uci_searchengine_spark import BM25_B, BM25_K1, DEFAULT_NUM_SHARDS
 from uci_searchengine_spark.functions.extract import extract_html
 from uci_searchengine_spark.functions.tokenize import tokenize_series
-from uci_searchengine_spark.operators.codec import pack_postings
+from uci_searchengine_spark.operators.codec import pack_many
 from uci_searchengine_spark.plans.docids import assign_doc_ids
 
 SEGMENT_ROW_SCHEMA = T.StructType(
@@ -126,8 +140,45 @@ def _commit_manifest(index_dir: str, name: str, payload: dict) -> None:
     os.replace(tmp, p)
 
 
+def _wipe_stale(index_dir: str, snap: str) -> None:
+    """Clear outputs left by a build of a DIFFERENT input snapshot or
+    layout config (hive dirs from an old bucket/shard grid would otherwise
+    leak into reads). A killed build of the SAME snapshot is left intact —
+    that's the resume case."""
+    import shutil
+
+    mdir = os.path.join(index_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return
+    stale = False
+    for fn in os.listdir(mdir):
+        if not fn.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, fn)) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            stale = True
+            break
+        if m.get("input_snapshot") != snap:
+            stale = True
+            break
+    if stale:
+        for sub in ("docs", "postings_flat", "segments", "_manifest"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+        for fn in ("meta.json",):
+            try:
+                os.remove(os.path.join(index_dir, fn))
+            except FileNotFoundError:
+                pass
+
+
 def dedup_by_url(pages: DataFrame) -> DataFrame:
-    """Keep the latest warc_ts row per url (deterministic tie-break)."""
+    """Keep the latest warc_ts row per url (deterministic tie-break).
+
+    Standalone operator (U3 analog); the build pipeline itself fuses dedup
+    into the stage-1 partition pass to avoid a second shuffle of the html
+    payloads."""
     w = Window.partitionBy("url").orderBy(
         F.col("warc_ts").desc(), F.xxhash64("html").asc()
     )
@@ -136,6 +187,180 @@ def dedup_by_url(pages: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def _dedup_count_fn(it):
+    """Per-partition count of distinct urls (input sorted by url)."""
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    cnt = 0
+    last_url = None
+    for pdf in it:
+        if not len(pdf):
+            continue
+        urls = pdf["url"].to_numpy()
+        uniq = 1 + int((urls[1:] != urls[:-1]).sum())
+        if last_url is not None and urls[0] == last_url:
+            uniq -= 1
+        cnt += uniq
+        last_url = urls[-1]
+    yield pd.DataFrame({"pid": [pid], "cnt": [cnt]})
+
+
+def _postings_from_tokens(doc_ids: np.ndarray, doc_lens: np.ndarray, tokens) -> pd.DataFrame:
+    """(term, doc_id, tf, doc_len) rows — per-doc tf computed vectorized
+    (A1 hot-path mapping, SURVEY.md §2.4)."""
+    n = [len(t) for t in tokens]
+    if sum(n) == 0:
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "tf": pd.Series([], dtype="int32"),
+                "doc_len": pd.Series([], dtype="int32"),
+            }
+        )
+    ex = pd.DataFrame(
+        {
+            "term": np.concatenate([np.asarray(t, dtype=object) for t in tokens if len(t)]),
+            "doc_id": np.repeat(doc_ids, n),
+            "doc_len": np.repeat(doc_lens, n),
+        }
+    )
+    out = (
+        ex.groupby(["term", "doc_id", "doc_len"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    out["tf"] = out["tf"].astype("int32")
+    out["doc_len"] = out["doc_len"].astype("int32")
+    return out[["term", "doc_id", "tf", "doc_len"]]
+
+
+def _stage1_fn(index_dir: str, snapshot: str, offsets: dict[int, int], bucket_size: int):
+    """Fused stage-1 partition pass: dedup → docIDs → extract → tokenize →
+    write docs + flat postings + manifest. One Arrow pass, no further
+    shuffle of page payloads; per-partition resume via manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    from uci_searchengine_spark.functions.extract import extract_one
+
+    def run(batches):
+        pid = TaskContext.get().partitionId()
+        name = f"stage1-{pid:05d}"
+        existing = _read_manifest(index_dir, name)
+        if (
+            existing
+            and existing.get("status") == "committed"
+            and existing.get("input_snapshot") == snapshot
+        ):
+            for _ in batches:
+                pass
+            yield pd.DataFrame({"partition_id": [pid], "skipped": [True]})
+            return
+
+        offset = offsets.get(pid, 0)
+        counter = 0
+        docs_chunks: list[pd.DataFrame] = []
+        post_chunks: list[pd.DataFrame] = []
+        hold: pd.DataFrame | None = None
+
+        def process(pdf: pd.DataFrame) -> None:
+            nonlocal counter
+            d = pdf.drop_duplicates("url", keep="first")
+            doc_ids = (offset + counter + np.arange(len(d))).astype("int64")
+            counter += len(d)
+            titles, texts = [], []
+            for url, html in zip(d["url"], d["html"]):
+                title, text, _links = extract_one(bytes(html), url)
+                titles.append(title)
+                texts.append(text)
+            tokens = tokenize_series(pd.Series(texts, dtype=object))
+            doc_lens = np.array([len(t) for t in tokens], dtype="int32")
+            docs_chunks.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": doc_ids,
+                        "url": d["url"].to_numpy(),
+                        "title": titles,
+                        "doc_len": doc_lens,
+                        "bucket": (doc_ids // bucket_size).astype("int32"),
+                        "text": texts,
+                    }
+                )
+            )
+            post_chunks.append(
+                _postings_from_tokens(doc_ids, doc_lens, list(tokens))
+            )
+
+        for pdf in batches:
+            if hold is not None:
+                pdf = pd.concat([hold, pdf], ignore_index=True)
+                hold = None
+            if not len(pdf):
+                continue
+            # hold back the final url group — it may continue in the next
+            # Arrow batch and dedup must see the whole group
+            urls = pdf["url"].to_numpy()
+            first_of_last = int(np.searchsorted(urls, urls[-1], side="left"))
+            if first_of_last > 0:
+                hold = pdf.iloc[first_of_last:].reset_index(drop=True)
+                process(pdf.iloc[:first_of_last])
+            else:
+                hold = pdf
+        if hold is not None and len(hold):
+            process(hold)
+
+        docs_rows = 0
+        postings_rows = 0
+        tbl_bytes = 0
+        if docs_chunks:
+            docs = pd.concat(docs_chunks, ignore_index=True)
+            for hv, grp in docs.groupby("bucket", sort=True):
+                out_dir = os.path.join(index_dir, "docs", f"bucket={hv}")
+                os.makedirs(out_dir, exist_ok=True)
+                path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        grp.drop(columns=["bucket"]), preserve_index=False
+                    ),
+                    path + ".tmp",
+                    compression="zstd",
+                )
+                os.replace(path + ".tmp", path)
+                docs_rows += len(grp)
+                tbl_bytes += os.path.getsize(path)
+            posts = pd.concat(post_chunks, ignore_index=True)
+            pdir = os.path.join(index_dir, "postings_flat")
+            os.makedirs(pdir, exist_ok=True)
+            ppath = os.path.join(pdir, f"part-{pid:05d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(posts, preserve_index=False),
+                ppath + ".tmp",
+                compression="zstd",
+            )
+            os.replace(ppath + ".tmp", ppath)
+            postings_rows = len(posts)
+            tbl_bytes += os.path.getsize(ppath)
+        _commit_manifest(
+            index_dir,
+            name,
+            {
+                "partition_id": pid,
+                "docs": docs_rows,
+                "postings": postings_rows,
+                "bytes": tbl_bytes,
+                "rows": docs_rows,
+                "input_snapshot": snapshot,
+                "status": "committed",
+            },
+        )
+        yield pd.DataFrame({"partition_id": [pid], "skipped": [False]})
+
+    return run
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -206,39 +431,25 @@ def _pack_partition(avgdl: float):
                 hold = None
             if not len(starts):
                 return None
-            doc_ids = pdf["doc_id"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
-            dls = pdf["doc_len"].to_numpy()
+            cut = int(ends[-1])
+            doc_ids = pdf["doc_id"].to_numpy()[:cut]
+            tfs = pdf["tf"].to_numpy()[:cut]
+            dls = pdf["doc_len"].to_numpy()[:cut]
             shards = pdf["shard"].to_numpy()
-            rows = []
-            for s, e in zip(starts, ends):
-                blob, bmax, offs, blast = pack_postings(
-                    doc_ids[s:e], tfs[s:e], dls[s:e], avgdl
-                )
-                rows.append(
-                    (
-                        int(shards[s]),
-                        terms[s],
-                        int(buckets[s]),
-                        int(e - s),
-                        blob,
-                        bmax,
-                        offs,
-                        blast,
-                    )
-                )
+            blobs, bmaxs, boffs, blasts, counts = pack_many(
+                doc_ids, tfs, dls, starts, avgdl
+            )
             return pd.DataFrame(
-                rows,
-                columns=[
-                    "shard",
-                    "term",
-                    "bucket",
-                    "df",
-                    "postings",
-                    "block_max",
-                    "block_offsets",
-                    "block_last_doc",
-                ],
+                {
+                    "shard": shards[starts].astype("int32"),
+                    "term": terms[starts],
+                    "bucket": buckets[starts].astype("int32"),
+                    "df": counts.astype("int32"),
+                    "postings": blobs,
+                    "block_max": bmaxs,
+                    "block_offsets": boffs,
+                    "block_last_doc": blasts,
+                }
             )
 
         for pdf in batches:
@@ -253,6 +464,33 @@ def _pack_partition(avgdl: float):
             out = emit(hold.reset_index(drop=True), last_incomplete=False)
             if out is not None and len(out):
                 yield out
+
+    return run
+
+
+def _pack_and_write_fn(index_dir: str, snapshot: str, avgdl: float):
+    """Fused stage-2 task: group-carve + pack + write + manifest in ONE
+    Python worker (chained mapInPandas stages anti-scale — see module
+    docstring)."""
+    inner = _pack_partition(avgdl)
+    writer = _write_partition_fn(index_dir, snapshot, "segments", ["term", "bucket"])
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        existing = _read_manifest(index_dir, f"segments-{pid:05d}")
+        if (
+            existing
+            and existing.get("status") == "committed"
+            and existing.get("input_snapshot") == snapshot
+        ):
+            # resume: skip the pack work entirely, not just the write
+            for _ in batches:
+                pass
+            yield pd.DataFrame({"partition_id": [pid], "skipped": [True]})
+            return
+        yield from writer(inner(batches))
 
     return run
 
@@ -283,6 +521,15 @@ def _write_partition_fn(index_dir: str, snapshot: str, kind: str, order_cols: li
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+            if kind == "segments":
+                # all buckets of a term share its shard → its shard
+                # partition sees the whole posting list, so the global df
+                # is computable here with zero extra shuffle. Denormalized
+                # onto every segment row: the query path reads idf without
+                # a separate aggregation job (term_stats analog,
+                # backend/app/database/models.py:44-51 — which the
+                # reference never populates, SURVEY.md §2.9).
+                pdf["df_global"] = pdf.groupby("term")["df"].transform("sum").astype("int64")
             for hv, grp in pdf.groupby(hive_col, sort=True):
                 out_dir = os.path.join(index_dir, kind, f"{hive_col}={hv}")
                 os.makedirs(out_dir, exist_ok=True)
@@ -337,65 +584,97 @@ def build_index(
     parallelism = spark.sparkContext.defaultParallelism
     write_partitions = write_partitions or parallelism
 
+    import time as _time
+
+    _verbose = bool(os.environ.get("SPARK_BUILD_VERBOSE"))
+    _t0 = _time.perf_counter()
+
+    def _lap(msg: str) -> None:
+        nonlocal _t0
+        if _verbose:
+            t = _time.perf_counter()
+            print(f"[build] {msg}: {t - _t0:.1f}s", flush=True)
+            _t0 = t
+
+    # internal snapshot string folds in layout config so a shard/bucket/
+    # partition-count change invalidates old partition manifests (resume is
+    # only valid against the identical deterministic partitioning)
+    snap = f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}"
+
     docs_stage = _read_manifest(index_dir, "stage-docs")
     if not (
         docs_stage
         and docs_stage.get("status") == "committed"
-        and docs_stage.get("input_snapshot") == input_snapshot
-        and docs_stage.get("num_shards") == num_shards
-        and docs_stage.get("n_buckets") == n_buckets
+        and docs_stage.get("input_snapshot") == snap
     ):
-        deduped = dedup_by_url(pages)
-        with_ids = assign_doc_ids(deduped, "url")
-        ex = F.col("_ex")
-        extracted = (
-            with_ids.withColumn("_ex", extract_html(F.col("html"), F.col("url")))
-            .select(
-                "doc_id",
-                "url",
-                ex["title"].alias("title"),
-                ex["text"].alias("text"),
-            )
-            .withColumn("tokens", _tokens_udf(F.col("text")))
-            .withColumn("doc_len", F.size("tokens").cast("int"))
-        ).cache()
+        _wipe_stale(index_dir, snap)
+        from pyspark.storagelevel import StorageLevel
 
-        stats = extracted.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-        ).collect()[0]
-        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+        from uci_searchengine_spark.plans.partitioning import (
+            exact_repartition,
+            url_range_pids,
+        )
+
+        # deterministic url-range partitioning: seeded sample → boundaries
+        # → exact placement (repartitionByRange seeds its sampler with the
+        # RDD id, so boundaries drift between reruns and would corrupt
+        # per-partition resume)
+        n_rows = pages.count()
+        _lap("count")
+        frac = min(1.0, (write_partitions * 200) / max(n_rows, 1))
+        sample = sorted(
+            (r["url"] for r in pages.select("url").sample(False, frac, seed=9).collect()),
+            key=lambda s: s.encode(),
+        )
+        _lap("sample")
+        pid_col = url_range_pids(sample, write_partitions, F.col("url"))
+        ranged = (
+            exact_repartition(
+                pages.withColumn("_pid", pid_col), write_partitions, "_pid"
+            )
+            .sortWithinPartitions(
+                "url", F.desc("warc_ts"), F.desc(F.xxhash64("html"))
+            )
+            .select("url", "html")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # cheap pre-pass: deduped doc count per partition -> dense id offsets
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in ranged.select("url")
+            .mapInPandas(_dedup_count_fn, "pid int, cnt long")
+            .collect()
+        }
+        _lap("shuffle+cache+counts")
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        n_docs = acc
         bucket_size = max(1, math.ceil(n_docs / n_buckets))
 
-        # stage-1 outputs: docs table (bucket-partitioned, doc_id-sorted for
-        # row-group pruning) + flat postings parquet
-        docs_df = extracted.select(
-            "doc_id",
-            "url",
-            "title",
-            "doc_len",
-            (F.col("doc_id") / F.lit(bucket_size)).cast("int").alias("bucket"),
-            "text",
-        ).repartition(write_partitions, "bucket")
-        docs_write = docs_df.mapInPandas(
-            _write_partition_fn(index_dir, input_snapshot, "docs", ["doc_id"]),
+        ranged.mapInPandas(
+            _stage1_fn(index_dir, snap, offsets, bucket_size),
             schema=_WRITE_RESULT_SCHEMA,
-        )
-        docs_write.collect()
+        ).collect()
+        _lap("stage1 pass")
+        ranged.unpersist()
 
-        postings = extracted.select("doc_id", "doc_len", "tokens").mapInPandas(
-            _tf_rows, schema=POSTINGS_STAGE_SCHEMA
+        # avgdl from the written docs table (tiny column-pruned agg)
+        avgdl = float(
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .agg(F.avg("doc_len"))
+            .collect()[0][0]
+            or 0.0
         )
-        postings.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "postings_flat")
-        )
-        extracted.unpersist()
-        with_ids.unpersist()
+        _lap("avgdl agg")
         _commit_manifest(
             index_dir,
             "stage-docs",
             {
                 "status": "committed",
-                "input_snapshot": input_snapshot,
+                "input_snapshot": snap,
                 "n_docs": n_docs,
                 "avgdl": avgdl,
                 "num_shards": num_shards,
@@ -418,17 +697,32 @@ def build_index(
         "tf",
         "doc_len",
     )
-    segments = (
-        keyed.repartition(write_partitions, "shard")
+    # exact shard→partition placement (shard % P): deterministic for
+    # resume, every partition non-empty (a plain hash-repartition on shard
+    # leaves ~1/e of partitions empty and caps pack parallelism below the
+    # core count). All buckets of a term stay together (term→shard), so
+    # df_global is computable in the writer. At extreme head-term scale
+    # (one term ≫ one task), switch the key to (shard, bucket) and move df
+    # to a small build-side aggregate — documented trade-off.
+    #
+    # pack + write are FUSED in one mapInPandas: chaining two Python
+    # stages in the same task doubles the worker processes per core and
+    # measured 3x slower wall at 32-way parallelism.
+    from uci_searchengine_spark.plans.partitioning import exact_repartition
+
+    seg_parts = min(write_partitions, num_shards)
+    seg_write = (
+        exact_repartition(
+            keyed.withColumn("_pid", F.col("shard") % seg_parts), seg_parts, "_pid"
+        )
+        .drop("_pid")
         .sortWithinPartitions("shard", "term", "bucket", "doc_id")
-        .mapInPandas(_pack_partition(avgdl), schema=SEGMENT_ROW_SCHEMA)
-    )
-    # pack and write run pipelined in the same task (no shuffle between)
-    seg_write = segments.mapInPandas(
-        _write_partition_fn(index_dir, input_snapshot, "segments", ["term", "bucket"]),
-        schema=_WRITE_RESULT_SCHEMA,
+        .mapInPandas(
+            _pack_and_write_fn(index_dir, snap, avgdl), schema=_WRITE_RESULT_SCHEMA
+        )
     )
     seg_write.collect()
+    _lap("stage2 pack+write")
 
     meta = IndexMeta(
         n_docs=n_docs,
@@ -469,6 +763,9 @@ def build_metrics(index_dir: str) -> dict:
             m = json.load(f)
         out["partitions"] += 1
         out["docs"] += m.get("docs", 0)
-        out["postings"] += m.get("postings", 0)
         out["bytes"] += m.get("bytes", 0)
+        # postings counted from the segment manifests only (the stage-1
+        # flat-postings rows are the same postings pre-compression)
+        if fn.startswith("segments-"):
+            out["postings"] += m.get("postings", 0)
     return out

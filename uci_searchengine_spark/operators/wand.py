@@ -6,13 +6,16 @@ Query lifecycle (rebuild of backend/app/api/search.py:67-126, SURVEY.md §3.1):
 2. partition-pruned scan of the query terms' shards only
    (`shard isin(...)` hits the hive partition dirs — the Spark analog of
    the reference's B-tree probe on terms.term, models.py:41),
-3. per-term df = sum of segment-row dfs (tiny aggregate → driver → idf map
-   broadcast into the scorer closure),
-4. cogrouped applyInPandas per doc-range *bucket*: every doc's postings for
-   all query terms live in its bucket, so buckets score independently and
-   in parallel. Inside: block-max pruning (MaxScore regime over the
-   block-max metadata) + vectorized exhaustive scoring of surviving blocks
-   + a bounded top-k selection per bucket,
+3. per-term idf from the ``df_global`` column denormalized onto segment
+   rows at build time (term_stats analog) — no per-query aggregation job,
+4. applyInPandas per doc-range *bucket* over the segment rows alone —
+   document lengths ride inline in the postings codec, so scoring needs NO
+   side table (a per-query doc-length join would shuffle the whole doc
+   table at corpus scale). Every doc's postings for all query terms live
+   in its bucket, so buckets score independently and in parallel. Inside:
+   block-max pruning (MaxScore regime over the block-max metadata) +
+   vectorized exhaustive scoring of surviving blocks + a bounded top-k
+   selection per bucket,
 5. global top-k = orderBy(score desc, doc_id asc).limit(k) over ≤
    n_buckets*k candidate rows (TakeOrderedAndProject on tiny data).
 
@@ -70,19 +73,15 @@ def _shards_for_terms(terms: list[str], num_shards: int) -> dict[str, int]:
 
 def _score_bucket(
     seg: pd.DataFrame,
-    docs: pd.DataFrame,
     idf_map: dict[str, float],
     avgdl: float,
     bucket_size: int,
     k: int,
 ) -> pd.DataFrame:
-    if not len(seg) or not len(docs):
+    if not len(seg):
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
     bucket = int(seg["bucket"].iloc[0])
     base = bucket * bucket_size
-    doc_ids_in_bucket = docs["doc_id"].to_numpy()
-    doc_lens = np.zeros(bucket_size, dtype=np.float64)
-    doc_lens[doc_ids_in_bucket - base] = docs["doc_len"].to_numpy()
 
     # per-term data, sorted by whole-list upper bound descending
     rows = []
@@ -104,7 +103,7 @@ def _score_bucket(
         lasts = np.asarray(r.block_last_doc, dtype=np.int64)
         bmax = np.asarray(r.block_max, dtype=np.float64)
         if cand is None:
-            d, tf = unpack_postings(blob)
+            d, tf, dl = unpack_postings(blob)
         else:
             # candidate-only phase: decode only blocks whose doc range
             # contains a candidate and whose ub could still matter
@@ -114,7 +113,7 @@ def _score_bucket(
             keep = hi > lo
             if not keep.any():
                 continue
-            parts_d, parts_tf = [], []
+            parts_d, parts_tf, parts_dl = [], [], []
             nblocks = len(offs)
             from uci_searchengine_spark import BLOCK_SIZE
 
@@ -124,20 +123,22 @@ def _score_bucket(
                     if bi < nblocks - 1
                     else None  # last block: decode to end
                 )
-                db, tb = unpack_postings(blob, offset=int(offs[bi]), count=cnt)
+                db, tb, lb = unpack_postings(blob, offset=int(offs[bi]), count=cnt)
                 # gaps are block-local only for the first block; later
                 # blocks chain off the previous block's last doc — rebase:
                 if bi > 0:
                     db = db + (lasts[bi - 1] + 1)
                 parts_d.append(db)
                 parts_tf.append(tb)
+                parts_dl.append(lb)
             d = np.concatenate(parts_d)
             tf = np.concatenate(parts_tf)
+            dl = np.concatenate(parts_dl)
             # keep only candidate docs
             pos = np.searchsorted(cand, d)
             pos = np.clip(pos, 0, cand.size - 1)
             mask = cand[pos] == d
-            d, tf = d[mask], tf[mask]
+            d, tf, dl = d[mask], tf[mask], dl[mask]
             if d.size == 0:
                 continue
         local = d - base
@@ -145,7 +146,7 @@ def _score_bucket(
         contrib = w * (
             tf_f
             * (BM25_K1 + 1.0)
-            / (tf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_lens[local] / avgdl))
+            / (tf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl))
         )
         np.add.at(acc, local, contrib)
 
@@ -190,20 +191,21 @@ def score_wand(
     seg = load_segments(spark, index_dir).filter(
         F.col("shard").isin(shards) & F.col("term").isin(terms)
     )
-    dfs = {r["term"]: r["df"] for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()}
-    if not dfs:
-        return empty
-    idf_map = {t: idf_fn(meta.n_docs, int(d)) for t, d in dfs.items()}
+    # idf comes from the df_global column denormalized onto segment rows at
+    # build time — no separate aggregation job per query
+    n_docs = meta.n_docs
     avgdl, bucket_size = meta.avgdl, meta.bucket_size
 
-    docs = load_docs(spark, index_dir).select("bucket", "doc_id", "doc_len")
+    def score_fn(key, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(seg_pdf):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+            )
+        idf_map = {
+            t: idf_fn(n_docs, int(d))
+            for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+        }
+        return _score_bucket(seg_pdf, idf_map, avgdl, bucket_size, k)
 
-    def score_fn(key, seg_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_bucket(seg_pdf, docs_pdf, idf_map, avgdl, bucket_size, k)
-
-    per_bucket = (
-        seg.groupBy("bucket")
-        .cogroup(docs.groupBy("bucket"))
-        .applyInPandas(score_fn, schema=_TOPK_SCHEMA)
-    )
+    per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_TOPK_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
