@@ -22,14 +22,20 @@ fused mapInPandas pass per partition that does, in order:
    pruning) and the flat postings parquet directly from the task, with a
    per-partition manifest.
 
-**Stage 2 (segments)** — range-shuffle the flat postings by (shard, term)
-(equal keys never split → a term's whole posting list lands in one
-partition, load balanced by sampled data, immune to hash-collision
-imbalance), sortWithinPartitions(shard, term, bucket, doc_id), then a
-group-carving mapInPandas packs delta+varint posting bytes with per-block
-max-score metadata (operators/codec.py) and writes hive shard= segment
-files + manifests. Per-group Spark overhead would dominate with
-applyInPandas; the carver walks each partition in one Arrow pass.
+**Stage 2 (segments)** — no Spark shuffle at all. Stage 1 writes the flat
+postings pre-partitioned by shard group (``pshard=`` hive dirs — a
+"shuffle via storage": map-side partitioned write, reduce-side selective
+read, the same files-on-shared-storage exchange MR/Hive/push-based
+shuffles use). Each stage-2 task reads exactly its group's files with
+pyarrow, sorts with integer keys (term-hash/bucket/doc_id — stable, so
+deterministic given the sorted file list), then a group-carving Arrow pass
+packs delta+varint posting bytes with per-block max-score metadata
+(operators/codec.py) and writes hive shard= segment files + manifests.
+Zero per-row/per-group Python objects: boundaries come from Arrow compute
+kernels and the output binary/list columns are assembled directly from the
+codec's flat buffers (the pandas/applyInPandas formulations measured
+10-30μs per posting row of pure conversion overhead, and the single-JVM
+exchange+sort was the one stage that refused to scale past 8 cores).
 
 * ``shard  = xxhash64(term) % num_shards`` → hive partition dir; query
   reads only the shards of its query terms (partition pruning ≙ the
@@ -72,7 +78,7 @@ from pyspark.sql import types as T
 from uci_searchengine_spark import BM25_B, BM25_K1, DEFAULT_NUM_SHARDS
 from uci_searchengine_spark.functions.extract import extract_html
 from uci_searchengine_spark.functions.tokenize import tokenize_series
-from uci_searchengine_spark.operators.codec import pack_many
+from uci_searchengine_spark.operators.codec import pack_many, pack_many_raw
 from uci_searchengine_spark.plans.docids import assign_doc_ids
 
 SEGMENT_ROW_SCHEMA = T.StructType(
@@ -116,6 +122,21 @@ class IndexMeta:
     def load(index_dir: str) -> "IndexMeta":
         with open(os.path.join(index_dir, "meta.json")) as f:
             return IndexMeta(**json.load(f))
+
+
+def _tune_worker_arrow() -> None:
+    """Pin pyarrow to one thread inside executor Python workers.
+
+    pyarrow defaults every reader/writer/compute kernel to cpu_count()
+    threads; with N concurrent Spark tasks that is N×cpu_count() threads
+    fighting for N cores — measured as the dominant anti-scaling effect at
+    32-way parallelism (tasks took 3× longer than at 8-way). One Spark
+    task == one core's worth of work; parallelism belongs to Spark.
+    """
+    import pyarrow as pa
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
 
 
 def _manifest_path(index_dir: str, name: str) -> str:
@@ -193,6 +214,7 @@ def _dedup_count_fn(it):
     """Per-partition count of distinct urls (input sorted by url)."""
     from pyspark import TaskContext
 
+    _tune_worker_arrow()
     pid = TaskContext.get().partitionId()
     cnt = 0
     last_url = None
@@ -210,9 +232,17 @@ def _dedup_count_fn(it):
 
 def _postings_from_tokens(doc_ids: np.ndarray, doc_lens: np.ndarray, tokens) -> pd.DataFrame:
     """(term, doc_id, tf, doc_len) rows — per-doc tf computed vectorized
-    (A1 hot-path mapping, SURVEY.md §2.4)."""
+    (A1 hot-path mapping, SURVEY.md §2.4).
+
+    Token strings are factorized to int codes once, then counting is a
+    single int64 sort + run-length pass — a pandas groupby on object keys
+    here costs ~10x more (per-string hashing/compares across millions of
+    token instances) and its allocation churn serializes across many
+    concurrent workers.
+    """
     n = [len(t) for t in tokens]
-    if sum(n) == 0:
+    total = sum(n)
+    if total == 0:
         return pd.DataFrame(
             {
                 "term": pd.Series([], dtype=object),
@@ -221,24 +251,34 @@ def _postings_from_tokens(doc_ids: np.ndarray, doc_lens: np.ndarray, tokens) -> 
                 "doc_len": pd.Series([], dtype="int32"),
             }
         )
-    ex = pd.DataFrame(
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tokens if len(t)])
+    codes, uniq = pd.factorize(flat, sort=False)
+    n_docs_b = len(tokens)
+    doc_rep = np.repeat(np.arange(n_docs_b, dtype=np.int64), n)
+    key = codes.astype(np.int64) * n_docs_b + doc_rep
+    ks = np.sort(key)
+    starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    tf = np.diff(np.append(starts, ks.size)).astype("int32")
+    code_g = ks[starts] // n_docs_b
+    doc_g = ks[starts] % n_docs_b
+    return pd.DataFrame(
         {
-            "term": np.concatenate([np.asarray(t, dtype=object) for t in tokens if len(t)]),
-            "doc_id": np.repeat(doc_ids, n),
-            "doc_len": np.repeat(doc_lens, n),
+            "term": np.asarray(uniq, dtype=object)[code_g],
+            "doc_id": doc_ids[doc_g],
+            "tf": tf,
+            "doc_len": doc_lens[doc_g].astype("int32"),
         }
     )
-    out = (
-        ex.groupby(["term", "doc_id", "doc_len"], sort=False)
-        .size()
-        .reset_index(name="tf")
-    )
-    out["tf"] = out["tf"].astype("int32")
-    out["doc_len"] = out["doc_len"].astype("int32")
-    return out[["term", "doc_id", "tf", "doc_len"]]
 
 
-def _stage1_fn(index_dir: str, snapshot: str, offsets: dict[int, int], bucket_size: int):
+def _stage1_fn(
+    index_dir: str,
+    snapshot: str,
+    offsets: dict[int, int],
+    bucket_size: int,
+    num_shards: int,
+    seg_parts: int,
+):
     """Fused stage-1 partition pass: dedup → docIDs → extract → tokenize →
     write docs + flat postings + manifest. One Arrow pass, no further
     shuffle of page payloads; per-partition resume via manifest."""
@@ -249,6 +289,7 @@ def _stage1_fn(index_dir: str, snapshot: str, offsets: dict[int, int], bucket_si
     from uci_searchengine_spark.functions.extract import extract_one
 
     def run(batches):
+        _tune_worker_arrow()
         pid = TaskContext.get().partitionId()
         name = f"stage1-{pid:05d}"
         existing = _read_manifest(index_dir, name)
@@ -334,17 +375,37 @@ def _stage1_fn(index_dir: str, snapshot: str, offsets: dict[int, int], bucket_si
                 docs_rows += len(grp)
                 tbl_bytes += os.path.getsize(path)
             posts = pd.concat(post_chunks, ignore_index=True)
-            pdir = os.path.join(index_dir, "postings_flat")
-            os.makedirs(pdir, exist_ok=True)
-            ppath = os.path.join(pdir, f"part-{pid:05d}.parquet")
-            pq.write_table(
-                pa.Table.from_pandas(posts, preserve_index=False),
-                ppath + ".tmp",
-                compression="zstd",
+            # shard assignment (python xxhash64 == F.xxhash64, verified in
+            # tests) — hashed once per DISTINCT term, broadcast via codes
+            from uci_searchengine_spark.functions.xxhash import xxhash64 as _xxh
+
+            codes, uniq = pd.factorize(posts["term"].to_numpy(), sort=False)
+            uh = np.array([_xxh(t) for t in uniq], dtype=np.int64)
+            posts["th"] = uh[codes]
+            posts["shard"] = (posts["th"].to_numpy() % num_shards).astype("int32")
+            posts["bucket"] = (posts["doc_id"].to_numpy() // bucket_size).astype(
+                "int32"
             )
-            os.replace(ppath + ".tmp", ppath)
+            posts["pshard"] = (posts["shard"].to_numpy() % seg_parts).astype("int32")
             postings_rows = len(posts)
-            tbl_bytes += os.path.getsize(ppath)
+            # map-side partitioned write = the build's "shuffle via
+            # storage": stage 2 reads exactly its shard-group's files, no
+            # Spark shuffle of posting rows at all (the JVM exchange+sort
+            # measured as the single non-scaling stage at high core
+            # counts). snappy: pyarrow's lz4 is not Spark-readable.
+            for pv, grp in posts.groupby("pshard", sort=True):
+                pdir = os.path.join(index_dir, "postings_flat", f"pshard={pv}")
+                os.makedirs(pdir, exist_ok=True)
+                ppath = os.path.join(pdir, f"part-{pid:05d}.parquet")
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        grp.drop(columns=["pshard"]), preserve_index=False
+                    ),
+                    ppath + ".tmp",
+                    compression="snappy",
+                )
+                os.replace(ppath + ".tmp", ppath)
+                tbl_bytes += os.path.getsize(ppath)
         _commit_manifest(
             index_dir,
             name,
@@ -378,24 +439,11 @@ def _tf_rows(it):
     for pdf in it:
         if not len(pdf):
             continue
-        n = pdf["tokens"].map(len)
-        ex = pd.DataFrame(
-            {
-                "term": np.concatenate(pdf["tokens"].to_numpy(), dtype=object)
-                if len(pdf)
-                else [],
-                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), n),
-                "doc_len": np.repeat(pdf["doc_len"].to_numpy(), n),
-            }
+        yield _postings_from_tokens(
+            pdf["doc_id"].to_numpy(),
+            pdf["doc_len"].to_numpy(),
+            list(pdf["tokens"]),
         )
-        out = (
-            ex.groupby(["term", "doc_id", "doc_len"], sort=False)
-            .size()
-            .reset_index(name="tf")
-        )
-        out["tf"] = out["tf"].astype("int32")
-        out["doc_len"] = out["doc_len"].astype("int32")
-        yield out[["term", "doc_id", "tf", "doc_len"]]
 
 
 def _pack_partition(avgdl: float):
@@ -468,29 +516,223 @@ def _pack_partition(avgdl: float):
     return run
 
 
-def _pack_and_write_fn(index_dir: str, snapshot: str, avgdl: float):
-    """Fused stage-2 task: group-carve + pack + write + manifest in ONE
-    Python worker (chained mapInPandas stages anti-scale — see module
-    docstring)."""
-    inner = _pack_partition(avgdl)
-    writer = _write_partition_fn(index_dir, snapshot, "segments", ["term", "bucket"])
+def _pack_and_write_arrow(index_dir: str, snapshot: str, avgdl: float):
+    """Production stage-2 task: mapInArrow group-carve + pack + write.
+
+    NO per-row or per-group Python objects anywhere: group boundaries come
+    from Arrow compute kernels, numeric columns are zero-copy numpy views,
+    the posting blobs/block arrays are assembled as a single
+    ``pa.BinaryArray``/``pa.ListArray`` straight from the codec's flat
+    buffers (codec.pack_many_raw), and files are written with pyarrow.
+    The pandas variant of the same dataflow (``_pack_partition`` +
+    ``_write_partition_fn``) spent ~25μs/row on object conversion — at
+    33M posting rows that dwarfed the actual packing work.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    result_schema = pa.schema(
+        [pa.field("partition_id", pa.int32()), pa.field("skipped", pa.bool_())]
+    )
+
+    def result(pid: int, skipped: bool):
+        return pa.RecordBatch.from_pydict(
+            {"partition_id": [pid], "skipped": [skipped]}, schema=result_schema
+        )
 
     def run(batches):
-        from pyspark import TaskContext
-
+        _tune_worker_arrow()
         pid = TaskContext.get().partitionId()
-        existing = _read_manifest(index_dir, f"segments-{pid:05d}")
+        name = f"segments-{pid:05d}"
+        existing = _read_manifest(index_dir, name)
         if (
             existing
             and existing.get("status") == "committed"
             and existing.get("input_snapshot") == snapshot
         ):
-            # resume: skip the pack work entirely, not just the write
             for _ in batches:
                 pass
-            yield pd.DataFrame({"partition_id": [pid], "skipped": [True]})
+            yield result(pid, True)
             return
-        yield from writer(inner(batches))
+
+        out_tables: list[pa.Table] = []
+        hold: pa.Table | None = None
+
+        def process(tbl: pa.Table, final: bool) -> None:
+            nonlocal hold
+            tbl = tbl.combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
+                hold = None
+                return
+            term = tbl.column("term").combine_chunks()
+            bucket = tbl.column("bucket").to_numpy()
+            if n > 1:
+                t_neq = pc.not_equal(
+                    term.slice(1), term.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+                change = t_neq | (bucket[1:] != bucket[:-1])
+                starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            else:
+                starts = np.zeros(1, dtype=np.int64)
+            if not final:
+                # hold back the last (possibly incomplete) group
+                hold = tbl.slice(int(starts[-1]))
+                if starts.size == 1:
+                    return
+                cut = int(starts[-1])
+                starts = starts[:-1]
+            else:
+                hold = None
+                cut = n
+            doc_id = tbl.column("doc_id").to_numpy()[:cut]
+            tf = tbl.column("tf").to_numpy()[:cut]
+            dl = tbl.column("doc_len").to_numpy()[:cut]
+            shard = tbl.column("shard").to_numpy()
+            raw = pack_many_raw(doc_id, tf, dl, starts, avgdl)
+            G = starts.size
+            postings = pa.Array.from_buffers(
+                pa.binary(),
+                G,
+                [
+                    None,
+                    pa.py_buffer(raw["group_bytes"].astype(np.int32)),
+                    pa.py_buffer(raw["enc"]),
+                ],
+            )
+            blk_off32 = pa.array(raw["blk_bounds"].astype(np.int32))
+            out_tables.append(
+                pa.table(
+                    {
+                        "shard": pa.array(shard[starts].astype(np.int32)),
+                        "term": term.take(pa.array(starts)),
+                        "bucket": pa.array(bucket[starts].astype(np.int32)),
+                        "df": pa.array(raw["counts"].astype(np.int32)),
+                        "postings": postings,
+                        "block_max": pa.ListArray.from_arrays(
+                            blk_off32, pa.array(raw["block_max"])
+                        ),
+                        "block_offsets": pa.ListArray.from_arrays(
+                            blk_off32, pa.array(raw["block_off"])
+                        ),
+                        "block_last_doc": pa.ListArray.from_arrays(
+                            blk_off32, pa.array(raw["block_last"])
+                        ),
+                    }
+                )
+            )
+
+        for batch in batches:
+            tbl = (
+                batch
+                if isinstance(batch, pa.Table)
+                else pa.Table.from_batches([batch])
+            )
+            if hold is not None and hold.num_rows:
+                tbl = pa.concat_tables([hold, tbl])
+            process(tbl, final=False)
+        if hold is not None and hold.num_rows:
+            process(hold, final=True)
+
+        rows = 0
+        postings_total = 0
+        tbl_bytes = 0
+        if out_tables:
+            seg = pa.concat_tables(out_tables).combine_chunks()
+            rows = seg.num_rows
+            df_np = seg.column("df").to_numpy()
+            postings_total = int(df_np.sum())
+            # df_global: term runs are contiguous (input sorted by term)
+            term = seg.column("term").combine_chunks()
+            if rows > 1:
+                t_neq = pc.not_equal(
+                    term.slice(1), term.slice(0, rows - 1)
+                ).to_numpy(zero_copy_only=False)
+                run_starts = np.concatenate(([0], np.flatnonzero(t_neq) + 1))
+            else:
+                run_starts = np.zeros(1, dtype=np.int64)
+            run_lens = np.diff(np.append(run_starts, rows))
+            df_glob = np.repeat(
+                np.add.reduceat(df_np.astype(np.int64), run_starts), run_lens
+            )
+            seg = seg.append_column("df_global", pa.array(df_glob))
+            # one file per shard (contiguous runs — input sorted by shard)
+            shard_np = seg.column("shard").to_numpy()
+            s_bounds = np.concatenate(
+                ([0], np.flatnonzero(shard_np[1:] != shard_np[:-1]) + 1, [rows])
+            )
+            for a, b in zip(s_bounds[:-1], s_bounds[1:]):
+                sv = int(shard_np[a])
+                out_dir = os.path.join(index_dir, "segments", f"shard={sv}")
+                os.makedirs(out_dir, exist_ok=True)
+                path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+                pq.write_table(
+                    seg.slice(int(a), int(b - a)).drop_columns(["shard"]),
+                    path + ".tmp",
+                    compression="zstd",
+                )
+                os.replace(path + ".tmp", path)
+                tbl_bytes += os.path.getsize(path)
+        _commit_manifest(
+            index_dir,
+            name,
+            {
+                "partition_id": pid,
+                "docs": 0,
+                "postings": postings_total,
+                "bytes": tbl_bytes,
+                "rows": int(rows),
+                "input_snapshot": snapshot,
+                "status": "committed",
+            },
+        )
+        yield result(pid, False)
+
+    return run
+
+
+def _pack_shard_group_fn(index_dir: str, snapshot: str, avgdl: float):
+    """Stage-2 task body: read this shard-group's postings files (written
+    pre-partitioned by stage 1), sort with integer keys, then run the
+    Arrow pack+write path. The input DataFrame carries only the group id —
+    the data never crosses a Spark shuffle."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inner = _pack_and_write_arrow(index_dir, snapshot, avgdl)
+
+    def run(batches):
+        _tune_worker_arrow()
+        pids = []
+        for b in batches:
+            pids.extend(b.column("pid").to_pylist())
+        assert len(pids) == 1, f"expected one group per task, got {pids}"
+        pid = pids[0]
+
+        def read_sorted():
+            files = sorted(
+                _glob.glob(
+                    os.path.join(index_dir, "postings_flat", f"pshard={pid}", "*.parquet")
+                )
+            )
+            if not files:
+                return
+            tbl = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+            th = tbl.column("th").to_numpy()
+            bucket = tbl.column("bucket").to_numpy()
+            doc_id = tbl.column("doc_id").to_numpy()
+            shard = tbl.column("shard").to_numpy()
+            # stable integer lexsort: deterministic given the sorted file
+            # list (term strings matter only at hash-collision boundaries,
+            # which the carver detects by comparing the strings themselves)
+            order = np.lexsort((doc_id, bucket, th, shard))
+            yield tbl.take(pa.array(order))
+
+        yield from inner(read_sorted())
 
     return run
 
@@ -654,8 +896,9 @@ def build_index(
         n_docs = acc
         bucket_size = max(1, math.ceil(n_docs / n_buckets))
 
+        seg_parts = min(write_partitions, num_shards)
         ranged.mapInPandas(
-            _stage1_fn(index_dir, snap, offsets, bucket_size),
+            _stage1_fn(index_dir, snap, offsets, bucket_size, num_shards, seg_parts),
             schema=_WRITE_RESULT_SCHEMA,
         ).collect()
         _lap("stage1 pass")
@@ -688,38 +931,25 @@ def build_index(
     avgdl = docs_stage["avgdl"]
     bucket_size = docs_stage["bucket_size"]
 
-    flat = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
-    keyed = flat.select(
-        F.pmod(F.xxhash64("term"), F.lit(num_shards)).cast("int").alias("shard"),
-        "term",
-        (F.col("doc_id") / F.lit(bucket_size)).cast("int").alias("bucket"),
-        "doc_id",
-        "tf",
-        "doc_len",
-    )
-    # exact shard→partition placement (shard % P): deterministic for
-    # resume, every partition non-empty (a plain hash-repartition on shard
-    # leaves ~1/e of partitions empty and caps pack parallelism below the
-    # core count). All buckets of a term stay together (term→shard), so
-    # df_global is computable in the writer. At extreme head-term scale
-    # (one term ≫ one task), switch the key to (shard, bucket) and move df
-    # to a small build-side aggregate — documented trade-off.
-    #
-    # pack + write are FUSED in one mapInPandas: chaining two Python
-    # stages in the same task doubles the worker processes per core and
-    # measured 3x slower wall at 32-way parallelism.
+    # Stage 2: NO Spark shuffle. Stage 1 already wrote the flat postings
+    # partitioned by shard-group (pshard=shard%seg_parts hive dirs) — a
+    # "shuffle via storage". Each stage-2 task reads exactly its group's
+    # files with pyarrow, sorts in numpy (integer keys: th/bucket/doc_id;
+    # term strings only decide group boundaries), packs, and writes —
+    # pure parallel Python, which scales with cores where the measured
+    # single-JVM exchange+sort did not. All buckets of a term stay
+    # together (term→shard), so df_global is computable in the task. At
+    # extreme head-term scale (one term ≫ one task), switch the grouping
+    # to (shard, bucket) and move df to a small aggregate — documented
+    # trade-off.
     from uci_searchengine_spark.plans.partitioning import exact_repartition
 
     seg_parts = min(write_partitions, num_shards)
-    seg_write = (
-        exact_repartition(
-            keyed.withColumn("_pid", F.col("shard") % seg_parts), seg_parts, "_pid"
-        )
-        .drop("_pid")
-        .sortWithinPartitions("shard", "term", "bucket", "doc_id")
-        .mapInPandas(
-            _pack_and_write_fn(index_dir, snap, avgdl), schema=_WRITE_RESULT_SCHEMA
-        )
+    driver = spark.createDataFrame(
+        [(p,) for p in range(seg_parts)], "pid int"
+    )
+    seg_write = exact_repartition(driver, seg_parts, "pid").mapInArrow(
+        _pack_shard_group_fn(index_dir, snap, avgdl), schema=_WRITE_RESULT_SCHEMA
     )
     seg_write.collect()
     _lap("stage2 pack+write")

@@ -51,7 +51,6 @@ from uci_searchengine_spark.operators.bm25 import query_terms
 from uci_searchengine_spark.operators.codec import unpack_postings
 from uci_searchengine_spark.operators.index_build import (
     IndexMeta,
-    load_docs,
     load_segments,
 )
 
