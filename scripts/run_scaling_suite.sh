@@ -3,7 +3,7 @@
 cd /root/repo
 LOG=/root/repo/_data/scaling_suite.log
 echo "suite start $(date)" > $LOG
-for rep in 1 2; do
+for rep in 3 4 5; do
   for cfg in "100000 2" "100000 8" "300000 8" "300000 32"; do
     set -- $cfg
     DOCS=$1; CORES=$2

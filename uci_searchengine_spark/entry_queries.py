@@ -753,6 +753,178 @@ FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text)//64, 1), 4)) AS
 """
 
 
+# ------------------------------------------------------ breadth coverage
+def q_domain_filter(spark, sf_dir):
+    """Pattern-based source filter (P9 analog: domain allowlist rlike)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("source").rlike("^src[0-3]$")).select("doc_id", "source")
+
+
+SQL_DOMAIN_FILTER = """
+SELECT doc_id, source FROM documents WHERE regexp_matches(source, '^src[0-3]$')
+"""
+
+
+def q_snippet_exprs(spark, sf_dir):
+    """Relational snippet: window around first occurrence of a term
+    (search.py:41-65 semantics, JVM expressions; full multi-term snippet
+    runs serving-side in operators/bm25.make_snippet_udf)."""
+    d = _t(spark, sf_dir, "documents")
+    pos = F.locate("data", F.lower(F.col("text")))  # 1-based, 0 = not found
+    start = F.greatest(pos - 51, F.lit(0))  # 0-based start, window -50
+    has = pos > 0
+    snippet = F.when(has, F.substring(F.col("text"), start + 1, 200)).otherwise(
+        F.substring(F.col("text"), 1, 200)
+    )
+    return d.select(
+        "doc_id",
+        has.alias("matched"),
+        snippet.alias("snippet"),
+    )
+
+
+SQL_SNIPPET_EXPRS = """
+SELECT doc_id,
+       strpos(lower(text), 'data') > 0 AS matched,
+       CASE WHEN strpos(lower(text), 'data') > 0
+            THEN substr(text, greatest(strpos(lower(text),'data') - 51, 0) + 1, 200)
+            ELSE substr(text, 1, 200) END AS snippet
+FROM documents
+"""
+
+
+def q_page2_results(spark, sf_dir):
+    """Pagination slice (T2: rows 11-20 of a ranked result)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") >= 11) & (F.col("rn") <= 20))
+        .select("doc_id", "n_chars", "rn")
+    )
+
+
+SQL_PAGE2_RESULTS = """
+SELECT doc_id, n_chars, rn FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn BETWEEN 11 AND 20
+"""
+
+
+def q_pagination_totals(spark, sf_dir):
+    """total_results/total_pages envelope math (A9: ceil-div)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return d.agg(
+        F.count("*").alias("total_results"),
+        F.ceil(F.count("*") / 10).cast("long").alias("total_pages"),
+    )
+
+
+SQL_PAGINATION_TOTALS = """
+SELECT count(*) AS total_results, CAST(ceil(count(*) / 10.0) AS BIGINT) AS total_pages
+FROM documents WHERE lang = 'en'
+"""
+
+
+def q_df_having(spark, sf_dir):
+    """Aggregate + HAVING (terms with df ≥ 20% of docs — stop-like)."""
+    toks = _doc_tokens(spark, sf_dir)
+    n_docs = toks.count()
+    return (
+        toks.select("doc_id", F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 0.2 * n_docs)
+    )
+
+
+def _sql_df_having() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+n AS (SELECT count(*) AS c FROM documents)
+SELECT term, count(*) AS df
+FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+GROUP BY term HAVING count(*) >= 0.2 * (SELECT c FROM n)
+"""
+
+
+def q_region_rollup(spark, sf_dir):
+    """Three-level dimension join: customer → nation → region + agg."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionization via lag(): gap > 30 min starts a new session —
+    stateful-streaming analog expressed with batch windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = secs - F.lag(secs).over(w)
+    return (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_USER_SESSIONS = """
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_common_terms_intersect(spark, sf_dir):
+    """INTERSECT set op: distinct terms present in both doc 0 and doc 1."""
+    toks = _doc_tokens(spark, sf_dir)
+    t0 = toks.filter(F.col("doc_id") == 0).select(F.explode("t").alias("term"))
+    t1 = toks.filter(F.col("doc_id") == 1).select(F.explode("t").alias("term"))
+    return t0.intersect(t1)
+
+
+def _sql_common_terms() -> str:
+    return f"""
+WITH {_TOKS_CTE}
+SELECT DISTINCT term FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id = 0)
+INTERSECT
+SELECT DISTINCT term FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id = 1)
+"""
+
+
 QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
@@ -785,4 +957,12 @@ QUERIES = {
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
+    "domain_filter": (q_domain_filter, SQL_DOMAIN_FILTER),
+    "snippet_exprs": (q_snippet_exprs, SQL_SNIPPET_EXPRS),
+    "page2_results": (q_page2_results, SQL_PAGE2_RESULTS),
+    "pagination_totals": (q_pagination_totals, SQL_PAGINATION_TOTALS),
+    "df_having": (q_df_having, _sql_df_having()),
+    "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "common_terms_intersect": (q_common_terms_intersect, _sql_common_terms()),
 }

@@ -303,14 +303,55 @@ def _stage1_fn(
             yield pd.DataFrame({"partition_id": [pid], "skipped": [True]})
             return
 
+        from uci_searchengine_spark.functions.xxhash import xxhash64 as _xxh
+
         offset = offsets.get(pid, 0)
         counter = 0
-        docs_chunks: list[pd.DataFrame] = []
-        post_chunks: list[pd.DataFrame] = []
         hold: pd.DataFrame | None = None
+        docs_rows = 0
+        postings_rows = 0
+
+        # streaming writers: rows land in parquet per Arrow chunk, so task
+        # memory stays bounded by one chunk regardless of partition size
+        # (a partition is GBs at corpus scale) — and the reduced
+        # allocation churn matters doubly on hosts with slow page faults.
+        docs_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("url", pa.string()),
+                ("title", pa.string()),
+                ("doc_len", pa.int32()),
+                ("text", pa.string()),
+            ]
+        )
+        posts_schema = pa.schema(
+            [
+                ("term", pa.string()),
+                ("doc_id", pa.int64()),
+                ("tf", pa.int32()),
+                ("doc_len", pa.int32()),
+                ("th", pa.int64()),
+                ("shard", pa.int32()),
+                ("bucket", pa.int32()),
+            ]
+        )
+        docs_writers: dict[int, object] = {}
+        post_writers: dict[int, object] = {}
+        tmp_paths: list[tuple[str, str]] = []
+
+        def _writer(writers, key, subdir, hive, schema, compression):
+            w = writers.get(key)
+            if w is None:
+                out_dir = os.path.join(index_dir, subdir, f"{hive}={key}")
+                os.makedirs(out_dir, exist_ok=True)
+                path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+                w = pq.ParquetWriter(path + ".tmp", schema, compression=compression)
+                writers[key] = w
+                tmp_paths.append((path + ".tmp", path))
+            return w
 
         def process(pdf: pd.DataFrame) -> None:
-            nonlocal counter
+            nonlocal counter, docs_rows, postings_rows
             d = pdf.drop_duplicates("url", keep="first")
             doc_ids = (offset + counter + np.arange(len(d))).astype("int64")
             counter += len(d)
@@ -321,21 +362,37 @@ def _stage1_fn(
                 texts.append(text)
             tokens = tokenize_series(pd.Series(texts, dtype=object))
             doc_lens = np.array([len(t) for t in tokens], dtype="int32")
-            docs_chunks.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": doc_ids,
-                        "url": d["url"].to_numpy(),
-                        "title": titles,
-                        "doc_len": doc_lens,
-                        "bucket": (doc_ids // bucket_size).astype("int32"),
-                        "text": texts,
-                    }
+
+            docs = pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "url": d["url"].to_numpy(),
+                    "title": titles,
+                    "doc_len": doc_lens,
+                    "text": texts,
+                }
+            )
+            buckets = (doc_ids // bucket_size).astype("int32")
+            for bv in np.unique(buckets):
+                grp = docs[buckets == bv]
+                _writer(docs_writers, int(bv), "docs", "bucket", docs_schema, "zstd").write_table(
+                    pa.Table.from_pandas(grp, preserve_index=False, schema=docs_schema)
                 )
-            )
-            post_chunks.append(
-                _postings_from_tokens(doc_ids, doc_lens, list(tokens))
-            )
+                docs_rows += len(grp)
+
+            posts = _postings_from_tokens(doc_ids, doc_lens, list(tokens))
+            codes, uniq = pd.factorize(posts["term"].to_numpy(), sort=False)
+            uh = np.array([_xxh(t) for t in uniq], dtype=np.int64)
+            posts["th"] = uh[codes]
+            posts["shard"] = (posts["th"].to_numpy() % num_shards).astype("int32")
+            posts["bucket"] = (posts["doc_id"].to_numpy() // bucket_size).astype("int32")
+            pshard = (posts["shard"].to_numpy() % seg_parts).astype("int32")
+            postings_rows += len(posts)
+            for pv in np.unique(pshard):
+                grp = posts[pshard == pv]
+                _writer(post_writers, int(pv), "postings_flat", "pshard", posts_schema, "snappy").write_table(
+                    pa.Table.from_pandas(grp, preserve_index=False, schema=posts_schema)
+                )
 
         for pdf in batches:
             if hold is not None:
@@ -355,57 +412,12 @@ def _stage1_fn(
         if hold is not None and len(hold):
             process(hold)
 
-        docs_rows = 0
-        postings_rows = 0
         tbl_bytes = 0
-        if docs_chunks:
-            docs = pd.concat(docs_chunks, ignore_index=True)
-            for hv, grp in docs.groupby("bucket", sort=True):
-                out_dir = os.path.join(index_dir, "docs", f"bucket={hv}")
-                os.makedirs(out_dir, exist_ok=True)
-                path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-                pq.write_table(
-                    pa.Table.from_pandas(
-                        grp.drop(columns=["bucket"]), preserve_index=False
-                    ),
-                    path + ".tmp",
-                    compression="zstd",
-                )
-                os.replace(path + ".tmp", path)
-                docs_rows += len(grp)
-                tbl_bytes += os.path.getsize(path)
-            posts = pd.concat(post_chunks, ignore_index=True)
-            # shard assignment (python xxhash64 == F.xxhash64, verified in
-            # tests) — hashed once per DISTINCT term, broadcast via codes
-            from uci_searchengine_spark.functions.xxhash import xxhash64 as _xxh
-
-            codes, uniq = pd.factorize(posts["term"].to_numpy(), sort=False)
-            uh = np.array([_xxh(t) for t in uniq], dtype=np.int64)
-            posts["th"] = uh[codes]
-            posts["shard"] = (posts["th"].to_numpy() % num_shards).astype("int32")
-            posts["bucket"] = (posts["doc_id"].to_numpy() // bucket_size).astype(
-                "int32"
-            )
-            posts["pshard"] = (posts["shard"].to_numpy() % seg_parts).astype("int32")
-            postings_rows = len(posts)
-            # map-side partitioned write = the build's "shuffle via
-            # storage": stage 2 reads exactly its shard-group's files, no
-            # Spark shuffle of posting rows at all (the JVM exchange+sort
-            # measured as the single non-scaling stage at high core
-            # counts). snappy: pyarrow's lz4 is not Spark-readable.
-            for pv, grp in posts.groupby("pshard", sort=True):
-                pdir = os.path.join(index_dir, "postings_flat", f"pshard={pv}")
-                os.makedirs(pdir, exist_ok=True)
-                ppath = os.path.join(pdir, f"part-{pid:05d}.parquet")
-                pq.write_table(
-                    pa.Table.from_pandas(
-                        grp.drop(columns=["pshard"]), preserve_index=False
-                    ),
-                    ppath + ".tmp",
-                    compression="snappy",
-                )
-                os.replace(ppath + ".tmp", ppath)
-                tbl_bytes += os.path.getsize(ppath)
+        for w in list(docs_writers.values()) + list(post_writers.values()):
+            w.close()
+        for tmp, final in tmp_paths:
+            os.replace(tmp, final)
+            tbl_bytes += os.path.getsize(final)
         _commit_manifest(
             index_dir,
             name,
@@ -730,7 +742,13 @@ def _pack_shard_group_fn(index_dir: str, snapshot: str, avgdl: float):
             # list (term strings matter only at hash-collision boundaries,
             # which the carver detects by comparing the strings themselves)
             order = np.lexsort((doc_id, bucket, th, shard))
-            yield tbl.take(pa.array(order))
+            tbl = tbl.take(pa.array(order))
+            # feed the packer in bounded chunks (its hold-back logic keeps
+            # groups intact across chunk edges) — peak numpy working set in
+            # pack_many_raw stays O(chunk), not O(partition)
+            chunk = 262_144
+            for lo in range(0, tbl.num_rows, chunk):
+                yield tbl.slice(lo, chunk)
 
         yield from inner(read_sorted())
 
