@@ -1,4 +1,56 @@
-# BENCH — measured baselines (this engine)
+"""Compose BENCH/BASELINE.md from all recorded scaling-suite results."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_all() -> dict[tuple[int, int], list[dict]]:
+    out: dict[tuple[int, int], list[dict]] = {}
+    for f in glob.glob(os.path.join(REPO, "_data", "scale_r[0-9]_c*_*.json")):
+        base = os.path.basename(f)[:-5]
+        _, _rep, c, d = base.split("_")
+        key = (int(d), int(c[1:]))
+        out.setdefault(key, []).append(json.load(open(f)))
+    return out
+
+
+def fmt_series(rs: list[dict], k: str) -> str:
+    vals = sorted(r[k] for r in rs)
+    return ", ".join(f"{v:g}" for v in vals)
+
+
+def main() -> None:
+    data = load_all()
+    lines = []
+    for (docs, cores), rs in sorted(data.items()):
+        best = min(r["build_seconds"] for r in rs)
+        med = statistics.median(r["build_seconds"] for r in rs)
+        bestq = min(r["query_p50_ms"] for r in rs)
+        lines.append(
+            f"| {docs:,} | local[{cores}] | {len(rs)} | {best:.1f} | {med:.1f} | "
+            f"{docs/best:.0f} | {bestq:.0f} | {fmt_series(rs, 'build_seconds')} |"
+        )
+
+    def best(docs, cores):
+        return min(r["build_seconds"] for r in data[(docs, cores)])
+
+    def eff(docs, n, n4):
+        return (best(docs, n) / best(docs, n4)) / 4.0
+
+    pairs = []
+    if (100000, 2) in data and (100000, 8) in data:
+        pairs.append(("100k docs, local[2] → local[8]", eff(100000, 2, 8)))
+    if (300000, 8) in data and (300000, 32) in data:
+        pairs.append(("300k docs, local[8] → local[32]", eff(300000, 8, 32)))
+
+    md = f"""# BENCH — measured baselines (this engine)
 
 ## Protocol
 
@@ -20,17 +72,13 @@ warm). Raw-CPU scaling of plain multiprocessing on this box tops out at
 
 | corpus | parallelism | runs | best s | median s | best docs/s | best query p50 ms | all runs (s) |
 |---|---|---|---|---|---|---|---|
-| 100,000 | local[2] | 4 | 89.1 | 141.5 | 1122 | 1245 | 89.1, 119.65, 163.31, 433.69 |
-| 100,000 | local[8] | 4 | 62.3 | 96.7 | 1605 | 1070 | 62.29, 83.26, 110.15, 142.82 |
-| 300,000 | local[8] | 3 | 246.4 | 259.3 | 1217 | 1176 | 246.44, 259.34, 312.15 |
-| 300,000 | local[32] | 3 | 124.3 | 254.6 | 2413 | 1008 | 124.31, 254.64, 305.64 |
+{chr(10).join(lines)}
 
 ## Scaling efficiency (N → 4N), best-run basis
 
 | pair | eff = (T_N / T_4N) / 4 |
 |---|---|
-| 100k docs, local[2] → local[8] | 0.36 |
-| 300k docs, local[8] → local[32] | 0.50 |
+{chr(10).join(f"| {name} | {e:.2f} |" for name, e in pairs)}
 
 Rank identity across parallelism levels: the top-1 doc of the probe query
 is identical in every run above, and tests/test_determinism_resume.py
@@ -59,9 +107,18 @@ The reference repo publishes no benchmark numbers (BASELINE.md). Its
 structural bounds: ingest hard-capped at ≤1 page/sec (RateLimiter 1 rps,
 concurrency 1 — backend/app/api/crawler.py:62-63) and an index builder
 with no call sites (0 docs/sec). This engine builds at
-2413+
+{max(docs/min(r['build_seconds'] for r in rs) for (docs, c), rs in data.items()):.0f}+
 docs/sec on a laptop-class allotment, i.e. >10^3× the reference's ingest
 bound, with BM25 top-k rank-identical to the pinned oracle.
 
 Regenerate: `python bench_scaling.py gen|run <cores>|report` and
 `scripts/run_scaling_suite.sh`; this file: `scripts/make_bench_report.py`.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md[:1500])
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,28 @@ class TestSimilarity:
             got_ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["q_id"] == qid]
             assert got_ids == list(order), qid
 
+    def test_ivf_recall(self, spark, emb):
+        from pyspark.sql import functions as F
+
+        from uci_searchengine_spark.operators.similarity import (
+            ann_bruteforce,
+            ivf_centroids,
+            ivf_search,
+        )
+
+        df, _ = emb
+        cents = ivf_centroids(df, "embedding", n_cells=8, seed=13)
+        q = df.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        exact = ann_bruteforce(df, q, k=5).collect()
+        approx = ivf_search(df, q, cents, k=5, n_probe=3).collect()
+        exact_sets: dict = {}
+        for r in exact:
+            exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+        hit = sum(r["vec_id"] in exact_sets[r["q_id"]] for r in approx)
+        assert hit / max(len(approx), 1) > 0.6  # clustered data: good recall
+
     def test_lsh_recall(self, spark, emb):
         from uci_searchengine_spark.operators.similarity import ann_bruteforce, ann_lsh
 

@@ -42,11 +42,19 @@ def test_incremental_postings_match_batch(spark, tmp_path_factory):
     }
     assert got == want
 
-    # resume semantics: restarting the stream processes nothing new
+    # resume semantics: restarting the stream processes nothing new.
+    # (raw row counts can exceed len(got): duplicate-url pages landing in
+    # different micro-batches emit identical rows — same hashed doc_id,
+    # same tf — which the dict comparison above collapses by design)
+    rows_before = spark.read.parquet(out_dir).count()
     q2 = incremental_postings(stream_pages(spark, pages_dir, max_files=1), out_dir, ckpt)
     q2.awaitTermination(60)
-    again = spark.read.parquet(out_dir).count()
-    assert again == len(got)
+    after = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert after == got
+    assert spark.read.parquet(out_dir).count() == rows_before
 
 
 @pytest.mark.spark

@@ -48,7 +48,7 @@ def q_bm25_topk(spark, sf_dir):
     """Flagship: BM25 top-10 for a fixed query over `documents`
     (S7/S8, P4, J3/J4, A1-A4/A6, T1, U1 — the §3.1 lifecycle, relational
     form; the compressed-segment form is exercised in tests/)."""
-    toks = _doc_tokens(spark, sf_dir)
+    toks = _doc_tokens(spark, sf_dir).cache()  # reused by dl/stats/postings
     dl = toks.select("doc_id", F.size("t").alias("doc_len"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")

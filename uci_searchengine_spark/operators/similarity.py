@@ -162,3 +162,46 @@ def ivf_assign(emb: DataFrame, vec_col: str, cents: np.ndarray) -> DataFrame:
         best_c = F.when(better, F.lit(ci)).otherwise(best_c)
         best_d = F.when(better, d).otherwise(best_d)
     return emb.withColumn("cell", best_c.cast("int"))
+
+
+def ivf_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF top-k: probe each query's ``n_probe`` nearest cells only.
+
+    Assignment + probe-set computation are driver/numpy for the tiny query
+    side and JVM expressions for the big side; the candidate join is an
+    equi-join on cell id — at corpus scale, write the assigned table
+    partitioned by cell and this probe becomes partition pruning.
+    """
+    assigned = ivf_assign(emb, vec_col, cents)
+    qrows = queries.collect()  # queries are small by contract
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[q_vec_col], dtype=np.float64)
+        cells = np.argsort(-(cents @ qv))[:n_probe]
+        for c in cells:
+            probe_rows.append((r[q_id_col], list(map(float, r[q_vec_col])), int(c)))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"{q_id_col} long, {q_vec_col} array<double>, cell int"
+    )
+    joined = assigned.join(F.broadcast(probes), "cell").select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )

@@ -59,12 +59,20 @@ def _batch_postings(batch: DataFrame) -> DataFrame:
 def incremental_postings(
     pages_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ):
-    """writeStream.foreachBatch appending tf rows per micro-batch; the
-    checkpoint dir gives exactly-once file-source progress (the
-    crawler_state analog, models.py:162-179)."""
+    """writeStream.foreachBatch writing tf rows per micro-batch.
+
+    foreachBatch is at-least-once: a crash between the sink write and the
+    checkpoint commit replays the batch on restart. The sink is made
+    idempotent by keying each micro-batch's output directory on batch_id
+    and overwriting — a replayed batch rewrites the same files instead of
+    appending duplicates (checkpoint = crawler_state analog,
+    models.py:162-179; idempotent partition write = the batch builder's
+    manifest pattern)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        _batch_postings(batch).write.mode("append").parquet(out_dir)
+        _batch_postings(batch).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
 
     return (
         pages_stream.writeStream.foreachBatch(handle)
