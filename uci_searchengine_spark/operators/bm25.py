@@ -77,6 +77,19 @@ def score_naive(
     )
 
 
+def match_count(spark: SparkSession, index_dir: str, terms: list[str]) -> int:
+    """Number of docs matching ≥1 query term — the envelope's
+    total_results — via a distinct-count aggregate: partial per-partition
+    dedup, one small exchange, NO global sort (the previous formulation
+    paid orderBy().limit(2^31-1) just to count)."""
+    if not terms:
+        return 0
+    flat = load_flat_postings(spark, index_dir)
+    return (
+        flat.filter(F.col("term").isin(terms)).select("doc_id").distinct().count()
+    )
+
+
 _SNIPPET_SCHEMA = T.StringType()
 
 
@@ -138,10 +151,11 @@ def search(
             "results": [],
         }
     scorer = scorer or score_naive
-    # envelope needs total_results: score without limit for the count, but
-    # serve only the requested page. total via a count aggregate.
+    # ONE scorer invocation for the page; total_results from a sort-free
+    # distinct count (OR semantics: every doc holding ≥1 query term scores
+    # > 0 since idf > 0 and tf_part > 0, so matched docs == result count).
     topk = scorer(spark, index_dir, query, k=page * per_page)
-    total = scorer(spark, index_dir, query, k=2**31 - 1).count()
+    total = match_count(spark, index_dir, query_terms(query))
     rows = attach_docs(spark, index_dir, topk, query_terms(query)).collect()
     start = (page - 1) * per_page
     sel = rows[start : start + per_page]

@@ -155,23 +155,41 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs (id_a < id_b, jaccard).
 
     Candidate generation via shared-shingle equi-join (docs sharing zero
-    shingles can't pass any threshold > 0), then exact |∩|/|∪|. The
+    shingles can't pass any threshold > 0), then |∩|/|∪|. The
     shared-shingle join is the classic inverted-index join: explode →
-    self-join on shingle_id → count. Prune hot shingles (df > cap) to keep
-    the join skew-safe at scale — a shingle shared by k docs contributes
-    k² pairs; stopword-like shingles are dropped exactly like head terms.
+    self-join on shingle_id → count.
+
+    ``df_cap`` is the skew guard: shingles appearing in more than
+    ``df_cap`` docs are dropped BEFORE the self-join — a shingle shared by
+    k docs contributes k² join rows, so one boilerplate shingle at corpus
+    scale otherwise explodes the join. Doc sizes stay computed on the
+    UNCAPPED shingle sets, so the reported Jaccard is exact when no shared
+    shingle of the pair was pruned and a conservative lower bound
+    otherwise (intersection undercounted, union exact) — pairs never
+    appear with an inflated score. With ``df_cap=None`` the result is
+    exact Jaccard (small-corpus / verification mode).
     """
     sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    # skew guard: drop shingles appearing in too many docs (they only
-    # matter for near-identical boilerplate; the threshold test is exact
-    # on the surviving intersection counts — we also correct union sizes)
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle_id")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > df_cap)
+            .select("shingle_id")
+        )
+        # broadcast anti-join: the hot set is tiny by construction
+        # (shingle df follows a zipf head — few shingles exceed any
+        # reasonable cap even at 10^12 docs)
+        joinable = sh.join(F.broadcast(hot), "shingle_id", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, "shingle_id")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -261,25 +279,67 @@ def simhash_near_pairs(sh_df: DataFrame, bands: int = 4) -> DataFrame:
     return pairs
 
 
+def derive_srp_planes(n_rows: int, target_bucket_rows: int = 1024) -> int:
+    """Plane count so the EXPECTED bucket population stays ~target:
+    2^planes buckets must grow with n or the within-bucket self-join
+    degrades toward all-pairs (at 10^9 vectors, 8 fixed planes leave ~4M
+    vectors per bucket → O(n²/256)). Clamped to [8, 30]."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return 8
+    return max(8, min(30, math.ceil(math.log2(n_rows / target_bucket_rows)) + 8))
+
+
 def embedding_near_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    n_tables: int = 1,
+    dim: int = 64,
+    seed: int = 11,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold over an embedding column.
 
-    Candidates via sign-random-projection LSH buckets (8-bit hyperplane
-    sketch from deterministic pseudo-random planes), exact cosine on
-    candidates. At 100 TB this is the standard two-stage ANN-dedup shape;
-    brute force is O(n²) and exists only in similarity.ann_bruteforce.
-    """
-    from uci_searchengine_spark.operators.similarity import srp_bucket, cosine_expr
+    Candidates via sign-random-projection LSH buckets (deterministic
+    pseudo-random hyperplanes), exact cosine on candidates. At 100 TB this
+    is the standard two-stage ANN-dedup shape; brute force is O(n²) and
+    exists only in similarity.ann_bruteforce.
 
-    b = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-    ).withColumn("bucket", srp_bucket(F.col("vec"), n_planes=8))
-    x, y = b.alias("x"), b.alias("y")
+    Scale knobs:
+    * ``n_planes`` — bucket count = 2^n_planes. Defaults to
+      ``derive_srp_planes(emb.count())`` so buckets GROW with the corpus
+      and the within-bucket join stays near-linear.
+    * ``n_tables`` — band-OR over independent plane tables (seeds
+      seed..seed+n_tables-1): a pair is a candidate if it collides in ANY
+      table. More tables buy recall (near-dups split by one table's
+      hyperplane collide in another) at proportional candidate cost.
+    """
+    from uci_searchengine_spark.operators.similarity import cosine_expr, srp_bucket
+
+    if n_planes is None:
+        n_planes = derive_srp_planes(emb.count())
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    buckets = base.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        srp_bucket(F.col("vec"), n_planes, dim, seed + t).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    x, y = buckets.alias("x"), buckets.alias("y")
     return (
-        x.join(y, F.col("x.bucket") == F.col("y.bucket"))
+        x.join(y, (F.col("x.tbl") == F.col("y.tbl")) & (F.col("x.bkt") == F.col("y.bkt")))
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"),
@@ -287,4 +347,5 @@ def embedding_near_pairs(
             cosine_expr(F.col("x.vec"), F.col("y.vec")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )

@@ -161,33 +161,66 @@ def _commit_manifest(index_dir: str, name: str, payload: dict) -> None:
     os.replace(tmp, p)
 
 
+_DATA_SUBDIRS = ("docs", "postings_flat", "segments")
+
+
+def _snapshot_marker(index_dir: str) -> str:
+    return os.path.join(index_dir, "_snapshot")
+
+
+def _write_snapshot_marker(index_dir: str, snap: str) -> None:
+    """Directory-level snapshot marker, committed BEFORE the first data
+    file so a build killed before any manifest commit still leaves
+    evidence of which snapshot its data files belong to."""
+    tmp = _snapshot_marker(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(snap)
+    os.replace(tmp, _snapshot_marker(index_dir))
+
+
 def _wipe_stale(index_dir: str, snap: str) -> None:
     """Clear outputs left by a build of a DIFFERENT input snapshot or
     layout config (hive dirs from an old bucket/shard grid would otherwise
     leak into reads). A killed build of the SAME snapshot is left intact —
-    that's the resume case."""
+    that's the resume case.
+
+    Staleness evidence, in order: (a) any manifest JSON recording another
+    snapshot, (b) data directories present without a matching snapshot
+    marker — covers a build killed after its first os.replace but before
+    any manifest commit, which would otherwise leak old part files with
+    foreign pids into reads."""
     import shutil
 
-    mdir = os.path.join(index_dir, "_manifest")
-    if not os.path.isdir(mdir):
-        return
     stale = False
-    for fn in os.listdir(mdir):
-        if not fn.endswith(".json"):
-            continue
+    mdir = os.path.join(index_dir, "_manifest")
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(mdir, fn)) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                stale = True
+                break
+            if m.get("input_snapshot") != snap:
+                stale = True
+                break
+    if not stale and any(
+        os.path.isdir(os.path.join(index_dir, sub)) for sub in _DATA_SUBDIRS
+    ):
+        marker = None
         try:
-            with open(os.path.join(mdir, fn)) as f:
-                m = json.load(f)
-        except (OSError, json.JSONDecodeError):
+            with open(_snapshot_marker(index_dir)) as f:
+                marker = f.read()
+        except OSError:
+            pass
+        if marker != snap:
             stale = True
-            break
-        if m.get("input_snapshot") != snap:
-            stale = True
-            break
     if stale:
-        for sub in ("docs", "postings_flat", "segments", "_manifest"):
+        for sub in _DATA_SUBDIRS + ("_manifest",):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
-        for fn in ("meta.json",):
+        for fn in ("meta.json", "_snapshot"):
             try:
                 os.remove(os.path.join(index_dir, fn))
             except FileNotFoundError:
@@ -199,9 +232,11 @@ def dedup_by_url(pages: DataFrame) -> DataFrame:
 
     Standalone operator (U3 analog); the build pipeline itself fuses dedup
     into the stage-1 partition pass to avoid a second shuffle of the html
-    payloads."""
+    payloads. ONE tie-break rule everywhere (this operator, the stage-1
+    build sort, oracle.dedup_pages): warc_ts desc, then xxhash64(html)
+    desc — so engine, operator, and oracle keep the same document."""
     w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.xxhash64("html").asc()
+        F.col("warc_ts").desc(), F.xxhash64("html").desc()
     )
     return (
         pages.withColumn("_rn", F.row_number().over(w))
@@ -738,10 +773,25 @@ def _pack_shard_group_fn(index_dir: str, snapshot: str, avgdl: float):
             bucket = tbl.column("bucket").to_numpy()
             doc_id = tbl.column("doc_id").to_numpy()
             shard = tbl.column("shard").to_numpy()
-            # stable integer lexsort: deterministic given the sorted file
-            # list (term strings matter only at hash-collision boundaries,
-            # which the carver detects by comparing the strings themselves)
-            order = np.lexsort((doc_id, bucket, th, shard))
+            # integer lexsort with a TERM tiebreak: on an xxhash64 collision
+            # two terms share th, and sorting by th alone would interleave
+            # their rows — fragmenting the (term, bucket) runs the carver
+            # and the run-contiguous df_global aggregation depend on. Rank
+            # each distinct term by the intrinsic (th, term-string) order
+            # (independent of file/partition layout → bit-identical segments
+            # across parallelism levels) and sort on that rank instead.
+            codes, uniq = pd.factorize(
+                tbl.column("term").to_pandas().to_numpy(), sort=False
+            )
+            # first occurrence index per code (vectorized: reverse scatter)
+            first = np.empty(len(uniq), dtype=np.int64)
+            first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+            uniq_th = th[first]
+            perm = np.lexsort((np.asarray(uniq, dtype=str), uniq_th))
+            rank = np.empty(len(uniq), dtype=np.int64)
+            rank[perm] = np.arange(len(uniq))
+            term_rank = rank[codes]
+            order = np.lexsort((doc_id, bucket, term_rank, shard))
             tbl = tbl.take(pa.array(order))
             # feed the packer in bounded chunks (its hold-back logic keeps
             # groups intact across chunk edges) — peak numpy working set in
@@ -829,20 +879,41 @@ _WRITE_RESULT_SCHEMA = T.StructType(
 )
 
 
+# target postings-bucket width for auto-derived n_buckets: bounds the
+# query-side dense accumulator (np.zeros(bucket_size) in wand._score_bucket)
+# at ~64 MB of float64 per scoring task regardless of corpus size
+DOCS_PER_BUCKET = 8_000_000
+
+
+def derive_n_buckets(n_rows: int) -> int:
+    """Bucket-grid size for a corpus of ``n_rows`` pages (pre-dedup upper
+    bound): enough buckets that bucket_size ≤ DOCS_PER_BUCKET, floor 16 so
+    query scoring keeps useful parallelism at small scale."""
+    return max(16, math.ceil(max(n_rows, 1) / DOCS_PER_BUCKET))
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
     index_dir: str,
     *,
     num_shards: int = DEFAULT_NUM_SHARDS,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     input_snapshot: str = "unknown",
     write_partitions: int | None = None,
 ) -> IndexMeta:
-    """Build (or resume) the index at ``index_dir`` from a pages DataFrame."""
+    """Build (or resume) the index at ``index_dir`` from a pages DataFrame.
+
+    ``n_buckets=None`` derives the doc-range grid from the corpus size
+    (``derive_n_buckets``) so the WAND accumulator stays bounded at any
+    scale; pass an explicit value to pin the layout."""
     os.makedirs(index_dir, exist_ok=True)
     parallelism = spark.sparkContext.defaultParallelism
     write_partitions = write_partitions or parallelism
+    pre_count: int | None = None
+    if n_buckets is None:
+        pre_count = pages.count()
+        n_buckets = derive_n_buckets(pre_count)
 
     import time as _time
 
@@ -868,6 +939,7 @@ def build_index(
         and docs_stage.get("input_snapshot") == snap
     ):
         _wipe_stale(index_dir, snap)
+        _write_snapshot_marker(index_dir, snap)
         from pyspark.storagelevel import StorageLevel
 
         from uci_searchengine_spark.plans.partitioning import (
@@ -879,7 +951,7 @@ def build_index(
         # → exact placement (repartitionByRange seeds its sampler with the
         # RDD id, so boundaries drift between reruns and would corrupt
         # per-partition resume)
-        n_rows = pages.count()
+        n_rows = pre_count if pre_count is not None else pages.count()
         _lap("count")
         frac = min(1.0, (write_partitions * 200) / max(n_rows, 1))
         sample = sorted(

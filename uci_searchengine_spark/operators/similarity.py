@@ -130,12 +130,28 @@ def ann_lsh(
     )
 
 
-def ivf_centroids(emb: DataFrame, vec_col: str, n_cells: int, seed: int = 13, iters: int = 5) -> np.ndarray:
+def ivf_centroids(
+    emb: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    seed: int = 13,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    max_sample: int = 4096,
+) -> np.ndarray:
     """k-means-lite centroids from a driver-side sample (centroids are tiny;
-    the sample is bounded). Deterministic given the seed."""
-    sample = np.array(
-        emb.select(vec_col).limit(4096).toPandas()[vec_col].tolist(), dtype=np.float64
+    the sample is bounded). Deterministic given the seed: the sample is the
+    ``max_sample`` lowest xxhash64(id) rows — a content-independent uniform
+    draw that is stable across reruns and partitionings (a bare ``limit``
+    on an unordered DataFrame is not), and the top-k-by-hash plan is a
+    per-partition heap + tiny merge, never a full sort."""
+    sample_rows = (
+        emb.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_sid")), F.col("_sid"))
+        .limit(max_sample)
+        .collect()
     )
+    sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(iters):

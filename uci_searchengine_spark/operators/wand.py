@@ -170,9 +170,14 @@ def _score_bucket(
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
     scores = acc[nz]
     if nz.size > k:
-        top = np.argpartition(-scores, k - 1)[:k]
-        nz, scores = nz[top], scores[top]
-    order = np.lexsort((nz, -scores))
+        # tie-aware top-k: keep EVERY doc at the k-th score boundary so the
+        # final (score desc, doc_id asc) lexsort — not argpartition's
+        # arbitrary pick — decides among exact ties (rank-identity contract
+        # with score_naive/the oracle)
+        kth = np.partition(scores, nz.size - k)[nz.size - k]
+        keep = scores >= kth
+        nz, scores = nz[keep], scores[keep]
+    order = np.lexsort((nz, -scores))[:k]
     return pd.DataFrame({"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]})
 
 

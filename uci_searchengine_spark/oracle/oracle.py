@@ -29,10 +29,24 @@ from uci_searchengine_spark.functions.tokenize import tokenize_py
 
 
 def dedup_pages(pages: pd.DataFrame) -> pd.DataFrame:
-    """Dedup by url keeping latest warc_ts (input_hint: dedup by url)."""
+    """Dedup by url keeping latest warc_ts (input_hint: dedup by url).
+
+    Tie-break on equal (url, warc_ts): xxhash64(html) DESC — the identical
+    rule used by operators.index_build.dedup_by_url and the stage-1 build
+    sort, with a stable mergesort so the kept row is fully deterministic.
+    """
+    from uci_searchengine_spark.functions.xxhash import xxhash64
+
+    hkey = pages["html"].map(lambda h: xxhash64(bytes(h)))
     return (
-        pages.sort_values(["url", "warc_ts"])
-        .drop_duplicates("url", keep="last")
+        pages.assign(_hkey=hkey)
+        .sort_values(
+            ["url", "warc_ts", "_hkey"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        .drop_duplicates("url", keep="first")
+        .drop(columns=["_hkey"])
         .sort_values("url", kind="mergesort")
         .reset_index(drop=True)
     )
