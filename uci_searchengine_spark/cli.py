@@ -28,13 +28,31 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--n", type=int, required=True)
     sy.add_argument("--seed", type=int, default=1337)
     sy.add_argument("--out", required=True)
+    sy.add_argument(
+        "--format",
+        choices=["parquet", "iceberg"],
+        default="parquet",
+        help="table format for the pages corpus (iceberg degrades to "
+        "parquet when the runtime JAR is absent)",
+    )
 
     b = sub.add_parser("build", help="build (or resume) an index")
-    b.add_argument("--pages", required=True, help="pages parquet path")
+    b.add_argument("--pages", required=True, help="pages table path/identifier")
     b.add_argument("--index", required=True)
     b.add_argument("--shards", type=int, default=32)
-    b.add_argument("--buckets", type=int, default=16)
+    b.add_argument(
+        "--buckets",
+        type=int,
+        default=None,
+        help="doc-range bucket count (default: derived from corpus size)",
+    )
     b.add_argument("--snapshot", default=None)
+    b.add_argument(
+        "--format",
+        choices=["parquet", "iceberg"],
+        default="parquet",
+        help="format of the input pages table",
+    )
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--index", required=True)
@@ -59,21 +77,23 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "synth":
             from uci_searchengine_spark.sources.synth import synth_pages
+            from uci_searchengine_spark.sources.tables import write_table
 
-            synth_pages(spark, args.n, args.seed).write.mode("overwrite").parquet(
-                args.out
+            used = write_table(
+                synth_pages(spark, args.n, args.seed), args.out, fmt=args.format
             )
-            print(json.dumps({"written": args.out, "n": args.n}))
+            print(json.dumps({"written": args.out, "n": args.n, "format": used}))
         elif args.cmd == "build":
             from uci_searchengine_spark.operators.index_build import build_index
+            from uci_searchengine_spark.sources.tables import read_table
 
             meta = build_index(
                 spark,
-                spark.read.parquet(args.pages),
+                read_table(spark, args.pages, fmt=args.format),
                 args.index,
                 num_shards=args.shards,
                 n_buckets=args.buckets,
-                input_snapshot=args.snapshot or f"parquet:{args.pages}",
+                input_snapshot=args.snapshot or f"{args.format}:{args.pages}",
             )
             print(meta.to_json())
         elif args.cmd == "query":

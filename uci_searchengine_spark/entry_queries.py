@@ -14,6 +14,11 @@ multimodal).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -97,6 +102,73 @@ scored AS (
 SELECT doc_id, score FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """Wrap `documents` rows as crawl pages for the index builder.
+
+    * url encodes doc_id zero-padded → url order == doc_id order, so the
+      builder's dense url-rank docIDs equal the original doc_ids;
+    * html wraps the HTML-escaped text (no <title>, so the extractor's
+      title falls back to the url and the body text round-trips to the
+      original byte-for-byte modulo whitespace — token-identical).
+    """
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    return docs.select(
+        F.format_string("https://corpus.local/%012d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), esc, F.lit("</body></html>")), "utf-8"
+        ).alias("html"),
+    )
+
+
+def _segments_index_dir(spark, sf_dir: str) -> str:
+    """Build (or resume) the compressed-segment index over the gate's
+    documents table; returns the index dir. The snapshot string folds in a
+    cheap content fingerprint so regenerated testdata invalidates a cached
+    index."""
+    from uci_searchengine_spark.operators.index_build import build_index
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("s")
+    ).collect()[0]
+    snap = f"gate-docs:n={agg['n']}:chars={agg['s']}"
+    h = hashlib.md5(f"{sf_dir}|{snap}".encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"uci_gate_segidx_{h}")
+    build_index(spark, docs.transform(_docs_as_pages), idx, input_snapshot=snap)
+    return idx
+
+
+def q_bm25_segments_topk(spark, sf_dir):
+    """Flagship PRODUCT path (§3.1 lifecycle, physical form): build_index →
+    docID-delta varint segments with per-block max-score metadata →
+    score_wand block-max pruned top-k — against the SAME SQL oracle as the
+    relational bm25_topk gate. Covers T1/J3/A1-A6 through the compressed
+    codec instead of the relational proxy."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.wand import score_wand
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = score_wand(spark, idx, " ".join(BM25_QUERY_TERMS), k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -469,10 +541,18 @@ FROM fp JOIN grp ON fp.f = grp.f
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.06 — the synthetic
-    corpus shares a small vocabulary, so low thresholds exercise the op)."""
+    """3-gram Jaccard near-dup pairs (threshold 0.06 — the synthetic
+    corpus shares a small vocabulary, so low thresholds exercise the op)
+    WITH the hot-shingle skew guard active (df_cap=5 prunes the head
+    shingles before the self-join; the oracle mirrors the cap, sizes stay
+    uncapped — the conservative-Jaccard contract)."""
     return dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.06
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.06,
+        df_cap=5,
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -492,9 +572,11 @@ grams AS (
   ), unnest(gs) AS u(g)
 ),
 sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+hot AS (SELECT shingle_id FROM grams GROUP BY shingle_id HAVING count(*) > 5),
+keep AS (SELECT id, shingle_id FROM grams WHERE shingle_id NOT IN (SELECT shingle_id FROM hot)),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM grams a JOIN grams b ON a.shingle_id = b.shingle_id AND a.id < b.id
+  FROM keep a JOIN keep b ON a.shingle_id = b.shingle_id AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
@@ -601,6 +683,160 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, vec_id, round(c, 6) AS cosine FROM ranked WHERE rn <= 10
+"""
+
+
+# ------------------------------------------------------ ANN scale paths
+def _sql_double_array(vals) -> str:
+    return "[" + ",".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+def _sql_srp_bucket(col: str, planes) -> str:
+    """DuckDB expression reproducing similarity.srp_bucket bit-for-bit:
+    same literal hyperplanes (repr round-trips doubles exactly), same
+    d >= 0 sign rule, same 2^p bit weights."""
+    terms = [
+        f"(CASE WHEN list_dot_product({col}::DOUBLE[], {_sql_double_array(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """SRP-bucketed approximate top-k (the ANN scale path): equi-join on
+    bucket id + 1-bit multiprobe instead of a cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.ann_lsh(emb, queries, k=10, n_planes=6, multiprobe_bits=1)
+    return out.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_ann_lsh() -> str:
+    planes = sim._srp_planes(64, 6, seed=11)
+    b = _sql_srp_bucket("embedding", planes)
+    probe_selects = ["SELECT q_id, q_vec, qbucket AS bucket FROM q"] + [
+        f"SELECT q_id, q_vec, xor(qbucket, {1 << p}) AS bucket FROM q"
+        for p in range(6)
+    ]
+    cos = _COS.format(a="e.embedding", b="p.q_vec")
+    return f"""
+WITH base AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec, {b} AS qbucket
+      FROM embeddings WHERE vec_id < 5),
+probes AS ({' UNION ALL '.join(probe_selects)}),
+scored AS (
+  SELECT p.q_id, e.vec_id, {cos} AS c
+  FROM base e JOIN probes p ON e.bucket = p.bucket
+),
+ranked AS (
+  SELECT q_id, vec_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, vec_id, round(c, 6) AS cosine FROM ranked WHERE rn <= 10
+"""
+
+
+N_IVF_CELLS = 8
+
+
+def _ivf_fixed_cents() -> np.ndarray:
+    """Deterministic unit centroids for the IVF gate (seed-only, NOT
+    learned — so the DuckDB oracle can carry them as literals; the learned
+    k-means path is exercised in tests/test_ops.py)."""
+    rng = np.random.RandomState(17)
+    c = rng.standard_normal((N_IVF_CELLS, 64))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_ivf_search(spark, sf_dir):
+    """IVF probe search: assign vectors to argmax-dot cells (JVM exprs),
+    probe each query's 3 nearest cells only — the partition-pruning ANN
+    shape at corpus scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.ivf_search(emb, queries, _ivf_fixed_cents(), k=10, n_probe=3)
+    return out.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_ivf_search() -> str:
+    cents = _ivf_fixed_cents()
+    cells = ", ".join(
+        f"({i}, {_sql_double_array(c)})" for i, c in enumerate(cents)
+    )
+    cos = _COS.format(a="a.embedding", b="p.q_vec")
+    return f"""
+WITH cells(cell, cv) AS (VALUES {cells}),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) DESC, c.cell ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cells c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.embedding::DOUBLE[], c.cv) DESC, c.cell ASC
+           ) AS rn
+    FROM embeddings q CROSS JOIN cells c WHERE q.vec_id < 5
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.q_id, a.vec_id, {cos} AS c
+  FROM assigned a JOIN qprobe p USING (cell)
+),
+ranked AS (
+  SELECT q_id, vec_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, vec_id, round(c, 6) AS cosine FROM ranked WHERE rn <= 10
+"""
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    """SRP-bucketed near-dup pairs over embeddings (band-OR over 2 plane
+    tables; threshold 0.3 — the synthetic vectors top out near cosine
+    0.51, so 0.3 exercises real candidate filtering)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_near_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=8, n_tables=2
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_embedding_near_pairs() -> str:
+    b0 = _sql_srp_bucket("embedding", sim._srp_planes(64, 8, seed=11))
+    b1 = _sql_srp_bucket("embedding", sim._srp_planes(64, 8, seed=12))
+    cos = _COS.format(a="x.vec", b="y.vec")
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS vec, 0 AS tbl, {b0} AS bkt FROM embeddings
+  UNION ALL
+  SELECT vec_id AS id, embedding AS vec, 1 AS tbl, {b1} AS bkt FROM embeddings
+),
+pairs AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b, {cos} AS c
+  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs WHERE c >= 0.3
 """
 
 
@@ -882,12 +1118,14 @@ def q_user_sessions(spark, sf_dir):
     stateful-streaming analog expressed with batch windows."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    gap = secs - F.lag(secs).over(w)
+    # microsecond precision on both sides: events.ts is timestamp[us], and
+    # second-truncated gaps misclassify boundaries within 1s of 30 min
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     return (
         ev.withColumn(
             "new_sess",
-            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
         )
         .groupBy("user_id")
         .agg(
@@ -901,10 +1139,28 @@ SQL_USER_SESSIONS = """
 SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ) GROUP BY user_id
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """JSON scalar extraction + typed filter over events.props
+    (get_json_object — breadth beyond the reference, which has no JSON
+    ops per SURVEY §2.8; the driver testdata ships props as JSON text)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", "event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
 """
 
 
@@ -927,6 +1183,7 @@ SELECT DISTINCT term FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id = 1)
 
 QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_segments_topk": (q_bm25_segments_topk, SQL_BM25_TOPK),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),
@@ -950,6 +1207,9 @@ QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash()),
     "simhash": (q_simhash, _sql_simhash()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
+    "ivf_search": (q_ivf_search, _sql_ivf_search()),
+    "embedding_near_pairs": (q_embedding_near_pairs, _sql_embedding_near_pairs()),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
@@ -964,5 +1224,6 @@ QUERIES = {
     "df_having": (q_df_having, _sql_df_having()),
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
     "common_terms_intersect": (q_common_terms_intersect, _sql_common_terms()),
 }
