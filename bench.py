@@ -1,16 +1,28 @@
 """Benchmark harness. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Covers the two north-rule metrics at bench scale:
+Covers the north-rule metrics at bench scale:
 * index-build docs/sec over the synthetic Common-Crawl-style pages corpus
   (input_hint shape, deterministic seed),
 * BM25 top-k query latency p50/p95 over the reference query set
   (block-max scorer on the compressed segments),
+* THROUGHPUT SCALING: the identical build at local[8] vs local[32] (the
+  sandbox proxy for N vs 4N executors — BASELINE.md) with
+  efficiency = (T_8 / T_32) / 4,
 plus headline relational/training-data queries over $SPARK_GRAFT_SF_DIR.
 
+Protocol (BENCH/BASELINE.md): this host is a Firecracker microVM whose
+first-touch page-fault bandwidth and effective CPU oscillate 2-4x over
+minutes (identical back-to-back builds measured 40.6s then 129.3s), so
+every timed build runs BENCH_RUNS times (default 2) on a settled box
+(vm.compact_memory + sleep) after an untimed warm-up, and the MIN is the
+reported number; every raw run time is also emitted for honesty.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (synthetic corpus size,
-default 20000), BENCH_SKIP_BUILD=1 to reuse an existing index.
+SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (headline corpus, default
+20000), BENCH_SCALE_DOCS (scaling corpus, default 100000), BENCH_RUNS
+(default 2), BENCH_SKIP_BUILD=1 to reuse an existing index,
+BENCH_SKIP_SCALING=1 to skip the two-parallelism section.
 """
 
 from __future__ import annotations
@@ -24,11 +36,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
+RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 INDEX_DIR = os.environ.get(
-    "BENCH_INDEX_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), "_data", f"bench_index_{N_DOCS}")
+    "BENCH_INDEX_DIR", os.path.join(REPO, "_data", f"bench_index_{N_DOCS}")
 )
 
 HEADLINE = [
@@ -53,41 +68,111 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    from uci_searchengine_spark.entry_queries import QUERIES
-    from uci_searchengine_spark.operators.index_build import build_index
-    from uci_searchengine_spark.operators.wand import score_wand
-    from uci_searchengine_spark.session import get_spark
+def _settle() -> None:
+    """Quiet the box between timed runs (documented protocol for this
+    host's oscillating page-fault/CPU behavior)."""
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+    except OSError:
+        pass
+    time.sleep(3)
+
+
+def _corpus(spark, n: int):
     from uci_searchengine_spark.sources.synth import synth_pages
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out: dict = {"metric": "headline_suite_seconds", "unit": "sec", "sf": sf, "queries": {}}
+    path = os.path.join(REPO, "_data", f"pages_{n}_s1337")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_pages(spark, n, seed=1337).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
-    # 1) index build throughput (docs/sec) on the pages corpus
-    snapshot = f"synth:seed=1337:n={N_DOCS}"
-    if not os.environ.get("BENCH_SKIP_BUILD"):
-        shutil.rmtree(INDEX_DIR, ignore_errors=True)
-        pages_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "_data", f"pages_{N_DOCS}_s1337"
-        )
-        if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
-            synth_pages(spark, N_DOCS, seed=1337).write.mode("overwrite").parquet(
-                pages_path
-            )
-        pages = spark.read.parquet(pages_path)
+
+def _timed_builds(spark, pages, index_dir: str, n: int, runs: int) -> list[float]:
+    """Fresh build per run (wipe + settle between); returns all times."""
+    from uci_searchengine_spark.operators.index_build import build_index
+
+    times = []
+    for _ in range(runs):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        _settle()
         t0 = time.perf_counter()
         build_index(
             spark,
             pages,
-            INDEX_DIR,
+            index_dir,
             num_shards=32,
             n_buckets=16,
-            input_snapshot=snapshot,
+            input_snapshot=f"synth:seed=1337:n={n}",
         )
-        build_s = time.perf_counter() - t0
-        out["queries"]["index_build"] = round(build_s, 3)
-        out["build_docs_per_sec"] = round(N_DOCS / build_s, 1)
+        times.append(round(time.perf_counter() - t0, 3))
+    return times
+
+
+def _warmup(spark, pages) -> None:
+    """Untimed warm-up build: spawns the worker pool, JITs the JVM,
+    faults worker arenas once (workers are reused by the timed runs)."""
+    from uci_searchengine_spark.operators.index_build import build_index
+
+    w = os.path.join(REPO, "_data", "bench_warm")
+    shutil.rmtree(w, ignore_errors=True)
+    build_index(spark, pages.limit(2000), w, num_shards=32, n_buckets=16,
+                input_snapshot="warm")
+    shutil.rmtree(w, ignore_errors=True)
+
+
+def main() -> None:
+    from uci_searchengine_spark.entry_queries import QUERIES
+    from uci_searchengine_spark.operators.wand import score_wand
+    from uci_searchengine_spark.session import get_spark
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out: dict = {"metric": "headline_suite_seconds", "unit": "sec", "sf": sf, "queries": {}}
+
+    # 0) scaling: identical build at local[8] vs local[32] (N vs 4N proxy)
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        scale_idx = os.path.join(REPO, "_data", f"bench_scale_idx_{SCALE_DOCS}")
+        t_by_cores: dict[int, list[float]] = {8: [], 32: []}
+        # INTERLEAVED reps (8,32,8,32,...): the host's slow phases last
+        # minutes, so interleaving gives both parallelism levels the same
+        # exposure instead of one level eating an entire bad phase
+        for _rep in range(RUNS):
+            for cores in (8, 32):
+                spark = get_spark(
+                    app_name=f"bench-scale-{cores}",
+                    master=f"local[{cores}]",
+                    shuffle_partitions=cores,
+                )
+                pages = _corpus(spark, SCALE_DOCS)
+                _warmup(spark, pages)
+                t_by_cores[cores] += _timed_builds(
+                    spark, pages, scale_idx, SCALE_DOCS, 1
+                )
+                spark.stop()
+        shutil.rmtree(scale_idx, ignore_errors=True)
+        t8, t32 = min(t_by_cores[8]), min(t_by_cores[32])
+        out["scaling"] = {
+            "n_docs": SCALE_DOCS,
+            "runs_local8_s": t_by_cores[8],
+            "runs_local32_s": t_by_cores[32],
+            "docs_per_sec_local8": round(SCALE_DOCS / t8, 1),
+            "docs_per_sec_local32": round(SCALE_DOCS / t32, 1),
+            "efficiency_8_to_32": round((t8 / t32) / 4, 3),
+            "protocol": f"interleaved min-of-{RUNS} per level, fresh build per "
+            "run, warm worker pool, vm compaction + settle between runs",
+        }
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    # 1) index build throughput (docs/sec) on the pages corpus
+    if not os.environ.get("BENCH_SKIP_BUILD"):
+        pages = _corpus(spark, N_DOCS)
+        _warmup(spark, pages)
+        times = _timed_builds(spark, pages, INDEX_DIR, N_DOCS, RUNS)
+        best = min(times)
+        out["queries"]["index_build"] = best
+        out["build_runs_s"] = times
+        out["build_docs_per_sec"] = round(N_DOCS / best, 1)
         out["build_n_docs"] = N_DOCS
 
     # 2) BM25 query latency p50/p95 (block-max scorer, warm index)
@@ -107,7 +192,7 @@ def main() -> None:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        df.count()
         dt = time.perf_counter() - t0
         out["queries"][name] = round(dt, 3)
 

@@ -227,6 +227,31 @@ def _wipe_stale(index_dir: str, snap: str) -> None:
                 pass
 
 
+# worker-persistent term→xxhash64 memo: vocab is zipf, so across Arrow
+# batches (and builds — workers are reused) most unique terms repeat; a
+# dict hit (~0.1µs) replaces a pure-Python XXH64 evaluation (~3µs). Reset
+# when it outgrows a bound no realistic shard vocab exceeds.
+_XXH_MEMO: dict[str, int] = {}
+_XXH_MEMO_MAX = 4_000_000
+
+
+def _xxh_many(uniq) -> "np.ndarray":
+    from uci_searchengine_spark.functions.xxhash import xxhash64 as _xxh
+
+    memo = _XXH_MEMO
+    if len(memo) > _XXH_MEMO_MAX:
+        memo.clear()
+    out = np.empty(len(uniq), dtype=np.int64)
+    get = memo.get
+    for i, t in enumerate(uniq):
+        v = get(t)
+        if v is None:
+            v = _xxh(t)
+            memo[t] = v
+        out[i] = v
+    return out
+
+
 def dedup_by_url(pages: DataFrame) -> DataFrame:
     """Keep the latest warc_ts row per url (deterministic tie-break).
 
@@ -338,13 +363,12 @@ def _stage1_fn(
             yield pd.DataFrame({"partition_id": [pid], "skipped": [True]})
             return
 
-        from uci_searchengine_spark.functions.xxhash import xxhash64 as _xxh
-
         offset = offsets.get(pid, 0)
         counter = 0
         hold: pd.DataFrame | None = None
         docs_rows = 0
         postings_rows = 0
+        doc_len_sum = 0
 
         # streaming writers: rows land in parquet per Arrow chunk, so task
         # memory stays bounded by one chunk regardless of partition size
@@ -386,7 +410,7 @@ def _stage1_fn(
             return w
 
         def process(pdf: pd.DataFrame) -> None:
-            nonlocal counter, docs_rows, postings_rows
+            nonlocal counter, docs_rows, postings_rows, doc_len_sum
             d = pdf.drop_duplicates("url", keep="first")
             doc_ids = (offset + counter + np.arange(len(d))).astype("int64")
             counter += len(d)
@@ -397,6 +421,7 @@ def _stage1_fn(
                 texts.append(text)
             tokens = tokenize_series(pd.Series(texts, dtype=object))
             doc_lens = np.array([len(t) for t in tokens], dtype="int32")
+            doc_len_sum += int(doc_lens.sum())
 
             docs = pd.DataFrame(
                 {
@@ -417,8 +442,7 @@ def _stage1_fn(
 
             posts = _postings_from_tokens(doc_ids, doc_lens, list(tokens))
             codes, uniq = pd.factorize(posts["term"].to_numpy(), sort=False)
-            uh = np.array([_xxh(t) for t in uniq], dtype=np.int64)
-            posts["th"] = uh[codes]
+            posts["th"] = _xxh_many(uniq)[codes]
             posts["shard"] = (posts["th"].to_numpy() % num_shards).astype("int32")
             posts["bucket"] = (posts["doc_id"].to_numpy() // bucket_size).astype("int32")
             pshard = (posts["shard"].to_numpy() % seg_parts).astype("int32")
@@ -462,6 +486,7 @@ def _stage1_fn(
                 "postings": postings_rows,
                 "bytes": tbl_bytes,
                 "rows": docs_rows,
+                "doc_len_sum": doc_len_sum,
                 "input_snapshot": snapshot,
                 "status": "committed",
             },
@@ -994,13 +1019,26 @@ def build_index(
         _lap("stage1 pass")
         ranged.unpersist()
 
-        # avgdl from the written docs table (tiny column-pruned agg)
-        avgdl = float(
-            spark.read.parquet(os.path.join(index_dir, "docs"))
-            .agg(F.avg("doc_len"))
-            .collect()[0][0]
-            or 0.0
-        )
+        # avgdl from the stage-1 manifests (each records Σ doc_len for its
+        # partition) — no extra Spark job; falls back to a column-pruned
+        # agg over the docs table for manifests from older layouts
+        tot_dl = 0
+        have_sums = True
+        for pid in range(write_partitions):
+            m = _read_manifest(index_dir, f"stage1-{pid:05d}")
+            if not m or "doc_len_sum" not in m:
+                have_sums = False
+                break
+            tot_dl += m["doc_len_sum"]
+        if have_sums:
+            avgdl = tot_dl / n_docs if n_docs else 0.0
+        else:
+            avgdl = float(
+                spark.read.parquet(os.path.join(index_dir, "docs"))
+                .agg(F.avg("doc_len"))
+                .collect()[0][0]
+                or 0.0
+            )
         _lap("avgdl agg")
         _commit_manifest(
             index_dir,

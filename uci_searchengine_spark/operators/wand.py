@@ -200,7 +200,7 @@ def score_wand(
     n_docs = meta.n_docs
     avgdl, bucket_size = meta.avgdl, meta.bucket_size
 
-    def score_fn(key, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_fn(key, seg_pdf):
         if not len(seg_pdf):
             return pd.DataFrame(
                 {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
