@@ -21,7 +21,8 @@ reported number; every raw run time is also emitted for honesty.
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (headline corpus, default
 20000), BENCH_SCALE_DOCS (scaling corpus, default 100000), BENCH_RUNS
-(default 2), BENCH_SKIP_BUILD=1 to reuse an existing index,
+(headline builds, default 2), BENCH_SCALE_RUNS (per-level scaling
+builds, default 3), BENCH_SKIP_BUILD=1 to reuse an existing index,
 BENCH_SKIP_SCALING=1 to skip the two-parallelism section.
 """
 
@@ -42,6 +43,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
 SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+SCALE_RUNS = int(os.environ.get("BENCH_SCALE_RUNS", "3"))
 INDEX_DIR = os.environ.get(
     "BENCH_INDEX_DIR", os.path.join(REPO, "_data", f"bench_index_{N_DOCS}")
 )
@@ -66,6 +68,44 @@ BENCH_QUERIES = [
     "arband arbast",
     "arbak arbal arbam arban arbar arbas arbat arbav",
 ]
+
+
+def _mp_control_work(n: int) -> int:
+    """Stage-1's per-doc work (extract + tokenize), no Spark — the raw
+    host ceiling for Python CPU scaling."""
+    import pandas as pd
+
+    from uci_searchengine_spark.functions.extract import extract_one
+    from uci_searchengine_spark.functions.tokenize import tokenize_series
+
+    body = "common stop tokens here and more body text " * 40
+    texts = []
+    for i in range(n):
+        page = f"<html><head><title>t</title></head><body>word{i} {body}</body></html>"
+        _t, text, _l = extract_one(page.encode(), f"https://x/{i}")
+        texts.append(text)
+        if len(texts) == 1000:
+            tokenize_series(pd.Series(texts, dtype=object))
+            texts = []
+    if texts:
+        tokenize_series(pd.Series(texts, dtype=object))
+    return n
+
+
+def _mp_ceiling(procs: int, total: int = 96_000) -> float:
+    """Wall seconds for `total` docs of stage-1 work across `procs`
+    processes — measured in the SAME bench run as the engine's scaling
+    numbers so the host's oscillating capacity is sampled
+    contemporaneously. Pool spawn + imports are warmed untimed (the
+    engine's timed runs likewise reuse a warm worker pool)."""
+    import multiprocessing as mp
+
+    per = total // procs
+    with mp.Pool(procs) as p:
+        p.map(_mp_control_work, [50] * procs)  # spawn + import, untimed
+        t0 = time.perf_counter()
+        p.map(_mp_control_work, [per] * procs)
+        return round(time.perf_counter() - t0, 3)
 
 
 def _settle() -> None:
@@ -132,34 +172,49 @@ def main() -> None:
     # 0) scaling: identical build at local[8] vs local[32] (N vs 4N proxy)
     if not os.environ.get("BENCH_SKIP_SCALING"):
         scale_idx = os.path.join(REPO, "_data", f"bench_scale_idx_{SCALE_DOCS}")
-        t_by_cores: dict[int, list[float]] = {8: [], 32: []}
-        # INTERLEAVED reps (8,32,8,32,...): the host's slow phases last
-        # minutes, so interleaving gives both parallelism levels the same
-        # exposure instead of one level eating an entire bad phase
-        for _rep in range(RUNS):
-            for cores in (8, 32):
-                spark = get_spark(
-                    app_name=f"bench-scale-{cores}",
-                    master=f"local[{cores}]",
-                    shuffle_partitions=cores,
-                )
-                pages = _corpus(spark, SCALE_DOCS)
-                _warmup(spark, pages)
-                t_by_cores[cores] += _timed_builds(
-                    spark, pages, scale_idx, SCALE_DOCS, 1
-                )
-                spark.stop()
+        t_by_cores: dict[int, list[float]] = {}
+        # ONE session per level with SCALE_RUNS fresh builds inside it:
+        # the python-worker pool (and its faulted arenas) belongs to the
+        # session, and a cold 32-worker pool pays the host's serialized
+        # first-touch cost — run 1 warms the pool, min-of-N reports the
+        # steady-state number, every raw run time is emitted
+        for cores in (8, 32):
+            spark = get_spark(
+                app_name=f"bench-scale-{cores}",
+                master=f"local[{cores}]",
+                shuffle_partitions=cores,
+            )
+            pages = _corpus(spark, SCALE_DOCS)
+            _warmup(spark, pages)
+            t_by_cores[cores] = _timed_builds(
+                spark, pages, scale_idx, SCALE_DOCS, SCALE_RUNS
+            )
+            spark.stop()
         shutil.rmtree(scale_idx, ignore_errors=True)
         t8, t32 = min(t_by_cores[8]), min(t_by_cores[32])
+        # contemporaneous host ceiling: the same per-doc work, plain
+        # multiprocessing, min-of-2 — this microVM's effective core count
+        # oscillates (raw 8→32 eff measured 0.41 and 0.80 on different
+        # days), so the ceiling must be sampled in the SAME run
+        c8 = min(_mp_ceiling(8), _mp_ceiling(8))
+        c32 = min(_mp_ceiling(32), _mp_ceiling(32))
+        eff = round((t8 / t32) / 4, 3)
+        ceil_eff = round((c8 / c32) / 4, 3)
         out["scaling"] = {
             "n_docs": SCALE_DOCS,
             "runs_local8_s": t_by_cores[8],
             "runs_local32_s": t_by_cores[32],
             "docs_per_sec_local8": round(SCALE_DOCS / t8, 1),
             "docs_per_sec_local32": round(SCALE_DOCS / t32, 1),
-            "efficiency_8_to_32": round((t8 / t32) / 4, 3),
-            "protocol": f"interleaved min-of-{RUNS} per level, fresh build per "
-            "run, warm worker pool, vm compaction + settle between runs",
+            "efficiency_8_to_32": eff,
+            "host_ceiling_raw_mp_8s": c8,
+            "host_ceiling_raw_mp_32s": c32,
+            "host_ceiling_efficiency_8_to_32": ceil_eff,
+            "efficiency_vs_host_ceiling": round(eff / ceil_eff, 3) if ceil_eff else None,
+            "protocol": f"min-of-{SCALE_RUNS} per level within one session "
+            "(warm worker pool), fresh build per run, vm compaction + "
+            "settle between runs; host ceiling = identical per-doc work "
+            "via raw multiprocessing in the same run",
         }
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)

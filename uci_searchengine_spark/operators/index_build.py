@@ -965,8 +965,6 @@ def build_index(
     ):
         _wipe_stale(index_dir, snap)
         _write_snapshot_marker(index_dir, snap)
-        from pyspark.storagelevel import StorageLevel
-
         from uci_searchengine_spark.plans.partitioning import (
             exact_repartition,
             url_range_pids,
@@ -985,24 +983,28 @@ def build_index(
         )
         _lap("sample")
         pid_col = url_range_pids(sample, write_partitions, F.col("url"))
-        ranged = (
+
+        # dense-id offsets pre-pass over the URL COLUMN ALONE: the url
+        # range-exchange is ~2% of the page bytes, so the count job stays
+        # tiny, and the html payloads are shuffled exactly ONCE (inside
+        # stage 1) and never persisted — at corpus scale you cannot cache
+        # the crawl, so the build must not depend on it
+        urls_ranged = (
             exact_repartition(
-                pages.withColumn("_pid", pid_col), write_partitions, "_pid"
+                pages.select("url").withColumn("_pid", pid_col),
+                write_partitions,
+                "_pid",
             )
-            .sortWithinPartitions(
-                "url", F.desc("warc_ts"), F.desc(F.xxhash64("html"))
-            )
-            .select("url", "html")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .sortWithinPartitions("url")
+            .select("url")
         )
-        # cheap pre-pass: deduped doc count per partition -> dense id offsets
         counts = {
             r["pid"]: r["cnt"]
-            for r in ranged.select("url")
-            .mapInPandas(_dedup_count_fn, "pid int, cnt long")
-            .collect()
+            for r in urls_ranged.mapInPandas(
+                _dedup_count_fn, "pid int, cnt long"
+            ).collect()
         }
-        _lap("shuffle+cache+counts")
+        _lap("url-shuffle+counts")
         offsets: dict[int, int] = {}
         acc = 0
         for pid in sorted(counts):
@@ -1012,12 +1014,20 @@ def build_index(
         bucket_size = max(1, math.ceil(n_docs / n_buckets))
 
         seg_parts = min(write_partitions, num_shards)
+        ranged = (
+            exact_repartition(
+                pages.withColumn("_pid", pid_col), write_partitions, "_pid"
+            )
+            .sortWithinPartitions(
+                "url", F.desc("warc_ts"), F.desc(F.xxhash64("html"))
+            )
+            .select("url", "html")
+        )
         ranged.mapInPandas(
             _stage1_fn(index_dir, snap, offsets, bucket_size, num_shards, seg_parts),
             schema=_WRITE_RESULT_SCHEMA,
         ).collect()
         _lap("stage1 pass")
-        ranged.unpersist()
 
         # avgdl from the stage-1 manifests (each records Σ doc_len for its
         # partition) — no extra Spark job; falls back to a column-pruned
