@@ -114,6 +114,10 @@ class IndexMeta:
     input_snapshot: str
     k1: float = BM25_K1
     b: float = BM25_B
+    # >1 when a shard's buckets were split across stage-2 tasks (corpus ≫
+    # one task's memory). The segment rows' df_global is then
+    # fragment-local, and the query path aggregates df in-plan instead.
+    seg_split: int = 1
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -338,6 +342,7 @@ def _stage1_fn(
     bucket_size: int,
     num_shards: int,
     seg_parts: int,
+    seg_split: int = 1,
 ):
     """Fused stage-1 partition pass: dedup → docIDs → extract → tokenize →
     write docs + flat postings + manifest. One Arrow pass, no further
@@ -445,7 +450,17 @@ def _stage1_fn(
             posts["th"] = _xxh_many(uniq)[codes]
             posts["shard"] = (posts["th"].to_numpy() % num_shards).astype("int32")
             posts["bucket"] = (posts["doc_id"].to_numpy() // bucket_size).astype("int32")
-            pshard = (posts["shard"].to_numpy() % seg_parts).astype("int32")
+            if seg_split > 1:
+                # corpus ≫ one task's memory: split each shard's BUCKETS
+                # across seg_split stage-2 tasks (a task then holds
+                # ~1/seg_split of the shard; df_global becomes
+                # fragment-local and the query aggregates df in-plan)
+                pshard = (
+                    posts["shard"].to_numpy() * seg_split
+                    + posts["bucket"].to_numpy() % seg_split
+                ).astype("int32")
+            else:
+                pshard = (posts["shard"].to_numpy() % seg_parts).astype("int32")
             postings_rows += len(posts)
             for pv in np.unique(pshard):
                 grp = posts[pshard == pv]
@@ -952,10 +967,22 @@ def build_index(
             print(f"[build] {msg}: {t - _t0:.1f}s", flush=True)
             _t0 = t
 
+    # stage-2 task grid: with few partitions, group whole shards
+    # (seg_parts ≤ num_shards, split 1 — a term's entire posting list in
+    # one task, df_global exact); when the job runs wider than the shard
+    # count — the 10^12-doc regime where one shard ≫ one task's memory —
+    # split each shard's buckets across ceil(wp/num_shards) tasks
+    if write_partitions > num_shards:
+        seg_split = math.ceil(write_partitions / num_shards)
+        seg_parts = num_shards * seg_split
+    else:
+        seg_split = 1
+        seg_parts = min(write_partitions, num_shards)
+
     # internal snapshot string folds in layout config so a shard/bucket/
     # partition-count change invalidates old partition manifests (resume is
     # only valid against the identical deterministic partitioning)
-    snap = f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}"
+    snap = f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}x{seg_split}"
 
     docs_stage = _read_manifest(index_dir, "stage-docs")
     if not (
@@ -1013,7 +1040,6 @@ def build_index(
         n_docs = acc
         bucket_size = max(1, math.ceil(n_docs / n_buckets))
 
-        seg_parts = min(write_partitions, num_shards)
         ranged = (
             exact_repartition(
                 pages.withColumn("_pid", pid_col), write_partitions, "_pid"
@@ -1024,7 +1050,9 @@ def build_index(
             .select("url", "html")
         )
         ranged.mapInPandas(
-            _stage1_fn(index_dir, snap, offsets, bucket_size, num_shards, seg_parts),
+            _stage1_fn(
+                index_dir, snap, offsets, bucket_size, num_shards, seg_parts, seg_split
+            ),
             schema=_WRITE_RESULT_SCHEMA,
         ).collect()
         _lap("stage1 pass")
@@ -1070,19 +1098,17 @@ def build_index(
     bucket_size = docs_stage["bucket_size"]
 
     # Stage 2: NO Spark shuffle. Stage 1 already wrote the flat postings
-    # partitioned by shard-group (pshard=shard%seg_parts hive dirs) — a
-    # "shuffle via storage". Each stage-2 task reads exactly its group's
-    # files with pyarrow, sorts in numpy (integer keys: th/bucket/doc_id;
-    # term strings only decide group boundaries), packs, and writes —
-    # pure parallel Python, which scales with cores where the measured
-    # single-JVM exchange+sort did not. All buckets of a term stay
-    # together (term→shard), so df_global is computable in the task. At
-    # extreme head-term scale (one term ≫ one task), switch the grouping
-    # to (shard, bucket) and move df to a small aggregate — documented
-    # trade-off.
+    # partitioned by shard-group (pshard= hive dirs) — a "shuffle via
+    # storage". Each stage-2 task reads exactly its group's files with
+    # pyarrow, sorts in numpy (integer keys: term-rank/bucket/doc_id),
+    # packs, and writes — pure parallel Python, which scales with cores
+    # where the measured single-JVM exchange+sort did not. With
+    # seg_split == 1 all buckets of a term stay together (term→shard), so
+    # df_global is exact in-task; with seg_split > 1 (shard ≫ task
+    # memory) each task holds a bucket-slice of its shard and the QUERY
+    # aggregates df over the pruned scan in-plan (wand.score_wand).
     from uci_searchengine_spark.plans.partitioning import exact_repartition
 
-    seg_parts = min(write_partitions, num_shards)
     driver = spark.createDataFrame(
         [(p,) for p in range(seg_parts)], "pid int"
     )
@@ -1099,6 +1125,7 @@ def build_index(
         n_buckets=n_buckets,
         bucket_size=bucket_size,
         input_snapshot=input_snapshot,
+        seg_split=seg_split,
     )
     tmp = os.path.join(index_dir, "meta.json.tmp")
     with open(tmp, "w") as f:

@@ -195,8 +195,20 @@ def score_wand(
     seg = load_segments(spark, index_dir).filter(
         F.col("shard").isin(shards) & F.col("term").isin(terms)
     )
-    # idf comes from the df_global column denormalized onto segment rows at
-    # build time — no separate aggregation job per query
+    if getattr(meta, "seg_split", 1) > 1:
+        # the build split each shard's buckets across stage-2 tasks
+        # (corpus ≫ task memory), so per-row df_global is fragment-local.
+        # The pruned scan already covers each query term's ENTIRE posting
+        # list, so the true df is an in-plan aggregate + broadcast join —
+        # still a single Spark job, only the query terms' rows touched.
+        dfs = seg.groupBy("term").agg(F.sum("df").cast("long").alias("_df"))
+        seg = (
+            seg.drop("df_global")
+            .join(F.broadcast(dfs), "term")
+            .withColumnRenamed("_df", "df_global")
+        )
+    # else: idf comes from the df_global column denormalized onto segment
+    # rows at build time — no aggregation at all per query
     n_docs = meta.n_docs
     avgdl, bucket_size = meta.avgdl, meta.bucket_size
 
