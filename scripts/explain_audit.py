@@ -90,7 +90,7 @@ def main() -> None:
     checks.append(
         ("wand: partition pruning on shard set", "PartitionFilters: [shard" in plan or "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan and "IN" in plan, plan)
     )
-    checks.append(("wand: FlatMapCoGroupsInPandas", "FlatMapCoGroupsInPandas" in plan, plan))
+    checks.append(("wand: per-bucket FlatMapGroupsInPandas", "FlatMapGroupsInPandas" in plan, plan))
 
     # 4) TPC-H-ish joins: broadcast for the small build side, pushdown
     rev = q_revenue_topk(spark, "/root/testdata/sf0.001")

@@ -1146,6 +1146,93 @@ SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
 """
 
 
+def q_rollup_orders(spark, sf_dir):
+    """ROLLUP grouping sets (A-family breadth: subtotal rows with NULL
+    grouping keys, exact decimal money sums)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_running_revenue(spark, sf_dir):
+    """Cumulative windowed sum per customer (running-total analog of the
+    reference's crawl-statistics counters; exact decimal accumulation)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+SQL_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_brands_except(spark, sf_dir):
+    """EXCEPT set op (U2: discovered − crawled, relational form)."""
+    p = _t(spark, sf_dir, "part")
+    small = p.filter(F.col("p_size") < 10).select("p_brand").distinct()
+    large = p.filter(F.col("p_size") > 48).select("p_brand").distinct()
+    return small.subtract(large)
+
+
+SQL_BRANDS_EXCEPT = """
+SELECT DISTINCT p_brand FROM part WHERE p_size < 10
+EXCEPT
+SELECT DISTINCT p_brand FROM part WHERE p_size > 48
+"""
+
+
+def q_priority_extract(spark, sf_dir):
+    """regexp_extract scalar (the reference's regex surface beyond the
+    tokenizer) + group count on the derived key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.regexp_extract("o_orderpriority", r"^(\d+)", 1)
+            .cast("int")
+            .alias("prio_num")
+        )
+        .groupBy("prio_num")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_PRIORITY_EXTRACT = """
+SELECT CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INT) AS prio_num,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
 def q_json_props(spark, sf_dir):
     """JSON scalar extraction + typed filter over events.props
     (get_json_object — breadth beyond the reference, which has no JSON
@@ -1225,5 +1312,9 @@ QUERIES = {
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
+    "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
+    "brands_except": (q_brands_except, SQL_BRANDS_EXCEPT),
+    "priority_extract": (q_priority_extract, SQL_PRIORITY_EXTRACT),
     "common_terms_intersect": (q_common_terms_intersect, _sql_common_terms()),
 }
