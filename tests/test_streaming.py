@@ -92,3 +92,65 @@ def test_windowed_page_counts_streaming_matches_batch(spark, tmp_path_factory):
     }
     for k, v in got.items():
         assert batch[k] == v
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_stateful_sessionization_matches_batch(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization over two time-ordered
+    micro-batches == the batch lag()-window computation."""
+    import pandas as pd
+
+    from uci_searchengine_spark.streaming.ingest import sessionize_events
+
+    base = str(tmp_path_factory.mktemp("sess"))
+    ev_dir = os.path.join(base, "events")
+
+    # synthetic per-user event times with gaps straddling the batch cut
+    rows = []
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    eid = 0
+    for user in range(6):
+        t = t0 + pd.Timedelta(minutes=user)
+        for k in range(10):
+            # every 4th event jumps > 30 min -> new session
+            t = t + pd.Timedelta(minutes=45 if k % 4 == 0 else 5)
+            rows.append((eid, t.to_pydatetime(), user))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    schema = "event_id long, ts timestamp, user_id long"
+    half = len(pdf) // 2
+    # two time-ordered landing files (per-user order preserved)
+    spark.createDataFrame(pdf.iloc[:half], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ev_dir)
+    spark.createDataFrame(pdf.iloc[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ev_dir)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(ev_dir)
+    )
+    q = (
+        sessionize_events(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # latest row per user = final totals
+    got = {}
+    for r in spark.sql("select * from sessions").collect():
+        got[r["user_id"]] = (r["n_sessions"], r["n_events"])  # update mode: later overwrites
+
+    # batch oracle (same rule as the user_sessions gate)
+    want = {}
+    for user, g in pdf.groupby("user_id"):
+        ts = g["ts"].sort_values().to_numpy().astype("datetime64[ns]").astype("int64")
+        n_sess = 1 + int(((ts[1:] - ts[:-1]) > 30 * 60 * 1_000_000_000).sum())
+        want[user] = (n_sess, len(g))
+    assert got == want

@@ -90,3 +90,62 @@ def windowed_page_counts(pages_stream: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_pages"))
         .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+SESSION_STATE_SCHEMA = "n_sessions long, n_events long, last_ns long"
+
+
+def sessionize_events(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (arbitrary state, Arrow-batched — the
+    streaming form of the batch `user_sessions` gate).
+
+    State per user = (n_sessions, n_events, last event time in ns); a gap
+    > ``gap_minutes`` between consecutive events opens a new session.
+    Each micro-batch emits the user's running totals (outputMode update —
+    the latest row per user is the current answer).
+
+    Ordering contract: events must land in per-user time order across
+    micro-batches (the standard log-ingestion landing; within a batch any
+    order is fine — the operator sorts). A production deployment facing
+    out-of-order streams would put a watermark + buffer stage in front;
+    the reference has no streaming analog at all (SURVEY §2.10), so this
+    pins the canonical shape.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            n_sess, n_ev, last_ns = state.get
+        else:
+            n_sess, n_ev, last_ns = 0, 0, -1
+        parts = [pdf["ts"] for pdf in pdfs if len(pdf)]
+        if parts:
+            ts = pd.concat(parts).sort_values()
+            arr = ts.to_numpy().astype("datetime64[ns]").astype("int64")
+            prev = np.concatenate(([last_ns], arr[:-1]))
+            gaps_open = (arr - prev) > gap_ns
+            if last_ns < 0:
+                gaps_open[0] = True  # first-ever event always opens
+            n_sess += int(gaps_open.sum())
+            n_ev += arr.size
+            last_ns = int(arr[-1])
+        state.update((n_sess, n_ev, last_ns))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
