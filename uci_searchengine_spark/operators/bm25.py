@@ -123,9 +123,23 @@ def attach_docs(
     spark: SparkSession, index_dir: str, topk: DataFrame, terms: list[str]
 ) -> DataFrame:
     """Join top-k ids to the doc store for url/title/snippet (J4 analog:
-    search.py:24 candidate fetch — broadcast the tiny id set)."""
+    search.py:24 candidate fetch — broadcast the tiny id set, and prune
+    the docs scan to the ≤k result ids' bucket dirs: at corpus scale the
+    doc store is the biggest table in the index and this join must touch
+    k rows' worth of files, not all of them)."""
+    meta = IndexMeta.load(index_dir)
+    # materialize the ≤k scores ONCE (topk is lazy — reusing the
+    # DataFrame in both the id-prune and the join would re-run the scorer)
+    hits = [(r["doc_id"], r["score"]) for r in topk.collect()]
+    ids = [d for d, _ in hits]
+    tiny = spark.createDataFrame(hits or [(-1, 0.0)], "doc_id long, score double")
     docs = load_docs(spark, index_dir)
-    out = docs.join(F.broadcast(topk), "doc_id").select(
+    if ids:
+        buckets = sorted({int(i) // meta.bucket_size for i in ids})
+        docs = docs.filter(
+            F.col("bucket").isin(buckets) & F.col("doc_id").isin(ids)
+        )
+    out = docs.join(F.broadcast(tiny), "doc_id").select(
         "doc_id", "url", "title", make_snippet_udf(terms)(F.col("text")).alias("snippet"), "score"
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
