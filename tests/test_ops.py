@@ -229,3 +229,35 @@ class TestMultimodal:
         out = sample_frames(d, "doc_id", "payload", every_n=4).collect()
         assert all(r["frame_idx"] % 4 == 0 for r in out)
         assert {r["doc_id"] for r in out} == {0, 1, 2, 3, 4, 5}
+
+
+@pytest.mark.spark
+class TestAudio:
+    def test_audio_meta_plumbing(self, spark, docs_df):
+        from uci_searchengine_spark.operators.multimodal import decode_audio_meta
+
+        d = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        out = {
+            r["doc_id"]: r
+            for r in decode_audio_meta(d, "doc_id", "payload", chunk_bytes=16).collect()
+        }
+        raw = b"the quick brown fox jumps over the lazy dog again and again"
+        h = hashlib.md5(raw).digest()
+        chunks = (len(raw) + 15) // 16
+        fp = hashlib.md5(
+            "".join(
+                hashlib.md5(raw[c * 16 : (c + 1) * 16]).hexdigest()
+                for c in range(chunks)
+            ).encode()
+        ).hexdigest()
+        assert out[0]["n_bytes"] == len(raw)
+        assert out[0]["n_chunks"] == chunks
+        assert out[0]["sample_rate"] == [8000, 16000, 22050, 44100, 48000][h[0] % 5]
+        assert out[0]["loudness_fp"] == fp
+
+    def test_real_audio_decoder_is_stubbed(self, spark, docs_df):
+        from uci_searchengine_spark.operators.multimodal import decode_audio_meta
+
+        d = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        with pytest.raises(NotImplementedError):
+            decode_audio_meta(d, "doc_id", "payload", use_real=True)

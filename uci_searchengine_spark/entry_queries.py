@@ -974,6 +974,35 @@ FROM documents
 """
 
 
+def q_audio_meta(spark, sf_dir):
+    """Audio-modality plumbing: payload → sample_rate / chunk count /
+    loudness fingerprint (decode stubbed deterministically, Spark-side
+    schema + Arrow batch shape real — operators/multimodal)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return mm.decode_audio_meta(d, "doc_id", "payload", chunk_bytes=128)
+
+
+SQL_AUDIO_META = """
+WITH chunks AS (
+  SELECT doc_id, i, md5(substr(text, (i*128+1)::INT, 128)) AS ch
+  FROM documents,
+       unnest(range(0, greatest(CAST(ceil(length(text)/128.0) AS INT), 1))) AS u(i)
+)
+SELECT d.doc_id,
+  length(d.text)::INT AS n_bytes,
+  ([8000,16000,22050,44100,48000])[
+    (CAST(('0x' || substr(md5(d.text),1,2)) AS UBIGINT) % 5 + 1)::INT
+  ]::INT AS sample_rate,
+  greatest(CAST(ceil(length(d.text)/128.0) AS INT), 1) AS n_chunks,
+  c.fp AS loudness_fp
+FROM documents d
+JOIN (SELECT doc_id, md5(string_agg(ch, '' ORDER BY i)) AS fp
+      FROM chunks GROUP BY doc_id) c USING (doc_id)
+"""
+
+
 def q_frame_samples(spark, sf_dir):
     """Multimodal flatMap plumbing: payload → sampled frame rows."""
     d = _t(spark, sf_dir, "documents").select(
@@ -1303,6 +1332,7 @@ QUERIES = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "image_meta": (q_image_meta, SQL_IMAGE_META),
+    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
     "domain_filter": (q_domain_filter, SQL_DOMAIN_FILTER),
     "snippet_exprs": (q_snippet_exprs, SQL_SNIPPET_EXPRS),

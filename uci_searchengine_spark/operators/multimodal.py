@@ -97,6 +97,72 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_chunks", T.IntegerType(), False),
+        T.StructField("loudness_fp", T.StringType(), False),
+    ]
+)
+
+
+def _decode_audio_real(payload: bytes) -> tuple[int, list[float]]:
+    """Real decoder boundary (soundfile/ffmpeg) — not in this container."""
+    raise NotImplementedError(
+        "audio decode requires soundfile/ffmpeg; not available in this container"
+    )
+
+
+def decode_audio_meta(
+    df: DataFrame, id_col: str, payload_col: str, chunk_bytes: int = 128, use_real: bool = False
+) -> DataFrame:
+    """Audio-modality plumbing: payload → (sample_rate, chunk count,
+    loudness fingerprint). The fake decode derives a deterministic
+    sample_rate from the payload md5 and a per-chunk 'loudness'
+    fingerprint = md5 over the chunk md5s — both reproducible by the
+    DuckDB oracle. The real decoder is the stubbed boundary above; the
+    Spark-side schema / Arrow batch shape / blob-projection discipline is
+    what this operator pins."""
+    if use_real:
+        _decode_audio_real(b"")  # fail fast: decoder absent by design
+
+    rates = [8000, 16000, 22050, 44100, 48000]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, sr, nc, fp = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                h = hashlib.md5(raw).digest()
+                chunks = max(1, (len(raw) + chunk_bytes - 1) // chunk_bytes)
+                # md5 over the concatenated per-chunk HEX digests (hex, not
+                # binary: portable to engines whose md5 is VARCHAR-only)
+                chunk_digest = hashlib.md5(
+                    "".join(
+                        hashlib.md5(raw[c * chunk_bytes : (c + 1) * chunk_bytes]).hexdigest()
+                        for c in range(chunks)
+                    ).encode()
+                ).hexdigest()
+                ids.append(i)
+                nb.append(len(raw))
+                sr.append(rates[h[0] % len(rates)])
+                nc.append(chunks)
+                fp.append(chunk_digest)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(nb, dtype="int32"),
+                    "sample_rate": pd.Series(sr, dtype="int32"),
+                    "n_chunks": pd.Series(nc, dtype="int32"),
+                    "loudness_fp": fp,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, id_col: str, payload_col: str, every_n: int = 4
 ) -> DataFrame:
