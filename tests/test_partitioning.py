@@ -51,3 +51,51 @@ def test_url_range_pids_consistent_with_python(spark):
     for u in urls:
         assert got[u] == sum(1 for b in bounds if b <= u), u
     # all rows of an equal url share a pid by construction (same value)
+
+
+@pytest.mark.spark
+class TestBucketingAndSalt:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path_factory):
+        from uci_searchengine_spark.plans.bucketing import (
+            assert_no_shuffle,
+            bucketed_join,
+            write_bucketed,
+        )
+
+        left = spark.range(1000).withColumn("k", (F.col("id") % 50).cast("long")).withColumn("v", F.col("id") * 2)
+        right = spark.range(50).withColumn("k", F.col("id").cast("long")).withColumn("w", F.col("id") + 7)
+        write_bucketed(left.select("k", "v"), "t_bleft", "k", 8, sort_col="k")
+        write_bucketed(right.select("k", "w"), "t_bright", "k", 8, sort_col="k")
+        # disable broadcast so the co-located sort-merge path is what's planned
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bucketed_join(spark, "t_bleft", "t_bright", "k")
+            assert_no_shuffle(j)
+            got = j.groupBy().sum("v").collect()[0][0]
+            want = left.join(right, "k").groupBy().sum("v").collect()[0][0]
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_bleft")
+            spark.sql("DROP TABLE IF EXISTS t_bright")
+
+    def test_salted_join_matches_plain(self, spark):
+        from uci_searchengine_spark.plans.bucketing import salted_join
+
+        # pathological skew: 90% of rows share one key
+        big = spark.range(2000).withColumn(
+            "k", F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 7).cast("long")
+        ).withColumn("v", F.col("id"))
+        small = spark.range(7).withColumn("k", F.col("id").cast("long")).withColumn("w", F.col("id") * 10)
+        got = (
+            salted_join(big.select("k", "v"), small.select("k", "w"), "k", salt=4)
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw"))
+        )
+        want = (
+            big.select("k", "v").join(small.select("k", "w"), "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw"))
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
