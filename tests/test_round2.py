@@ -341,3 +341,48 @@ class TestEmbeddingNearPairsKnobs:
         assert got1 <= true_pairs and got3 <= true_pairs  # no false positives
         assert len(got3) >= len(got1)
         assert len(got3) / len(true_pairs) > 0.6  # clustered data: solid recall
+
+
+@pytest.mark.spark
+class TestSearcher:
+    def test_searcher_matches_oracle_and_scorers(self, spark, index_small, oracle_small):
+        from uci_searchengine_spark.operators.serving import Searcher
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        s = Searcher(spark, index_small)
+        for q in ["stop0", "arbak stop1", "stop0 stop1 stop2 stop3"]:
+            got = [(r["doc_id"], r["score"]) for r in s.top_k(q, 10).collect()]
+            exp = oracle_small.top_k(q, 10)
+            assert [d for d, _ in got] == [d for d, _ in exp], q
+            for (gd, gs), (_, es) in zip(got, exp):
+                assert math.isclose(gs, es, rel_tol=1e-9), (q, gd)
+        env = s.search("stop0 arbak", page=1, per_page=5)
+        exp_env = oracle_small.search("stop0 arbak", page=1, per_page=5)
+        assert env["total_results"] == exp_env["total_results"]
+        assert [r["url"] for r in env["results"]] == [r["url"] for r in exp_env["results"]]
+        assert [r["snippet"] for r in env["results"]] == [
+            r["snippet"] for r in exp_env["results"]
+        ]
+
+    def test_searcher_warm_latency_beats_cold_calls(self, spark, index_small):
+        """The resident relation must not be slower than per-call
+        score_wand (it skips meta read + listing + schema inference)."""
+        import time
+
+        from uci_searchengine_spark.operators.serving import Searcher
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        s = Searcher(spark, index_small)
+        s.top_k("stop0", 10).collect()  # warm both paths' JVM/python
+        score_wand(spark, index_small, "stop0", 10).collect()
+
+        t0 = time.perf_counter()
+        for q in ["stop0", "arbak stop1", "arband arbast"]:
+            s.top_k(q, 10).collect()
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for q in ["stop0", "arbak stop1", "arband arbast"]:
+            score_wand(spark, index_small, q, 10).collect()
+        cold = time.perf_counter() - t0
+        # host timing is noisy: only guard against gross regression
+        assert warm <= cold * 1.5, (warm, cold)

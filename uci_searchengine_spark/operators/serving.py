@@ -1,0 +1,123 @@
+"""Long-lived serving layer: one analyzed index, many queries.
+
+The reference serves queries from a resident FastAPI process with the
+SQLite handles open (backend/app/api/search.py, main.py); the Spark
+analog is a resident ``Searcher`` that loads the index metadata and the
+segment/doc-store DataFrames ONCE and reuses them for every query —
+saving per-query meta reads, file listings, and schema inference that a
+bare ``score_wand(spark, index_dir, q)`` call repays each time.
+
+Per query the plan is unchanged: partition-pruned segment scan for the
+query terms' shards → per-bucket block-max scoring → global top-k —
+the pruning happens on the CACHED DataFrame's relation, so the same
+filters reach the same parquet scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uci_searchengine_spark.operators import wand as _wand
+from uci_searchengine_spark.operators.bm25 import (
+    make_snippet_udf,
+    match_count,
+    query_terms,
+)
+from uci_searchengine_spark.operators.index_build import (
+    IndexMeta,
+    load_docs,
+    load_segments,
+)
+
+
+class Searcher:
+    """Resident query service over a built index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = IndexMeta.load(index_dir)
+        # analyzed once; every query applies filters to these relations
+        self._segments: DataFrame = load_segments(spark, index_dir)
+        self._docs: DataFrame = load_docs(spark, index_dir)
+
+    # -------------------------------------------------------------- scoring
+    def top_k(self, query: str, k: int = 10) -> DataFrame:
+        """Block-max WAND top-k reusing the resident segment relation."""
+        meta = self.meta
+        terms = query_terms(query)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        shard_map = _wand._shards_for_terms(terms, meta.num_shards)
+        shards = sorted(set(shard_map.values()))
+        seg = self._segments.filter(
+            F.col("shard").isin(shards) & F.col("term").isin(terms)
+        )
+        if getattr(meta, "seg_split", 1) > 1:
+            dfs = seg.groupBy("term").agg(F.sum("df").cast("long").alias("_df"))
+            seg = (
+                seg.drop("df_global")
+                .join(F.broadcast(dfs), "term")
+                .withColumnRenamed("_df", "df_global")
+            )
+        return _wand._topk_over_segments(seg, meta, k)
+
+    # ------------------------------------------------------------- envelope
+    def search(self, query: str, page: int = 1, per_page: int = 10) -> dict:
+        """Result envelope (search.py:119-126 shape) on the resident index."""
+        terms = query_terms(query)
+        if not terms:
+            return {
+                "query": query,
+                "total_results": 0,
+                "page": page,
+                "per_page": per_page,
+                "total_pages": 0,
+                "results": [],
+            }
+        hits = [
+            (r["doc_id"], r["score"])
+            for r in self.top_k(query, k=page * per_page).collect()
+        ]
+        total = match_count(self.spark, self.index_dir, terms)
+        rows = []
+        if hits:
+            ids = [d for d, _ in hits]
+            buckets = sorted({int(i) // self.meta.bucket_size for i in ids})
+            tiny = self.spark.createDataFrame(hits, "doc_id long, score double")
+            docs = self._docs.filter(
+                F.col("bucket").isin(buckets) & F.col("doc_id").isin(ids)
+            )
+            rows = (
+                docs.join(F.broadcast(tiny), "doc_id")
+                .select(
+                    "doc_id",
+                    "url",
+                    "title",
+                    make_snippet_udf(terms)(F.col("text")).alias("snippet"),
+                    "score",
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .collect()
+            )
+        start = (page - 1) * per_page
+        sel = rows[start : start + per_page]
+        return {
+            "query": query,
+            "total_results": total,
+            "page": page,
+            "per_page": per_page,
+            "total_pages": math.ceil(total / per_page),
+            "results": [
+                {
+                    "url": r["url"],
+                    "title": r["title"],
+                    "snippet": r["snippet"],
+                    "score": r["score"],
+                }
+                for r in sel
+            ],
+        }

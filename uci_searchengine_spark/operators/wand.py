@@ -209,6 +209,13 @@ def score_wand(
         )
     # else: idf comes from the df_global column denormalized onto segment
     # rows at build time — no aggregation at all per query
+    return _topk_over_segments(seg, meta, k)
+
+
+def _topk_over_segments(seg: DataFrame, meta: IndexMeta, k: int) -> DataFrame:
+    """Scoring tail shared by score_wand and serving.Searcher: per-bucket
+    block-max scoring over an (already pruned, df-resolved) segment
+    relation, then global top-k."""
     n_docs = meta.n_docs
     avgdl, bucket_size = meta.avgdl, meta.bucket_size
 
