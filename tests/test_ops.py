@@ -261,3 +261,51 @@ class TestAudio:
         d = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
         with pytest.raises(NotImplementedError):
             decode_audio_meta(d, "doc_id", "payload", use_real=True)
+
+
+@pytest.mark.spark
+class TestDupClusters:
+    def test_connected_components_known_graph(self, spark):
+        from uci_searchengine_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "id_a long, id_b long",
+        )
+        got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        from uci_searchengine_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+        assert set(got.values()) == {0} and len(got) == 13
+
+    def test_pii_redaction(self, spark):
+        from uci_searchengine_spark.functions.textstats import pii_hit_count, redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (0, "reach me: jo.doe+spam@mail.example.com or 555-123-4567"),
+                (1, "ssn 987-65-4321 card 4111 1111 1111 1111 ok"),
+                (2, "no pii here at all"),
+            ],
+            "id long, text string",
+        )
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                redact_pii(F.col("text")).alias("clean"),
+                pii_hit_count(F.col("text")).alias("n"),
+            ).collect()
+        }
+        assert "<EMAIL>" in rows[0]["clean"] and "<PHONE>" in rows[0]["clean"]
+        assert "@" not in rows[0]["clean"]
+        assert rows[0]["n"] == 2
+        assert "<SSN>" in rows[1]["clean"] and "<CARD>" in rows[1]["clean"]
+        assert rows[2]["clean"] == "no pii here at all"
+        assert rows[2]["n"] == 0

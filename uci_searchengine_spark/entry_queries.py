@@ -627,6 +627,29 @@ WHERE a.id < b.id
 """
 
 
+def q_dup_clusters(spark, sf_dir):
+    """MinHash-LSH pairs → connected components (the keep-one-per-cluster
+    step): (doc_id, comp) for every doc appearing in ≥1 candidate pair,
+    comp = min member id of its cluster."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    out = dd.connected_components(pairs)
+    return out.select(F.col("id").alias("doc_id"), "comp")
+
+
+def _sql_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash()}),
+e(a, b) AS (SELECT id_a, id_b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a
+"""
+
+
 def q_simhash(spark, sf_dir):
     """60-bit SimHash per doc (near-dup fingerprint)."""
     return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
@@ -938,6 +961,45 @@ SELECT doc_id,
   CAST(ceil(length(regexp_replace(text,'[^\\p{L}\\p{N}_]','','g')) / 4.0)
        + len(regexp_extract_all(text,'[^\\p{L}\\p{N}_\\s]+')) AS BIGINT) AS bpe_tokens
 FROM documents
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (emails/phones/SSNs/card digit runs → typed placeholders)
+    + per-doc hit count. The synthetic corpus carries no PII, so the gate
+    injects a deterministic PII tail per doc and redacts it — both sides
+    run the identical regex chain."""
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" mail user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example.org call 555-123-4567 ssn 123-45-6789 card 4111 1111 1111 1111 end"),
+    )
+    return d.select(
+        "doc_id",
+        textstats.redact_pii(injected).alias("clean"),
+        textstats.pii_hit_count(injected).alias("n_pii"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from uci_searchengine_spark.functions.textstats import PII_PATTERNS
+
+    expr = (
+        "substr(text,1,60) || ' mail user' || doc_id::VARCHAR || "
+        "'@corp.example.org call 555-123-4567 ssn 123-45-6789 card 4111 1111 1111 1111 end'"
+    )
+    red = expr
+    for pat, token in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{p}', '{token}', 'g')"
+    hits = " + ".join(
+        f"(len(string_split(clean, '{token}')) - 1)" for _p, token in PII_PATTERNS
+    )
+    return f"""
+WITH r AS (SELECT doc_id, {red} AS clean FROM documents)
+SELECT doc_id, clean, CAST({hits} AS BIGINT) AS n_pii FROM r
 """
 
 
@@ -1321,6 +1383,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash()),
+    "dup_clusters": (q_dup_clusters, _sql_dup_clusters()),
     "simhash": (q_simhash, _sql_simhash()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
@@ -1331,6 +1394,7 @@ QUERIES = {
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "pii_redact": (q_pii_redact, _sql_pii_redact()),
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),

@@ -102,3 +102,34 @@ def fingerprint_md5(c: Column) -> Column:
     """MD5 hex fingerprint (same normalization) — portable across engines
     (DuckDB md5 == Spark md5), used by the correctness oracle."""
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+# PII scrubbing: the redaction pass every training-data pipeline runs
+# before tokenization. Pure JVM regexp_replace chain (folds into the scan
+# projection); patterns kept engine-portable (no lookaround) so the
+# DuckDB oracle applies the identical regexes.
+PII_PATTERNS = [
+    # order matters: emails before bare digit runs
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace emails / phone numbers / SSNs / card-like digit runs with
+    typed placeholder tokens."""
+    out = c
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_hit_count(c: Column) -> Column:
+    """How many PII placeholders redaction would emit (audit metric)."""
+    red = redact_pii(c)
+    n = F.lit(0)
+    for _pat, token in PII_PATTERNS:
+        n = n + F.size(F.split(red, F.lit(token).cast("string"), -1)) - 1
+    return n.cast("long")

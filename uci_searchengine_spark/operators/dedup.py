@@ -209,6 +209,66 @@ def ngram_jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: (id, comp) where comp is the
+    minimum member id of the node's connected component — the
+    keep-one-per-cluster step every dedup pipeline runs after pair
+    generation (the pairwise ops above only PROPOSE edges).
+
+    Min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbors; converges in O(diameter)
+    rounds, and dup clusters are shallow (near-dups of a common source),
+    so the loop exits after 2-4 rounds on real data. Each round is one
+    shuffle (edge⋈label + min-agg); the loop stops as soon as a round
+    changes nothing. At web scale with adversarially long chains, swap
+    the body for the large-star/small-star rounds (Kiveris et al.) —
+    same interface, O(log n) rounds; min-label is the right default for
+    the shallow-cluster regime.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().cache()
+    # localCheckpoint each round: iterative DataFrames otherwise nest the
+    # whole previous plan per iteration and the LOGICAL plan grows
+    # exponentially (driver OOMs stringifying it long before any data
+    # size matters). On a production cluster prefer a reliable
+    # checkpoint dir (spark.sparkContext.setCheckpointDir + .checkpoint)
+    # so executor loss stays recoverable.
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(prop, labels["id"] == prop["a"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 N_SIMHASH_BITS = 60
 
 
