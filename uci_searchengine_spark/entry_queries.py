@@ -877,6 +877,76 @@ FROM embeddings
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 symmetric quantization of the embedding column (the 4×
+    storage cut before writing an embedding table at scale) + max
+    round-trip error per vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = sim.quantize_int8(F.col("embedding"))
+    deq = sim.dequantize_expr(qs)
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.aggregate(
+        F.zip_with(vd, deq, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(qs["scale"], 9).alias("scale"),
+        F.md5(
+            F.concat_ws(",", F.transform(qs["q"], lambda v: v.cast("string")))
+        ).alias("q_md5"),
+        F.round(err, 9).alias("max_err"),
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+s AS (
+  SELECT vec_id, x,
+         CASE WHEN list_max(list_transform(x, y -> abs(y))) > 0
+              THEN list_max(list_transform(x, y -> abs(y))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, x, scale,
+         list_transform(x, y -> greatest(-127, least(127, CAST(round(y/scale) AS INT)))) AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       md5(array_to_string(list_transform(qv, y -> y::VARCHAR), ',')) AS q_md5,
+       round(list_max(list_transform(list_zip(x, qv),
+             p -> abs(p[1] - p[2]::DOUBLE * scale))), 9) AS max_err
+FROM q
+"""
+
+
+def q_corpus_report(spark, sf_dir):
+    """One-shot pipeline report: doc count, token totals, language mix,
+    exact-dup count, distinct sources — the summary query a training-data
+    pipeline runs after every ingest round."""
+    d = _t(spark, sf_dir, "documents")
+    fp = textstats.fingerprint_md5(F.col("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textstats.ws_token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_exact_dupes"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_CORPUS_REPORT = """
+SELECT count(*) AS n_docs,
+  sum(CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END) AS total_tokens,
+  sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS n_en,
+  count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)),'\\s+',' ','g'))) AS n_exact_dupes,
+  count(DISTINCT source) AS n_sources
+FROM documents
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID over documents."""
     d = _t(spark, sf_dir, "documents")
@@ -1390,6 +1460,8 @@ QUERIES = {
     "ivf_search": (q_ivf_search, _sql_ivf_search()),
     "embedding_near_pairs": (q_embedding_near_pairs, _sql_embedding_near_pairs()),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+    "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
