@@ -79,3 +79,45 @@ def test_block_decode_with_offsets():
         assert np.array_equal(d, doc_ids[lo:hi])
         assert np.array_equal(t, tfs[lo:hi])
         assert np.array_equal(l, dls[lo:hi])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=300),
+            st.integers(min_value=1, max_value=30),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_pack_many_raw_equals_per_group_pack(groups):
+    """The batch-vectorized production packer (pack_many_raw, stage 2) must
+    emit byte-identical blobs and identical block metadata to the simple
+    per-group pack_postings for EVERY group in a concatenated stream."""
+    from uci_searchengine_spark.operators.codec import pack_many_raw
+
+    rng = np.random.RandomState(11)
+    per_group = []
+    for doc_set, tf_max in groups:
+        d = np.array(sorted(doc_set), dtype=np.int64)
+        t = rng.randint(1, tf_max + 1, size=d.size).astype(np.int32)
+        l = rng.randint(10, 400, size=d.size).astype(np.int64)
+        per_group.append((d, t, l))
+    doc_ids = np.concatenate([g[0] for g in per_group])
+    tfs = np.concatenate([g[1] for g in per_group])
+    dls = np.concatenate([g[2] for g in per_group])
+    starts = np.cumsum([0] + [g[0].size for g in per_group[:-1]])
+
+    raw = pack_many_raw(doc_ids, tfs, dls, np.asarray(starts, dtype=np.int64), 120.0)
+    enc = raw["enc"].tobytes()
+    for i, (d, t, l) in enumerate(per_group):
+        blob_ref, bmax_ref, offs_ref, lasts_ref = pack_postings(d, t, l, avgdl=120.0)
+        b0, b1 = int(raw["group_bytes"][i]), int(raw["group_bytes"][i + 1])
+        assert enc[b0:b1] == blob_ref
+        k0, k1 = int(raw["blk_bounds"][i]), int(raw["blk_bounds"][i + 1])
+        assert np.array_equal(raw["block_max"][k0:k1], bmax_ref)
+        assert np.array_equal(raw["block_off"][k0:k1], offs_ref)
+        assert np.array_equal(raw["block_last"][k0:k1], lasts_ref)
+        assert raw["counts"][i] == d.size
