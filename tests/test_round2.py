@@ -386,3 +386,37 @@ class TestSearcher:
         cold = time.perf_counter() - t0
         # host timing is noisy: only guard against gross regression
         assert warm <= cold * 1.5, (warm, cold)
+
+
+@pytest.mark.spark
+class TestSecondSeedDifferential:
+    def test_rank_identity_on_alternate_corpus(self, spark, tmp_path):
+        """Differential check on a corpus seed never used elsewhere in the
+        suite: wand ≡ naive ≡ oracle for head/rare/multi-term queries."""
+        from uci_searchengine_spark.operators.bm25 import score_naive
+        from uci_searchengine_spark.operators.index_build import build_index
+        from uci_searchengine_spark.operators.wand import score_wand
+        from uci_searchengine_spark.oracle import OracleIndex
+        from uci_searchengine_spark.sources.synth import synth_pages, synth_pages_local
+
+        seed, n = 4242, 150
+        d = str(tmp_path / "alt_idx")
+        build_index(
+            spark,
+            synth_pages(spark, n, seed, partitions=3),
+            d,
+            num_shards=8,
+            n_buckets=4,
+            input_snapshot=f"alt:{seed}",
+        )
+        oracle = OracleIndex(synth_pages_local(n, seed))
+        for q in ["stop0", "stop0 stop1 stop2", "arbak arbal", "zzz_absent", "STOP0 stop0"]:
+            exp = oracle.top_k(q, 10)
+            for scorer in (score_wand, score_naive):
+                got = [
+                    (r["doc_id"], r["score"])
+                    for r in scorer(spark, d, q, 10).collect()
+                ]
+                assert [g for g, _ in got] == [e for e, _ in exp], (q, scorer.__name__)
+                for (gd, gs), (_, es) in zip(got, exp):
+                    assert math.isclose(gs, es, rel_tol=1e-9), (q, gd)
