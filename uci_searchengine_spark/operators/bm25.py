@@ -131,14 +131,16 @@ def attach_docs(
     # materialize the ≤k scores ONCE (topk is lazy — reusing the
     # DataFrame in both the id-prune and the join would re-run the scorer)
     hits = [(r["doc_id"], r["score"]) for r in topk.collect()]
-    ids = [d for d, _ in hits]
-    tiny = spark.createDataFrame(hits or [(-1, 0.0)], "doc_id long, score double")
-    docs = load_docs(spark, index_dir)
-    if ids:
-        buckets = sorted({int(i) // meta.bucket_size for i in ids})
-        docs = docs.filter(
-            F.col("bucket").isin(buckets) & F.col("doc_id").isin(ids)
+    if not hits:
+        return spark.createDataFrame(
+            [], "doc_id long, url string, title string, snippet string, score double"
         )
+    ids = [d for d, _ in hits]
+    tiny = spark.createDataFrame(hits, "doc_id long, score double")
+    buckets = sorted({int(i) // meta.bucket_size for i in ids})
+    docs = load_docs(spark, index_dir).filter(
+        F.col("bucket").isin(buckets) & F.col("doc_id").isin(ids)
+    )
     out = docs.join(F.broadcast(tiny), "doc_id").select(
         "doc_id", "url", "title", make_snippet_udf(terms)(F.col("text")).alias("snippet"), "score"
     )
