@@ -154,3 +154,88 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path_factory):
         n_sess = 1 + int(((ts[1:] - ts[:-1]) > 30 * 60 * 1_000_000_000).sum())
         want[user] = (n_sess, len(g))
     assert got == want
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_stateful_sessionization_survives_restart(spark, tmp_path_factory):
+    """Kill/restart semantics for the custom stateful operator: a SECOND
+    streaming query on the same checkpoint must restore per-user state
+    and produce the same final totals as one uninterrupted run."""
+    import pandas as pd
+
+    from uci_searchengine_spark.streaming.ingest import sessionize_events
+
+    base = str(tmp_path_factory.mktemp("sessrestart"))
+    ev_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    schema = "event_id long, ts timestamp, user_id long"
+
+    rows = []
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    eid = 0
+    for user in range(4):
+        t = t0 + pd.Timedelta(minutes=user)
+        for k in range(8):
+            t = t + pd.Timedelta(minutes=40 if k % 3 == 0 else 10)
+            rows.append((eid, t.to_pydatetime(), user))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"]).sort_values("ts")
+    half = len(pdf) // 2
+
+    def run_round(files_written: int) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+        sess = sessionize_events(stream, gap_minutes=30)
+
+        def handle(batch, batch_id):
+            batch.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+        q = (
+            sess.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # round 1: first half lands, query runs, then "the job dies"
+    spark.createDataFrame(pdf.iloc[:half], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ev_dir)
+    run_round(1)
+    # round 2: second half lands, a NEW query restarts from the checkpoint
+    spark.createDataFrame(pdf.iloc[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ev_dir)
+    run_round(2)
+
+    # latest batch's row per user = final totals (update mode)
+    import pyspark.sql.functions as SF
+
+    got_df = spark.read.option("basePath", out_dir).parquet(out_dir)
+    latest = (
+        got_df.withColumn(
+            "rn",
+            SF.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(SF.desc("batch"))
+            ),
+        )
+        .filter(SF.col("rn") == 1)
+        .collect()
+    )
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in latest}
+
+    want = {}
+    for user, g in pdf.groupby("user_id"):
+        ts = g["ts"].sort_values().to_numpy().astype("datetime64[ns]").astype("int64")
+        n_sess = 1 + int(((ts[1:] - ts[:-1]) > 30 * 60 * 1_000_000_000).sum())
+        want[user] = (n_sess, len(g))
+    assert got == want
