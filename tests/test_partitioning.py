@@ -99,3 +99,56 @@ class TestBucketingAndSalt:
             .agg(F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw"))
         )
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_weighted_range_bounds_balance():
+    from uci_searchengine_spark.plans.partitioning import weighted_range_bounds
+
+    # uniform weights over a sorted key space → near-equal ranges
+    samples = [(f"u{i:05d}", 1) for i in range(1000)]
+    bounds = weighted_range_bounds(samples, 4)
+    assert len(bounds) == 3
+    # each boundary sits at ~i/4 of the mass
+    idx = [int(b[1:]) for b in bounds]
+    for j, i in enumerate(idx, start=1):
+        assert abs(i - j * 250) <= 2, (j, i)
+
+    # weighted: one partition sampled at stride 8 must still contribute
+    # its full row mass — its samples carry weight 8
+    fine = [(f"a{i:05d}", 1) for i in range(100)]      # 100 rows, a* keys
+    coarse = [(f"b{i:05d}", 8) for i in range(100)]    # 800 rows, b* keys
+    bounds = weighted_range_bounds(fine + coarse, 2)
+    # half the total mass (450) is inside the b* range → the single
+    # boundary must be a b* key, not an a* key
+    assert bounds[0].startswith("b"), bounds
+
+
+def test_url_stats_fn_decimation_deterministic():
+    import pandas as pd
+
+    from uci_searchengine_spark.operators.index_build import _url_stats_fn
+
+    urls = [f"https://h/{i:06d}" for i in range(5000)]
+
+    def run(batch_sizes):
+        batches = []
+        at = 0
+        for b in batch_sizes:
+            batches.append(pd.DataFrame({"url": urls[at : at + b]}))
+            at += b
+        assert at == len(urls)
+        (out,) = list(_url_stats_fn(iter(batches)))
+        return out
+
+    a = run([1000] * 5)
+    b = run([700] * 7 + [100])
+    assert a["cnt"].iloc[0] == b["cnt"].iloc[0] == 5000
+    # stride decimation selects global indices i % stride == 0 — the
+    # kept set must not depend on how rows were chunked into batches
+    assert a["stride"].iloc[0] == b["stride"].iloc[0]
+    assert list(a["urls"].iloc[0]) == list(b["urls"].iloc[0])
+    stride = int(a["stride"].iloc[0])
+    assert len(a["urls"].iloc[0]) <= 512
+    assert all(
+        int(u.rsplit("/", 1)[1]) % stride == 0 for u in a["urls"].iloc[0]
+    )

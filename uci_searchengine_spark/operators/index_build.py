@@ -294,6 +294,40 @@ def _dedup_count_fn(it):
     yield pd.DataFrame({"pid": [pid], "cnt": [cnt]})
 
 
+_URL_STATS_SCHEMA = "cnt long, stride long, urls array<string>"
+
+
+def _url_stats_fn(it):
+    """Fused pre-pass worker: ONE scan of the url column yields, per
+    input partition, the exact row count AND a bounded deterministic
+    sample for range boundaries — replacing what used to be two separate
+    driver jobs (count + .sample().collect()).
+
+    Sampling is stride decimation at global in-partition indices
+    ``i % stride == 0``: whenever the kept set exceeds the cap, every
+    other sample is dropped and the stride doubles, so the driver
+    receives ≤ cap urls per partition no matter the partition size, and
+    each sample's stride is its weight (≈ rows represented) for
+    weighted boundary quantiles. Deterministic given the input layout —
+    the same guarantee the previous seeded .sample() had."""
+    cap = 512
+    cnt = 0
+    stride = 1
+    samp: list[str] = []
+    for pdf in it:
+        n = len(pdf)
+        if not n:
+            continue
+        first = (-cnt) % stride
+        if first < n:
+            samp.extend(pdf["url"].iloc[first::stride].tolist())
+        cnt += n
+        while len(samp) > cap:
+            samp = samp[::2]
+            stride *= 2
+    yield pd.DataFrame({"cnt": [cnt], "stride": [stride], "urls": [samp]})
+
+
 def _postings_from_tokens(doc_ids: np.ndarray, doc_lens: np.ndarray, tokens) -> pd.DataFrame:
     """(term, doc_id, tf, doc_len) rows — per-doc tf computed vectorized
     (A1 hot-path mapping, SURVEY.md §2.4).
@@ -950,10 +984,21 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     parallelism = spark.sparkContext.defaultParallelism
     write_partitions = write_partitions or parallelism
-    pre_count: int | None = None
+    url_stats: list | None = None
+
+    def _collect_url_stats() -> list:
+        """One url-column scan returning per-input-partition (count,
+        stride, sample) — the only pre-stage-1 job (count and boundary
+        sample used to be two separate driver jobs)."""
+        return (
+            pages.select("url")
+            .mapInPandas(_url_stats_fn, _URL_STATS_SCHEMA)
+            .collect()
+        )
+
     if n_buckets is None:
-        pre_count = pages.count()
-        n_buckets = derive_n_buckets(pre_count)
+        url_stats = _collect_url_stats()
+        n_buckets = derive_n_buckets(sum(r["cnt"] for r in url_stats))
 
     import time as _time
 
@@ -981,8 +1026,11 @@ def build_index(
 
     # internal snapshot string folds in layout config so a shard/bucket/
     # partition-count change invalidates old partition manifests (resume is
-    # only valid against the identical deterministic partitioning)
-    snap = f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}x{seg_split}"
+    # only valid against the identical deterministic partitioning); the
+    # trailing v-tag versions the boundary-sampling rule itself (v2 =
+    # weighted stride-decimated sample) so indexes partitioned under an
+    # older rule are rebuilt, never mixed
+    snap = f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}x{seg_split}v2"
 
     docs_stage = _read_manifest(index_dir, "stage-docs")
     if not (
@@ -994,22 +1042,22 @@ def build_index(
         _write_snapshot_marker(index_dir, snap)
         from uci_searchengine_spark.plans.partitioning import (
             exact_repartition,
-            url_range_pids,
+            pids_from_bounds,
+            weighted_range_bounds,
         )
 
-        # deterministic url-range partitioning: seeded sample → boundaries
-        # → exact placement (repartitionByRange seeds its sampler with the
-        # RDD id, so boundaries drift between reruns and would corrupt
-        # per-partition resume)
-        n_rows = pre_count if pre_count is not None else pages.count()
-        _lap("count")
-        frac = min(1.0, (write_partitions * 200) / max(n_rows, 1))
-        sample = sorted(
-            (r["url"] for r in pages.select("url").sample(False, frac, seed=9).collect()),
-            key=lambda s: s.encode(),
+        # deterministic url-range partitioning: one-job weighted sample →
+        # boundaries → exact placement (repartitionByRange seeds its
+        # sampler with the RDD id, so boundaries drift between reruns and
+        # would corrupt per-partition resume)
+        if url_stats is None:
+            url_stats = _collect_url_stats()
+        _lap("url-stats (count+sample, one job)")
+        bounds = weighted_range_bounds(
+            [(u, r["stride"]) for r in url_stats for u in r["urls"]],
+            write_partitions,
         )
-        _lap("sample")
-        pid_col = url_range_pids(sample, write_partitions, F.col("url"))
+        pid_col = pids_from_bounds(bounds, F.col("url"))
 
         # dense-id offsets pre-pass over the URL COLUMN ALONE: the url
         # range-exchange is ~2% of the page bytes, so the count job stays

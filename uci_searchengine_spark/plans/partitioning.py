@@ -81,5 +81,41 @@ def url_range_pids(urls_sorted_sample: list[str], num_partitions: int, col: Colu
         urls_sorted_sample[(i * n) // num_partitions]
         for i in range(1, num_partitions)
     ]
+    return pids_from_bounds(bounds, col)
+
+
+def pids_from_bounds(bounds: list[str], col: Column) -> Column:
+    """pid = count of precomputed byte-order boundaries ≤ value."""
+    if not bounds:
+        return F.lit(0)
     arr = F.array(*[F.lit(b) for b in bounds])
     return F.size(F.filter(arr, lambda b: b <= col))
+
+
+def weighted_range_bounds(
+    samples: list[tuple[str, int]], num_partitions: int
+) -> list[str]:
+    """Range boundaries from a WEIGHTED sample of (value, weight) pairs.
+
+    Weight = the stride the sample was taken at ≈ the number of input
+    rows it represents, so partitions whose source sampled more coarsely
+    (geometric decimation under a per-partition cap) still contribute
+    their true share of the key mass. Returns ``num_partitions - 1``
+    byte-order-sorted bounds; boundary j sits at cumulative weight
+    j/num_partitions of the total.
+    """
+    if num_partitions <= 1 or not samples:
+        return []
+    ordered = sorted(samples, key=lambda t: t[0].encode())
+    total = sum(w for _, w in ordered)
+    bounds: list[str] = []
+    acc = 0
+    j = 1
+    for u, w in ordered:
+        acc += w
+        while j < num_partitions and acc * num_partitions >= j * total:
+            bounds.append(u)
+            j += 1
+    while len(bounds) < num_partitions - 1:
+        bounds.append(ordered[-1][0])
+    return bounds
