@@ -1412,6 +1412,86 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
 """
 
 
+def q_asof_click_view(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): attribute every `click`
+    event to the same user's latest `view` at-or-before it — merge
+    formulation, ONE shuffle, no range-join explosion. Left-outer:
+    clicks with no prior view keep NULLs. Tie on ts resolved by max
+    event_id (deterministic), matching the oracle's lateral ORDER BY."""
+    from uci_searchengine_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols={"event_id": "view_id", "value": "view_val", "ts": "view_ts"},
+        tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "view_id",
+        "view_val",
+        F.unix_micros(F.col("view_ts").cast("timestamp")).alias("view_ts_us"),
+    )
+
+
+SQL_ASOF_CLICK_VIEW = """
+SELECT c.event_id AS click_id, c.user_id,
+       v.event_id AS view_id,
+       v.value AS view_val,
+       epoch_us(v.ts) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT event_id, value, ts FROM events ev
+  WHERE ev.event_type = 'view' AND ev.user_id = c.user_id AND ev.ts <= c.ts
+  ORDER BY ev.ts DESC, ev.event_id DESC LIMIT 1
+) v ON TRUE
+"""
+
+
+def q_bigram_vocab(spark, sf_dir):
+    """Top-20 bigram vocabulary over the tokenized corpus (training-data
+    vocab building): adjacent-pair expansion stays a JVM array transform
+    (no Python), one count shuffle with map-side partials, deterministic
+    (count DESC, bigram ASC) top-k."""
+    toks = _doc_tokens(spark, sf_dir).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+def _sql_bigram_vocab() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS n FROM bg
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
 def q_common_terms_intersect(spark, sf_dir):
     """INTERSECT set op: distinct terms present in both doc 0 and doc 1."""
     toks = _doc_tokens(spark, sf_dir)
@@ -1478,6 +1558,8 @@ QUERIES = {
     "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "asof_click_view": (q_asof_click_view, SQL_ASOF_CLICK_VIEW),
+    "bigram_vocab": (q_bigram_vocab, _sql_bigram_vocab()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
     "brands_except": (q_brands_except, SQL_BRANDS_EXCEPT),

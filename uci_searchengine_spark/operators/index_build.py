@@ -842,41 +842,49 @@ def _pack_shard_group_fn(index_dir: str, snapshot: str, avgdl: float):
             )
             if not files:
                 return
-            tbl = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
-            th = tbl.column("th").to_numpy()
-            bucket = tbl.column("bucket").to_numpy()
-            doc_id = tbl.column("doc_id").to_numpy()
-            shard = tbl.column("shard").to_numpy()
-            # integer lexsort with a TERM tiebreak: on an xxhash64 collision
-            # two terms share th, and sorting by th alone would interleave
-            # their rows — fragmenting the (term, bucket) runs the carver
-            # and the run-contiguous df_global aggregation depend on. Rank
-            # each distinct term by the intrinsic (th, term-string) order
-            # (independent of file/partition layout → bit-identical segments
-            # across parallelism levels) and sort on that rank instead.
-            codes, uniq = pd.factorize(
-                tbl.column("term").to_pandas().to_numpy(), sort=False
-            )
-            # first occurrence index per code (vectorized: reverse scatter)
-            first = np.empty(len(uniq), dtype=np.int64)
-            first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
-            uniq_th = th[first]
-            perm = np.lexsort((np.asarray(uniq, dtype=str), uniq_th))
-            rank = np.empty(len(uniq), dtype=np.int64)
-            rank[perm] = np.arange(len(uniq))
-            term_rank = rank[codes]
-            order = np.lexsort((doc_id, bucket, term_rank, shard))
-            tbl = tbl.take(pa.array(order))
-            # feed the packer in bounded chunks (its hold-back logic keeps
-            # groups intact across chunk edges) — peak numpy working set in
-            # pack_many_raw stays O(chunk), not O(partition)
-            chunk = 262_144
-            for lo in range(0, tbl.num_rows, chunk):
-                yield tbl.slice(lo, chunk)
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            yield from sort_flat_postings_chunks(tbl)
 
         yield from inner(read_sorted())
 
     return run
+
+
+def sort_flat_postings_chunks(tbl, chunk: int = 262_144):
+    """Sort a flat-postings Arrow table into the segment-pack order and
+    yield it in bounded chunks.
+
+    Integer lexsort with a TERM tiebreak: on an xxhash64 collision two
+    terms share th, and sorting by th alone would interleave their rows —
+    fragmenting the (term, bucket) runs the carver and the run-contiguous
+    df_global aggregation depend on. Rank each distinct term by the
+    intrinsic (th, term-string) order (independent of file/partition
+    layout → bit-identical segments across parallelism levels) and sort
+    on that rank instead. Chunked output keeps the packer's numpy working
+    set O(chunk), not O(partition) (its hold-back logic keeps groups
+    intact across chunk edges)."""
+    import pyarrow as pa
+
+    tbl = tbl.combine_chunks()
+    th = tbl.column("th").to_numpy()
+    bucket = tbl.column("bucket").to_numpy()
+    doc_id = tbl.column("doc_id").to_numpy()
+    shard = tbl.column("shard").to_numpy()
+    codes, uniq = pd.factorize(
+        tbl.column("term").to_pandas().to_numpy(), sort=False
+    )
+    # first occurrence index per code (vectorized: reverse scatter)
+    first = np.empty(len(uniq), dtype=np.int64)
+    first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+    uniq_th = th[first]
+    perm = np.lexsort((np.asarray(uniq, dtype=str), uniq_th))
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[perm] = np.arange(len(uniq))
+    term_rank = rank[codes]
+    order = np.lexsort((doc_id, bucket, term_rank, shard))
+    tbl = tbl.take(pa.array(order))
+    for lo in range(0, tbl.num_rows, chunk):
+        yield tbl.slice(lo, chunk)
 
 
 def _write_partition_fn(index_dir: str, snapshot: str, kind: str, order_cols: list[str]):
