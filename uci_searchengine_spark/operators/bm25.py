@@ -32,6 +32,19 @@ def query_terms(query: str) -> list[str]:
     return list(dict.fromkeys(tokenize_py(query)))
 
 
+def terms_for_index(meta: IndexMeta, query: str) -> list[str]:
+    """Query-side analysis chain matched to the index's build flags:
+    tokenize, then Porter-stem iff the index was built with ``stem=True``
+    (north-star "tokenize/stem"). Dedup AFTER stemming — two surface
+    forms can share a stem, and the scorers assume distinct terms."""
+    toks = tokenize_py(query)
+    if getattr(meta, "stem", False):
+        from uci_searchengine_spark.functions.stem import stem_tokens
+
+        toks = stem_tokens(toks)
+    return list(dict.fromkeys(toks))
+
+
 def idf(n_docs: int, df: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
@@ -45,7 +58,7 @@ def score_naive(
 ) -> DataFrame:
     """Top-k (doc_id, score) via declarative ops over the flat postings."""
     meta = IndexMeta.load(index_dir)
-    terms = query_terms(query)
+    terms = terms_for_index(meta, query)
     empty = spark.createDataFrame(
         [], "doc_id long, score double"
     )
@@ -170,8 +183,13 @@ def search(
     # ONE scorer invocation for the page; total_results from a sort-free
     # distinct count (OR semantics: every doc holding ≥1 query term scores
     # > 0 since idf > 0 and tf_part > 0, so matched docs == result count).
+    # Matching uses the index's analysis chain (terms_for_index — stemmed
+    # iff the index is); snippets highlight the RAW query forms, matching
+    # the reference's display rule (search.py:41-65 operates on the
+    # user's query text, not analyzer output).
+    meta = IndexMeta.load(index_dir)
     topk = scorer(spark, index_dir, query, k=page * per_page)
-    total = match_count(spark, index_dir, query_terms(query))
+    total = match_count(spark, index_dir, terms_for_index(meta, query))
     rows = attach_docs(spark, index_dir, topk, query_terms(query)).collect()
     start = (page - 1) * per_page
     sel = rows[start : start + per_page]

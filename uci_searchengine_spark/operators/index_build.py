@@ -118,6 +118,11 @@ class IndexMeta:
     # one task's memory). The segment rows' df_global is then
     # fragment-local, and the query path aggregates df in-plan instead.
     seg_split: int = 1
+    # True when the build ran the optional Porter stemmer after the pinned
+    # tokenizer (north-star "tokenize/stem"); queries against this index
+    # are stemmed symmetrically (bm25.terms_for_index). OFF by default —
+    # every correctness fixture pins the reference's no-stemming chain.
+    stem: bool = False
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -377,6 +382,7 @@ def _stage1_fn(
     num_shards: int,
     seg_parts: int,
     seg_split: int = 1,
+    stem: bool = False,
 ):
     """Fused stage-1 partition pass: dedup → docIDs → extract → tokenize →
     write docs + flat postings + manifest. One Arrow pass, no further
@@ -459,6 +465,12 @@ def _stage1_fn(
                 titles.append(title)
                 texts.append(text)
             tokens = tokenize_series(pd.Series(texts, dtype=object))
+            if stem:
+                from uci_searchengine_spark.functions.stem import (
+                    stem_token_series,
+                )
+
+                tokens = stem_token_series(tokens)
             doc_lens = np.array([len(t) for t in tokens], dtype="int32")
             doc_len_sum += int(doc_lens.sum())
 
@@ -983,6 +995,7 @@ def build_index(
     n_buckets: int | None = None,
     input_snapshot: str = "unknown",
     write_partitions: int | None = None,
+    stem: bool = False,
 ) -> IndexMeta:
     """Build (or resume) the index at ``index_dir`` from a pages DataFrame.
 
@@ -1038,7 +1051,10 @@ def build_index(
     # trailing v-tag versions the boundary-sampling rule itself (v2 =
     # weighted stride-decimated sample) so indexes partitioned under an
     # older rule are rebuilt, never mixed
-    snap = f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}x{seg_split}v2"
+    snap = (
+        f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}"
+        f"x{seg_split}{'+stem' if stem else ''}v2"
+    )
 
     docs_stage = _read_manifest(index_dir, "stage-docs")
     if not (
@@ -1107,7 +1123,14 @@ def build_index(
         )
         ranged.mapInPandas(
             _stage1_fn(
-                index_dir, snap, offsets, bucket_size, num_shards, seg_parts, seg_split
+                index_dir,
+                snap,
+                offsets,
+                bucket_size,
+                num_shards,
+                seg_parts,
+                seg_split,
+                stem,
             ),
             schema=_WRITE_RESULT_SCHEMA,
         ).collect()
@@ -1182,6 +1205,7 @@ def build_index(
         bucket_size=bucket_size,
         input_snapshot=input_snapshot,
         seg_split=seg_split,
+        stem=stem,
     )
     tmp = os.path.join(index_dir, "meta.json.tmp")
     with open(tmp, "w") as f:

@@ -25,6 +25,7 @@ from uci_searchengine_spark.operators.bm25 import (
     make_snippet_udf,
     match_count,
     query_terms,
+    terms_for_index,
 )
 from uci_searchengine_spark.operators.index_build import (
     IndexMeta,
@@ -48,7 +49,7 @@ class Searcher:
     def top_k(self, query: str, k: int = 10) -> DataFrame:
         """Block-max WAND top-k reusing the resident segment relation."""
         meta = self.meta
-        terms = query_terms(query)
+        terms = terms_for_index(meta, query)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         shard_map = _wand._shards_for_terms(terms, meta.num_shards)
@@ -67,8 +68,11 @@ class Searcher:
 
     # ------------------------------------------------------------- envelope
     def search(self, query: str, page: int = 1, per_page: int = 10) -> dict:
-        """Result envelope (search.py:119-126 shape) on the resident index."""
-        terms = query_terms(query)
+        """Result envelope (search.py:119-126 shape) on the resident index.
+
+        Matching terms follow the index's analysis chain (stemmed iff the
+        index is); snippets highlight the raw query forms (display rule)."""
+        terms = terms_for_index(self.meta, query)
         if not terms:
             return {
                 "query": query,
@@ -97,7 +101,9 @@ class Searcher:
                     "doc_id",
                     "url",
                     "title",
-                    make_snippet_udf(terms)(F.col("text")).alias("snippet"),
+                    make_snippet_udf(query_terms(query))(F.col("text")).alias(
+                        "snippet"
+                    ),
                     "score",
                 )
                 .orderBy(F.desc("score"), F.asc("doc_id"))

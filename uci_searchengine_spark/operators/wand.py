@@ -47,7 +47,7 @@ from pyspark.sql import types as T
 
 from uci_searchengine_spark import BM25_B, BM25_K1
 from uci_searchengine_spark.operators.bm25 import idf as idf_fn
-from uci_searchengine_spark.operators.bm25 import query_terms
+from uci_searchengine_spark.operators.bm25 import terms_for_index
 from uci_searchengine_spark.operators.codec import unpack_postings
 from uci_searchengine_spark.operators.index_build import (
     IndexMeta,
@@ -186,7 +186,7 @@ def score_wand(
 ) -> DataFrame:
     """Top-k (doc_id, score) via block-max pruned scoring over segments."""
     meta = IndexMeta.load(index_dir)
-    terms = query_terms(query)
+    terms = terms_for_index(meta, query)
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return empty
