@@ -51,6 +51,24 @@ class TestSearchE2E:
         ]
         _assert_rank_identical(got, expected, query)
 
+    @pytest.mark.parametrize("query", REFERENCE_QUERIES)
+    def test_and_mode_scorers_match_oracle(
+        self, spark, index_small, oracle_small, query
+    ):
+        """Conjunctive (ALL-terms) mode: naive HAVING-count form and the
+        segment rarest-first intersection both rank-identical to the
+        oracle's eligible-set filter."""
+        from uci_searchengine_spark.operators.bm25 import score_naive
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        expected = oracle_small.top_k_and(query, K)
+        for scorer in (score_naive, score_wand):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in scorer(spark, index_small, query, K, mode="and").collect()
+            ]
+            _assert_rank_identical(got, expected, f"and:{query}")
+
     def test_envelope_matches_oracle(self, spark, index_small, oracle_small):
         from uci_searchengine_spark.operators.bm25 import search
 

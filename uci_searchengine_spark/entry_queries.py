@@ -171,6 +171,90 @@ def q_bm25_segments_topk(spark, sf_dir):
     )
 
 
+def q_bm25_and_topk(spark, sf_dir):
+    """Conjunctive BM25 top-10: only docs containing EVERY query term are
+    eligible (U1 extension — AND semantics the reference UI lacks but any
+    search engine needs). Relational form: the same single-shuffle
+    aggregate as bm25_topk with one extra map-side distinct-term counter
+    (HAVING count(distinct term) = n) — no second shuffle."""
+    toks = _doc_tokens(spark, sf_dir).cache()
+    dl = toks.select("doc_id", F.size("t").alias("doc_len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+    posts = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    tf_part = tfd * (BM25_K1 + 1.0) / (
+        tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doc_len") / F.lit(avgdl))
+    )
+    scored = (
+        posts.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", "term", (idf * tf_part).alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count_distinct("term").alias("_nt"),
+        )
+        .filter(
+            (F.col("_nt") == len(BM25_QUERY_TERMS)) & (F.col("score") > 0)
+        )
+        .drop("_nt")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+SQL_BM25_AND_TOPK = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score,
+         count(DISTINCT p.term) AS nt
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE nt = 3 AND score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_bm25_segments_and(spark, sf_dir):
+    """Conjunctive top-k through the PRODUCT path: compressed segments +
+    rarest-first posting-list intersection with block skipping
+    (score_wand mode='and') — vs the same SQL AND oracle."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.wand import score_wand
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = score_wand(spark, idx, " ".join(BM25_QUERY_TERMS), k=10, mode="and")
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -1512,6 +1596,8 @@ SELECT DISTINCT term FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id = 1)
 QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "bm25_segments_topk": (q_bm25_segments_topk, SQL_BM25_TOPK),
+    "bm25_and_topk": (q_bm25_and_topk, SQL_BM25_AND_TOPK),
+    "bm25_segments_and": (q_bm25_segments_and, SQL_BM25_AND_TOPK),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),

@@ -54,9 +54,15 @@ def load_flat_postings(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def score_naive(
-    spark: SparkSession, index_dir: str, query: str, k: int = 10
+    spark: SparkSession, index_dir: str, query: str, k: int = 10, mode: str = "or"
 ) -> DataFrame:
-    """Top-k (doc_id, score) via declarative ops over the flat postings."""
+    """Top-k (doc_id, score) via declarative ops over the flat postings.
+
+    ``mode="and"`` keeps only docs holding EVERY query term — expressed
+    as a HAVING count(distinct term) = n over the same aggregate (one
+    extra map-side counter, no second shuffle)."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     meta = IndexMeta.load(index_dir)
     terms = terms_for_index(meta, query)
     empty = spark.createDataFrame(
@@ -79,11 +85,16 @@ def score_naive(
         * (1.0 - BM25_B + BM25_B * F.col("doc_len").cast("double") / F.lit(meta.avgdl))
     )
     scored = matched.select(
-        "doc_id", (idf_expr * tf_part).alias("contrib")
+        "doc_id", "term", (idf_expr * tf_part).alias("contrib")
     )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count_distinct("term").alias("_nt"),
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("_nt") == len(terms))
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        agg.drop("_nt")
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

@@ -70,6 +70,52 @@ def _shards_for_terms(terms: list[str], num_shards: int) -> dict[str, int]:
     return {t: term_shard(t, num_shards) for t in terms}
 
 
+def _decode_for_candidates(
+    blob: bytes,
+    offs: np.ndarray,
+    lasts: np.ndarray,
+    cand: np.ndarray,
+    base: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only the blocks whose doc-id range (block_last_doc fences)
+    contains a candidate, then keep candidate docs only. The skipping
+    primitive shared by the OR path's θ-restricted phase and the AND
+    path's rarest-first intersection."""
+    firsts = np.concatenate(([base - 1], lasts[:-1]))
+    lo = np.searchsorted(cand, firsts, side="right")
+    hi = np.searchsorted(cand, lasts, side="right")
+    keep = hi > lo
+    empty = np.array([], dtype=np.int64)
+    if not keep.any():
+        return empty, empty, empty
+    parts_d, parts_tf, parts_dl = [], [], []
+    nblocks = len(offs)
+    from uci_searchengine_spark import BLOCK_SIZE
+
+    for bi in np.flatnonzero(keep):
+        cnt = (
+            BLOCK_SIZE
+            if bi < nblocks - 1
+            else None  # last block: decode to end
+        )
+        db, tb, lb = unpack_postings(blob, offset=int(offs[bi]), count=cnt)
+        # gaps are block-local only for the first block; later
+        # blocks chain off the previous block's last doc — rebase:
+        if bi > 0:
+            db = db + (lasts[bi - 1] + 1)
+        parts_d.append(db)
+        parts_tf.append(tb)
+        parts_dl.append(lb)
+    d = np.concatenate(parts_d)
+    tf = np.concatenate(parts_tf)
+    dl = np.concatenate(parts_dl)
+    # keep only candidate docs
+    pos = np.searchsorted(cand, d)
+    pos = np.clip(pos, 0, cand.size - 1)
+    mask = cand[pos] == d
+    return d[mask], tf[mask], dl[mask]
+
+
 def _score_bucket(
     seg: pd.DataFrame,
     idf_map: dict[str, float],
@@ -104,40 +150,7 @@ def _score_bucket(
         if cand is None:
             d, tf, dl = unpack_postings(blob)
         else:
-            # candidate-only phase: decode only blocks whose doc range
-            # contains a candidate and whose ub could still matter
-            firsts = np.concatenate(([base - 1], lasts[:-1]))
-            lo = np.searchsorted(cand, firsts, side="right")
-            hi = np.searchsorted(cand, lasts, side="right")
-            keep = hi > lo
-            if not keep.any():
-                continue
-            parts_d, parts_tf, parts_dl = [], [], []
-            nblocks = len(offs)
-            from uci_searchengine_spark import BLOCK_SIZE
-
-            for bi in np.flatnonzero(keep):
-                cnt = (
-                    BLOCK_SIZE
-                    if bi < nblocks - 1
-                    else None  # last block: decode to end
-                )
-                db, tb, lb = unpack_postings(blob, offset=int(offs[bi]), count=cnt)
-                # gaps are block-local only for the first block; later
-                # blocks chain off the previous block's last doc — rebase:
-                if bi > 0:
-                    db = db + (lasts[bi - 1] + 1)
-                parts_d.append(db)
-                parts_tf.append(tb)
-                parts_dl.append(lb)
-            d = np.concatenate(parts_d)
-            tf = np.concatenate(parts_tf)
-            dl = np.concatenate(parts_dl)
-            # keep only candidate docs
-            pos = np.searchsorted(cand, d)
-            pos = np.clip(pos, 0, cand.size - 1)
-            mask = cand[pos] == d
-            d, tf, dl = d[mask], tf[mask], dl[mask]
+            d, tf, dl = _decode_for_candidates(blob, offs, lasts, cand, base)
             if d.size == 0:
                 continue
         local = d - base
@@ -181,10 +194,84 @@ def _score_bucket(
     return pd.DataFrame({"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]})
 
 
+def _score_bucket_and(
+    seg: pd.DataFrame,
+    idf_map: dict[str, float],
+    avgdl: float,
+    bucket_size: int,
+    n_terms: int,
+    k: int,
+) -> pd.DataFrame:
+    """Conjunctive (ALL-terms) top-k for one bucket: rarest-first
+    posting-list intersection with block skipping.
+
+    The rarest term (smallest global df) is decoded in full and defines
+    the candidate set; every later list decodes ONLY the blocks whose
+    doc-id fences contain a surviving candidate (`_decode_for_candidates`)
+    and shrinks the set — the classic conjunctive skip-pointer walk, here
+    over block-max segment metadata with numpy set steps. Cost is bounded
+    by the rarest list's length, not the head term's."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+    )
+    if not len(seg) or seg["term"].nunique() < n_terms:
+        # a query term with no postings in this bucket ⇒ no doc here
+        # holds all terms
+        return empty
+    bucket = int(seg["bucket"].iloc[0])
+    base = bucket * bucket_size
+
+    rows = sorted(
+        seg.itertuples(index=False), key=lambda r: (int(r.df_global), r.term)
+    )
+    acc = np.zeros(bucket_size, dtype=np.float64)
+    cand: np.ndarray | None = None
+    for r in rows:
+        w = idf_map[r.term]
+        blob = bytes(r.postings)
+        if cand is None:
+            d, tf, dl = unpack_postings(blob)
+        else:
+            d, tf, dl = _decode_for_candidates(
+                blob,
+                np.asarray(r.block_offsets, dtype=np.int64),
+                np.asarray(r.block_last_doc, dtype=np.int64),
+                cand,
+                base,
+            )
+        if d.size == 0:
+            return empty
+        tf_f = tf.astype(np.float64)
+        contrib = w * (
+            tf_f
+            * (BM25_K1 + 1.0)
+            / (tf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl))
+        )
+        np.add.at(acc, d - base, contrib)
+        cand = d  # postings are doc-ascending ⇒ stays sorted
+
+    nz = cand - base
+    scores = acc[nz]
+    if nz.size > k:
+        # tie-aware boundary keep, then full (score desc, doc_id asc)
+        # lexsort — identical rank contract to the OR path
+        kth = np.partition(scores, nz.size - k)[nz.size - k]
+        keep = scores >= kth
+        nz, scores = nz[keep], scores[keep]
+    order = np.lexsort((nz, -scores))[:k]
+    return pd.DataFrame(
+        {"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]}
+    )
+
+
 def score_wand(
-    spark: SparkSession, index_dir: str, query: str, k: int = 10
+    spark: SparkSession, index_dir: str, query: str, k: int = 10, mode: str = "or"
 ) -> DataFrame:
-    """Top-k (doc_id, score) via block-max pruned scoring over segments."""
+    """Top-k (doc_id, score) via block-max pruned scoring over segments.
+
+    ``mode="or"`` (default) is the reference's disjunctive semantics
+    (search.py:79-82); ``mode="and"`` keeps only docs containing EVERY
+    query term (conjunctive extension — rarest-first intersection)."""
     meta = IndexMeta.load(index_dir)
     terms = terms_for_index(meta, query)
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -209,13 +296,21 @@ def score_wand(
         )
     # else: idf comes from the df_global column denormalized onto segment
     # rows at build time — no aggregation at all per query
-    return _topk_over_segments(seg, meta, k)
+    return _topk_over_segments(seg, meta, k, mode=mode, n_terms=len(terms))
 
 
-def _topk_over_segments(seg: DataFrame, meta: IndexMeta, k: int) -> DataFrame:
+def _topk_over_segments(
+    seg: DataFrame,
+    meta: IndexMeta,
+    k: int,
+    mode: str = "or",
+    n_terms: int | None = None,
+) -> DataFrame:
     """Scoring tail shared by score_wand and serving.Searcher: per-bucket
     block-max scoring over an (already pruned, df-resolved) segment
     relation, then global top-k."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     n_docs = meta.n_docs
     avgdl, bucket_size = meta.avgdl, meta.bucket_size
 
@@ -228,6 +323,10 @@ def _topk_over_segments(seg: DataFrame, meta: IndexMeta, k: int) -> DataFrame:
             t: idf_fn(n_docs, int(d))
             for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
         }
+        if mode == "and":
+            return _score_bucket_and(
+                seg_pdf, idf_map, avgdl, bucket_size, n_terms, k
+            )
         return _score_bucket(seg_pdf, idf_map, avgdl, bucket_size, k)
 
     per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_TOPK_SCHEMA)

@@ -99,6 +99,22 @@ class OracleIndex:
         scores = self.score(query)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def top_k_and(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Conjunctive variant: only docs containing EVERY query term
+        (post-dedup) are eligible; scores are the same OR-sum BM25."""
+        terms = list(dict.fromkeys(tokenize_py(query)))
+        if not terms:
+            return []
+        eligible: set[int] | None = None
+        for t in terms:
+            docs = set(self.postings.get(t, ()))
+            eligible = docs if eligible is None else (eligible & docs)
+            if not eligible:
+                return []
+        scores = self.score(query)
+        kept = [(d, s) for d, s in scores.items() if d in eligible]
+        return sorted(kept, key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def snippet(self, doc_id: int, query_terms: list[str], max_length: int = 200) -> str:
         """search.py:41-65 verbatim semantics."""
         text = self.texts[doc_id].lower()
