@@ -255,6 +255,88 @@ def q_bm25_segments_and(spark, sf_dir):
     )
 
 
+PHRASE_TERMS = ["customer", "join"]
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact token-sequence (phrase) match, relational form: a pure-JVM
+    higher-order-function count over the token array — scan-side, zero
+    shuffle (§2.8 extension; the reference search path is OR-only)."""
+    from uci_searchengine_spark.functions.phrase import phrase_count_col
+
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select(
+            "doc_id", phrase_count_col(F.col("t"), PHRASE_TERMS).alias("n_occ")
+        )
+        .filter(F.col("n_occ") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_phrase_match() -> str:
+    from uci_searchengine_spark.functions.phrase import phrase_count_sql
+
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, n_occ FROM (
+  SELECT doc_id, {phrase_count_sql(PHRASE_TERMS)}::INT AS n_occ FROM toks
+) WHERE n_occ > 0 ORDER BY doc_id
+"""
+
+
+def q_phrase_segments_topk(spark, sf_dir):
+    """Phrase top-k through the PRODUCT path: compressed segments →
+    rarest-first conjunctive intersection → co-located per-bucket doc
+    store verification (operators/phrase.py) — vs a SQL oracle that
+    scores the phrase terms and filters on a list-comprehension
+    adjacency count."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.phrase import phrase_search
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = phrase_search(spark, idx, " ".join(PHRASE_TERMS), k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            "n_occ",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _sql_phrase_segments_topk() -> str:
+    from uci_searchengine_spark.functions.phrase import phrase_count_sql
+
+    terms_in = ", ".join(f"'{t}'" for t in PHRASE_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+phr AS (SELECT doc_id, {phrase_count_sql(PHRASE_TERMS)}::INT AS n_occ FROM toks)
+SELECT s.doc_id, s.score, p.n_occ
+FROM scored s JOIN phr p USING(doc_id)
+WHERE p.n_occ > 0 AND s.score > 0
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -1541,6 +1623,123 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: top-15 bigrams by pointwise mutual information
+    (min count 5) — the classic phrase-vocabulary builder for training
+    pipelines. Bigram expansion is a JVM array transform; two count
+    shuffles (bigrams, unigrams) with map-side partials; the two corpus
+    scalars (token total, bigram total) are O(1) driver collects. PMI
+    arithmetic mirrors the oracle expression shape exactly so IEEE
+    rounding agrees."""
+    toks = _doc_tokens(spark, sf_dir).cache()
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1),"
+                    " i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    scal = toks.agg(
+        F.sum(F.size("t")).alias("n"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("b"),
+    ).collect()[0]
+    n_tok, n_bg = int(scal["n"]), int(scal["b"])
+    num = F.col("c_ab") * F.lit(1.0) * F.lit(n_tok) * F.lit(n_tok)
+    den = F.lit(n_bg) * F.col("ua") * F.col("ub")
+    pmi = F.round(F.log(num / den), 6)
+    # no broadcast hint: a web-corpus vocab can exceed broadcast size —
+    # AQE auto-broadcasts when the measured side is actually small
+    out = (
+        bg.join(uni.withColumnRenamed("c", "ua").withColumnRenamed("w", "w1"), "w1")
+        .join(uni.withColumnRenamed("c", "ub").withColumnRenamed("w", "w2"), "w2")
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+    )
+    return out.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(15)
+
+
+def _sql_bigram_pmi() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(t) AS w,
+               unnest(generate_series(1, len(t))) AS p FROM toks),
+bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
+       FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+       GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+tot AS (SELECT (SELECT count(*) FROM pos) AS n,
+               (SELECT sum(len(t) - 1) FROM toks WHERE len(t) >= 2) AS b)
+SELECT w1, w2, c_ab,
+       round(ln(c_ab * 1.0 * t.n * t.n / (t.b * ua.c * ub.c)), 6) AS pmi
+FROM bg JOIN uni ua ON ua.w = bg.w1 JOIN uni ub ON ub.w = bg.w2
+CROSS JOIN tot t
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 15
+"""
+
+
+STRATA_FRACTIONS = {"en": 0.25, "de": 0.5, "zh": 1.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (training-data mixing):
+    md5-hash threshold per stratum — same rows kept at ANY partitioning
+    or executor count, reproduced exactly by the oracle. One scan-side
+    predicate, zero shuffles."""
+    from uci_searchengine_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", STRATA_FRACTIONS, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    cases = " ".join(
+        f"WHEN '{v}' THEN {f}" for v, f in STRATA_FRACTIONS.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {hash_uniform_sql('doc_id')} < CASE lang {cases} ELSE 0.0 END
+ORDER BY doc_id
+"""
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/test split column (leakage-free: membership is
+    a pure function of the key, stable as the corpus grows)."""
+    from uci_searchengine_spark.operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return train_test_split(docs, "doc_id", 0.1).orderBy("doc_id")
+
+
+def _sql_split_assign() -> str:
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN {hash_uniform_sql('doc_id')} < 0.1 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_bigram_vocab(spark, sf_dir):
     """Top-20 bigram vocabulary over the tokenized corpus (training-data
     vocab building): adjacent-pair expansion stays a JVM array transform
@@ -1598,6 +1797,8 @@ QUERIES = {
     "bm25_segments_topk": (q_bm25_segments_topk, SQL_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, SQL_BM25_AND_TOPK),
     "bm25_segments_and": (q_bm25_segments_and, SQL_BM25_AND_TOPK),
+    "phrase_match": (q_phrase_match, _sql_phrase_match()),
+    "phrase_segments_topk": (q_phrase_segments_topk, _sql_phrase_segments_topk()),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),
@@ -1646,6 +1847,9 @@ QUERIES = {
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "asof_click_view": (q_asof_click_view, SQL_ASOF_CLICK_VIEW),
     "bigram_vocab": (q_bigram_vocab, _sql_bigram_vocab()),
+    "bigram_pmi": (q_bigram_pmi, _sql_bigram_pmi()),
+    "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
+    "split_assign": (q_split_assign, _sql_split_assign()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
     "brands_except": (q_brands_except, SQL_BRANDS_EXCEPT),

@@ -45,6 +45,17 @@ def terms_for_index(meta: IndexMeta, query: str) -> list[str]:
     return list(dict.fromkeys(toks))
 
 
+def analyze_seq(meta: IndexMeta, text: str) -> list[str]:
+    """Ordered token sequence under the index's analysis chain —
+    duplicates KEPT (phrase matching needs the sequence, not the set)."""
+    toks = tokenize_py(text)
+    if getattr(meta, "stem", False):
+        from uci_searchengine_spark.functions.stem import stem_tokens
+
+        toks = stem_tokens(toks)
+    return toks
+
+
 def idf(n_docs: int, df: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 

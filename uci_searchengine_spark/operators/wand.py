@@ -200,7 +200,7 @@ def _score_bucket_and(
     avgdl: float,
     bucket_size: int,
     n_terms: int,
-    k: int,
+    k: int | None,
 ) -> pd.DataFrame:
     """Conjunctive (ALL-terms) top-k for one bucket: rarest-first
     posting-list intersection with block skipping.
@@ -252,13 +252,15 @@ def _score_bucket_and(
 
     nz = cand - base
     scores = acc[nz]
-    if nz.size > k:
+    if k is not None and nz.size > k:
         # tie-aware boundary keep, then full (score desc, doc_id asc)
         # lexsort — identical rank contract to the OR path
         kth = np.partition(scores, nz.size - k)[nz.size - k]
         keep = scores >= kth
         nz, scores = nz[keep], scores[keep]
-    order = np.lexsort((nz, -scores))[:k]
+    order = np.lexsort((nz, -scores))
+    if k is not None:
+        order = order[:k]
     return pd.DataFrame(
         {"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]}
     )
@@ -277,6 +279,16 @@ def score_wand(
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return empty
+    seg = pruned_segments(spark, index_dir, meta, terms)
+    return _topk_over_segments(seg, meta, k, mode=mode, n_terms=len(terms))
+
+
+def pruned_segments(
+    spark: SparkSession, index_dir: str, meta: IndexMeta, terms: list[str]
+) -> DataFrame:
+    """The scorers' shared scan prelude: segment relation pruned to the
+    query terms' shard dirs (hive partition pruning) and rows, with
+    df_global resolved."""
     shard_map = _shards_for_terms(terms, meta.num_shards)
     shards = sorted(set(shard_map.values()))
     seg = load_segments(spark, index_dir).filter(
@@ -296,7 +308,7 @@ def score_wand(
         )
     # else: idf comes from the df_global column denormalized onto segment
     # rows at build time — no aggregation at all per query
-    return _topk_over_segments(seg, meta, k, mode=mode, n_terms=len(terms))
+    return seg
 
 
 def _topk_over_segments(

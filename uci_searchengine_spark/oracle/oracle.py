@@ -115,6 +115,23 @@ class OracleIndex:
         kept = [(d, s) for d, s in scores.items() if d in eligible]
         return sorted(kept, key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def top_k_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float, int]]:
+        """Exact token-sequence match: (doc_id, score, n_occ) for docs
+        whose token stream contains the phrase, ranked like top_k."""
+        from uci_searchengine_spark.functions.phrase import count_phrase_py
+
+        seq = tokenize_py(phrase)
+        if not seq:
+            return []
+        scores = self.score(phrase)
+        out = []
+        for d, s in scores.items():
+            n = count_phrase_py(tokenize_py(self.texts[d]), seq)
+            if n > 0:
+                out.append((d, s, n))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
     def snippet(self, doc_id: int, query_terms: list[str], max_length: int = 200) -> str:
         """search.py:41-65 verbatim semantics."""
         text = self.texts[doc_id].lower()
