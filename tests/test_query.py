@@ -87,6 +87,34 @@ class TestSearchE2E:
         for g, e in zip(got["results"], exp["results"]):
             assert math.isclose(g["score"], e["score"], rel_tol=1e-9)
 
+    def test_and_envelope(self, spark, index_small, oracle_small):
+        """AND-mode envelope: totals and page equal the oracle's
+        conjunctive eligible set, with both scorers."""
+        from uci_searchengine_spark.operators.bm25 import score_naive, search
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        q = "stop0 arbak"
+        exp = oracle_small.top_k_and(q, 10**6)
+        for scorer in (score_naive, score_wand):
+            got = search(spark, index_small, q, per_page=5, scorer=scorer, mode="and")
+            assert got["total_results"] == len(exp)
+            assert [r["score"] for r in got["results"]] == pytest.approx(
+                [s for _, s in exp[:5]], rel=1e-9
+            )
+
+    def test_searcher_and_mode(self, spark, index_small, oracle_small):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        q = "stop0 arbak"
+        exp = oracle_small.top_k_and(q, 10)
+        s = Searcher(spark, index_small)
+        got = [
+            (r["doc_id"], r["score"]) for r in s.top_k(q, 10, mode="and").collect()
+        ]
+        _assert_rank_identical(got, [(d, sc) for d, sc in exp], f"searcher-and:{q}")
+        env = s.search(q, per_page=3, mode="and")
+        assert env["total_results"] == len(oracle_small.top_k_and(q, 10**6))
+
     def test_empty_query_envelope(self, spark, index_small):
         from uci_searchengine_spark.operators.bm25 import search
 

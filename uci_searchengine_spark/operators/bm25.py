@@ -112,17 +112,26 @@ def score_naive(
     )
 
 
-def match_count(spark: SparkSession, index_dir: str, terms: list[str]) -> int:
-    """Number of docs matching ≥1 query term — the envelope's
-    total_results — via a distinct-count aggregate: partial per-partition
-    dedup, one small exchange, NO global sort (the previous formulation
-    paid orderBy().limit(2^31-1) just to count)."""
+def match_count(
+    spark: SparkSession, index_dir: str, terms: list[str], mode: str = "or"
+) -> int:
+    """Number of matching docs — the envelope's total_results — via a
+    distinct-count aggregate: partial per-partition dedup, one small
+    exchange, NO global sort (the previous formulation paid
+    orderBy().limit(2^31-1) just to count). mode="and" counts docs
+    holding EVERY term (same aggregate + a HAVING on the term count)."""
     if not terms:
         return 0
     flat = load_flat_postings(spark, index_dir)
-    return (
-        flat.filter(F.col("term").isin(terms)).select("doc_id").distinct().count()
-    )
+    matched = flat.filter(F.col("term").isin(terms))
+    if mode == "and":
+        return (
+            matched.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == len(terms))
+            .count()
+        )
+    return matched.select("doc_id").distinct().count()
 
 
 _SNIPPET_SCHEMA = T.StringType()
@@ -189,8 +198,11 @@ def search(
     page: int = 1,
     per_page: int = 10,
     scorer=None,
+    mode: str = "or",
 ) -> dict:
-    """Full result envelope per backend/app/api/search.py:119-126."""
+    """Full result envelope per backend/app/api/search.py:119-126.
+    ``mode="and"`` restricts results (and total_results) to docs holding
+    every query term."""
     terms = tokenize_py(query)
     if not terms:
         return {
@@ -210,8 +222,8 @@ def search(
     # the reference's display rule (search.py:41-65 operates on the
     # user's query text, not analyzer output).
     meta = IndexMeta.load(index_dir)
-    topk = scorer(spark, index_dir, query, k=page * per_page)
-    total = match_count(spark, index_dir, terms_for_index(meta, query))
+    topk = scorer(spark, index_dir, query, k=page * per_page, mode=mode)
+    total = match_count(spark, index_dir, terms_for_index(meta, query), mode=mode)
     rows = attach_docs(spark, index_dir, topk, query_terms(query)).collect()
     start = (page - 1) * per_page
     sel = rows[start : start + per_page]

@@ -46,8 +46,9 @@ class Searcher:
         self._docs: DataFrame = load_docs(spark, index_dir)
 
     # -------------------------------------------------------------- scoring
-    def top_k(self, query: str, k: int = 10) -> DataFrame:
-        """Block-max WAND top-k reusing the resident segment relation."""
+    def top_k(self, query: str, k: int = 10, mode: str = "or") -> DataFrame:
+        """Block-max WAND top-k reusing the resident segment relation
+        (mode="and": rarest-first conjunctive intersection)."""
         meta = self.meta
         terms = terms_for_index(meta, query)
         if not terms:
@@ -64,10 +65,12 @@ class Searcher:
                 .join(F.broadcast(dfs), "term")
                 .withColumnRenamed("_df", "df_global")
             )
-        return _wand._topk_over_segments(seg, meta, k)
+        return _wand._topk_over_segments(seg, meta, k, mode=mode, n_terms=len(terms))
 
     # ------------------------------------------------------------- envelope
-    def search(self, query: str, page: int = 1, per_page: int = 10) -> dict:
+    def search(
+        self, query: str, page: int = 1, per_page: int = 10, mode: str = "or"
+    ) -> dict:
         """Result envelope (search.py:119-126 shape) on the resident index.
 
         Matching terms follow the index's analysis chain (stemmed iff the
@@ -84,9 +87,9 @@ class Searcher:
             }
         hits = [
             (r["doc_id"], r["score"])
-            for r in self.top_k(query, k=page * per_page).collect()
+            for r in self.top_k(query, k=page * per_page, mode=mode).collect()
         ]
-        total = match_count(self.spark, self.index_dir, terms)
+        total = match_count(self.spark, self.index_dir, terms, mode=mode)
         rows = []
         if hits:
             ids = [d for d, _ in hits]
