@@ -131,7 +131,7 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
     )
 
 
-def _segments_index_dir(spark, sf_dir: str) -> str:
+def _segments_index_dir(spark, sf_dir: str, positions: bool = False) -> str:
     """Build (or resume) the compressed-segment index over the gate's
     documents table; returns the index dir. The snapshot string folds in a
     cheap content fingerprint so regenerated testdata invalidates a cached
@@ -142,10 +142,17 @@ def _segments_index_dir(spark, sf_dir: str) -> str:
     agg = docs.agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("s")
     ).collect()[0]
-    snap = f"gate-docs:n={agg['n']}:chars={agg['s']}"
+    pos_tag = ":pos" if positions else ""
+    snap = f"gate-docs:n={agg['n']}:chars={agg['s']}{pos_tag}"
     h = hashlib.md5(f"{sf_dir}|{snap}".encode()).hexdigest()[:12]
     idx = os.path.join(tempfile.gettempdir(), f"uci_gate_segidx_{h}")
-    build_index(spark, docs.transform(_docs_as_pages), idx, input_snapshot=snap)
+    build_index(
+        spark,
+        docs.transform(_docs_as_pages),
+        idx,
+        input_snapshot=snap,
+        positions=positions,
+    )
     return idx
 
 
@@ -335,6 +342,30 @@ FROM scored s JOIN phr p USING(doc_id)
 WHERE p.n_occ > 0 AND s.score > 0
 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
+
+
+def q_phrase_positional_topk(spark, sf_dir):
+    """Phrase top-k via the POSITIONAL plane: index built with
+    positions=True, adjacency verified from delta-varint token positions
+    alone — no doc-store read at query time (the Lucene-style strategy).
+    Same SQL oracle as phrase_segments_topk."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.phrase import phrase_search
+
+    idx = _segments_index_dir(spark, sf_dir, positions=True)
+    topk = phrase_search(
+        spark, idx, " ".join(PHRASE_TERMS), k=10, method="positions"
+    )
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            "n_occ",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -1799,6 +1830,7 @@ QUERIES = {
     "bm25_segments_and": (q_bm25_segments_and, SQL_BM25_AND_TOPK),
     "phrase_match": (q_phrase_match, _sql_phrase_match()),
     "phrase_segments_topk": (q_phrase_segments_topk, _sql_phrase_segments_topk()),
+    "phrase_positional_topk": (q_phrase_positional_topk, _sql_phrase_segments_topk()),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),

@@ -284,6 +284,9 @@ def pack_many_raw(
         "block_max": block_max,
         "block_off": block_off,
         "block_last": block_last,
+        # posting index of each block's first posting — the grid handle
+        # the positional plane (pack_positions_raw) aligns to
+        "block_start": block_start,
     }
 
 
@@ -295,3 +298,83 @@ def unpack_postings(buf: bytes, offset: int = 0, count: int | None = None):
     dls = vals[2::3].astype(np.int32)
     doc_ids = np.cumsum(gaps) - 1
     return doc_ids, tfs, dls
+
+
+# --------------------------------------------------------------- positions
+# Optional positional plane (Lucene-style): per posting, the token
+# positions of the term inside the doc, delta-varint encoded
+# (first = pos_0 + 1, then diffs — positions are strictly increasing).
+# Stored as a SEPARATE blob per (term, bucket) group with its own
+# per-block byte offsets aligned to the SAME block grid as the postings
+# plane, so candidate-restricted decode can skip straight to a block.
+# The per-posting value counts are the tfs, which the main plane already
+# carries — no extra length bookkeeping on disk.
+
+
+def pack_positions_raw(
+    pos_flat: np.ndarray,
+    tfs: np.ndarray,
+    group_starts: np.ndarray,
+    blk_bounds: np.ndarray,
+    block_start: np.ndarray,
+):
+    """Encode the positional plane for many groups at once.
+
+    Inputs: ``pos_flat`` — every posting's positions concatenated in
+    posting order; ``tfs`` — values per posting (== tf); ``group_starts``
+    — first POSTING index of each group; ``blk_bounds``/``block_start`` —
+    the block grid exactly as :func:`pack_many_raw` computed it.
+
+    Returns dict: ``enc`` uint8[] (whole stream), ``group_bytes``
+    int64[G+1] (byte bounds per group), ``block_off`` int32[B]
+    (group-relative byte offset of each block's positions).
+    """
+    n_post = tfs.size
+    g = np.asarray(group_starts, dtype=np.int64)
+    row_off = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    pv = pos_flat.astype(np.int64, copy=False)
+    assert pv.size == row_off[-1], "positions/tf mismatch"
+
+    deltas = np.empty(pv.size, dtype=np.uint64)
+    if pv.size:
+        deltas[1:] = np.diff(pv).astype(np.uint64)  # overwritten at starts
+        starts = row_off[:-1]
+        deltas[starts] = (pv[starts] + 1).astype(np.uint64)
+    nbytes = _varint_lengths(deltas)
+    enc = (
+        _varint_encode_core(deltas, nbytes)
+        if deltas.size
+        else np.empty(0, dtype=np.uint8)
+    )
+    val_byte = np.concatenate(([0], np.cumsum(nbytes))).astype(np.int64)
+
+    group_bytes = np.append(
+        val_byte[row_off[g]], enc.size
+    ).astype(np.int64)
+    nb_per_group = np.diff(blk_bounds)
+    block_off = (
+        val_byte[row_off[block_start]]
+        - np.repeat(group_bytes[:-1], nb_per_group)
+    ).astype(np.int32)
+    return {"enc": enc, "group_bytes": group_bytes, "block_off": block_off}
+
+
+def unpack_positions(
+    buf: bytes, tfs: np.ndarray, offset: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode positions for a run of postings whose value counts are
+    ``tfs`` (block-at-a-time use: pass the block's tf array and its
+    pos_block_off byte offset). Returns (pos_flat int64[], row_off
+    int64[len(tfs)+1]) — posting i's positions are
+    pos_flat[row_off[i]:row_off[i+1]], strictly ascending."""
+    total = int(tfs.sum())
+    row_off = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    if total == 0:
+        return np.empty(0, dtype=np.int64), row_off
+    vals = decode_varints(buf, offset=offset, count=total).astype(np.int64)
+    # segmented cumsum (restarting at each posting) minus 1:
+    # p_0 = v_0 - 1, p_j = p_{j-1} + v_j
+    cs = np.cumsum(vals)
+    starts = row_off[:-1]
+    seg = cs - np.repeat(cs[starts] - vals[starts], tfs.astype(np.int64))
+    return seg - 1, row_off

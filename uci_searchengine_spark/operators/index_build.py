@@ -78,7 +78,11 @@ from pyspark.sql import types as T
 from uci_searchengine_spark import BM25_B, BM25_K1, DEFAULT_NUM_SHARDS
 from uci_searchengine_spark.functions.extract import extract_html
 from uci_searchengine_spark.functions.tokenize import tokenize_series
-from uci_searchengine_spark.operators.codec import pack_many, pack_many_raw
+from uci_searchengine_spark.operators.codec import (
+    pack_many,
+    pack_many_raw,
+    pack_positions_raw,
+)
 from uci_searchengine_spark.plans.docids import assign_doc_ids
 
 SEGMENT_ROW_SCHEMA = T.StructType(
@@ -123,6 +127,10 @@ class IndexMeta:
     # are stemmed symmetrically (bm25.terms_for_index). OFF by default —
     # every correctness fixture pins the reference's no-stemming chain.
     stem: bool = False
+    # True when the segments carry the positional plane (token positions
+    # per posting) — phrase_search then verifies adjacency from the index
+    # alone, no doc-store reads.
+    positions: bool = False
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -333,45 +341,69 @@ def _url_stats_fn(it):
     yield pd.DataFrame({"cnt": [cnt], "stride": [stride], "urls": [samp]})
 
 
-def _postings_from_tokens(doc_ids: np.ndarray, doc_lens: np.ndarray, tokens) -> pd.DataFrame:
-    """(term, doc_id, tf, doc_len) rows — per-doc tf computed vectorized
-    (A1 hot-path mapping, SURVEY.md §2.4).
+def _postings_from_tokens(
+    doc_ids: np.ndarray,
+    doc_lens: np.ndarray,
+    tokens,
+    with_positions: bool = False,
+) -> pd.DataFrame:
+    """(term, doc_id, tf, doc_len[, pos]) rows — per-doc tf computed
+    vectorized (A1 hot-path mapping, SURVEY.md §2.4).
 
     Token strings are factorized to int codes once, then counting is a
     single int64 sort + run-length pass — a pandas groupby on object keys
     here costs ~10x more (per-string hashing/compares across millions of
     token instances) and its allocation churn serializes across many
     concurrent workers.
+
+    ``with_positions``: adds a ``pos`` list<int32> column — each row's
+    token positions inside its doc, ascending. Same single sort (a stable
+    argsort instead of np.sort) + one gather; per-row Python stays
+    O(distinct (term,doc) rows) for the output list slicing only.
     """
     n = [len(t) for t in tokens]
     total = sum(n)
     if total == 0:
-        return pd.DataFrame(
-            {
-                "term": pd.Series([], dtype=object),
-                "doc_id": pd.Series([], dtype="int64"),
-                "tf": pd.Series([], dtype="int32"),
-                "doc_len": pd.Series([], dtype="int32"),
-            }
-        )
+        out = {
+            "term": pd.Series([], dtype=object),
+            "doc_id": pd.Series([], dtype="int64"),
+            "tf": pd.Series([], dtype="int32"),
+            "doc_len": pd.Series([], dtype="int32"),
+        }
+        if with_positions:
+            out["pos"] = pd.Series([], dtype=object)
+        return pd.DataFrame(out)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in tokens if len(t)])
     codes, uniq = pd.factorize(flat, sort=False)
     n_docs_b = len(tokens)
     doc_rep = np.repeat(np.arange(n_docs_b, dtype=np.int64), n)
     key = codes.astype(np.int64) * n_docs_b + doc_rep
-    ks = np.sort(key)
+    if with_positions:
+        # token index within its doc, carried through the stable sort so
+        # each (term, doc) run holds that term's positions ascending
+        narr = np.asarray(n, dtype=np.int64)
+        doc_tok_start = np.concatenate(([0], np.cumsum(narr)[:-1]))
+        tok_pos = np.arange(total, dtype=np.int64) - np.repeat(
+            doc_tok_start, narr
+        )
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        pos_sorted = tok_pos[order].astype(np.int32)
+    else:
+        ks = np.sort(key)
     starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
     tf = np.diff(np.append(starts, ks.size)).astype("int32")
     code_g = ks[starts] // n_docs_b
     doc_g = ks[starts] % n_docs_b
-    return pd.DataFrame(
-        {
-            "term": np.asarray(uniq, dtype=object)[code_g],
-            "doc_id": doc_ids[doc_g],
-            "tf": tf,
-            "doc_len": doc_lens[doc_g].astype("int32"),
-        }
-    )
+    out = {
+        "term": np.asarray(uniq, dtype=object)[code_g],
+        "doc_id": doc_ids[doc_g],
+        "tf": tf,
+        "doc_len": doc_lens[doc_g].astype("int32"),
+    }
+    if with_positions:
+        out["pos"] = np.split(pos_sorted, starts[1:])
+    return pd.DataFrame(out)
 
 
 def _stage1_fn(
@@ -383,6 +415,7 @@ def _stage1_fn(
     seg_parts: int,
     seg_split: int = 1,
     stem: bool = False,
+    positions: bool = False,
 ):
     """Fused stage-1 partition pass: dedup → docIDs → extract → tokenize →
     write docs + flat postings + manifest. One Arrow pass, no further
@@ -428,17 +461,18 @@ def _stage1_fn(
                 ("text", pa.string()),
             ]
         )
-        posts_schema = pa.schema(
-            [
-                ("term", pa.string()),
-                ("doc_id", pa.int64()),
-                ("tf", pa.int32()),
-                ("doc_len", pa.int32()),
-                ("th", pa.int64()),
-                ("shard", pa.int32()),
-                ("bucket", pa.int32()),
-            ]
-        )
+        posts_fields = [
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int32()),
+            ("doc_len", pa.int32()),
+            ("th", pa.int64()),
+            ("shard", pa.int32()),
+            ("bucket", pa.int32()),
+        ]
+        if positions:
+            posts_fields.insert(4, ("pos", pa.list_(pa.int32())))
+        posts_schema = pa.schema(posts_fields)
         docs_writers: dict[int, object] = {}
         post_writers: dict[int, object] = {}
         tmp_paths: list[tuple[str, str]] = []
@@ -491,7 +525,9 @@ def _stage1_fn(
                 )
                 docs_rows += len(grp)
 
-            posts = _postings_from_tokens(doc_ids, doc_lens, list(tokens))
+            posts = _postings_from_tokens(
+                doc_ids, doc_lens, list(tokens), with_positions=positions
+            )
             codes, uniq = pd.factorize(posts["term"].to_numpy(), sort=False)
             posts["th"] = _xxh_many(uniq)[codes]
             posts["shard"] = (posts["th"].to_numpy() % num_shards).astype("int32")
@@ -649,7 +685,9 @@ def _pack_partition(avgdl: float):
     return run
 
 
-def _pack_and_write_arrow(index_dir: str, snapshot: str, avgdl: float):
+def _pack_and_write_arrow(
+    index_dir: str, snapshot: str, avgdl: float, positions: bool = False
+):
     """Production stage-2 task: mapInArrow group-carve + pack + write.
 
     NO per-row or per-group Python objects anywhere: group boundaries come
@@ -736,26 +774,44 @@ def _pack_and_write_arrow(index_dir: str, snapshot: str, avgdl: float):
                 ],
             )
             blk_off32 = pa.array(raw["blk_bounds"].astype(np.int32))
-            out_tables.append(
-                pa.table(
-                    {
-                        "shard": pa.array(shard[starts].astype(np.int32)),
-                        "term": term.take(pa.array(starts)),
-                        "bucket": pa.array(bucket[starts].astype(np.int32)),
-                        "df": pa.array(raw["counts"].astype(np.int32)),
-                        "postings": postings,
-                        "block_max": pa.ListArray.from_arrays(
-                            blk_off32, pa.array(raw["block_max"])
-                        ),
-                        "block_offsets": pa.ListArray.from_arrays(
-                            blk_off32, pa.array(raw["block_off"])
-                        ),
-                        "block_last_doc": pa.ListArray.from_arrays(
-                            blk_off32, pa.array(raw["block_last"])
-                        ),
-                    }
+            cols = {
+                "shard": pa.array(shard[starts].astype(np.int32)),
+                "term": term.take(pa.array(starts)),
+                "bucket": pa.array(bucket[starts].astype(np.int32)),
+                "df": pa.array(raw["counts"].astype(np.int32)),
+                "postings": postings,
+                "block_max": pa.ListArray.from_arrays(
+                    blk_off32, pa.array(raw["block_max"])
+                ),
+                "block_offsets": pa.ListArray.from_arrays(
+                    blk_off32, pa.array(raw["block_off"])
+                ),
+                "block_last_doc": pa.ListArray.from_arrays(
+                    blk_off32, pa.array(raw["block_last"])
+                ),
+            }
+            if positions:
+                # positional plane: delta-varint token positions per
+                # posting, same block grid, large_binary (the plane is
+                # ~token-count-sized, > 2 GiB per task is plausible)
+                pos_sl = tbl.column("pos").combine_chunks().slice(0, cut)
+                pos_flat = pc.list_flatten(pos_sl).to_numpy()
+                praw = pack_positions_raw(
+                    pos_flat, tf, starts, raw["blk_bounds"], raw["block_start"]
                 )
-            )
+                cols["positions"] = pa.Array.from_buffers(
+                    pa.large_binary(),
+                    G,
+                    [
+                        None,
+                        pa.py_buffer(praw["group_bytes"].astype(np.int64)),
+                        pa.py_buffer(praw["enc"]),
+                    ],
+                )
+                cols["pos_block_off"] = pa.ListArray.from_arrays(
+                    blk_off32, pa.array(praw["block_off"])
+                )
+            out_tables.append(pa.table(cols))
 
         for batch in batches:
             tbl = (
@@ -826,7 +882,9 @@ def _pack_and_write_arrow(index_dir: str, snapshot: str, avgdl: float):
     return run
 
 
-def _pack_shard_group_fn(index_dir: str, snapshot: str, avgdl: float):
+def _pack_shard_group_fn(
+    index_dir: str, snapshot: str, avgdl: float, positions: bool = False
+):
     """Stage-2 task body: read this shard-group's postings files (written
     pre-partitioned by stage 1), sort with integer keys, then run the
     Arrow pack+write path. The input DataFrame carries only the group id —
@@ -836,7 +894,7 @@ def _pack_shard_group_fn(index_dir: str, snapshot: str, avgdl: float):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    inner = _pack_and_write_arrow(index_dir, snapshot, avgdl)
+    inner = _pack_and_write_arrow(index_dir, snapshot, avgdl, positions=positions)
 
     def run(batches):
         _tune_worker_arrow()
@@ -996,12 +1054,18 @@ def build_index(
     input_snapshot: str = "unknown",
     write_partitions: int | None = None,
     stem: bool = False,
+    positions: bool = False,
 ) -> IndexMeta:
     """Build (or resume) the index at ``index_dir`` from a pages DataFrame.
 
     ``n_buckets=None`` derives the doc-range grid from the corpus size
     (``derive_n_buckets``) so the WAND accumulator stays bounded at any
-    scale; pass an explicit value to pin the layout."""
+    scale; pass an explicit value to pin the layout.
+
+    ``positions=True`` adds the positional plane (delta-varint token
+    positions per posting, block-aligned) to the segments — enables
+    index-only phrase matching (operators/phrase.py) at ~1.5-3x segment
+    size; OFF by default."""
     os.makedirs(index_dir, exist_ok=True)
     parallelism = spark.sparkContext.defaultParallelism
     write_partitions = write_partitions or parallelism
@@ -1053,7 +1117,7 @@ def build_index(
     # older rule are rebuilt, never mixed
     snap = (
         f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}"
-        f"x{seg_split}{'+stem' if stem else ''}v2"
+        f"x{seg_split}{'+stem' if stem else ''}{'+pos' if positions else ''}v2"
     )
 
     docs_stage = _read_manifest(index_dir, "stage-docs")
@@ -1131,6 +1195,7 @@ def build_index(
                 seg_parts,
                 seg_split,
                 stem,
+                positions,
             ),
             schema=_WRITE_RESULT_SCHEMA,
         ).collect()
@@ -1192,7 +1257,8 @@ def build_index(
         [(p,) for p in range(seg_parts)], "pid int"
     )
     seg_write = exact_repartition(driver, seg_parts, "pid").mapInArrow(
-        _pack_shard_group_fn(index_dir, snap, avgdl), schema=_WRITE_RESULT_SCHEMA
+        _pack_shard_group_fn(index_dir, snap, avgdl, positions=positions),
+        schema=_WRITE_RESULT_SCHEMA,
     )
     seg_write.collect()
     _lap("stage2 pack+write")
@@ -1206,6 +1272,7 @@ def build_index(
         input_snapshot=input_snapshot,
         seg_split=seg_split,
         stem=stem,
+        positions=positions,
     )
     tmp = os.path.join(index_dir, "meta.json.tmp")
     with open(tmp, "w") as f:

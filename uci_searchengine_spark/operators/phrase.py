@@ -1,22 +1,26 @@
 """Phrase search over the compressed segment index.
 
-Physical plan (match-then-verify, the classic non-positional-index
-strategy): candidates come from the index via rarest-first conjunctive
-posting-list intersection (wand._score_bucket_and — cost bounded by the
-rarest term's list), and adjacency is verified against the doc store
-INSIDE the same per-bucket task. The doc store is hive-partitioned by
-the SAME doc-range buckets the scorer is grouped by, so each pandas task
-reads exactly its own `docs/bucket=N/` files with a pyarrow doc_id
-filter — candidate fetch is co-located by construction: no join, no
-second shuffle, reads pruned to the intersection survivors. Python-side
-work (tokenize + sequence scan) is bounded by the intersection size,
-never the corpus — the hot path (posting decode, intersection) stays
-numpy over the varint planes.
+Two physical strategies, chosen per-index:
 
-Scale note: at 10^12 docs the alternative — positional postings — costs
-~2-3x index size; match-then-verify keeps the index small and pays one
-doc-store point-read per AND-surviving candidate, the right trade for
-phrase queries whose conjunctive candidate sets are rare-term bounded.
+* **Positional** (index built with ``positions=True``): candidates from
+  rarest-first conjunctive posting-list intersection, adjacency verified
+  from the index's positional plane alone — per candidate block, decode
+  the delta-varint positions (operators/codec.py) and chain
+  ``S = (S + 1) ∩ P_j`` across the query sequence. No doc-store reads,
+  no tokenization at query time: the Lucene-style design, the right
+  trade when phrase queries are frequent.
+* **Match-then-verify** (no positional plane): the same intersection,
+  then adjacency checked against the doc store INSIDE the same
+  per-bucket task. The doc store is hive-partitioned by the SAME
+  doc-range buckets the scorer is grouped by, so each pandas task reads
+  exactly its own `docs/bucket=N/` files with a pyarrow doc_id filter —
+  candidate fetch is co-located by construction: no join, no second
+  shuffle. The right trade when phrase queries are rare (keeps the index
+  ~2x smaller).
+
+Either way Python-side work (position chaining / tokenize) is bounded by
+the intersection size, never the corpus — the hot path (posting decode,
+intersection) stays numpy over the varint planes.
 
 Reference: no phrase operator exists in UCI-SearchEngine
 (backend/app/api/search.py:79-82 is a pure token OR); breadth extension.
@@ -31,9 +35,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from uci_searchengine_spark import BLOCK_SIZE
 from uci_searchengine_spark.functions.phrase import count_phrase_py
 from uci_searchengine_spark.operators.bm25 import analyze_seq
 from uci_searchengine_spark.operators.bm25 import idf as idf_fn
+from uci_searchengine_spark.operators.codec import (
+    unpack_positions,
+    unpack_postings,
+)
 from uci_searchengine_spark.operators.index_build import IndexMeta
 from uci_searchengine_spark.operators.wand import (
     _score_bucket_and,
@@ -46,9 +55,10 @@ _OUT_SCHEMA = "doc_id long, score double, n_occ int"
 def _verify_bucket(
     docs_dir: str, bucket: int, ids: np.ndarray, seq: list[str], stem: bool
 ) -> dict[int, int]:
-    """Read this bucket's doc-store files pruned to the candidate ids
-    (pyarrow predicate → row-group skip; docs are written doc_id-sorted
-    per bucket) and count phrase occurrences under the build tokenizer."""
+    """Doc-store strategy: read this bucket's files pruned to the
+    candidate ids (pyarrow predicate → row-group skip; docs are written
+    doc_id-sorted per bucket) and count phrase occurrences under the
+    build tokenizer."""
     import pyarrow.dataset as pads
 
     from uci_searchengine_spark.functions.tokenize import tokenize_series
@@ -72,20 +82,93 @@ def _verify_bucket(
     }
 
 
+def _candidate_positions(
+    row, cand_sorted: np.ndarray, base: int
+) -> dict[int, np.ndarray]:
+    """Decode one term's positions for the candidate docs only: skip to
+    blocks whose doc-id fences contain a candidate, decode that block's
+    main plane (doc ids + tfs) and positional plane, keep candidates."""
+    blob = bytes(row.postings)
+    pos_blob = bytes(row.positions)
+    offs = np.asarray(row.block_offsets, dtype=np.int64)
+    pos_offs = np.asarray(row.pos_block_off, dtype=np.int64)
+    lasts = np.asarray(row.block_last_doc, dtype=np.int64)
+    firsts = np.concatenate(([base - 1], lasts[:-1]))
+    lo = np.searchsorted(cand_sorted, firsts, side="right")
+    hi = np.searchsorted(cand_sorted, lasts, side="right")
+    keep = hi > lo
+    out: dict[int, np.ndarray] = {}
+    nblocks = len(offs)
+    for bi in np.flatnonzero(keep):
+        cnt = BLOCK_SIZE if bi < nblocks - 1 else None
+        d, tf, _dl = unpack_postings(blob, offset=int(offs[bi]), count=cnt)
+        if bi > 0:
+            d = d + (lasts[bi - 1] + 1)
+        pf, ro = unpack_positions(pos_blob, tf, offset=int(pos_offs[bi]))
+        pos = np.searchsorted(cand_sorted, d)
+        pos = np.clip(pos, 0, cand_sorted.size - 1)
+        mask = cand_sorted[pos] == d
+        for j in np.flatnonzero(mask):
+            out[int(d[j])] = pf[ro[j] : ro[j + 1]]
+    return out
+
+
+def _positional_counts(
+    seg_pdf: pd.DataFrame,
+    cand: np.ndarray,
+    base: int,
+    seq: list[str],
+) -> dict[int, int]:
+    """Index-only adjacency: per candidate doc chain
+    S ← (S + 1) ∩ P_term over the query sequence; |S| = occurrences."""
+    cand_sorted = np.sort(cand)
+    by_term: dict[str, dict[int, np.ndarray]] = {}
+    for row in seg_pdf.itertuples(index=False):
+        by_term[row.term] = _candidate_positions(row, cand_sorted, base)
+    out: dict[int, int] = {}
+    for d in cand_sorted:
+        di = int(d)
+        s = by_term[seq[0]].get(di)
+        if s is None:
+            out[di] = 0
+            continue
+        for t in seq[1:]:
+            nxt = by_term[t].get(di)
+            if nxt is None or not s.size:
+                s = np.empty(0, dtype=np.int64)
+                break
+            s = np.intersect1d(s + 1, nxt, assume_unique=True)
+        out[di] = int(s.size)
+    return out
+
+
 def phrase_search(
-    spark: SparkSession, index_dir: str, phrase: str, k: int = 10
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    method: str = "auto",
 ) -> DataFrame:
     """Top-k (doc_id, score, n_occ) among docs containing the exact
     analyzed token sequence; score = the same OR-sum BM25 as score_wand,
-    rank (score desc, doc_id asc)."""
+    rank (score desc, doc_id asc).
+
+    ``method``: "auto" uses the positional plane when the index has one,
+    else the doc store; "positions" / "docstore" force a strategy."""
+    if method not in ("auto", "positions", "docstore"):
+        raise ValueError(f"unknown method {method!r}")
     meta = IndexMeta.load(index_dir)
+    has_pos = bool(getattr(meta, "positions", False))
+    if method == "positions" and not has_pos:
+        raise ValueError("index has no positional plane (build with positions=True)")
+    use_pos = has_pos if method == "auto" else (method == "positions")
     seq = analyze_seq(meta, phrase)
     empty = spark.createDataFrame([], _OUT_SCHEMA)
     if not seq:
         return empty
     terms = list(dict.fromkeys(seq))
     n_terms = len(terms)
-    seg = pruned_segments(spark, index_dir, meta, terms)
+    seg = pruned_segments(spark, index_dir, meta, terms, with_positions=use_pos)
     docs_dir = os.path.join(index_dir, "docs")
     n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
     stem = bool(getattr(meta, "stem", False))
@@ -113,9 +196,13 @@ def phrase_search(
         if not len(cand):
             return out_empty
         bucket = int(seg_pdf["bucket"].iloc[0])
-        occ = _verify_bucket(
-            docs_dir, bucket, cand["doc_id"].to_numpy(), seq, stem
-        )
+        ids = cand["doc_id"].to_numpy()
+        if use_pos:
+            occ = _positional_counts(
+                seg_pdf, ids, bucket * bucket_size, seq
+            )
+        else:
+            occ = _verify_bucket(docs_dir, bucket, ids, seq, stem)
         cand = cand.assign(
             n_occ=cand["doc_id"].map(lambda d: occ.get(int(d), 0)).astype("int32")
         )

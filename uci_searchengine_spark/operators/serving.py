@@ -67,6 +67,13 @@ class Searcher:
             )
         return _wand._topk_over_segments(seg, meta, k, mode=mode, n_terms=len(terms))
 
+    def phrase(self, phrase: str, k: int = 10, method: str = "auto"):
+        """Phrase top-k (delegates to operators.phrase.phrase_search —
+        positional plane when the index has one)."""
+        from uci_searchengine_spark.operators.phrase import phrase_search
+
+        return phrase_search(self.spark, self.index_dir, phrase, k, method=method)
+
     # ------------------------------------------------------------- envelope
     def search(
         self, query: str, page: int = 1, per_page: int = 10, mode: str = "or"

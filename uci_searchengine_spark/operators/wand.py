@@ -284,16 +284,24 @@ def score_wand(
 
 
 def pruned_segments(
-    spark: SparkSession, index_dir: str, meta: IndexMeta, terms: list[str]
+    spark: SparkSession,
+    index_dir: str,
+    meta: IndexMeta,
+    terms: list[str],
+    with_positions: bool = False,
 ) -> DataFrame:
     """The scorers' shared scan prelude: segment relation pruned to the
     query terms' shard dirs (hive partition pruning) and rows, with
-    df_global resolved."""
+    df_global resolved. The positional plane (if the index has one) is
+    column-pruned away unless ``with_positions`` — BM25 scoring must not
+    pay its bytes."""
     shard_map = _shards_for_terms(terms, meta.num_shards)
     shards = sorted(set(shard_map.values()))
     seg = load_segments(spark, index_dir).filter(
         F.col("shard").isin(shards) & F.col("term").isin(terms)
     )
+    if getattr(meta, "positions", False) and not with_positions:
+        seg = seg.drop("positions", "pos_block_off")
     if getattr(meta, "seg_split", 1) > 1:
         # the build split each shard's buckets across stage-2 tasks
         # (corpus ≫ task memory), so per-row df_global is fragment-local.
