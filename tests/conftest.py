@@ -59,3 +59,23 @@ def index_small(spark, tmp_path_factory):
         input_snapshot=f"synth:seed={SEED}:n={N_SMALL}",
     )
     return d
+
+
+@pytest.fixture(scope="session")
+def index_positional(spark, tmp_path_factory):
+    """Index over the SAME small corpus, built with the positional plane."""
+    from uci_searchengine_spark.operators.index_build import build_index
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    d = str(tmp_path_factory.mktemp("index_pos"))
+    pages = synth_pages(spark, N_SMALL, SEED, partitions=7)
+    build_index(
+        spark,
+        pages,
+        d,
+        num_shards=4,
+        n_buckets=4,
+        input_snapshot=f"synth:{SEED}:{N_SMALL}+pos",
+        positions=True,
+    )
+    return d

@@ -72,28 +72,6 @@ class TestPhrase:
             assert math.isclose(gs, es, rel_tol=1e-9), (phrase, gd, gs, es)
 
 
-@pytest.fixture(scope="module")
-def index_positional(spark, tmp_path_factory):
-    """Index over the SAME small corpus, built with the positional plane."""
-    from uci_searchengine_spark.operators.index_build import build_index
-    from uci_searchengine_spark.sources.synth import synth_pages
-
-    from tests.conftest import N_SMALL, SEED
-
-    d = str(tmp_path_factory.mktemp("index_pos"))
-    pages = synth_pages(spark, N_SMALL, SEED, partitions=7)
-    build_index(
-        spark,
-        pages,
-        d,
-        num_shards=4,
-        n_buckets=4,
-        input_snapshot=f"synth:{SEED}:{N_SMALL}+pos",
-        positions=True,
-    )
-    return d
-
-
 @pytest.mark.spark
 class TestPositionalPhrase:
     def test_meta_flag(self, index_positional):

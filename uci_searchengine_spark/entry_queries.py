@@ -368,6 +368,63 @@ def q_phrase_positional_topk(spark, sf_dir):
     )
 
 
+BOOL_QUERY = 'customer +join -window "merge group"'
+
+
+def q_boolean_search(spark, sf_dir):
+    """Boolean query through the PRODUCT path: OR-scored `customer`,
+    MUST `join`, NOT `window`, required phrase "merge group" — parsed by
+    functions/queryparse, executed per-bucket as rarest-first required-
+    set intersection → NOT subtraction → phrase verify → candidate-
+    restricted score completion (operators/boolean.py)."""
+    from uci_searchengine_spark.operators.boolean import boolean_search
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = boolean_search(spark, idx, BOOL_QUERY, k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _sql_boolean_search() -> str:
+    from uci_searchengine_spark.functions.phrase import phrase_count_sql
+
+    return f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('customer','join','merge','group') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+req AS (SELECT doc_id FROM posts WHERE term IN ('join','merge','group')
+        GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+neg AS (SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks) WHERE term = 'window'),
+phr AS (SELECT doc_id FROM toks WHERE {phrase_count_sql(['merge', 'group'])} > 0)
+SELECT s.doc_id, s.score
+FROM scored s JOIN req USING(doc_id) JOIN phr USING(doc_id)
+WHERE s.doc_id NOT IN (SELECT doc_id FROM neg) AND s.score > 0
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -1831,6 +1888,7 @@ QUERIES = {
     "phrase_match": (q_phrase_match, _sql_phrase_match()),
     "phrase_segments_topk": (q_phrase_segments_topk, _sql_phrase_segments_topk()),
     "phrase_positional_topk": (q_phrase_positional_topk, _sql_phrase_segments_topk()),
+    "boolean_search": (q_boolean_search, _sql_boolean_search()),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),

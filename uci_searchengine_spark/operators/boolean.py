@@ -1,0 +1,222 @@
+"""Boolean query execution over the compressed segment index.
+
+Syntax (functions/queryparse.py): bare terms are scored OR; ``+term``
+must appear; ``-term`` must not; ``"a b"`` must appear as an exact token
+sequence. Score = the same OR-sum BM25 over all positive terms, rank
+(score desc, doc_id asc) — identical contract to score_wand.
+
+Per-bucket physical plan (one applyInPandas over the pruned segment
+relation — the same single-job shape as every other scorer):
+
+* **required terms present** (must / phrase tokens): rarest-first
+  posting-list intersection over the required set (cost bounded by the
+  rarest list), NOT-terms subtracted with candidate-restricted block
+  decode, phrases verified from the positional plane (or the co-located
+  doc store), and only then are the remaining positive terms decoded —
+  candidate-restricted — to complete the scores.
+* **pure OR + NOT**: the block-max pruned OR scorer with the exclusion
+  set applied at accumulation time (before θ tightens), keeping the
+  pruning admissible for the post-exclusion top-k.
+
+Reference: the UI has no boolean operators (search.py:79-82); breadth
+extension.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uci_searchengine_spark import BM25_B, BM25_K1
+from uci_searchengine_spark.functions.queryparse import BoolQuery, parse_query
+from uci_searchengine_spark.operators.bm25 import analyze_seq
+from uci_searchengine_spark.operators.bm25 import idf as idf_fn
+from uci_searchengine_spark.operators.codec import unpack_postings
+from uci_searchengine_spark.operators.index_build import IndexMeta
+from uci_searchengine_spark.operators.phrase import (
+    _candidate_positions,
+    _verify_bucket,
+)
+from uci_searchengine_spark.operators.wand import (
+    _decode_for_candidates,
+    _score_bucket,
+    pruned_segments,
+)
+
+_OUT = "doc_id long, score double"
+
+
+def _row_decode(row, cand: np.ndarray | None, base: int):
+    """Decode one segment row — fully, or restricted to sorted candidate
+    doc ids via block-fence skipping."""
+    blob = bytes(row.postings)
+    if cand is None:
+        return unpack_postings(blob)
+    return _decode_for_candidates(
+        blob,
+        np.asarray(row.block_offsets, dtype=np.int64),
+        np.asarray(row.block_last_doc, dtype=np.int64),
+        cand,
+        base,
+    )
+
+
+def _setdiff_sorted(cand: np.ndarray, drop: np.ndarray) -> np.ndarray:
+    if not cand.size or not drop.size:
+        return cand
+    p = np.clip(np.searchsorted(drop, cand), 0, drop.size - 1)
+    return cand[drop[p] != cand]
+
+
+def boolean_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    phrase_method: str = "auto",
+) -> DataFrame:
+    """Top-k (doc_id, score) under the boolean syntax."""
+    meta = IndexMeta.load(index_dir)
+    bq: BoolQuery = parse_query(query, lambda s: analyze_seq(meta, s))
+    pos = bq.positive_terms
+    empty = spark.createDataFrame([], _OUT)
+    if not pos:
+        return empty
+    req = bq.required_terms
+    neg = bq.not_terms
+    has_pos_plane = bool(getattr(meta, "positions", False))
+    use_pos = (
+        has_pos_plane if phrase_method == "auto" else phrase_method == "positions"
+    )
+    if bq.phrases and use_pos and not has_pos_plane:
+        raise ValueError("index has no positional plane")
+    all_terms = list(dict.fromkeys(pos + neg))
+    seg = pruned_segments(
+        spark, index_dir, meta, all_terms,
+        with_positions=bool(bq.phrases) and use_pos,
+    )
+    docs_dir = os.path.join(index_dir, "docs")
+    n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
+    stem = bool(getattr(meta, "stem", False))
+    pos_set, req_set, neg_set = set(pos), set(req), set(neg)
+    phrases = bq.phrases
+
+    def score_fn(key, seg_pdf):
+        out_empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(seg_pdf):
+            return out_empty
+        bucket = int(seg_pdf["bucket"].iloc[0])
+        base = bucket * bucket_size
+        in_pos = seg_pdf["term"].isin(pos_set)
+        pos_rows = seg_pdf[in_pos]
+        neg_rows = seg_pdf[seg_pdf["term"].isin(neg_set)]
+        idf_map = {
+            t: idf_fn(n_docs, int(d))
+            for t, d in zip(pos_rows["term"], pos_rows["df_global"])
+        }
+        if not req_set:
+            excl = None
+            if len(neg_rows):
+                parts = [_row_decode(r, None, base)[0] for r in neg_rows.itertuples(index=False)]
+                excl = np.unique(np.concatenate(parts)) if parts else None
+            return _score_bucket(
+                pos_rows, idf_map, avgdl, bucket_size, k, excl=excl
+            )
+
+        # --- required-set path: intersect, subtract, verify, then score
+        req_rows = pos_rows[pos_rows["term"].isin(req_set)]
+        if req_rows["term"].nunique() < len(req_set):
+            return out_empty  # a required term has no postings here
+        ordered = sorted(
+            req_rows.itertuples(index=False),
+            key=lambda r: (int(r.df_global), r.term),
+        )
+        cand: np.ndarray | None = None
+        for r in ordered:
+            d, _tf, _dl = _row_decode(r, cand, base)
+            if d.size == 0:
+                return out_empty
+            cand = d  # ascending by construction
+        for r in neg_rows.itertuples(index=False):
+            d, _tf, _dl = _row_decode(r, cand, base)
+            cand = _setdiff_sorted(cand, d)
+            if not cand.size:
+                return out_empty
+        if phrases:
+            if use_pos:
+                by_term = {
+                    r.term: _candidate_positions(r, cand, base)
+                    for r in pos_rows.itertuples(index=False)
+                    if any(r.term in p for p in phrases)
+                }
+                keep = []
+                for di in cand:
+                    di = int(di)
+                    ok = True
+                    for p in phrases:
+                        s = by_term[p[0]].get(di)
+                        if s is None:
+                            ok = False
+                            break
+                        for t in p[1:]:
+                            nxt = by_term[t].get(di)
+                            if nxt is None or not s.size:
+                                s = np.empty(0, dtype=np.int64)
+                                break
+                            s = np.intersect1d(s + 1, nxt, assume_unique=True)
+                        if not s.size:
+                            ok = False
+                            break
+                    if ok:
+                        keep.append(di)
+                cand = np.asarray(keep, dtype=np.int64)
+            else:
+                survivors = set(cand.tolist())
+                for p in phrases:
+                    occ = _verify_bucket(
+                        docs_dir, bucket, np.fromiter(survivors, dtype=np.int64), p, stem
+                    )
+                    survivors = {d for d in survivors if occ.get(d, 0) > 0}
+                    if not survivors:
+                        return out_empty
+                cand = np.asarray(sorted(survivors), dtype=np.int64)
+            if not cand.size:
+                return out_empty
+        # complete the scores: every positive term, candidate-restricted
+        acc = np.zeros(bucket_size, dtype=np.float64)
+        for r in pos_rows.itertuples(index=False):
+            d, tf, dl = _row_decode(r, cand, base)
+            if not d.size:
+                continue
+            tf_f = tf.astype(np.float64)
+            contrib = idf_map[r.term] * (
+                tf_f
+                * (BM25_K1 + 1.0)
+                / (
+                    tf_f
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl)
+                )
+            )
+            np.add.at(acc, d - base, contrib)
+        nz = cand - base
+        scores = acc[nz]
+        order = np.lexsort((nz, -scores))[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": (nz[order] + base).astype("int64"),
+                "score": scores[order],
+            }
+        )
+
+    per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_OUT)
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -74,6 +74,12 @@ class Searcher:
 
         return phrase_search(self.spark, self.index_dir, phrase, k, method=method)
 
+    def boolean(self, query: str, k: int = 10):
+        """Boolean (+must/-not/"phrase") top-k — operators.boolean."""
+        from uci_searchengine_spark.operators.boolean import boolean_search
+
+        return boolean_search(self.spark, self.index_dir, query, k)
+
     # ------------------------------------------------------------- envelope
     def search(
         self, query: str, page: int = 1, per_page: int = 10, mode: str = "or"

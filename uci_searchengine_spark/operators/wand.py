@@ -122,7 +122,11 @@ def _score_bucket(
     avgdl: float,
     bucket_size: int,
     k: int,
+    excl: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
+    """``excl``: sorted global doc ids to EXCLUDE (boolean NOT). Applied
+    at accumulation time — before θ ever tightens — so block-max pruning
+    stays admissible for the post-exclusion top-k."""
     if not len(seg):
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
     bucket = int(seg["bucket"].iloc[0])
@@ -151,6 +155,12 @@ def _score_bucket(
             d, tf, dl = unpack_postings(blob)
         else:
             d, tf, dl = _decode_for_candidates(blob, offs, lasts, cand, base)
+            if d.size == 0:
+                continue
+        if excl is not None and excl.size and d.size:
+            p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
+            m = excl[p] != d
+            d, tf, dl = d[m], tf[m], dl[m]
             if d.size == 0:
                 continue
         local = d - base

@@ -132,6 +132,37 @@ class OracleIndex:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
+    def boolean_top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Boolean syntax (functions/queryparse.py): OR terms scored,
+        +must all present, -not none present, "phrases" required as exact
+        sequences. Score = OR-sum BM25 over the positive terms."""
+        from uci_searchengine_spark.functions.phrase import count_phrase_py
+        from uci_searchengine_spark.functions.queryparse import parse_query
+
+        bq = parse_query(query, tokenize_py)
+        pos = bq.positive_terms
+        if not pos:
+            return []
+        scores = self.score(" ".join(pos))
+        req = bq.required_terms
+        out = []
+        for d, s in scores.items():
+            if any(d not in self.postings.get(t, {}) for t in req):
+                continue
+            if any(d in self.postings.get(t, {}) for t in bq.not_terms):
+                continue
+            toks = None
+            ok = True
+            for p in bq.phrases:
+                toks = tokenize_py(self.texts[d]) if toks is None else toks
+                if count_phrase_py(toks, p) == 0:
+                    ok = False
+                    break
+            if ok:
+                out.append((d, s))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
+
     def snippet(self, doc_id: int, query_terms: list[str], max_length: int = 200) -> str:
         """search.py:41-65 verbatim semantics."""
         text = self.texts[doc_id].lower()
