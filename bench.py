@@ -279,6 +279,22 @@ def main() -> None:
         1000 * sorted(lat)[max(0, int(len(lat) * 0.95) - 1)], 1
     )
 
+    # 2a) extended query surface on the same warm index: conjunctive AND,
+    # phrase (match-then-verify against the co-located doc store), and a
+    # full boolean (+must/-not/"phrase") query
+    from uci_searchengine_spark.operators.boolean import boolean_search
+    from uci_searchengine_spark.operators.phrase import phrase_search
+
+    t0 = time.perf_counter()
+    score_wand(spark, INDEX_DIR, "stop0 arbak stop1", k=10, mode="and").collect()
+    out["queries"]["bm25_and"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    phrase_search(spark, INDEX_DIR, "arbak stop1", k=10).collect()
+    out["queries"]["phrase"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    boolean_search(spark, INDEX_DIR, 'stop0 +arbak -stop9 "arbak stop1"', k=10).collect()
+    out["queries"]["boolean"] = round(time.perf_counter() - t0, 3)
+
     # 2b) resident-Searcher latency (serving shape: meta + relations
     # analyzed once, reused per query — the reference serves from a
     # long-lived process, this is the comparable number)

@@ -53,12 +53,27 @@ def main(argv: list[str] | None = None) -> int:
         default="parquet",
         help="format of the input pages table",
     )
+    b.add_argument(
+        "--stem", action="store_true", help="Porter-stem tokens at build"
+    )
+    b.add_argument(
+        "--positions",
+        action="store_true",
+        help="store the positional plane (index-only phrase matching)",
+    )
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--scorer", choices=["wand", "naive"], default="wand")
+    q.add_argument(
+        "--mode",
+        choices=["or", "and", "phrase", "bool"],
+        default="or",
+        help="or/and = BM25 envelope; phrase = exact sequence; "
+        "bool = +must/-not/\"phrase\" syntax",
+    )
 
     m = sub.add_parser("metrics", help="print build metrics from manifests")
     m.add_argument("--index", required=True)
@@ -94,19 +109,39 @@ def main(argv: list[str] | None = None) -> int:
                 num_shards=args.shards,
                 n_buckets=args.buckets,
                 input_snapshot=args.snapshot or f"{args.format}:{args.pages}",
+                stem=args.stem,
+                positions=args.positions,
             )
             print(meta.to_json())
         elif args.cmd == "query":
             from uci_searchengine_spark.operators.bm25 import search, score_naive
             from uci_searchengine_spark.operators.wand import score_wand
 
-            scorer = score_wand if args.scorer == "wand" else score_naive
-            print(
-                json.dumps(
-                    search(spark, args.index, args.q, per_page=args.k, scorer=scorer),
-                    indent=2,
+            if args.mode == "phrase":
+                from uci_searchengine_spark.operators.phrase import phrase_search
+
+                rows = phrase_search(spark, args.index, args.q, args.k).collect()
+                print(json.dumps([r.asDict() for r in rows], indent=2))
+            elif args.mode == "bool":
+                from uci_searchengine_spark.operators.boolean import boolean_search
+
+                rows = boolean_search(spark, args.index, args.q, args.k).collect()
+                print(json.dumps([r.asDict() for r in rows], indent=2))
+            else:
+                scorer = score_wand if args.scorer == "wand" else score_naive
+                print(
+                    json.dumps(
+                        search(
+                            spark,
+                            args.index,
+                            args.q,
+                            per_page=args.k,
+                            scorer=scorer,
+                            mode=args.mode,
+                        ),
+                        indent=2,
+                    )
                 )
-            )
     finally:
         spark.stop()
     return 0

@@ -220,3 +220,17 @@ def boolean_search(
 
     per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_OUT)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def boolean_results(
+    spark: SparkSession, index_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Boolean top-k joined to the doc store (url/title/snippet/score).
+    Snippets highlight the POSITIVE analyzed terms — negated terms must
+    not be promoted in the display."""
+    from uci_searchengine_spark.operators.bm25 import attach_docs
+
+    meta = IndexMeta.load(index_dir)
+    bq = parse_query(query, lambda s: analyze_seq(meta, s))
+    topk = boolean_search(spark, index_dir, query, k)
+    return attach_docs(spark, index_dir, topk, bq.positive_terms)

@@ -213,3 +213,21 @@ def phrase_search(
 
     per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_OUT_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def phrase_results(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    method: str = "auto",
+) -> DataFrame:
+    """Phrase top-k joined to the doc store: (doc_id, url, title,
+    snippet, score) — the serving envelope shape. Snippets highlight the
+    raw phrase tokens (display rule, bm25.search)."""
+    from uci_searchengine_spark.operators.bm25 import attach_docs, query_terms
+
+    topk = phrase_search(spark, index_dir, phrase, k, method=method).select(
+        "doc_id", "score"
+    )
+    return attach_docs(spark, index_dir, topk, query_terms(phrase))
