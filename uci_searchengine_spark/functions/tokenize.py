@@ -58,12 +58,14 @@ def tokenize_series(s: pd.Series) -> pd.Series:
 
 # JVM-side tokenization (ASCII-compatible with the pinned tokenizer).
 def tokens_col(c: Column) -> Column:
-    cleaned = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\w\s]", " "), r"\s+", " ")
-    )
-    return F.when(cleaned == "", F.array().cast("array<string>")).otherwise(
-        F.split(cleaned, " ")
-    )
+    """Single-pass form: tokens are the maximal ``\\w+`` runs of the
+    lowered text — output-identical to the pinned 3-pass chain (lower →
+    punct→space → collapse → split; every non-word char is a separator
+    in both), and the reference's own crawler variant
+    (crawler.py:420-421 ``re.findall(r"\\w+", ...)``, SURVEY §2.8 notes
+    the equivalence). One regex pass instead of two rewrites + trim +
+    split — measurably cheaper on wide corpus scans."""
+    return F.regexp_extract_all(F.lower(c), F.lit(r"\w+"), 0)
 
 
 def tokens_sql_expr(col: str = "text") -> str:
