@@ -1,0 +1,57 @@
+"""Fuzzy suggestion vs a plain-Python oracle over the fixture vocab."""
+
+import pytest
+
+
+def _oracle_suggest(oracle, word, k=5, max_dist=2):
+    import numpy as np
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = np.arange(n + 1)
+        for i in range(1, m + 1):
+            prev = dp.copy()
+            dp[0] = i
+            for j in range(1, n + 1):
+                dp[j] = min(
+                    prev[j] + 1,
+                    dp[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return int(dp[n])
+
+    w = word.lower()
+    grams = {w[i : i + 3] for i in range(max(len(w) - 2, 1))}
+    out = []
+    for t, plist in oracle.postings.items():
+        if not (len(w) - max_dist <= len(t) <= len(w) + max_dist):
+            continue
+        if len(w) >= 4:
+            tg = {t[i : i + 3] for i in range(max(len(t) - 2, 1))}
+            if not (tg & grams):
+                continue
+        d = lev(t, w)
+        if d <= max_dist:
+            out.append((t, len(plist), d))
+    out.sort(key=lambda r: (r[2], -r[1], r[0]))
+    return out[:k]
+
+
+@pytest.mark.spark
+class TestSuggest:
+    @pytest.mark.parametrize("word", ["arbakk", "stap0", "arbnd", "xq"])
+    def test_matches_oracle(self, spark, index_small, oracle_small, word):
+        from uci_searchengine_spark.operators.suggest import suggest
+
+        exp = _oracle_suggest(oracle_small, word)
+        got = [
+            (r["term"], r["df"], r["dist"])
+            for r in suggest(spark, index_small, word).collect()
+        ]
+        assert got == exp, (word, got, exp)
+
+    def test_finds_the_obvious_fix(self, spark, index_small):
+        from uci_searchengine_spark.operators.suggest import suggest
+
+        got = suggest(spark, index_small, "arbakk").collect()
+        assert got and got[0]["term"] == "arbak" and got[0]["dist"] == 1

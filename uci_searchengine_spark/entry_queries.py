@@ -425,6 +425,42 @@ ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
 
 
+SUGGEST_WORD = "custoner"  # misspelling of 'customer'
+
+
+def q_suggest(spark, sf_dir):
+    """Fuzzy "did you mean" over the index vocabulary: length-pruned
+    scan → trigram-overlap prefilter → JVM levenshtein ≤ 2 → rank
+    (dist asc, df desc, term asc). One pass over (term, df), no shuffle
+    before the final TakeOrdered (operators/suggest.py)."""
+    from uci_searchengine_spark.operators.suggest import suggest
+
+    idx = _segments_index_dir(spark, sf_dir)
+    return suggest(spark, idx, SUGGEST_WORD, k=5, max_dist=2)
+
+
+def _sql_suggest() -> str:
+    w = SUGGEST_WORD
+    grams = sorted({w[i : i + 3] for i in range(max(len(w) - 2, 1))})
+    grams_sql = ", ".join(f"'{g}'" for g in grams)
+    return f"""
+WITH {_TOKS_CTE},
+vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY term
+),
+cand AS (
+  SELECT term, df, levenshtein(term, '{w}')::INT AS dist FROM vocab
+  WHERE len(term) BETWEEN {len(w) - 2} AND {len(w) + 2}
+    AND list_has_any(
+      [substring(term, i, 3) for i in generate_series(1, greatest(len(term)-2, 1))],
+      [{grams_sql}])
+)
+SELECT term, df, dist FROM cand WHERE dist <= 2
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -1889,6 +1925,7 @@ QUERIES = {
     "phrase_segments_topk": (q_phrase_segments_topk, _sql_phrase_segments_topk()),
     "phrase_positional_topk": (q_phrase_positional_topk, _sql_phrase_segments_topk()),
     "boolean_search": (q_boolean_search, _sql_boolean_search()),
+    "suggest": (q_suggest, _sql_suggest()),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),
