@@ -461,6 +461,78 @@ ORDER BY dist ASC, df DESC, term ASC LIMIT 5
 """
 
 
+def q_search_facets(spark, sf_dir):
+    """Faceted search: the BM25 match set for the fixed query, rolled up
+    by the documents' `source` facet — hit count, best and mean score
+    per facet (the result-page sidebar every search UI grows). One extra
+    groupBy over the already-scored match set; facet column arrives via
+    a join to the doc table that AQE broadcast-picks when small."""
+    toks = _doc_tokens(spark, sf_dir).cache()
+    dl = toks.select("doc_id", F.size("t").alias("doc_len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+    posts = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    tf_part = tfd * (BM25_K1 + 1.0) / (
+        tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doc_len") / F.lit(avgdl))
+    )
+    scored = (
+        posts.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", (idf * tf_part).alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("hits"),
+            F.round(F.max("score"), 6).alias("best_score"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+        )
+        .orderBy(F.desc("hits"), F.asc("source"))
+    )
+
+
+SQL_SEARCH_FACETS = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+  HAVING score > 0
+)
+SELECT d.source, count(*) AS hits,
+       round(max(s.score), 6) AS best_score,
+       round(avg(s.score), 6) AS mean_score
+FROM scored s JOIN documents d USING(doc_id)
+GROUP BY d.source
+ORDER BY hits DESC, d.source ASC
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -1926,6 +1998,7 @@ QUERIES = {
     "phrase_positional_topk": (q_phrase_positional_topk, _sql_phrase_segments_topk()),
     "boolean_search": (q_boolean_search, _sql_boolean_search()),
     "suggest": (q_suggest, _sql_suggest()),
+    "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),
