@@ -121,3 +121,54 @@ def test_pack_many_raw_equals_per_group_pack(groups):
         assert np.array_equal(raw["block_off"][k0:k1], offs_ref)
         assert np.array_equal(raw["block_last"][k0:k1], lasts_ref)
         assert raw["counts"][i] == d.size
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=40, deadline=None)
+def test_positions_roundtrip_property(doc_id_set, tf_max, n_groups):
+    """Positional plane: block-level round-trip for arbitrary group/tf
+    shapes against the SAME block grid as the postings plane."""
+    from uci_searchengine_spark.operators.codec import (
+        pack_many_raw,
+        pack_positions_raw,
+        unpack_positions,
+    )
+
+    rng = np.random.RandomState(11)
+    doc_ids_all = np.array(sorted(doc_id_set), dtype=np.int64)
+    n_groups = min(n_groups, doc_ids_all.size)
+    bounds = np.linspace(0, doc_ids_all.size, n_groups + 1).astype(np.int64)
+    gstarts = bounds[:-1]
+    tfs = rng.randint(1, tf_max + 1, size=doc_ids_all.size).astype(np.int32)
+    dls = rng.randint(10, 500, size=doc_ids_all.size).astype(np.int64)
+    pos_lists = [
+        np.sort(rng.choice(10_000, size=int(t), replace=False)).astype(np.int64)
+        for t in tfs
+    ]
+    raw = pack_many_raw(doc_ids_all, tfs, dls, gstarts, avgdl=120.0)
+    praw = pack_positions_raw(
+        np.concatenate(pos_lists), tfs, gstarts, raw["blk_bounds"], raw["block_start"]
+    )
+    enc, penc = raw["enc"].tobytes(), praw["enc"].tobytes()
+    counts = raw["counts"]
+    for gi in range(len(gstarts)):
+        pblob = penc[praw["group_bytes"][gi] : praw["group_bytes"][gi + 1]]
+        mblob = enc[raw["group_bytes"][gi] : raw["group_bytes"][gi + 1]]
+        b0, b1 = raw["blk_bounds"][gi], raw["blk_bounds"][gi + 1]
+        for bi in range(b1 - b0):
+            lo = bi * BLOCK_SIZE
+            hi = min(lo + BLOCK_SIZE, counts[gi])
+            _d, t, _l = unpack_postings(
+                mblob, offset=int(raw["block_off"][b0 + bi]), count=int(hi - lo)
+            )
+            pf, ro = unpack_positions(
+                pblob, t, offset=int(praw["block_off"][b0 + bi])
+            )
+            for j in range(int(hi - lo)):
+                assert np.array_equal(
+                    pos_lists[int(gstarts[gi]) + lo + j], pf[ro[j] : ro[j + 1]]
+                )

@@ -37,7 +37,7 @@ class TestDocIds:
 @pytest.mark.spark
 @pytest.mark.slow
 class TestBuildDeterminism:
-    def _build(self, spark, tmpdir, partitions, write_partitions):
+    def _build(self, spark, tmpdir, partitions, write_partitions, positions=False):
         from uci_searchengine_spark.operators.index_build import build_index
         from uci_searchengine_spark.sources.synth import synth_pages
 
@@ -50,9 +50,10 @@ class TestBuildDeterminism:
             n_buckets=4,
             input_snapshot=f"synth:seed={SEED}:n={N}",
             write_partitions=write_partitions,
+            positions=positions,
         )
 
-    def _segment_contents(self, spark, d):
+    def _segment_contents(self, spark, d, positions=False):
         from uci_searchengine_spark.operators.index_build import load_segments
 
         rows = load_segments(spark, d).collect()
@@ -64,6 +65,11 @@ class TestBuildDeterminism:
                 r["df"],
                 bytes(r["postings"]).hex(),
                 tuple(r["block_last_doc"]),
+            )
+            + (
+                (bytes(r["positions"]).hex(), tuple(r["pos_block_off"]))
+                if positions
+                else ()
             )
             for r in rows
         )
@@ -112,6 +118,31 @@ class TestBuildDeterminism:
         assert self._segment_contents(spark, d_kill) == self._segment_contents(
             spark, d_full
         )
+
+    def test_positional_segments_bit_equal_across_parallelism(
+        self, spark, tmp_path_factory
+    ):
+        """The positional plane (blobs + block offsets) is bit-identical
+        at different parallelism configs, and phrase results agree."""
+        from uci_searchengine_spark.operators.phrase import phrase_search
+
+        d1 = str(tmp_path_factory.mktemp("idx_pos2"))
+        d2 = str(tmp_path_factory.mktemp("idx_pos8"))
+        self._build(spark, d1, partitions=2, write_partitions=3, positions=True)
+        self._build(spark, d2, partitions=11, write_partitions=7, positions=True)
+        assert self._segment_contents(
+            spark, d1, positions=True
+        ) == self._segment_contents(spark, d2, positions=True)
+        for ph in ("arbak stop1", "stop0"):
+            r1 = [
+                (r["doc_id"], r["score"], r["n_occ"])
+                for r in phrase_search(spark, d1, ph, 10, method="positions").collect()
+            ]
+            r2 = [
+                (r["doc_id"], r["score"], r["n_occ"])
+                for r in phrase_search(spark, d2, ph, 10, method="positions").collect()
+            ]
+            assert r1 == r2, ph
 
     def test_queries_identical_across_parallelism_indexes(self, spark, tmp_path_factory):
         from uci_searchengine_spark.operators.wand import score_wand
