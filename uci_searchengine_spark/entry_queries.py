@@ -533,6 +533,75 @@ ORDER BY hits DESC, d.source ASC
 """
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-10 fused with embedding-cosine
+    top-10 (query = vec 0) by reciprocal-rank fusion (c=60) — the
+    standard lexical+vector blend. Fusion is a full-outer join of two
+    bounded top-N relations: O(N) whatever the corpus size."""
+    from pyspark.sql import Window
+
+    lex = q_bm25_topk(spark, sf_dir).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vec = sim.ann_bruteforce(emb, qv, k=10).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = sim.rrf_fuse(lex.select("doc_id", "rank"), vec, k=10)
+    return fused.select("doc_id", F.round("rrf", 6).alias("rrf")).orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+lex10 AS (SELECT doc_id, score FROM scored WHERE score > 0
+          ORDER BY score DESC, doc_id ASC LIMIT 10),
+lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM lex10),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS c
+  FROM embeddings e CROSS JOIN q
+),
+vec10 AS (SELECT doc_id, c FROM vs ORDER BY c DESC, doc_id ASC LIMIT 10),
+vec AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r
+        FROM vec10),
+f AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0/(60 + l.r), 0) + coalesce(1.0/(60 + v.r), 0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf FROM f
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -1999,6 +2068,7 @@ QUERIES = {
     "boolean_search": (q_boolean_search, _sql_boolean_search()),
     "suggest": (q_suggest, _sql_suggest()),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),

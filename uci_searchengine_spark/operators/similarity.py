@@ -251,3 +251,31 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "cosine", "rank")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (hybrid retrieval:
+    lexical BM25 + vector ANN). Each input carries (id_col, rank);
+    fused = Σ 1/(c + rank) over the lists that contain the id — the
+    standard RRF with the Cormack/Clarke c=60 default. One full-outer
+    join of two already-small top-N relations, then a bounded top-k:
+    scale cost is O(N) regardless of corpus size."""
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("_ra"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("_rb"))
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            (
+                F.coalesce(1.0 / (F.lit(c) + F.col("_ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(c) + F.col("_rb")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
