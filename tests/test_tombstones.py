@@ -1,0 +1,91 @@
+"""Soft deletes: every query path drops tombstoned docs while corpus
+statistics stay frozen (Lucene-shaped semantics) — so surviving docs
+keep their exact oracle scores."""
+
+import math
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture()
+def index_tomb(index_small, tmp_path):
+    """Hardlink clone of the fixture index, safe to tombstone."""
+    d = str(tmp_path / "idx_tomb")
+    shutil.copytree(index_small, d, copy_function=os.link)
+    return d
+
+
+def _minus(expected, deleted, k=10):
+    return [(d, s) for d, s in expected if d not in deleted][:k]
+
+
+@pytest.mark.spark
+class TestTombstones:
+    def test_scorers_drop_deleted_keep_scores(
+        self, spark, index_tomb, oracle_small
+    ):
+        from uci_searchengine_spark.operators.bm25 import score_naive
+        from uci_searchengine_spark.operators.tombstones import (
+            clear_tombstones,
+            delete_docs,
+        )
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        q = "stop0 arbak"
+        full = oracle_small.top_k(q, 10**6)
+        deleted = {full[0][0], full[2][0], full[10][0]}
+        n = delete_docs(index_tomb, deleted)
+        assert n == 3
+        exp = _minus(full, deleted)
+        for scorer in (score_naive, score_wand):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in scorer(spark, index_tomb, q, 10).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in exp], scorer.__name__
+            for (_, gs), (_, es) in zip(got, exp):
+                assert math.isclose(gs, es, rel_tol=1e-9)
+        clear_tombstones(index_tomb)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in score_wand(spark, index_tomb, q, 10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in full[:10]]
+
+    def test_envelope_phrase_boolean_respect_tombstones(
+        self, spark, index_tomb, oracle_small
+    ):
+        from uci_searchengine_spark.operators.bm25 import search
+        from uci_searchengine_spark.operators.boolean import boolean_search
+        from uci_searchengine_spark.operators.phrase import phrase_search
+        from uci_searchengine_spark.operators.tombstones import delete_docs
+
+        q = "arbak stop1"
+        ph = oracle_small.top_k_phrase(q, 10**6)
+        assert ph
+        deleted = {ph[0][0]}
+        delete_docs(index_tomb, deleted)
+
+        got = [
+            (r["doc_id"], r["score"], r["n_occ"])
+            for r in phrase_search(spark, index_tomb, q, 10).collect()
+        ]
+        exp = [(d, s, n) for d, s, n in ph if d not in deleted][:10]
+        assert [(g[0], g[2]) for g in got] == [(e[0], e[2]) for e in exp]
+
+        bexp = [
+            (d, s)
+            for d, s in oracle_small.boolean_top_k("+arbak stop1", 10**6)
+            if d not in deleted
+        ][:10]
+        bgot = [
+            (r["doc_id"], r["score"])
+            for r in boolean_search(spark, index_tomb, "+arbak stop1", 10).collect()
+        ]
+        assert [d for d, _ in bgot] == [d for d, _ in bexp]
+
+        env_total = search(spark, index_tomb, q, per_page=3)["total_results"]
+        full_total = len(oracle_small.top_k(q, 10**6))
+        assert env_total == full_total - len(deleted)

@@ -602,6 +602,73 @@ ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_bm25_tombstones(spark, sf_dir):
+    """Soft deletes through the PRODUCT path: hardlink-clone the cached
+    segments index, tombstone every doc_id % 7 == 0, score with
+    score_wand — deleted docs vanish from results while BM25 statistics
+    stay frozen (Lucene delete semantics, operators/tombstones.py), so
+    surviving docs keep exact oracle scores."""
+    import shutil
+
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.tombstones import (
+        delete_docs,
+        load_tombstone_ids,
+    )
+    from uci_searchengine_spark.operators.wand import score_wand
+
+    base = _segments_index_dir(spark, sf_dir)
+    idx = base + "_tomb"
+    if not os.path.isdir(idx):
+        shutil.copytree(base, idx, copy_function=os.link)
+    docs = load_docs(spark, idx)
+    # tombstone by ORIGINAL doc_id (url-encoded) — the oracle mirrors
+    # `doc_id % 7 = 0` on the documents table directly
+    dense_ids = [
+        r["doc_id"]
+        for r in docs.filter(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long") % 7 == 0
+        )
+        .select("doc_id")
+        .collect()
+    ]
+    if not load_tombstone_ids(idx).size:
+        delete_docs(idx, dense_ids)
+    topk = score_wand(spark, idx, " ".join(BM25_QUERY_TERMS), k=10)
+    urls = docs.select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_BM25_TOMBSTONES = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored
+WHERE score > 0 AND doc_id % 7 != 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -2069,6 +2136,7 @@ QUERIES = {
     "suggest": (q_suggest, _sql_suggest()),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),

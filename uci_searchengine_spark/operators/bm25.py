@@ -104,12 +104,28 @@ def score_naive(
     )
     if mode == "and":
         agg = agg.filter(F.col("_nt") == len(terms))
+    # tombstones drop RESULTS only — df/n_docs/avgdl keep counting
+    # deleted docs until rebuild (Lucene-shaped delete semantics,
+    # operators/tombstones.py), so the subtraction sits after the stats
+    agg = _minus_tombstones(spark, agg, index_dir)
     return (
         agg.drop("_nt")
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def _minus_tombstones(spark: SparkSession, df: DataFrame, index_dir: str) -> DataFrame:
+    """Anti-join the tombstone set (operators/tombstones.py) — no-op
+    when the index has none."""
+    from uci_searchengine_spark.operators.tombstones import load_tombstone_ids
+
+    t = load_tombstone_ids(index_dir)
+    if not t.size:
+        return df
+    tomb = spark.createDataFrame([(int(i),) for i in t], "doc_id long")
+    return df.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
 def match_count(
@@ -123,7 +139,7 @@ def match_count(
     if not terms:
         return 0
     flat = load_flat_postings(spark, index_dir)
-    matched = flat.filter(F.col("term").isin(terms))
+    matched = _minus_tombstones(spark, flat.filter(F.col("term").isin(terms)), index_dir)
     if mode == "and":
         return (
             matched.groupBy("doc_id")

@@ -44,6 +44,7 @@ from uci_searchengine_spark.operators.phrase import (
 from uci_searchengine_spark.operators.wand import (
     _decode_for_candidates,
     _score_bucket,
+    load_excl,
     pruned_segments,
 )
 
@@ -104,6 +105,7 @@ def boolean_search(
     stem = bool(getattr(meta, "stem", False))
     pos_set, req_set, neg_set = set(pos), set(req), set(neg)
     phrases = bq.phrases
+    tomb = load_excl(index_dir)  # tombstones join the NOT set
 
     def score_fn(key, seg_pdf):
         out_empty = pd.DataFrame(
@@ -124,10 +126,16 @@ def boolean_search(
             for t, d in zip(pos_rows["term"], pos_rows["df_global"])
         }
         if not req_set:
-            excl = None
+            excl = tomb
             if len(neg_rows):
                 parts = [_row_decode(r, None, base)[0] for r in neg_rows.itertuples(index=False)]
-                excl = np.unique(np.concatenate(parts)) if parts else None
+                if parts:
+                    neg_ids = np.concatenate(parts)
+                    excl = (
+                        np.union1d(tomb, neg_ids)
+                        if tomb is not None
+                        else np.unique(neg_ids)
+                    )
             return _score_bucket(
                 pos_rows, idf_map, avgdl, bucket_size, k, excl=excl
             )
@@ -146,6 +154,10 @@ def boolean_search(
             if d.size == 0:
                 return out_empty
             cand = d  # ascending by construction
+        if tomb is not None:
+            cand = _setdiff_sorted(cand, tomb)
+            if not cand.size:
+                return out_empty
         for r in neg_rows.itertuples(index=False):
             d, _tf, _dl = _row_decode(r, cand, base)
             cand = _setdiff_sorted(cand, d)

@@ -46,6 +46,7 @@ from uci_searchengine_spark.operators.codec import (
 from uci_searchengine_spark.operators.index_build import IndexMeta
 from uci_searchengine_spark.operators.wand import (
     _score_bucket_and,
+    load_excl,
     pruned_segments,
 )
 
@@ -172,6 +173,7 @@ def phrase_search(
     docs_dir = os.path.join(index_dir, "docs")
     n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
     stem = bool(getattr(meta, "stem", False))
+    excl = load_excl(index_dir)
 
     def score_fn(key, seg_pdf):
         out_empty = pd.DataFrame(
@@ -191,7 +193,7 @@ def phrase_search(
         # verification would be wrong (a verified doc outside the raw
         # AND top-k could belong in the phrase top-k)
         cand = _score_bucket_and(
-            seg_pdf, idf_map, avgdl, bucket_size, n_terms, k=None
+            seg_pdf, idf_map, avgdl, bucket_size, n_terms, k=None, excl=excl
         )
         if not len(cand):
             return out_empty

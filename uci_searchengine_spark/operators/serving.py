@@ -65,7 +65,10 @@ class Searcher:
                 .join(F.broadcast(dfs), "term")
                 .withColumnRenamed("_df", "df_global")
             )
-        return _wand._topk_over_segments(seg, meta, k, mode=mode, n_terms=len(terms))
+        return _wand._topk_over_segments(
+            seg, meta, k, mode=mode, n_terms=len(terms),
+            excl=_wand.load_excl(self.index_dir),
+        )
 
     def phrase(self, phrase: str, k: int = 10, method: str = "auto"):
         """Phrase top-k (delegates to operators.phrase.phrase_search —

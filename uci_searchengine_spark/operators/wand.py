@@ -54,6 +54,15 @@ from uci_searchengine_spark.operators.index_build import (
     load_segments,
 )
 
+
+def load_excl(index_dir: str) -> "np.ndarray | None":
+    """Tombstoned doc ids as the scorers' exclusion array (None if no
+    tombstones — the common case costs one isdir check)."""
+    from uci_searchengine_spark.operators.tombstones import load_tombstone_ids
+
+    t = load_tombstone_ids(index_dir)
+    return t if t.size else None
+
 _TOPK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -211,6 +220,7 @@ def _score_bucket_and(
     bucket_size: int,
     n_terms: int,
     k: int | None,
+    excl: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Conjunctive (ALL-terms) top-k for one bucket: rarest-first
     posting-list intersection with block skipping.
@@ -241,6 +251,10 @@ def _score_bucket_and(
         blob = bytes(r.postings)
         if cand is None:
             d, tf, dl = unpack_postings(blob)
+            if excl is not None and excl.size and d.size:
+                p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
+                m = excl[p] != d
+                d, tf, dl = d[m], tf[m], dl[m]
         else:
             d, tf, dl = _decode_for_candidates(
                 blob,
@@ -290,7 +304,10 @@ def score_wand(
     if not terms:
         return empty
     seg = pruned_segments(spark, index_dir, meta, terms)
-    return _topk_over_segments(seg, meta, k, mode=mode, n_terms=len(terms))
+    return _topk_over_segments(
+        seg, meta, k, mode=mode, n_terms=len(terms),
+        excl=load_excl(index_dir),
+    )
 
 
 def pruned_segments(
@@ -335,6 +352,7 @@ def _topk_over_segments(
     k: int,
     mode: str = "or",
     n_terms: int | None = None,
+    excl: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Scoring tail shared by score_wand and serving.Searcher: per-bucket
     block-max scoring over an (already pruned, df-resolved) segment
@@ -355,9 +373,9 @@ def _topk_over_segments(
         }
         if mode == "and":
             return _score_bucket_and(
-                seg_pdf, idf_map, avgdl, bucket_size, n_terms, k
+                seg_pdf, idf_map, avgdl, bucket_size, n_terms, k, excl=excl
             )
-        return _score_bucket(seg_pdf, idf_map, avgdl, bucket_size, k)
+        return _score_bucket(seg_pdf, idf_map, avgdl, bucket_size, k, excl=excl)
 
     per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_TOPK_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
