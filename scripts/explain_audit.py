@@ -117,6 +117,51 @@ def main() -> None:
         ("pricing: column-pruned scan (no l_comment-ish extras)", "ReadSchema" in plan, plan)
     )
 
+    # 5) round-2 surfaces: suggest's vocab scan must column-prune the
+    # heavy segment columns (postings/blocks), and a positional index's
+    # BM25 plan must not read the positional plane
+    from uci_searchengine_spark.operators.suggest import suggest
+
+    sg = suggest(spark, IDX, "stop0x")
+    plan = sg._sc._jvm.PythonSQLUtils.explainString(
+        sg._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    rs = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = rs.group(1) if rs else ""
+    checks.append(
+        (
+            "suggest: vocab scan column-prunes postings/blocks",
+            "postings" not in read_cols and "block_max" not in read_cols,
+            plan,
+        )
+    )
+
+    PIDX = "/root/repo/_data/audit_index_pos"
+    if not os.path.exists(os.path.join(PIDX, "meta.json")):
+        shutil.rmtree(PIDX, ignore_errors=True)
+        build_index(
+            spark,
+            synth_pages(spark, 300, 1337, partitions=4),
+            PIDX,
+            num_shards=4,
+            n_buckets=4,
+            input_snapshot="audit-pos",
+            positions=True,
+        )
+    sw = score_wand(spark, PIDX, "stop0 arbak")
+    plan = sw._sc._jvm.PythonSQLUtils.explainString(
+        sw._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "wand on positional index: positions plane pruned from scan",
+            "positions" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

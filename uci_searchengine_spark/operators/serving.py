@@ -83,6 +83,12 @@ class Searcher:
 
         return boolean_search(self.spark, self.index_dir, query, k)
 
+    def suggest(self, word: str, k: int = 5, max_dist: int = 2):
+        """Fuzzy "did you mean" over this index's vocabulary."""
+        from uci_searchengine_spark.operators.suggest import suggest
+
+        return suggest(self.spark, self.index_dir, word, k, max_dist)
+
     # ------------------------------------------------------------- envelope
     def search(
         self, query: str, page: int = 1, per_page: int = 10, mode: str = "or"
