@@ -1,0 +1,125 @@
+"""Incremental append (generations): append ≡ rebuild for disjoint
+batches, upsert tombstones superseded versions, and the two scorers
+agree on multi-generation indexes."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SEED = 1337
+N = 300
+
+
+@pytest.fixture(scope="module")
+def appended_index(spark, tmp_path_factory):
+    """gen-0 = first half of the corpus (by url order), gen-1 = second
+    half, appended."""
+    from uci_searchengine_spark.operators.index_append import append_index
+    from uci_searchengine_spark.operators.index_build import build_index
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    d = str(tmp_path_factory.mktemp("idx_append"))
+    pages = synth_pages(spark, N, SEED, partitions=5)
+    urls = sorted(r["url"] for r in pages.select("url").distinct().collect())
+    cut = urls[len(urls) // 2]
+    first = pages.filter(F.col("url") < cut)
+    second = pages.filter(F.col("url") >= cut)
+    build_index(
+        spark, first, d, num_shards=8, n_buckets=4,
+        input_snapshot="append-test-gen0",
+    )
+    append_index(spark, second, d, input_snapshot="append-test")
+    return d
+
+
+def _by_url(spark, index_dir, rows):
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    id2url = {
+        r["doc_id"]: r["url"]
+        for r in load_docs(spark, index_dir).select("doc_id", "url").collect()
+    }
+    return [(id2url[d], s) for d, s in rows]
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+class TestAppend:
+    def test_meta_and_generations(self, spark, appended_index, oracle_small):
+        from uci_searchengine_spark.operators.index_build import (
+            IndexMeta,
+            generation_dirs,
+            load_docs,
+        )
+
+        meta = IndexMeta.load(appended_index)
+        assert meta.gens == 2
+        assert len(generation_dirs(appended_index)) == 2
+        # oracle_small dedups the same corpus — its n_docs is the truth
+        assert load_docs(spark, appended_index).count() == oracle_small.n_docs
+        assert meta.n_docs == oracle_small.n_docs
+        assert math.isclose(meta.avgdl, oracle_small.avgdl, rel_tol=1e-12)
+
+    @pytest.mark.parametrize("q", ["stop0 arbak", "arband arbast", "arbak stop1"])
+    def test_append_equals_rebuild(self, spark, appended_index, oracle_small, q):
+        """Same (url, score) ranking as the single-build oracle over the
+        full corpus — compared as (score, url) sorted lists so exact
+        score ties (whose internal doc-id order legitimately differs
+        between layouts) don't flake."""
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        got = _by_url(
+            spark,
+            appended_index,
+            [
+                (r["doc_id"], r["score"])
+                for r in score_wand(spark, appended_index, q, 10).collect()
+            ],
+        )
+        exp_ids = oracle_small.top_k(q, 10)
+        exp = [(oracle_small.urls[d], s) for d, s in exp_ids]
+        key = lambda r: (-round(r[1], 9), r[0])  # noqa: E731
+        assert len(got) == len(exp), (q, got, exp)
+        for (gu, gs), (eu, es) in zip(sorted(got, key=key), sorted(exp, key=key)):
+            assert gu == eu and math.isclose(gs, es, rel_tol=1e-9), (q, got, exp)
+
+    def test_wand_equals_naive_multigen(self, spark, appended_index):
+        from uci_searchengine_spark.operators.bm25 import score_naive
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        for q in ("stop0", "arbak stop1 stop2"):
+            w = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in score_wand(spark, appended_index, q, 10).collect()
+            ]
+            n = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in score_naive(spark, appended_index, q, 10).collect()
+            ]
+            assert w == n, q
+
+    def test_upsert_tombstones_old_version(self, spark, tmp_path):
+        from uci_searchengine_spark.operators.bm25 import search
+        from uci_searchengine_spark.operators.index_append import append_index
+        from uci_searchengine_spark.operators.index_build import build_index
+        from uci_searchengine_spark.operators.tombstones import load_tombstone_ids
+        from uci_searchengine_spark.sources.synth import synth_pages
+
+        d = str(tmp_path / "idx_upsert")
+        pages = synth_pages(spark, 60, SEED, partitions=3)
+        build_index(spark, pages, d, num_shards=4, n_buckets=2,
+                    input_snapshot="upsert-gen0")
+        # re-crawl one url with brand-new content
+        target = pages.orderBy("url").limit(1).collect()[0]
+        new_html = "<html><body>zzznewword only content</body></html>".encode()
+        batch = spark.createDataFrame(
+            [(target["url"], target["warc_ts"], bytearray(new_html),
+              "zzznewword only content", "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        append_index(spark, batch, d, input_snapshot="upsert")
+        assert load_tombstone_ids(d).size == 1
+        env = search(spark, d, "zzznewword")
+        assert env["total_results"] == 1
+        assert env["results"][0]["url"] == target["url"]

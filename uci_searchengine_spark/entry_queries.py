@@ -669,6 +669,54 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_bm25_append(spark, sf_dir):
+    """Incremental growth through the PRODUCT path: build gen-0 on the
+    first half of `documents`, append_index the second half (own gen-1
+    sub-index, same bucket grid, blended stats, in-plan df aggregation,
+    admissibility-inflated block-max bounds), then score_wand — results
+    must equal the full-corpus SQL oracle exactly: append ≡ rebuild."""
+    from uci_searchengine_spark.operators.index_append import append_index
+    from uci_searchengine_spark.operators.index_build import (
+        IndexMeta,
+        build_index,
+        load_docs,
+    )
+    from uci_searchengine_spark.operators.wand import score_wand
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("s")
+    ).collect()[0]
+    n, snap = agg["n"], f"gate-append:n={agg['n']}:chars={agg['s']}"
+    h = hashlib.md5(f"{sf_dir}|{snap}".encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"uci_gate_appendidx_{h}")
+    cut = n // 2
+    if not os.path.isfile(os.path.join(idx, "meta.json")):
+        build_index(
+            spark,
+            docs.filter(F.col("doc_id") < cut).transform(_docs_as_pages),
+            idx,
+            input_snapshot=snap + ":gen0",
+        )
+    if IndexMeta.load(idx).gens < 2:
+        append_index(
+            spark,
+            docs.filter(F.col("doc_id") >= cut).transform(_docs_as_pages),
+            idx,
+            input_snapshot=snap,
+        )
+    topk = score_wand(spark, idx, " ".join(BM25_QUERY_TERMS), k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -2137,6 +2185,7 @@ QUERIES = {
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
+    "bm25_append": (q_bm25_append, SQL_BM25_TOPK),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),

@@ -61,7 +61,18 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def load_flat_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+    from uci_searchengine_spark.operators.index_build import generation_dirs
+
+    out = None
+    for d in generation_dirs(index_dir):
+        p = os.path.join(d, "postings_flat")
+        if not os.path.isdir(p):
+            continue
+        # per-generation basePath: each generation is its own hive root
+        # (a multi-root read trips partition discovery)
+        df = spark.read.option("basePath", p).parquet(p)
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def score_naive(

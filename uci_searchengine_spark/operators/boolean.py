@@ -100,7 +100,9 @@ def boolean_search(
         spark, index_dir, meta, all_terms,
         with_positions=bool(bq.phrases) and use_pos,
     )
-    docs_dir = os.path.join(index_dir, "docs")
+    from uci_searchengine_spark.operators.index_build import generation_dirs
+
+    docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
     n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
     stem = bool(getattr(meta, "stem", False))
     pos_set, req_set, neg_set = set(pos), set(req), set(neg)
@@ -195,7 +197,7 @@ def boolean_search(
                 survivors = set(cand.tolist())
                 for p in phrases:
                     occ = _verify_bucket(
-                        docs_dir, bucket, np.fromiter(survivors, dtype=np.int64), p, stem
+                        docs_dirs, bucket, np.fromiter(survivors, dtype=np.int64), p, stem
                     )
                     survivors = {d for d in survivors if occ.get(d, 0) > 0}
                     if not survivors:

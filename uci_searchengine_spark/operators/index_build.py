@@ -131,6 +131,11 @@ class IndexMeta:
     # per posting) — phrase_search then verifies adjacency from the index
     # alone, no doc-store reads.
     positions: bool = False
+    # Number of index generations (Lucene-style): 1 = a single build;
+    # each append_index() adds a gen-N/ sub-index. Multi-gen queries
+    # aggregate df in-plan and inflate block-max bounds per generation
+    # (the stored bounds were computed with that generation's avgdl).
+    gens: int = 1
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -235,8 +240,14 @@ def _wipe_stale(index_dir: str, snap: str) -> None:
         if marker != snap:
             stale = True
     if stale:
-        for sub in _DATA_SUBDIRS + ("_manifest",):
+        import glob as _glob
+
+        for sub in _DATA_SUBDIRS + ("_manifest", "tombstones"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+        # appended generations and tombstones belong to the replaced
+        # snapshot — a root rebuild restarts the lineage at gen 0
+        for g in _glob.glob(os.path.join(index_dir, "gen-*")):
+            shutil.rmtree(g, ignore_errors=True)
         for fn in ("meta.json", "_snapshot"):
             try:
                 os.remove(os.path.join(index_dir, fn))
@@ -1055,12 +1066,19 @@ def build_index(
     write_partitions: int | None = None,
     stem: bool = False,
     positions: bool = False,
+    doc_id_base: int = 0,
+    bucket_size_override: int | None = None,
 ) -> IndexMeta:
     """Build (or resume) the index at ``index_dir`` from a pages DataFrame.
 
     ``n_buckets=None`` derives the doc-range grid from the corpus size
     (``derive_n_buckets``) so the WAND accumulator stays bounded at any
     scale; pass an explicit value to pin the layout.
+
+    ``doc_id_base``/``bucket_size_override`` serve generation builds
+    (operators/index_append.py): the appended sub-index numbers its docs
+    after the parent's and keeps the parent's doc-range bucket grid so
+    per-bucket scoring and the co-located doc store stay aligned.
 
     ``positions=True`` adds the positional plane (delta-varint token
     positions per posting, block-aligned) to the segments — enables
@@ -1117,7 +1135,9 @@ def build_index(
     # older rule are rebuilt, never mixed
     snap = (
         f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}"
-        f"x{seg_split}{'+stem' if stem else ''}{'+pos' if positions else ''}v2"
+        f"x{seg_split}{'+stem' if stem else ''}{'+pos' if positions else ''}"
+        f"{f'+base{doc_id_base}' if doc_id_base else ''}"
+        f"{f'+bs{bucket_size_override}' if bucket_size_override else ''}v2"
     )
 
     docs_stage = _read_manifest(index_dir, "stage-docs")
@@ -1169,12 +1189,12 @@ def build_index(
         }
         _lap("url-shuffle+counts")
         offsets: dict[int, int] = {}
-        acc = 0
+        acc = doc_id_base
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
-        n_docs = acc
-        bucket_size = max(1, math.ceil(n_docs / n_buckets))
+        n_docs = acc - doc_id_base
+        bucket_size = bucket_size_override or max(1, math.ceil(n_docs / n_buckets))
 
         ranged = (
             exact_repartition(
@@ -1281,16 +1301,61 @@ def build_index(
     return meta
 
 
+def generation_dirs(index_dir: str) -> list[str]:
+    """Root + every COMMITTED generation, in order. A generation exists
+    for readers only once the root meta's ``gens`` counter includes it —
+    an append killed between writing gen-N/meta.json and updating the
+    root meta leaves gen-N invisible (and resumable), never half-read."""
+    try:
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            gens = int(json.load(f).get("gens", 1))
+    except (OSError, json.JSONDecodeError):
+        gens = 1
+    out = [index_dir]
+    for i in range(1, gens):
+        d = os.path.join(index_dir, f"gen-{i}")
+        if os.path.isfile(os.path.join(d, "meta.json")):
+            out.append(d)
+    return out
+
+
+def generation_avgdl(gen_dir: str) -> float:
+    """The avgdl this generation's block_max bounds were computed with
+    (its own stage-docs manifest — the root meta gets re-blended on
+    every append, the manifest keeps the build-time value)."""
+    m = _read_manifest(gen_dir, "stage-docs")
+    return float(m["avgdl"])
+
+
+def _read_union(spark: SparkSession, dirs: list[str], sub: str) -> DataFrame:
+    out = None
+    for d in dirs:
+        p = os.path.join(d, sub)
+        if not os.path.isdir(p):
+            continue
+        df = spark.read.option("basePath", p).parquet(p)
+        if sub == "segments":
+            df = df.withColumn("gen_avgdl", F.lit(generation_avgdl(d)))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.option("basePath", os.path.join(index_dir, "segments")).parquet(
-        os.path.join(index_dir, "segments")
-    )
+    dirs = generation_dirs(index_dir)
+    if len(dirs) == 1:
+        return spark.read.option(
+            "basePath", os.path.join(index_dir, "segments")
+        ).parquet(os.path.join(index_dir, "segments"))
+    return _read_union(spark, dirs, "segments")
 
 
 def load_docs(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.option("basePath", os.path.join(index_dir, "docs")).parquet(
-        os.path.join(index_dir, "docs")
-    )
+    dirs = generation_dirs(index_dir)
+    if len(dirs) == 1:
+        return spark.read.option("basePath", os.path.join(index_dir, "docs")).parquet(
+            os.path.join(index_dir, "docs")
+        )
+    return _read_union(spark, dirs, "docs")
 
 
 def build_metrics(index_dir: str) -> dict:

@@ -54,24 +54,39 @@ _OUT_SCHEMA = "doc_id long, score double, n_occ int"
 
 
 def _verify_bucket(
-    docs_dir: str, bucket: int, ids: np.ndarray, seq: list[str], stem: bool
+    docs_dirs: "str | list[str]",
+    bucket: int,
+    ids: np.ndarray,
+    seq: list[str],
+    stem: bool,
 ) -> dict[int, int]:
     """Doc-store strategy: read this bucket's files pruned to the
     candidate ids (pyarrow predicate → row-group skip; docs are written
     doc_id-sorted per bucket) and count phrase occurrences under the
-    build tokenizer."""
+    build tokenizer. ``docs_dirs`` may list several generations' doc
+    stores — a boundary bucket's docs can span generations."""
+    import pyarrow as pa
     import pyarrow.dataset as pads
 
     from uci_searchengine_spark.functions.tokenize import tokenize_series
 
-    part = os.path.join(docs_dir, f"bucket={bucket}")
-    if not os.path.isdir(part):
+    if isinstance(docs_dirs, str):
+        docs_dirs = [docs_dirs]
+    parts = [
+        p
+        for d in docs_dirs
+        if os.path.isdir(p := os.path.join(d, f"bucket={bucket}"))
+    ]
+    if not parts:
         return {}
-    tbl = pads.dataset(part, format="parquet").to_table(
-        columns=["doc_id", "text"],
-        filter=pads.field("doc_id").isin(ids.tolist()),
-    )
-    pdf = tbl.to_pandas()
+    tbls = [
+        pads.dataset(p, format="parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(ids.tolist()),
+        )
+        for p in parts
+    ]
+    pdf = pa.concat_tables(tbls).to_pandas()
     toks = tokenize_series(pdf["text"])
     if stem:
         from uci_searchengine_spark.functions.stem import stem_tokens
@@ -169,8 +184,10 @@ def phrase_search(
         return empty
     terms = list(dict.fromkeys(seq))
     n_terms = len(terms)
+    from uci_searchengine_spark.operators.index_build import generation_dirs
+
     seg = pruned_segments(spark, index_dir, meta, terms, with_positions=use_pos)
-    docs_dir = os.path.join(index_dir, "docs")
+    docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
     n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
     stem = bool(getattr(meta, "stem", False))
     excl = load_excl(index_dir)
@@ -204,7 +221,7 @@ def phrase_search(
                 seg_pdf, ids, bucket * bucket_size, seq
             )
         else:
-            occ = _verify_bucket(docs_dir, bucket, ids, seq, stem)
+            occ = _verify_bucket(docs_dirs, bucket, ids, seq, stem)
         cand = cand.assign(
             n_occ=cand["doc_id"].map(lambda d: occ.get(int(d), 0)).astype("int32")
         )

@@ -141,12 +141,19 @@ def _score_bucket(
     bucket = int(seg["bucket"].iloc[0])
     base = bucket * bucket_size
 
-    # per-term data, sorted by whole-list upper bound descending
+    # per-term data, sorted by whole-list upper bound descending.
+    # Multi-generation indexes carry gen_avgdl: each generation's
+    # block_max was computed with ITS build avgdl, while scoring uses
+    # the blended root avgdl — inflate the bound by max(1, avgdl/gen)
+    # (f = tf/(tf + c + m*dl) satisfies f_new <= f_old * avgdl_new/
+    # avgdl_old when avgdl grows) so pruning stays admissible.
+    has_gen = "gen_avgdl" in seg.columns
     rows = []
     for r in seg.itertuples(index=False):
         w = idf_map[r.term]
         bm = np.asarray(r.block_max, dtype=np.float64)
-        rows.append((w * (BM25_K1 + 1.0) * bm.max(), w, r))
+        infl = max(1.0, avgdl / float(r.gen_avgdl)) if has_gen else 1.0
+        rows.append((w * (BM25_K1 + 1.0) * bm.max() * infl, w, r))
     rows.sort(key=lambda x: -x[0])
 
     acc = np.zeros(bucket_size, dtype=np.float64)
@@ -329,12 +336,14 @@ def pruned_segments(
     )
     if getattr(meta, "positions", False) and not with_positions:
         seg = seg.drop("positions", "pos_block_off")
-    if getattr(meta, "seg_split", 1) > 1:
-        # the build split each shard's buckets across stage-2 tasks
-        # (corpus ≫ task memory), so per-row df_global is fragment-local.
-        # The pruned scan already covers each query term's ENTIRE posting
-        # list, so the true df is an in-plan aggregate + broadcast join —
-        # still a single Spark job, only the query terms' rows touched.
+    if getattr(meta, "seg_split", 1) > 1 or getattr(meta, "gens", 1) > 1:
+        # per-row df_global is fragment-local when a shard's buckets were
+        # split across stage-2 tasks (corpus ≫ task memory) AND when the
+        # index holds multiple generations (each gen counted only its own
+        # docs). The pruned scan already covers each query term's ENTIRE
+        # posting list across fragments/generations, so the true df is an
+        # in-plan aggregate + broadcast join — still a single Spark job,
+        # only the query terms' rows touched.
         dfs = seg.groupBy("term").agg(F.sum("df").cast("long").alias("_df"))
         seg = (
             seg.drop("df_global")
