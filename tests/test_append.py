@@ -123,3 +123,80 @@ class TestAppend:
         env = search(spark, d, "zzznewword")
         assert env["total_results"] == 1
         assert env["results"][0]["url"] == target["url"]
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+class TestCompaction:
+    def test_compact_equals_direct_build_on_live_corpus(self, spark, tmp_path):
+        """append + upsert + delete, then compact — the compacted index
+        must equal a direct build over the surviving latest-version
+        pages, query-for-query (title/text reconstruction exact)."""
+        from uci_searchengine_spark.operators.bm25 import search
+        from uci_searchengine_spark.operators.compact import compact_index
+        from uci_searchengine_spark.operators.index_append import append_index
+        from uci_searchengine_spark.operators.index_build import (
+            IndexMeta,
+            build_index,
+            load_docs,
+        )
+        from uci_searchengine_spark.operators.tombstones import delete_docs
+        from uci_searchengine_spark.operators.wand import score_wand
+        from uci_searchengine_spark.sources.synth import synth_pages
+
+        d = str(tmp_path / "idx_life")
+        pages = synth_pages(spark, 80, SEED, partitions=3).cache()
+        build_index(spark, pages, d, num_shards=4, n_buckets=2,
+                    input_snapshot="life-gen0")
+        # upsert one url, then tombstone one other doc by hand
+        target = pages.orderBy("url").limit(1).collect()[0]
+        new_text = "replacement words arbak stop0 stop0"
+        batch = spark.createDataFrame(
+            [(target["url"], target["warc_ts"],
+              bytearray(f"<html><body>{new_text}</body></html>".encode()),
+              new_text, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        append_index(spark, batch, d, input_snapshot="life-append")
+        victim = (
+            load_docs(spark, d).orderBy(F.desc("doc_id")).limit(1).collect()[0]
+        )
+        # pick a gen-0 doc that still lives (not the upserted one)
+        live = [
+            r for r in load_docs(spark, d).orderBy("doc_id").collect()
+            if r["url"] != target["url"]
+        ]
+        victim = live[3]
+        delete_docs(d, [victim["doc_id"]])
+
+        out = str(tmp_path / "idx_compact")
+        cmeta = compact_index(spark, d, out)
+        assert cmeta.gens == 1
+
+        # expected: direct build over latest-version pages minus victim
+        expected_pages = (
+            pages.filter(F.col("url") != target["url"])
+            .unionByName(batch)
+            .filter(F.col("url") != victim["url"])
+        )
+        ref = str(tmp_path / "idx_ref")
+        build_index(spark, expected_pages, ref, num_shards=4, n_buckets=2,
+                    input_snapshot="life-ref")
+
+        for q in ("stop0 arbak", "arband arbast"):
+            got = {
+                (r["doc_id"], round(r["score"], 9))
+                for r in score_wand(spark, out, q, 10).collect()
+            }
+            exp = {
+                (r["doc_id"], round(r["score"], 9))
+                for r in score_wand(spark, ref, q, 10).collect()
+            }
+            assert got == exp, q
+        # titles survive compaction (doc store, not just tokens)
+        t_out = {r["url"]: r["title"] for r in load_docs(spark, out).collect()}
+        t_ref = {r["url"]: r["title"] for r in load_docs(spark, ref).collect()}
+        assert t_out == t_ref
+        # envelope smoke on the compacted index
+        env = search(spark, out, "replacement")
+        assert env["total_results"] == 1 and env["results"][0]["url"] == target["url"]

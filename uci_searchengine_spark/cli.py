@@ -78,12 +78,32 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("metrics", help="print build metrics from manifests")
     m.add_argument("--index", required=True)
 
+    ap = sub.add_parser("append", help="append pages as a new generation (upsert)")
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--format", choices=["parquet", "iceberg"], default="parquet")
+    ap.add_argument("--snapshot", default="append")
+
+    dl = sub.add_parser("delete", help="tombstone doc ids")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", required=True, help="comma-separated doc ids")
+
+    cp = sub.add_parser("compact", help="rebuild live docs into a fresh index")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
         from uci_searchengine_spark.operators.index_build import build_metrics
 
         print(json.dumps(build_metrics(args.index)))
+        return 0
+    if args.cmd == "delete":
+        from uci_searchengine_spark.operators.tombstones import delete_docs
+
+        total = delete_docs(args.index, [int(x) for x in args.ids.split(",")])
+        print(json.dumps({"tombstones_total": total}))
         return 0
 
     from uci_searchengine_spark.session import get_spark
@@ -112,6 +132,22 @@ def main(argv: list[str] | None = None) -> int:
                 stem=args.stem,
                 positions=args.positions,
             )
+            print(meta.to_json())
+        elif args.cmd == "append":
+            from uci_searchengine_spark.operators.index_append import append_index
+            from uci_searchengine_spark.sources.tables import read_table
+
+            meta = append_index(
+                spark,
+                read_table(spark, args.pages, fmt=args.format),
+                args.index,
+                input_snapshot=args.snapshot,
+            )
+            print(meta.to_json())
+        elif args.cmd == "compact":
+            from uci_searchengine_spark.operators.compact import compact_index
+
+            meta = compact_index(spark, args.index, args.out)
             print(meta.to_json())
         elif args.cmd == "query":
             from uci_searchengine_spark.operators.bm25 import search, score_naive
