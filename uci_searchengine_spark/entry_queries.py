@@ -717,6 +717,75 @@ def q_bm25_append(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Iterative link analysis: 5 fixed PageRank rounds over a
+    deterministic hash graph on doc ids (driver tables carry no link
+    column; the graph shape — not its provenance — is what's under
+    test). Each round is one join + one aggregate; the SQL oracle
+    unrolls the identical 5 rounds."""
+    from uci_searchengine_spark.operators.links import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 2 + 7) % n).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pr = pagerank(e, iterations=5)
+    return (
+        pr.select(
+            F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_pagerank() -> str:
+    d = 0.85
+    layers = []
+    prev = "r0"
+    for i in range(1, 6):
+        layers.append(
+            f"""r{i} AS (
+  SELECT nodes.node,
+         (1.0 - {d}) + {d} * coalesce(s.c, 0.0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.rank / od.od) AS c
+    FROM e JOIN {prev} ON {prev}.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nodes.node
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(layers)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+7) % (SELECT n FROM nn) AS dst FROM documents
+  UNION
+  SELECT doc_id, (doc_id*3+7) % (SELECT n FROM nn) FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+{chain}
+SELECT node AS doc_id, round(rank, 6) AS rank FROM r5
+ORDER BY rank DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -1193,6 +1262,104 @@ reach(a, b) AS (
   SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
 )
 SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a
+"""
+
+
+def q_canonical_docs(spark, sf_dir):
+    """The dedup pipeline's FINAL step: one canonical doc per duplicate
+    cluster — highest quality score wins, doc_id breaks ties. Composes
+    MinHash-LSH pairs → connected components → quality ranking in one
+    dataflow (the keep-best canonicalization every training pipeline
+    ends with)."""
+    from pyspark.sql import Window
+
+    clusters = q_dup_clusters(spark, sf_dir)  # (doc_id, comp)
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", F.round(textstats.quality_score(F.col("text")), 2).alias("quality")
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("comp", F.col("doc_id").alias("canonical_doc_id"), "quality")
+        .orderBy("comp")
+    )
+
+
+def _sql_canonical_docs() -> str:
+    return f"""
+WITH clusters AS ({_sql_dup_clusters()}),
+q AS ({SQL_QUALITY_SCORES}),
+ranked AS (
+  SELECT c.comp, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.comp
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT comp, doc_id AS canonical_doc_id, quality FROM ranked
+WHERE rn = 1 ORDER BY comp
+"""
+
+
+def q_training_prep(spark, sf_dir):
+    """End-to-end training-data preparation in ONE dataflow — the flow
+    this engine exists to serve at 100 TB: language filter → quality
+    floor → exact dedup (canonical = min doc_id per content
+    fingerprint) → deterministic 50% hash sample → leakage-free
+    train/test split. Every stage is a scan-side predicate or a single
+    keyed aggregate; nothing leaves the JVM."""
+    from pyspark.sql import Window
+
+    from uci_searchengine_spark.operators.sampling import hash_uniform_col
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(
+        (F.col("lang") == "en")
+        & (F.round(textstats.quality_score(F.col("text")), 2) >= 0.6)
+    ).select(
+        "doc_id", textstats.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    canon = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+    sampled = canon.filter(hash_uniform_col(F.col("doc_id")) < 0.5)
+    return sampled.withColumn(
+        "split",
+        F.when(
+            hash_uniform_col(F.col("doc_id") * 31 + 7) < 0.1, F.lit("test")
+        ).otherwise(F.lit("train")),
+    ).orderBy("doc_id")
+
+
+def _sql_training_prep() -> str:
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    return f"""
+WITH q AS ({SQL_QUALITY_SCORES}),
+kept AS (
+  SELECT d.doc_id,
+         md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE d.lang = 'en' AND q.quality >= 0.6
+),
+canon AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+sampled AS (SELECT doc_id FROM canon WHERE {hash_uniform_sql('doc_id')} < 0.5)
+SELECT doc_id,
+       CASE WHEN {hash_uniform_sql('doc_id * 31 + 7')} < 0.1
+            THEN 'test' ELSE 'train' END AS split
+FROM sampled ORDER BY doc_id
 """
 
 
@@ -2186,6 +2353,9 @@ QUERIES = {
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
     "bm25_append": (q_bm25_append, SQL_BM25_TOPK),
+    "pagerank": (q_pagerank, _sql_pagerank()),
+    "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
+    "training_prep": (q_training_prep, _sql_training_prep()),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),

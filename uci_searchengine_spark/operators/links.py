@@ -45,3 +45,50 @@ def frontier(links: DataFrame, pages: DataFrame) -> DataFrame:
         .join(crawled, "dst_url", "left_anti")
         .select(F.col("dst_url").alias("url"))
     )
+
+
+def pagerank(
+    links: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank (original-paper simplified form:
+    rank = (1-d) + d·Σ rank_in/out_deg; dangling mass evaporates).
+
+    Deterministic by construction — a FIXED iteration count, no
+    convergence test — so a SQL oracle can unroll the exact same
+    computation. Each iteration is one join + one aggregate (both on the
+    edge key, AQE-planned); `localCheckpoint` every 3 rounds truncates
+    the lineage that iterative Spark plans otherwise accumulate.
+    Returns (node, rank).
+    """
+    nodes = (
+        links.select(F.col(src).alias("node"))
+        .unionByName(links.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    out = links.groupBy(src).agg(F.count("*").alias("_od"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(iterations):
+        contribs = (
+            links.join(ranks.withColumnRenamed("node", src), src)
+            .join(out, src)
+            .select(F.col(dst).alias("node"), (F.col("rank") / F.col("_od")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
