@@ -309,3 +309,36 @@ class TestDupClusters:
         assert "<SSN>" in rows[1]["clean"] and "<CARD>" in rows[1]["clean"]
         assert rows[2]["clean"] == "no pii here at all"
         assert rows[2]["n"] == 0
+
+
+@pytest.mark.spark
+def test_pagerank_matches_bruteforce(spark):
+    """Fixed-iteration PageRank == plain-python reference on a seeded
+    random digraph (incl. dangling nodes and a sink component)."""
+    import random
+
+    from uci_searchengine_spark.operators.links import pagerank
+
+    rng = random.Random(42)
+    n = 60
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=7, damping=0.85).collect()
+    }
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    rank = {v: 1.0 for v in nodes}
+    for _ in range(7):
+        incoming = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            incoming[b] += rank[a] / out[a]
+        rank = {v: 0.15 + 0.85 * incoming[v] for v in nodes}
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], rel=1e-9), v
