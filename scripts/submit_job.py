@@ -11,6 +11,7 @@ import shutil
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def main() -> int:
@@ -35,11 +36,41 @@ def main() -> int:
         for r in score_wand(spark, idx, "stop0 arbak", k=5).collect()
     ]
     env = search(spark, idx, "stop0", per_page=3, scorer=score_wand)
+
+    # full lifecycle under spark-submit: append (new gen) → delete →
+    # phrase/boolean query on the multi-gen index → compact
+    from uci_searchengine_spark.operators.boolean import boolean_search
+    from uci_searchengine_spark.operators.compact import compact_index
+    from uci_searchengine_spark.operators.index_append import append_index
+    from uci_searchengine_spark.operators.phrase import phrase_search
+    from uci_searchengine_spark.operators.tombstones import delete_docs
+
+    # append a disjoint slice: the larger corpus's pages not in gen-0
+    old_urls = [r["url"] for r in pages.select("url").distinct().collect()]
+    extra = synth_pages(spark, 340, seed=1337, partitions=4).filter(
+        ~F.col("url").isin(old_urls)
+    )
+    meta2 = append_index(spark, extra, idx, input_snapshot="submit-append")
+    delete_docs(idx, [top[0][0]])
+    ph = phrase_search(spark, idx, "stop0 stop1", k=3).count()
+    bl = boolean_search(spark, idx, "stop0 -arbak", k=3).count()
+    cidx = f"{work}/idx_compacted"
+    shutil.rmtree(cidx, ignore_errors=True)
+    cmeta = compact_index(spark, idx, cidx)
+
     print(json.dumps({
         "n_docs": meta.n_docs,
         "top": top,
         "total_results": env["total_results"],
         "metrics": build_metrics(idx),
+        "lifecycle": {
+            "gens": meta2.gens,
+            "appended_docs": meta2.n_docs - meta.n_docs,
+            "phrase_hits": ph,
+            "boolean_hits": bl,
+            "compacted_docs": cmeta.n_docs,
+            "compacted_gens": cmeta.gens,
+        },
     }))
     spark.stop()
     return 0
