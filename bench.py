@@ -26,8 +26,10 @@ Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (headline corpus, default
 20000), BENCH_SCALE_DOCS (scaling corpus, default 100000), BENCH_RUNS
 (headline builds, default 2), BENCH_SCALE_RUNS (per-level scaling
-builds, default 3), BENCH_SKIP_BUILD=1 to reuse an existing index,
-BENCH_SKIP_SCALING=1 to skip the two-parallelism section.
+builds, default 3), BENCH_SCALING_BUDGET_S (stop after the last
+complete scaling round past this wall budget, default 900),
+BENCH_SKIP_BUILD=1 to reuse an existing index, BENCH_SKIP_SCALING=1 to
+skip the two-parallelism section.
 """
 
 from __future__ import annotations
@@ -196,7 +198,16 @@ def main() -> None:
         # multiprocessing ceiling is sampled right after the visit.
         t_by_cores: dict[int, list[float]] = {2: [], 8: [], 32: []}
         ceil_by_cores: dict[int, list[float]] = {2: [], 8: [], 32: []}
+        # wall-clock budget: this host's bad phases can stretch a 100k
+        # build 10x; stop after the last COMPLETE round once the budget
+        # is spent so a driver-side timeout never truncates the whole
+        # bench output (every level is always visited at least once)
+        budget_s = float(os.environ.get("BENCH_SCALING_BUDGET_S", "900"))
+        t_start = time.perf_counter()
+        rounds_done = 0
         for rnd in range(rounds):
+            if rnd > 0 and time.perf_counter() - t_start > budget_s:
+                break
             for cores in (2, 8, 32):
                 # level-2 builds are ~4x longer; fewer timed runs per
                 # visit keeps the section's wall time bounded
@@ -213,6 +224,7 @@ def main() -> None:
                 )
                 spark.stop()
                 ceil_by_cores[cores].append(_mp_ceiling(cores))
+            rounds_done = rnd + 1
         shutil.rmtree(scale_idx, ignore_errors=True)
         ceil = {c: min(v) for c, v in ceil_by_cores.items()}
         t2, t8, t32 = (min(t_by_cores[c]) for c in (2, 8, 32))
@@ -245,7 +257,7 @@ def main() -> None:
             "efficiency_vs_host_ceiling_2_to_8": round(eff28 / ceff28, 3) if ceff28 else None,
             "efficiency_vs_host_ceiling_8_to_32": round(eff832 / ceff832, 3) if ceff832 else None,
             "host_ceiling_runs": {str(c): v for c, v in ceil_by_cores.items()},
-            "protocol": f"{rounds} interleaved rounds of (2, 8, 32)-core "
+            "protocol": f"{rounds_done} interleaved rounds of (2, 8, 32)-core "
             "visits, fresh session + warm-up per visit, fresh build per "
             "run, min over all rounds per level; host ceiling = the "
             "identical per-doc work via raw multiprocessing sampled "
