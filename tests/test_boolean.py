@@ -75,3 +75,41 @@ class TestBooleanPositional:
         assert len(got) == len(exp), (query, got, exp)
         for (gd, gs), (ed, es) in zip(got, exp):
             assert gd == ed and math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_parse_query_properties():
+    """Random-query invariants: positives never intersect NOT terms,
+    phrases keep analyzer order, required ⊇ must ∪ phrase tokens."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uci_searchengine_spark.functions.queryparse import parse_query
+    from uci_searchengine_spark.functions.tokenize import tokenize_py
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+    chunk = st.one_of(
+        word,
+        word.map(lambda w: "+" + w),
+        word.map(lambda w: "-" + w),
+        st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
+        st.tuples(word, word).map(lambda t: f'-"{t[0]} {t[1]}"'),
+    )
+
+    @given(st.lists(chunk, max_size=8).map(" ".join))
+    @settings(max_examples=300, deadline=None)
+    def check(q):
+        bq = parse_query(q, tokenize_py)
+        ban = set(bq.not_terms)
+        assert not (set(bq.or_terms) & ban)
+        assert not (set(bq.must_terms) & ban)
+        assert len(set(bq.or_terms)) == len(bq.or_terms)  # deduped
+        assert len(set(bq.must_terms)) == len(bq.must_terms)
+        req = set(bq.required_terms)
+        assert set(bq.must_terms) <= req
+        for p in bq.phrases:
+            assert len(p) >= 2  # single-token quotes are plain terms
+            assert set(p) <= req
+        pos = set(bq.positive_terms)
+        assert set(bq.or_terms) | req == pos
+
+    check()
