@@ -55,3 +55,22 @@ class TestSuggest:
 
         got = suggest(spark, index_small, "arbakk").collect()
         assert got and got[0]["term"] == "arbak" and got[0]["dist"] == 1
+
+
+@pytest.mark.spark
+class TestDidYouMean:
+    def test_suggest_query_fixes_typos(self, spark, index_small):
+        from uci_searchengine_spark.operators.suggest import suggest_query
+
+        assert suggest_query(spark, index_small, "arbakk stop1") == "arbak stop1"
+        assert suggest_query(spark, index_small, "stop0 arbak") is None  # all known
+        assert suggest_query(spark, index_small, "qqqqqqqqqqqq") is None  # hopeless
+
+    def test_envelope_did_you_mean(self, spark, index_small):
+        from uci_searchengine_spark.operators.bm25 import search
+
+        env = search(spark, index_small, "arbakk")
+        assert env["total_results"] == 0
+        assert env["did_you_mean"] == "arbak"
+        ok = search(spark, index_small, env["did_you_mean"])
+        assert ok["total_results"] > 0 and ok["did_you_mean"] is None

@@ -238,6 +238,7 @@ def search(
             "page": page,
             "per_page": per_page,
             "total_pages": 0,
+            "did_you_mean": None,
             "results": [],
         }
     scorer = scorer or score_naive
@@ -254,12 +255,20 @@ def search(
     rows = attach_docs(spark, index_dir, topk, query_terms(query)).collect()
     start = (page - 1) * per_page
     sel = rows[start : start + per_page]
+    dym = None
+    if total == 0:
+        # zero hits → try spell correction (the rare path: one vocab
+        # probe per unknown term, operators/suggest.py)
+        from uci_searchengine_spark.operators.suggest import suggest_query
+
+        dym = suggest_query(spark, index_dir, query)
     return {
         "query": query,
         "total_results": total,
         "page": page,
         "per_page": per_page,
         "total_pages": math.ceil(total / per_page),
+        "did_you_mean": dym,
         "results": [
             {"url": r["url"], "title": r["title"], "snippet": r["snippet"], "score": r["score"]}
             for r in sel

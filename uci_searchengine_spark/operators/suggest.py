@@ -77,3 +77,47 @@ def suggest(
     return out.orderBy(
         F.asc("dist"), F.desc("df"), F.asc("term")
     ).limit(k)
+
+
+def suggest_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    max_dist: int = 2,
+) -> str | None:
+    """Query-level "did you mean": replace each UNKNOWN analyzed term
+    (df == 0 — its shard scan returns no rows) with its best vocabulary
+    correction; known terms pass through. Returns the corrected query
+    string, or None when every term is known or nothing is correctable.
+
+    One pruned-shard membership probe for the whole query + one vocab
+    scan per unknown term — the rare path by construction (most queries
+    have no typos)."""
+    from pyspark.sql import functions as F
+
+    from uci_searchengine_spark.operators.bm25 import terms_for_index
+    from uci_searchengine_spark.operators.index_build import IndexMeta
+    from uci_searchengine_spark.operators.wand import pruned_segments
+
+    meta = IndexMeta.load(index_dir)
+    terms = terms_for_index(meta, query)
+    if not terms:
+        return None
+    seen = {
+        r["term"]
+        for r in pruned_segments(spark, index_dir, meta, terms)
+        .select("term")
+        .distinct()
+        .collect()
+    }
+    unknown = [t for t in terms if t not in seen]
+    if not unknown:
+        return None
+    fixes: dict[str, str] = {}
+    for t in unknown:
+        top = suggest(spark, index_dir, t, k=1, max_dist=max_dist).collect()
+        if top:
+            fixes[t] = top[0]["term"]
+    if not fixes:
+        return None
+    return " ".join(fixes.get(t, t) for t in terms)
