@@ -22,7 +22,11 @@ def appended_index(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_append"))
     pages = synth_pages(spark, N, SEED, partitions=5)
     urls = sorted(r["url"] for r in pages.select("url").distinct().collect())
-    cut = urls[len(urls) // 2]
+    # deliberately UNALIGNED split: 141 gen-0 docs with n_buckets=4 →
+    # bucket_size=36, 141 % 36 != 0, so gen-1's first docs share gen-0's
+    # last bucket — the boundary-bucket case every multi-gen scorer must
+    # handle (same term, one segment row per generation, same bucket)
+    cut = urls[141]
     first = pages.filter(F.col("url") < cut)
     second = pages.filter(F.col("url") >= cut)
     build_index(
@@ -98,6 +102,84 @@ class TestAppend:
                 for r in score_naive(spark, appended_index, q, 10).collect()
             ]
             assert w == n, q
+
+    def test_boundary_bucket_is_shared(self, spark, appended_index):
+        """Fixture sanity: at least one bucket holds docs from BOTH
+        generations (else the tests below don't cover the merge path)."""
+        from uci_searchengine_spark.operators.index_build import (
+            IndexMeta,
+            load_segments,
+        )
+
+        meta = IndexMeta.load(appended_index)
+        seg = load_segments(spark, appended_index)
+        per_gen = (
+            seg.select("bucket", "gen_avgdl").distinct().groupBy("bucket").count()
+        )
+        assert per_gen.filter("count > 1").count() >= 1
+
+    @pytest.mark.parametrize("q", ["stop0 arbak", "arbak stop1 stop2"])
+    def test_and_mode_multigen(self, spark, appended_index, oracle_small, q):
+        """Conjunctive mode across generations — the boundary bucket's
+        per-generation rows of one term must UNION, not intersect."""
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        got = _by_url(
+            spark,
+            appended_index,
+            [
+                (r["doc_id"], r["score"])
+                for r in score_wand(spark, appended_index, q, 10, mode="and").collect()
+            ],
+        )
+        exp = [
+            (oracle_small.urls[d], s) for d, s in oracle_small.top_k_and(q, 10)
+        ]
+        key = lambda r: (-round(r[1], 9), r[0])  # noqa: E731
+        assert len(got) == len(exp), (q, got, exp)
+        for (gu, gs), (eu, es) in zip(sorted(got, key=key), sorted(exp, key=key)):
+            assert gu == eu and math.isclose(gs, es, rel_tol=1e-9), (q, got, exp)
+
+    @pytest.mark.parametrize("ph", ["arbak stop1", "stop0 stop1"])
+    def test_phrase_multigen(self, spark, appended_index, oracle_small, ph):
+        from uci_searchengine_spark.operators.index_build import load_docs
+        from uci_searchengine_spark.operators.phrase import phrase_search
+
+        id2url = {
+            r["doc_id"]: r["url"]
+            for r in load_docs(spark, appended_index).select("doc_id", "url").collect()
+        }
+        got = sorted(
+            (id2url[r["doc_id"]], round(r["score"], 9), r["n_occ"])
+            for r in phrase_search(spark, appended_index, ph, 10).collect()
+        )
+        exp = sorted(
+            (oracle_small.urls[d], round(s, 9), n)
+            for d, s, n in oracle_small.top_k_phrase(ph, 10)
+        )
+        assert [(u, n) for u, _, n in got] == [(u, n) for u, _, n in exp], ph
+        for (gu, gs, _), (eu, es, _) in zip(got, exp):
+            assert math.isclose(gs, es, rel_tol=1e-9)
+
+    def test_boolean_multigen(self, spark, appended_index, oracle_small):
+        from uci_searchengine_spark.operators.boolean import boolean_search
+
+        q = '+arbak stop1 -stop9'
+        got = _by_url(
+            spark,
+            appended_index,
+            [
+                (r["doc_id"], r["score"])
+                for r in boolean_search(spark, appended_index, q, 10).collect()
+            ],
+        )
+        exp = [
+            (oracle_small.urls[d], s) for d, s in oracle_small.boolean_top_k(q, 10)
+        ]
+        key = lambda r: (-round(r[1], 9), r[0])  # noqa: E731
+        assert len(got) == len(exp), (q, got, exp)
+        for (gu, gs), (eu, es) in zip(sorted(got, key=key), sorted(exp, key=key)):
+            assert gu == eu and math.isclose(gs, es, rel_tol=1e-9)
 
     def test_upsert_tombstones_old_version(self, spark, tmp_path):
         from uci_searchengine_spark.operators.bm25 import search

@@ -146,16 +146,26 @@ def boolean_search(
         req_rows = pos_rows[pos_rows["term"].isin(req_set)]
         if req_rows["term"].nunique() < len(req_set):
             return out_empty  # a required term has no postings here
-        ordered = sorted(
-            req_rows.itertuples(index=False),
-            key=lambda r: (int(r.df_global), r.term),
+        # group rows per TERM: multi-generation boundary buckets carry
+        # one row per generation for the same term — its doc set is the
+        # UNION of the rows (intersecting them would wrongly empty)
+        by_req: dict[str, list] = {}
+        for r in req_rows.itertuples(index=False):
+            by_req.setdefault(r.term, []).append(r)
+        groups = sorted(
+            by_req.items(), key=lambda kv: (int(kv[1][0].df_global), kv[0])
         )
         cand: np.ndarray | None = None
-        for r in ordered:
-            d, _tf, _dl = _row_decode(r, cand, base)
-            if d.size == 0:
+        for _term, trows in groups:
+            parts = []
+            for r in trows:
+                d, _tf, _dl = _row_decode(r, cand, base)
+                if d.size:
+                    parts.append(d)
+            if not parts:
                 return out_empty
-            cand = d  # ascending by construction
+            d = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+            cand = d  # ascending
         if tomb is not None:
             cand = _setdiff_sorted(cand, tomb)
             if not cand.size:
@@ -167,11 +177,13 @@ def boolean_search(
                 return out_empty
         if phrases:
             if use_pos:
-                by_term = {
-                    r.term: _candidate_positions(r, cand, base)
-                    for r in pos_rows.itertuples(index=False)
-                    if any(r.term in p for p in phrases)
-                }
+                by_term: dict[str, dict] = {}
+                for r in pos_rows.itertuples(index=False):
+                    if any(r.term in p for p in phrases):
+                        # merge per-generation rows (disjoint doc keys)
+                        by_term.setdefault(r.term, {}).update(
+                            _candidate_positions(r, cand, base)
+                        )
                 keep = []
                 for di in cand:
                     di = int(di)

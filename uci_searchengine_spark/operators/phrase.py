@@ -140,7 +140,11 @@ def _positional_counts(
     cand_sorted = np.sort(cand)
     by_term: dict[str, dict[int, np.ndarray]] = {}
     for row in seg_pdf.itertuples(index=False):
-        by_term[row.term] = _candidate_positions(row, cand_sorted, base)
+        # merge per-generation rows of the same term (multi-gen boundary
+        # buckets) — their doc keys are disjoint
+        by_term.setdefault(row.term, {}).update(
+            _candidate_positions(row, cand_sorted, base)
+        )
     out: dict[int, int] = {}
     for d in cand_sorted:
         di = int(d)

@@ -248,30 +248,52 @@ def _score_bucket_and(
     bucket = int(seg["bucket"].iloc[0])
     base = bucket * bucket_size
 
-    rows = sorted(
-        seg.itertuples(index=False), key=lambda r: (int(r.df_global), r.term)
+    # group rows by TERM: in a multi-generation index a boundary bucket
+    # (doc ranges spanning generations) holds one row per generation for
+    # the same term — a term's doc set is the UNION of its rows, and
+    # intersecting the rows separately (disjoint doc ranges!) would
+    # wrongly empty the result
+    by_term: dict[str, list] = {}
+    for r in seg.itertuples(index=False):
+        by_term.setdefault(r.term, []).append(r)
+    groups = sorted(
+        by_term.items(), key=lambda kv: (int(kv[1][0].df_global), kv[0])
     )
     acc = np.zeros(bucket_size, dtype=np.float64)
     cand: np.ndarray | None = None
-    for r in rows:
-        w = idf_map[r.term]
-        blob = bytes(r.postings)
-        if cand is None:
-            d, tf, dl = unpack_postings(blob)
-            if excl is not None and excl.size and d.size:
-                p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
-                m = excl[p] != d
-                d, tf, dl = d[m], tf[m], dl[m]
-        else:
-            d, tf, dl = _decode_for_candidates(
-                blob,
-                np.asarray(r.block_offsets, dtype=np.int64),
-                np.asarray(r.block_last_doc, dtype=np.int64),
-                cand,
-                base,
-            )
-        if d.size == 0:
+    for term, trows in groups:
+        w = idf_map[term]
+        parts = []
+        for r in trows:
+            blob = bytes(r.postings)
+            if cand is None:
+                d, tf, dl = unpack_postings(blob)
+                if excl is not None and excl.size and d.size:
+                    p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
+                    m = excl[p] != d
+                    d, tf, dl = d[m], tf[m], dl[m]
+            else:
+                d, tf, dl = _decode_for_candidates(
+                    blob,
+                    np.asarray(r.block_offsets, dtype=np.int64),
+                    np.asarray(r.block_last_doc, dtype=np.int64),
+                    cand,
+                    base,
+                )
+            if d.size:
+                parts.append((d, tf, dl))
+        if not parts:
             return empty
+        if len(parts) == 1:
+            d, tf, dl = parts[0]
+        else:
+            # generations hold disjoint doc ranges; concatenate + one
+            # argsort restores global doc order
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts])
+            dl = np.concatenate([p[2] for p in parts])
+            o = np.argsort(d, kind="stable")
+            d, tf, dl = d[o], tf[o], dl[o]
         tf_f = tf.astype(np.float64)
         contrib = w * (
             tf_f
@@ -279,7 +301,7 @@ def _score_bucket_and(
             / (tf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl))
         )
         np.add.at(acc, d - base, contrib)
-        cand = d  # postings are doc-ascending ⇒ stays sorted
+        cand = d  # sorted ascending
 
     nz = cand - base
     scores = acc[nz]
