@@ -1652,9 +1652,9 @@ def q_corpus_report(spark, sf_dir):
 
 SQL_CORPUS_REPORT = """
 SELECT count(*) AS n_docs,
-  sum(CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END) AS total_tokens,
-  sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS n_en,
-  count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)),'\\s+',' ','g'))) AS n_exact_dupes,
+  sum(CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END)::BIGINT AS total_tokens,
+  sum(CASE WHEN lang='en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+  (count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)),'\\s+',' ','g'))))::BIGINT AS n_exact_dupes,
   count(DISTINCT source) AS n_sources
 FROM documents
 """
@@ -2010,7 +2010,7 @@ def q_user_sessions(spark, sf_dir):
 
 
 SQL_USER_SESSIONS = """
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
@@ -2339,7 +2339,38 @@ SELECT DISTINCT term FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id = 1)
 """
 
 
+# Registry order matters: the driver's correctness gate checks the FIRST 50
+# entries only. Keep (a) any previously-red or never-driver-verified gate and
+# (b) every gate whose implementation changed this round inside that window;
+# rotate long-stable breadth gates to the tail (they stay covered by
+# scripts/check_oracles.py + pytest).
 QUERIES = {
+    # -- re-verification priority: round-2 red row (oracle typing fixed) --
+    "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
+    # -- never driver-verified (positions 51-72 in round 2) --
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "pii_redact": (q_pii_redact, _sql_pii_redact()),
+    "image_meta": (q_image_meta, SQL_IMAGE_META),
+    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
+    "domain_filter": (q_domain_filter, SQL_DOMAIN_FILTER),
+    "snippet_exprs": (q_snippet_exprs, SQL_SNIPPET_EXPRS),
+    "page2_results": (q_page2_results, SQL_PAGE2_RESULTS),
+    "pagination_totals": (q_pagination_totals, SQL_PAGINATION_TOTALS),
+    "df_having": (q_df_having, _sql_df_having()),
+    "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "asof_click_view": (q_asof_click_view, SQL_ASOF_CLICK_VIEW),
+    "bigram_vocab": (q_bigram_vocab, _sql_bigram_vocab()),
+    "bigram_pmi": (q_bigram_pmi, _sql_bigram_pmi()),
+    "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
+    "split_assign": (q_split_assign, _sql_split_assign()),
+    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
+    "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
+    "brands_except": (q_brands_except, SQL_BRANDS_EXCEPT),
+    "priority_extract": (q_priority_extract, SQL_PRIORITY_EXTRACT),
+    "common_terms_intersect": (q_common_terms_intersect, _sql_common_terms()),
+    # -- touched this round (scorer / serving / tombstones / dedup) --
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "bm25_segments_topk": (q_bm25_segments_topk, SQL_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, SQL_BM25_AND_TOPK),
@@ -2356,6 +2387,16 @@ QUERIES = {
     "pagerank": (q_pagerank, _sql_pagerank()),
     "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
     "training_prep": (q_training_prep, _sql_training_prep()),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash()),
+    "dup_clusters": (q_dup_clusters, _sql_dup_clusters()),
+    "simhash": (q_simhash, _sql_simhash()),
+    "embedding_near_pairs": (q_embedding_near_pairs, _sql_embedding_near_pairs()),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    # ---- driver window boundary is position 50; slots above left for any
+    # ---- gates added this round; everything below is long-stable (green in
+    # ---- CORRECTNESS_r02 and untouched) and covered by local replica + pytest
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),
@@ -2374,42 +2415,12 @@ QUERIES = {
     "top_orders_by_price": (q_top_orders_by_price, SQL_TOP_ORDERS_BY_PRICE),
     "nations_union": (q_nations_union, SQL_NATIONS_UNION),
     "scalar_projection": (q_scalar_projection, SQL_SCALAR_PROJECTION),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash()),
-    "dup_clusters": (q_dup_clusters, _sql_dup_clusters()),
-    "simhash": (q_simhash, _sql_simhash()),
-    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "ivf_search": (q_ivf_search, _sql_ivf_search()),
-    "embedding_near_pairs": (q_embedding_near_pairs, _sql_embedding_near_pairs()),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
-    "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
-    "pii_redact": (q_pii_redact, _sql_pii_redact()),
-    "image_meta": (q_image_meta, SQL_IMAGE_META),
-    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
-    "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
-    "domain_filter": (q_domain_filter, SQL_DOMAIN_FILTER),
-    "snippet_exprs": (q_snippet_exprs, SQL_SNIPPET_EXPRS),
-    "page2_results": (q_page2_results, SQL_PAGE2_RESULTS),
-    "pagination_totals": (q_pagination_totals, SQL_PAGINATION_TOTALS),
-    "df_having": (q_df_having, _sql_df_having()),
-    "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
-    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
-    "json_props": (q_json_props, SQL_JSON_PROPS),
-    "asof_click_view": (q_asof_click_view, SQL_ASOF_CLICK_VIEW),
-    "bigram_vocab": (q_bigram_vocab, _sql_bigram_vocab()),
-    "bigram_pmi": (q_bigram_pmi, _sql_bigram_pmi()),
-    "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
-    "split_assign": (q_split_assign, _sql_split_assign()),
-    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
-    "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
-    "brands_except": (q_brands_except, SQL_BRANDS_EXCEPT),
-    "priority_extract": (q_priority_extract, SQL_PRIORITY_EXTRACT),
-    "common_terms_intersect": (q_common_terms_intersect, _sql_common_terms()),
 }
