@@ -1,8 +1,11 @@
 """Verification drive: public-API end-to-end (synth → build → query)."""
 import json
+import os
 import shutil
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from uci_searchengine_spark.session import get_spark
 from uci_searchengine_spark.sources.synth import synth_pages

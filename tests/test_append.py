@@ -181,6 +181,28 @@ class TestAppend:
         for (gu, gs), (eu, es) in zip(sorted(got, key=key), sorted(exp, key=key)):
             assert gu == eu and math.isclose(gs, es, rel_tol=1e-9)
 
+    @pytest.mark.parametrize("q", ["stop0 arbak", "arband arbast"])
+    def test_searcher_equals_rebuild_multigen(
+        self, spark, appended_index, oracle_small, q
+    ):
+        """The resident Searcher must resolve df across generations exactly
+        like the cold wand path (regression: Searcher.top_k once re-aggregated
+        df only for seg_split>1, scoring appended indexes with per-generation
+        fragment-local df)."""
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, appended_index)
+        got = _by_url(
+            spark,
+            appended_index,
+            [(r["doc_id"], r["score"]) for r in s.top_k(q, 10).collect()],
+        )
+        exp = [(oracle_small.urls[d], sc) for d, sc in oracle_small.top_k(q, 10)]
+        key = lambda r: (-round(r[1], 9), r[0])  # noqa: E731
+        assert len(got) == len(exp), (q, got, exp)
+        for (gu, gs), (eu, es) in zip(sorted(got, key=key), sorted(exp, key=key)):
+            assert gu == eu and math.isclose(gs, es, rel_tol=1e-9), (q, got, exp)
+
     def test_upsert_tombstones_old_version(self, spark, tmp_path):
         from uci_searchengine_spark.operators.bm25 import search
         from uci_searchengine_spark.operators.index_append import append_index

@@ -53,18 +53,9 @@ class Searcher:
         terms = terms_for_index(meta, query)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        shard_map = _wand._shards_for_terms(terms, meta.num_shards)
-        shards = sorted(set(shard_map.values()))
-        seg = self._segments.filter(
-            F.col("shard").isin(shards) & F.col("term").isin(terms)
-        )
-        if getattr(meta, "seg_split", 1) > 1:
-            dfs = seg.groupBy("term").agg(F.sum("df").cast("long").alias("_df"))
-            seg = (
-                seg.drop("df_global")
-                .join(F.broadcast(dfs), "term")
-                .withColumnRenamed("_df", "df_global")
-            )
+        # identical pruning + multi-generation df resolution as the cold path
+        # (wand.pruned_segments), applied to the resident cached relation
+        seg = _wand.prune_relation(self._segments, meta, terms)
         return _wand._topk_over_segments(
             seg, meta, k, mode=mode, n_terms=len(terms),
             excl=_wand.load_excl(self.index_dir),

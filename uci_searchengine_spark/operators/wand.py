@@ -351,11 +351,24 @@ def pruned_segments(
     df_global resolved. The positional plane (if the index has one) is
     column-pruned away unless ``with_positions`` — BM25 scoring must not
     pay its bytes."""
+    return prune_relation(
+        load_segments(spark, index_dir), meta, terms, with_positions=with_positions
+    )
+
+
+def prune_relation(
+    seg_rel: DataFrame,
+    meta: IndexMeta,
+    terms: list[str],
+    with_positions: bool = False,
+) -> DataFrame:
+    """Apply the query-term pruning + df resolution to an already-loaded
+    segment relation (shared by pruned_segments and the resident
+    serving.Searcher, so both surfaces get identical multi-generation df
+    semantics)."""
     shard_map = _shards_for_terms(terms, meta.num_shards)
     shards = sorted(set(shard_map.values()))
-    seg = load_segments(spark, index_dir).filter(
-        F.col("shard").isin(shards) & F.col("term").isin(terms)
-    )
+    seg = seg_rel.filter(F.col("shard").isin(shards) & F.col("term").isin(terms))
     if getattr(meta, "positions", False) and not with_positions:
         seg = seg.drop("positions", "pos_block_off")
     if getattr(meta, "seg_split", 1) > 1 or getattr(meta, "gens", 1) > 1:
