@@ -115,6 +115,56 @@ class TestSearchE2E:
         env = s.search(q, per_page=3, mode="and")
         assert env["total_results"] == len(oracle_small.top_k_and(q, 10**6))
 
+    def test_searcher_envelope_matches_oracle_one_job(
+        self, spark, index_small, oracle_small
+    ):
+        """Searcher.search folds total_results into the scoring pass
+        (wand.topk_and_count): envelope equals the oracle's AND the
+        scorer+count runs as ONE Spark job (plus one doc-fetch job)."""
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small)
+        q = "stop0 arbak"
+        sc = spark.sparkContext
+        sc.setJobGroup("env-one-job", "searcher envelope job count")
+        got = s.search(q, page=1, per_page=5)
+        tracker = sc.statusTracker()
+        jobs = tracker.getJobIdsForGroup("env-one-job")
+        sc.setJobGroup(None, None)
+        exp = oracle_small.search(q, page=1, per_page=5)
+        assert got["total_results"] == exp["total_results"]
+        assert got["total_pages"] == exp["total_pages"]
+        assert [r["url"] for r in got["results"]] == [r["url"] for r in exp["results"]]
+        for g, e in zip(got["results"], exp["results"]):
+            assert math.isclose(g["score"], e["score"], rel_tol=1e-9)
+        assert got["did_you_mean"] is None
+        # exactly TWO actions: the folded scorer+count collect and the
+        # doc-store fetch collect (AQE fans each action into several job
+        # ids, so count distinct collect call-sites, not jobs)
+        sites = set()
+        for j in jobs:
+            ji = tracker.getJobInfo(j)
+            if ji is None:
+                continue
+            for st in ji.stageIds:
+                si = tracker.getStageInfo(st)
+                if si is not None:
+                    sites.add(si.name.split(" at ")[-1])
+        assert len(sites) <= 2, sites
+
+    def test_searcher_envelope_zero_hits_did_you_mean(self, spark, index_small):
+        """Envelope-shape parity with bm25.search: the did_you_mean key is
+        present, and the zero-hit path consults the vocabulary."""
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small)
+        env = s.search("arbak1")  # off-by-one typo of an indexed term
+        assert env["total_results"] == 0
+        assert "did_you_mean" in env
+        assert env["did_you_mean"] == "arbak"
+        env2 = s.search("!!! ...")
+        assert env2["total_results"] == 0 and "did_you_mean" in env2
+
     def test_empty_query_envelope(self, spark, index_small):
         from uci_searchengine_spark.operators.bm25 import search
 

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from uci_searchengine_spark.operators import wand as _wand
 from uci_searchengine_spark.operators.bm25 import (
     make_snippet_udf,
-    match_count,
     query_terms,
     terms_for_index,
 )
@@ -87,7 +86,10 @@ class Searcher:
         """Result envelope (search.py:119-126 shape) on the resident index.
 
         Matching terms follow the index's analysis chain (stemmed iff the
-        index is); snippets highlight the raw query forms (display rule)."""
+        index is); snippets highlight the raw query forms (display rule).
+        Hits AND total_results come from ONE Spark job
+        (wand.topk_and_count) — the envelope used to run the scorer and
+        then a second count job over the same pruned relation."""
         terms = terms_for_index(self.meta, query)
         if not terms:
             return {
@@ -96,13 +98,14 @@ class Searcher:
                 "page": page,
                 "per_page": per_page,
                 "total_pages": 0,
+                "did_you_mean": None,
                 "results": [],
             }
-        hits = [
-            (r["doc_id"], r["score"])
-            for r in self.top_k(query, k=page * per_page, mode=mode).collect()
-        ]
-        total = match_count(self.spark, self.index_dir, terms, mode=mode)
+        seg = _wand.prune_relation(self._segments, self.meta, terms)
+        hits, total = _wand.topk_and_count(
+            seg, self.meta, k=page * per_page, mode=mode, n_terms=len(terms),
+            excl=_wand.load_excl(self.index_dir),
+        )
         rows = []
         if hits:
             ids = [d for d, _ in hits]
@@ -127,12 +130,20 @@ class Searcher:
             )
         start = (page - 1) * per_page
         sel = rows[start : start + per_page]
+        dym = None
+        if total == 0:
+            # zero hits → spell-correct from this index's vocabulary
+            # (envelope parity with bm25.search / FIXTURES.md schema)
+            from uci_searchengine_spark.operators.suggest import suggest_query
+
+            dym = suggest_query(self.spark, self.index_dir, query)
         return {
             "query": query,
             "total_results": total,
             "page": page,
             "per_page": per_page,
             "total_pages": math.ceil(total / per_page),
+            "did_you_mean": dym,
             "results": [
                 {
                     "url": r["url"],

@@ -132,12 +132,20 @@ def _score_bucket(
     bucket_size: int,
     k: int,
     excl: "np.ndarray | None" = None,
+    count_matches: bool = False,
 ) -> pd.DataFrame:
     """``excl``: sorted global doc ids to EXCLUDE (boolean NOT). Applied
     at accumulation time — before θ ever tightens — so block-max pruning
-    stays admissible for the post-exclusion top-k."""
+    stays admissible for the post-exclusion top-k.
+
+    ``count_matches``: also return this bucket's exact matched-doc count
+    as ``(pdf, n)``. Counting the OR-union's cardinality requires decoding
+    every term's doc ids, so candidate restriction (which skips blocks)
+    is disabled — the envelope path trades pruning for folding the
+    total_results count into the same pass (one job instead of two)."""
+    _empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
     if not len(seg):
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
+        return (_empty, 0) if count_matches else _empty
     bucket = int(seg["bucket"].iloc[0])
     base = bucket * bucket_size
 
@@ -188,6 +196,8 @@ def _score_bucket(
         )
         np.add.at(acc, local, contrib)
 
+        if count_matches:
+            continue  # exact union count needs every list decoded in full
         if cand is None:
             nz = np.flatnonzero(acc > 0)
             if nz.size >= k:
@@ -205,8 +215,9 @@ def _score_bucket(
 
     nz = np.flatnonzero(acc > 0) if cand is None else np.unique(cand - base)
     nz = nz[acc[nz] > 0]
+    n_matched = int(nz.size)
     if nz.size == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
+        return (_empty, 0) if count_matches else _empty
     scores = acc[nz]
     if nz.size > k:
         # tie-aware top-k: keep EVERY doc at the k-th score boundary so the
@@ -217,7 +228,8 @@ def _score_bucket(
         keep = scores >= kth
         nz, scores = nz[keep], scores[keep]
     order = np.lexsort((nz, -scores))[:k]
-    return pd.DataFrame({"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]})
+    out = pd.DataFrame({"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]})
+    return (out, n_matched) if count_matches else out
 
 
 def _score_bucket_and(
@@ -228,9 +240,12 @@ def _score_bucket_and(
     n_terms: int,
     k: int | None,
     excl: "np.ndarray | None" = None,
+    count_matches: bool = False,
 ) -> pd.DataFrame:
     """Conjunctive (ALL-terms) top-k for one bucket: rarest-first
-    posting-list intersection with block skipping.
+    posting-list intersection with block skipping. ``count_matches``
+    returns ``(pdf, n)`` where n is the full intersection size — free
+    here, the intersection is exact before the top-k truncation.
 
     The rarest term (smallest global df) is decoded in full and defines
     the candidate set; every later list decodes ONLY the blocks whose
@@ -244,7 +259,7 @@ def _score_bucket_and(
     if not len(seg) or seg["term"].nunique() < n_terms:
         # a query term with no postings in this bucket ⇒ no doc here
         # holds all terms
-        return empty
+        return (empty, 0) if count_matches else empty
     bucket = int(seg["bucket"].iloc[0])
     base = bucket * bucket_size
 
@@ -283,7 +298,7 @@ def _score_bucket_and(
             if d.size:
                 parts.append((d, tf, dl))
         if not parts:
-            return empty
+            return (empty, 0) if count_matches else empty
         if len(parts) == 1:
             d, tf, dl = parts[0]
         else:
@@ -305,6 +320,7 @@ def _score_bucket_and(
 
     nz = cand - base
     scores = acc[nz]
+    n_matched = int(nz.size)
     if k is not None and nz.size > k:
         # tie-aware boundary keep, then full (score desc, doc_id asc)
         # lexsort — identical rank contract to the OR path
@@ -314,9 +330,10 @@ def _score_bucket_and(
     order = np.lexsort((nz, -scores))
     if k is not None:
         order = order[:k]
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]}
     )
+    return (out, n_matched) if count_matches else out
 
 
 def score_wand(
@@ -423,3 +440,99 @@ def _topk_over_segments(
 
     per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_TOPK_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+_TOPK_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("n_matched", T.LongType(), False),
+        T.StructField(
+            "top",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        # neg_score first: sort_array(asc) then yields
+                        # (score desc, doc_id asc) — the ranking contract
+                        T.StructField("neg_score", T.DoubleType(), False),
+                        T.StructField("doc_id", T.LongType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def topk_and_count(
+    seg: DataFrame,
+    meta: IndexMeta,
+    k: int,
+    mode: str = "or",
+    n_terms: int | None = None,
+    excl: "np.ndarray | None" = None,
+) -> tuple[list[tuple[int, float]], int]:
+    """Envelope primitive: global top-k hits AND the exact total match
+    count from ONE Spark job (the envelope previously ran the scorer and
+    then a second count job over the same relation — 2× query fan-out).
+
+    Per bucket the pandas fn returns a single row
+    ``(bucket, n_matched, top[:k])``; the global step is one aggregate:
+    ``sum(n_matched)`` + flatten/sort_array/slice of ≤ n_buckets·k
+    structs — the same driver-bound data volume TakeOrderedAndProject
+    already shipped. Exact OR-union counting requires decoding every
+    term's doc ids, so the OR path scores exhaustively here (no block
+    skipping); that work replaces the old second job's full flat-postings
+    scan, strictly less total I/O."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    n_docs = meta.n_docs
+    avgdl, bucket_size = meta.avgdl, meta.bucket_size
+
+    def fn(key, seg_pdf):
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int64"),
+                "n_matched": pd.Series([], dtype="int64"),
+                "top": pd.Series([], dtype="object"),
+            }
+        )
+        if not len(seg_pdf):
+            return empty
+        idf_map = {
+            t: idf_fn(n_docs, int(d))
+            for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+        }
+        if mode == "and":
+            pdf, n = _score_bucket_and(
+                seg_pdf, idf_map, avgdl, bucket_size, n_terms, k,
+                excl=excl, count_matches=True,
+            )
+        else:
+            pdf, n = _score_bucket(
+                seg_pdf, idf_map, avgdl, bucket_size, k,
+                excl=excl, count_matches=True,
+            )
+        if not n:
+            return empty
+        top = [
+            {"neg_score": -float(s), "doc_id": int(d)}
+            for d, s in zip(pdf["doc_id"], pdf["score"])
+        ]
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series([int(seg_pdf["bucket"].iloc[0])], dtype="int64"),
+                "n_matched": pd.Series([n], dtype="int64"),
+                "top": pd.Series([top], dtype="object"),
+            }
+        )
+
+    per_bucket = seg.groupBy("bucket").applyInPandas(fn, schema=_TOPK_COUNT_SCHEMA)
+    row = per_bucket.agg(
+        F.coalesce(F.sum("n_matched"), F.lit(0)).alias("total"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("top"))), 1, k
+        ).alias("top"),
+    ).collect()[0]
+    hits = [(int(r["doc_id"]), -float(r["neg_score"])) for r in row["top"]]
+    return hits, int(row["total"])
