@@ -89,3 +89,81 @@ class TestTombstones:
         env_total = search(spark, index_tomb, q, per_page=3)["total_results"]
         full_total = len(oracle_small.top_k(q, 10**6))
         assert env_total == full_total - len(deleted)
+
+
+@pytest.mark.spark
+class TestBucketedTombstones:
+    """Past DRIVER_CAP the scorers cogroup the bucketed tombstone relation
+    instead of shipping a driver array — results must be identical on
+    every query path. Exercised by lowering the cap to 1 (any delete set
+    of ≥2 ids takes the cogrouped path)."""
+
+    @pytest.fixture()
+    def low_cap(self):
+        from uci_searchengine_spark.operators import tombstones
+
+        old = tombstones.DRIVER_CAP
+        tombstones.DRIVER_CAP = 1
+        yield
+        tombstones.DRIVER_CAP = old
+
+    def test_load_excl_switches_to_bucketed(self, spark, index_tomb, low_cap):
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.tombstones import delete_docs
+        from uci_searchengine_spark.operators.wand import BucketedExcl, load_excl
+
+        delete_docs(index_tomb, [0, 1])
+        meta = IndexMeta.load(index_tomb)
+        e = load_excl(index_tomb, spark, meta.bucket_size)
+        assert isinstance(e, BucketedExcl)
+        # without spark, caller still gets the exact driver array
+        import numpy as np
+
+        arr = load_excl(index_tomb)
+        assert isinstance(arr, np.ndarray) and arr.tolist() == [0, 1]
+
+    def test_all_paths_match_driver_array(self, spark, index_tomb, oracle_small, low_cap):
+        """or / and / phrase / boolean / envelope: cogrouped exclusion ≡
+        driver-array exclusion ≡ oracle-minus-deleted."""
+        from uci_searchengine_spark.operators import tombstones
+        from uci_searchengine_spark.operators.boolean import boolean_search
+        from uci_searchengine_spark.operators.phrase import phrase_search
+        from uci_searchengine_spark.operators.serving import Searcher
+        from uci_searchengine_spark.operators.tombstones import delete_docs
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        q = "stop0 arbak"
+        full = oracle_small.top_k(q, 10**6)
+        deleted = {full[0][0], full[1][0], full[5][0]}
+        delete_docs(index_tomb, deleted)
+        exp = _minus(full, deleted)
+
+        def run_all():
+            out = {}
+            out["or"] = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in score_wand(spark, index_tomb, q, 10).collect()
+            ]
+            out["and"] = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in score_wand(spark, index_tomb, q, 10, mode="and").collect()
+            ]
+            out["phrase"] = [
+                (r["doc_id"], r["n_occ"])
+                for r in phrase_search(spark, index_tomb, "arbak stop1", 10).collect()
+            ]
+            out["bool"] = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in boolean_search(
+                    spark, index_tomb, "+arbak stop1 -stop9", 10
+                ).collect()
+            ]
+            env = Searcher(spark, index_tomb).search(q, per_page=5)
+            out["env"] = (env["total_results"], [r["url"] for r in env["results"]])
+            return out
+
+        cog = run_all()  # DRIVER_CAP=1 → cogrouped path
+        assert [d for d, _ in cog["or"]] == [d for d, _ in exp]
+        tombstones.DRIVER_CAP = 10_000_000
+        arr = run_all()  # normal driver-array path
+        assert cog == arr

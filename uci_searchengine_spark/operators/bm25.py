@@ -128,15 +128,19 @@ def score_naive(
 
 
 def _minus_tombstones(spark: SparkSession, df: DataFrame, index_dir: str) -> DataFrame:
-    """Anti-join the tombstone set (operators/tombstones.py) — no-op
-    when the index has none."""
-    from uci_searchengine_spark.operators.tombstones import load_tombstone_ids
+    """Anti-join the tombstone set (operators/tombstones.py) — no-op when
+    the index has none. The tombstone parquet is read Spark-side (never a
+    driver array), so this scales to any tombstone count; AQE broadcasts
+    the small common case on its own."""
+    from uci_searchengine_spark.operators.tombstones import tombstone_count_estimate
 
-    t = load_tombstone_ids(index_dir)
-    if not t.size:
+    if not tombstone_count_estimate(index_dir):
         return df
-    tomb = spark.createDataFrame([(int(i),) for i in t], "doc_id long")
-    return df.join(F.broadcast(tomb), "doc_id", "left_anti")
+    tomb = (
+        spark.read.parquet(os.path.join(index_dir, "tombstones"))
+        .select("doc_id")
+    )
+    return df.join(tomb, "doc_id", "left_anti")
 
 
 def match_count(

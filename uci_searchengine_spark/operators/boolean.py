@@ -44,6 +44,7 @@ from uci_searchengine_spark.operators.phrase import (
 from uci_searchengine_spark.operators.wand import (
     _decode_for_candidates,
     _score_bucket,
+    apply_per_bucket,
     load_excl,
     pruned_segments,
 )
@@ -107,144 +108,147 @@ def boolean_search(
     stem = bool(getattr(meta, "stem", False))
     pos_set, req_set, neg_set = set(pos), set(req), set(neg)
     phrases = bq.phrases
-    tomb = load_excl(index_dir)  # tombstones join the NOT set
+    tomb_in = load_excl(index_dir, spark, bucket_size)  # tombstones join the NOT set
 
-    def score_fn(key, seg_pdf):
-        out_empty = pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype="int64"),
-                "score": pd.Series([], dtype="float64"),
-            }
-        )
-        if not len(seg_pdf):
-            return out_empty
-        bucket = int(seg_pdf["bucket"].iloc[0])
-        base = bucket * bucket_size
-        in_pos = seg_pdf["term"].isin(pos_set)
-        pos_rows = seg_pdf[in_pos]
-        neg_rows = seg_pdf[seg_pdf["term"].isin(neg_set)]
-        idf_map = {
-            t: idf_fn(n_docs, int(d))
-            for t, d in zip(pos_rows["term"], pos_rows["df_global"])
-        }
-        if not req_set:
-            excl = tomb
-            if len(neg_rows):
-                parts = [_row_decode(r, None, base)[0] for r in neg_rows.itertuples(index=False)]
-                if parts:
-                    neg_ids = np.concatenate(parts)
-                    excl = (
-                        np.union1d(tomb, neg_ids)
-                        if tomb is not None
-                        else np.unique(neg_ids)
-                    )
-            return _score_bucket(
-                pos_rows, idf_map, avgdl, bucket_size, k, excl=excl
+    def make_fn(tomb):
+        def score_fn(key, seg_pdf):
+            out_empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
             )
-
-        # --- required-set path: intersect, subtract, verify, then score
-        req_rows = pos_rows[pos_rows["term"].isin(req_set)]
-        if req_rows["term"].nunique() < len(req_set):
-            return out_empty  # a required term has no postings here
-        # group rows per TERM: multi-generation boundary buckets carry
-        # one row per generation for the same term — its doc set is the
-        # UNION of the rows (intersecting them would wrongly empty)
-        by_req: dict[str, list] = {}
-        for r in req_rows.itertuples(index=False):
-            by_req.setdefault(r.term, []).append(r)
-        groups = sorted(
-            by_req.items(), key=lambda kv: (int(kv[1][0].df_global), kv[0])
-        )
-        cand: np.ndarray | None = None
-        for _term, trows in groups:
-            parts = []
-            for r in trows:
-                d, _tf, _dl = _row_decode(r, cand, base)
-                if d.size:
-                    parts.append(d)
-            if not parts:
+            if not len(seg_pdf):
                 return out_empty
-            d = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
-            cand = d  # ascending
-        if tomb is not None:
-            cand = _setdiff_sorted(cand, tomb)
-            if not cand.size:
-                return out_empty
-        for r in neg_rows.itertuples(index=False):
-            d, _tf, _dl = _row_decode(r, cand, base)
-            cand = _setdiff_sorted(cand, d)
-            if not cand.size:
-                return out_empty
-        if phrases:
-            if use_pos:
-                by_term: dict[str, dict] = {}
-                for r in pos_rows.itertuples(index=False):
-                    if any(r.term in p for p in phrases):
-                        # merge per-generation rows (disjoint doc keys)
-                        by_term.setdefault(r.term, {}).update(
-                            _candidate_positions(r, cand, base)
+            bucket = int(seg_pdf["bucket"].iloc[0])
+            base = bucket * bucket_size
+            in_pos = seg_pdf["term"].isin(pos_set)
+            pos_rows = seg_pdf[in_pos]
+            neg_rows = seg_pdf[seg_pdf["term"].isin(neg_set)]
+            idf_map = {
+                t: idf_fn(n_docs, int(d))
+                for t, d in zip(pos_rows["term"], pos_rows["df_global"])
+            }
+            if not req_set:
+                excl = tomb
+                if len(neg_rows):
+                    parts = [_row_decode(r, None, base)[0] for r in neg_rows.itertuples(index=False)]
+                    if parts:
+                        neg_ids = np.concatenate(parts)
+                        excl = (
+                            np.union1d(tomb, neg_ids)
+                            if tomb is not None
+                            else np.unique(neg_ids)
                         )
-                keep = []
-                for di in cand:
-                    di = int(di)
-                    ok = True
-                    for p in phrases:
-                        s = by_term[p[0]].get(di)
-                        if s is None:
-                            ok = False
-                            break
-                        for t in p[1:]:
-                            nxt = by_term[t].get(di)
-                            if nxt is None or not s.size:
-                                s = np.empty(0, dtype=np.int64)
-                                break
-                            s = np.intersect1d(s + 1, nxt, assume_unique=True)
-                        if not s.size:
-                            ok = False
-                            break
-                    if ok:
-                        keep.append(di)
-                cand = np.asarray(keep, dtype=np.int64)
-            else:
-                survivors = set(cand.tolist())
-                for p in phrases:
-                    occ = _verify_bucket(
-                        docs_dirs, bucket, np.fromiter(survivors, dtype=np.int64), p, stem
-                    )
-                    survivors = {d for d in survivors if occ.get(d, 0) > 0}
-                    if not survivors:
-                        return out_empty
-                cand = np.asarray(sorted(survivors), dtype=np.int64)
-            if not cand.size:
-                return out_empty
-        # complete the scores: every positive term, candidate-restricted
-        acc = np.zeros(bucket_size, dtype=np.float64)
-        for r in pos_rows.itertuples(index=False):
-            d, tf, dl = _row_decode(r, cand, base)
-            if not d.size:
-                continue
-            tf_f = tf.astype(np.float64)
-            contrib = idf_map[r.term] * (
-                tf_f
-                * (BM25_K1 + 1.0)
-                / (
-                    tf_f
-                    + BM25_K1
-                    * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl)
+                return _score_bucket(
+                    pos_rows, idf_map, avgdl, bucket_size, k, excl=excl
                 )
-            )
-            np.add.at(acc, d - base, contrib)
-        nz = cand - base
-        scores = acc[nz]
-        order = np.lexsort((nz, -scores))[:k]
-        return pd.DataFrame(
-            {
-                "doc_id": (nz[order] + base).astype("int64"),
-                "score": scores[order],
-            }
-        )
 
-    per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_OUT)
+            # --- required-set path: intersect, subtract, verify, then score
+            req_rows = pos_rows[pos_rows["term"].isin(req_set)]
+            if req_rows["term"].nunique() < len(req_set):
+                return out_empty  # a required term has no postings here
+            # group rows per TERM: multi-generation boundary buckets carry
+            # one row per generation for the same term — its doc set is the
+            # UNION of the rows (intersecting them would wrongly empty)
+            by_req: dict[str, list] = {}
+            for r in req_rows.itertuples(index=False):
+                by_req.setdefault(r.term, []).append(r)
+            groups = sorted(
+                by_req.items(), key=lambda kv: (int(kv[1][0].df_global), kv[0])
+            )
+            cand: np.ndarray | None = None
+            for _term, trows in groups:
+                parts = []
+                for r in trows:
+                    d, _tf, _dl = _row_decode(r, cand, base)
+                    if d.size:
+                        parts.append(d)
+                if not parts:
+                    return out_empty
+                d = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+                cand = d  # ascending
+            if tomb is not None:
+                cand = _setdiff_sorted(cand, tomb)
+                if not cand.size:
+                    return out_empty
+            for r in neg_rows.itertuples(index=False):
+                d, _tf, _dl = _row_decode(r, cand, base)
+                cand = _setdiff_sorted(cand, d)
+                if not cand.size:
+                    return out_empty
+            if phrases:
+                if use_pos:
+                    by_term: dict[str, dict] = {}
+                    for r in pos_rows.itertuples(index=False):
+                        if any(r.term in p for p in phrases):
+                            # merge per-generation rows (disjoint doc keys)
+                            by_term.setdefault(r.term, {}).update(
+                                _candidate_positions(r, cand, base)
+                            )
+                    keep = []
+                    for di in cand:
+                        di = int(di)
+                        ok = True
+                        for p in phrases:
+                            s = by_term[p[0]].get(di)
+                            if s is None:
+                                ok = False
+                                break
+                            for t in p[1:]:
+                                nxt = by_term[t].get(di)
+                                if nxt is None or not s.size:
+                                    s = np.empty(0, dtype=np.int64)
+                                    break
+                                s = np.intersect1d(s + 1, nxt, assume_unique=True)
+                            if not s.size:
+                                ok = False
+                                break
+                        if ok:
+                            keep.append(di)
+                    cand = np.asarray(keep, dtype=np.int64)
+                else:
+                    survivors = set(cand.tolist())
+                    for p in phrases:
+                        occ = _verify_bucket(
+                            docs_dirs, bucket, np.fromiter(survivors, dtype=np.int64), p, stem
+                        )
+                        survivors = {d for d in survivors if occ.get(d, 0) > 0}
+                        if not survivors:
+                            return out_empty
+                    cand = np.asarray(sorted(survivors), dtype=np.int64)
+                if not cand.size:
+                    return out_empty
+            # complete the scores: every positive term, candidate-restricted
+            acc = np.zeros(bucket_size, dtype=np.float64)
+            for r in pos_rows.itertuples(index=False):
+                d, tf, dl = _row_decode(r, cand, base)
+                if not d.size:
+                    continue
+                tf_f = tf.astype(np.float64)
+                contrib = idf_map[r.term] * (
+                    tf_f
+                    * (BM25_K1 + 1.0)
+                    / (
+                        tf_f
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl)
+                    )
+                )
+                np.add.at(acc, d - base, contrib)
+            nz = cand - base
+            scores = acc[nz]
+            order = np.lexsort((nz, -scores))[:k]
+            return pd.DataFrame(
+                {
+                    "doc_id": (nz[order] + base).astype("int64"),
+                    "score": scores[order],
+                }
+            )
+
+        return score_fn
+
+    per_bucket = apply_per_bucket(seg, tomb_in, make_fn, _OUT)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -46,6 +46,7 @@ from uci_searchengine_spark.operators.codec import (
 from uci_searchengine_spark.operators.index_build import IndexMeta
 from uci_searchengine_spark.operators.wand import (
     _score_bucket_and,
+    apply_per_bucket,
     load_excl,
     pruned_segments,
 )
@@ -194,47 +195,51 @@ def phrase_search(
     docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
     n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
     stem = bool(getattr(meta, "stem", False))
-    excl = load_excl(index_dir)
+    excl = load_excl(index_dir, spark, bucket_size)
 
-    def score_fn(key, seg_pdf):
-        out_empty = pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype="int64"),
-                "score": pd.Series([], dtype="float64"),
-                "n_occ": pd.Series([], dtype="int32"),
-            }
-        )
-        if not len(seg_pdf):
-            return out_empty
-        idf_map = {
-            t: idf_fn(n_docs, int(d))
-            for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
-        }
-        # k=None: the FULL intersection — truncating before adjacency
-        # verification would be wrong (a verified doc outside the raw
-        # AND top-k could belong in the phrase top-k)
-        cand = _score_bucket_and(
-            seg_pdf, idf_map, avgdl, bucket_size, n_terms, k=None, excl=excl
-        )
-        if not len(cand):
-            return out_empty
-        bucket = int(seg_pdf["bucket"].iloc[0])
-        ids = cand["doc_id"].to_numpy()
-        if use_pos:
-            occ = _positional_counts(
-                seg_pdf, ids, bucket * bucket_size, seq
+    def make_fn(excl_local):
+        def score_fn(key, seg_pdf):
+            out_empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                    "n_occ": pd.Series([], dtype="int32"),
+                }
             )
-        else:
-            occ = _verify_bucket(docs_dirs, bucket, ids, seq, stem)
-        cand = cand.assign(
-            n_occ=cand["doc_id"].map(lambda d: occ.get(int(d), 0)).astype("int32")
-        )
-        cand = cand[cand["n_occ"] > 0]
-        # NOW per-bucket truncation is safe (scores already sorted desc,
-        # doc asc by _score_bucket_and — stable head keeps the contract)
-        return cand.head(k)
+            if not len(seg_pdf):
+                return out_empty
+            idf_map = {
+                t: idf_fn(n_docs, int(d))
+                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+            }
+            # k=None: the FULL intersection — truncating before adjacency
+            # verification would be wrong (a verified doc outside the raw
+            # AND top-k could belong in the phrase top-k)
+            cand = _score_bucket_and(
+                seg_pdf, idf_map, avgdl, bucket_size, n_terms, k=None,
+                excl=excl_local,
+            )
+            if not len(cand):
+                return out_empty
+            bucket = int(seg_pdf["bucket"].iloc[0])
+            ids = cand["doc_id"].to_numpy()
+            if use_pos:
+                occ = _positional_counts(
+                    seg_pdf, ids, bucket * bucket_size, seq
+                )
+            else:
+                occ = _verify_bucket(docs_dirs, bucket, ids, seq, stem)
+            cand = cand.assign(
+                n_occ=cand["doc_id"].map(lambda d: occ.get(int(d), 0)).astype("int32")
+            )
+            cand = cand[cand["n_occ"] > 0]
+            # NOW per-bucket truncation is safe (scores already sorted desc,
+            # doc asc by _score_bucket_and — stable head keeps the contract)
+            return cand.head(k)
 
-    per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_OUT_SCHEMA)
+        return score_fn
+
+    per_bucket = apply_per_bucket(seg, excl, make_fn, _OUT_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

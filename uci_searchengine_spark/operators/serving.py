@@ -57,7 +57,7 @@ class Searcher:
         seg = _wand.prune_relation(self._segments, meta, terms)
         return _wand._topk_over_segments(
             seg, meta, k, mode=mode, n_terms=len(terms),
-            excl=_wand.load_excl(self.index_dir),
+            excl=_wand.load_excl(self.index_dir, self.spark, meta.bucket_size),
         )
 
     def phrase(self, phrase: str, k: int = 10, method: str = "auto"):
@@ -104,7 +104,7 @@ class Searcher:
         seg = _wand.prune_relation(self._segments, self.meta, terms)
         hits, total = _wand.topk_and_count(
             seg, self.meta, k=page * per_page, mode=mode, n_terms=len(terms),
-            excl=_wand.load_excl(self.index_dir),
+            excl=_wand.load_excl(self.index_dir, self.spark, self.meta.bucket_size),
         )
         rows = []
         if hits:

@@ -55,13 +55,60 @@ from uci_searchengine_spark.operators.index_build import (
 )
 
 
-def load_excl(index_dir: str) -> "np.ndarray | None":
-    """Tombstoned doc ids as the scorers' exclusion array (None if no
-    tombstones — the common case costs one isdir check)."""
-    from uci_searchengine_spark.operators.tombstones import load_tombstone_ids
+class BucketedExcl:
+    """Exclusion set too large for a driver closure array: a Spark
+    relation ``(bucket, doc_id)`` on the index's doc-range grid, consumed
+    by cogrouping each scoring bucket with its own exclusion ids
+    (``apply_per_bucket``). Never materialized on the driver."""
 
-    t = load_tombstone_ids(index_dir)
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
+def load_excl(
+    index_dir: str,
+    spark: "SparkSession | None" = None,
+    bucket_size: "int | None" = None,
+) -> "np.ndarray | BucketedExcl | None":
+    """Tombstoned doc ids as the scorers' exclusion input (None if no
+    tombstones — the common case costs one isdir check). Below
+    tombstones.DRIVER_CAP: a sorted driver array (shipped in the task
+    closure, zero extra plan nodes). Past the cap, with ``spark`` and
+    ``bucket_size`` given: the bucket-cogrouped relation instead."""
+    from uci_searchengine_spark.operators import tombstones as _tomb
+
+    est = _tomb.tombstone_count_estimate(index_dir)
+    if not est:
+        return None
+    if est > _tomb.DRIVER_CAP and spark is not None and bucket_size:
+        return BucketedExcl(_tomb.bucketed_tombstones(spark, index_dir, bucket_size))
+    t = _tomb.load_tombstone_ids(index_dir)
     return t if t.size else None
+
+
+def apply_per_bucket(seg: DataFrame, excl, make_fn, schema) -> DataFrame:
+    """groupBy(bucket).applyInPandas with tombstone delivery: the common
+    path closes the driver exclusion array (or None) into the scoring fn;
+    a BucketedExcl cogroups the exclusion relation on the SAME bucket key
+    so each task receives only its bucket's ids — constant driver memory
+    at any tombstone count.
+
+    ``make_fn(local_excl) -> (key, seg_pdf) -> pdf`` builds the scoring
+    fn for one bucket's (possibly None) sorted exclusion ids."""
+    if isinstance(excl, BucketedExcl):
+
+        def fn2(key, seg_pdf, tomb_pdf):
+            loc = None
+            if len(tomb_pdf):
+                loc = np.unique(tomb_pdf["doc_id"].to_numpy().astype(np.int64))
+            return make_fn(loc)(key, seg_pdf)
+
+        return (
+            seg.groupBy("bucket")
+            .cogroup(excl.df.groupBy("bucket"))
+            .applyInPandas(fn2, schema=schema)
+        )
+    return seg.groupBy("bucket").applyInPandas(make_fn(excl), schema=schema)
 
 _TOPK_SCHEMA = T.StructType(
     [
@@ -352,7 +399,7 @@ def score_wand(
     seg = pruned_segments(spark, index_dir, meta, terms)
     return _topk_over_segments(
         seg, meta, k, mode=mode, n_terms=len(terms),
-        excl=load_excl(index_dir),
+        excl=load_excl(index_dir, spark, meta.bucket_size),
     )
 
 
@@ -413,7 +460,7 @@ def _topk_over_segments(
     k: int,
     mode: str = "or",
     n_terms: int | None = None,
-    excl: "np.ndarray | None" = None,
+    excl: "np.ndarray | BucketedExcl | None" = None,
 ) -> DataFrame:
     """Scoring tail shared by score_wand and serving.Searcher: per-bucket
     block-max scoring over an (already pruned, df-resolved) segment
@@ -423,22 +470,25 @@ def _topk_over_segments(
     n_docs = meta.n_docs
     avgdl, bucket_size = meta.avgdl, meta.bucket_size
 
-    def score_fn(key, seg_pdf):
-        if not len(seg_pdf):
-            return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
-            )
-        idf_map = {
-            t: idf_fn(n_docs, int(d))
-            for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
-        }
-        if mode == "and":
-            return _score_bucket_and(
-                seg_pdf, idf_map, avgdl, bucket_size, n_terms, k, excl=excl
-            )
-        return _score_bucket(seg_pdf, idf_map, avgdl, bucket_size, k, excl=excl)
+    def make_fn(excl_local):
+        def score_fn(key, seg_pdf):
+            if not len(seg_pdf):
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+                )
+            idf_map = {
+                t: idf_fn(n_docs, int(d))
+                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+            }
+            if mode == "and":
+                return _score_bucket_and(
+                    seg_pdf, idf_map, avgdl, bucket_size, n_terms, k, excl=excl_local
+                )
+            return _score_bucket(seg_pdf, idf_map, avgdl, bucket_size, k, excl=excl_local)
 
-    per_bucket = seg.groupBy("bucket").applyInPandas(score_fn, schema=_TOPK_SCHEMA)
+        return score_fn
+
+    per_bucket = apply_per_bucket(seg, excl, make_fn, _TOPK_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -489,45 +539,48 @@ def topk_and_count(
     n_docs = meta.n_docs
     avgdl, bucket_size = meta.avgdl, meta.bucket_size
 
-    def fn(key, seg_pdf):
-        empty = pd.DataFrame(
-            {
-                "bucket": pd.Series([], dtype="int64"),
-                "n_matched": pd.Series([], dtype="int64"),
-                "top": pd.Series([], dtype="object"),
-            }
-        )
-        if not len(seg_pdf):
-            return empty
-        idf_map = {
-            t: idf_fn(n_docs, int(d))
-            for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
-        }
-        if mode == "and":
-            pdf, n = _score_bucket_and(
-                seg_pdf, idf_map, avgdl, bucket_size, n_terms, k,
-                excl=excl, count_matches=True,
+    def make_fn(excl_local):
+        def fn(key, seg_pdf):
+            empty = pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "n_matched": pd.Series([], dtype="int64"),
+                    "top": pd.Series([], dtype="object"),
+                }
             )
-        else:
-            pdf, n = _score_bucket(
-                seg_pdf, idf_map, avgdl, bucket_size, k,
-                excl=excl, count_matches=True,
-            )
-        if not n:
-            return empty
-        top = [
-            {"neg_score": -float(s), "doc_id": int(d)}
-            for d, s in zip(pdf["doc_id"], pdf["score"])
-        ]
-        return pd.DataFrame(
-            {
-                "bucket": pd.Series([int(seg_pdf["bucket"].iloc[0])], dtype="int64"),
-                "n_matched": pd.Series([n], dtype="int64"),
-                "top": pd.Series([top], dtype="object"),
+            if not len(seg_pdf):
+                return empty
+            idf_map = {
+                t: idf_fn(n_docs, int(d))
+                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
             }
-        )
+            if mode == "and":
+                pdf, n = _score_bucket_and(
+                    seg_pdf, idf_map, avgdl, bucket_size, n_terms, k,
+                    excl=excl_local, count_matches=True,
+                )
+            else:
+                pdf, n = _score_bucket(
+                    seg_pdf, idf_map, avgdl, bucket_size, k,
+                    excl=excl_local, count_matches=True,
+                )
+            if not n:
+                return empty
+            top = [
+                {"neg_score": -float(s), "doc_id": int(d)}
+                for d, s in zip(pdf["doc_id"], pdf["score"])
+            ]
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([int(seg_pdf["bucket"].iloc[0])], dtype="int64"),
+                    "n_matched": pd.Series([n], dtype="int64"),
+                    "top": pd.Series([top], dtype="object"),
+                }
+            )
 
-    per_bucket = seg.groupBy("bucket").applyInPandas(fn, schema=_TOPK_COUNT_SCHEMA)
+        return fn
+
+    per_bucket = apply_per_bucket(seg, excl, make_fn, _TOPK_COUNT_SCHEMA)
     row = per_bucket.agg(
         F.coalesce(F.sum("n_matched"), F.lit(0)).alias("total"),
         F.slice(
