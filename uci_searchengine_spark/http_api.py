@@ -1,0 +1,212 @@
+"""HTTP serving surface over the resident Searcher.
+
+The reference's primary user entry points are FastAPI routes under
+``/api`` (backend/app/api/routes.py): ``GET /api/search`` returning the
+result envelope (routes.py:378-387 → search.py:119-126), plus crawler
+status/statistics introspection (routes.py:268-307). This module serves
+the SAME shapes from the Spark engine so a user of the reference can
+point their frontend here unchanged:
+
+* ``GET /api/search?query=...&page=N&per_page=M`` — the envelope from
+  ``Searcher.search`` (identical dict, JSON-encoded). Extension:
+  ``&mode=and`` for conjunctive semantics.
+* ``GET /api/crawler/status`` — status + {urls_crawled, urls_failed,
+  urls_in_queue} (routes.py:268-291). There is no crawler here (the
+  input table is given, BASELINE input_hint), so status is "stopped"
+  and the counts come from the index build manifests.
+* ``GET /api/crawler/statistics`` — crawler_statistics +
+  database_statistics {total_documents, total_terms,
+  total_index_entries} (routes.py:294-307); index-derived.
+* ``GET /api/suggest?word=...`` — the fuzzy vocab suggestion
+  (extension; the reference frontend has no suggest route).
+
+Implementation: stdlib ThreadingHTTPServer (FastAPI/uvicorn aren't in
+this environment — the handler layer is ~100 lines and the envelope
+logic lives in operators/serving.py either way). Spark driver calls are
+serialized behind one lock: the engine's concurrency lives in the
+cluster, not in driver threads. Validation mirrors FastAPI's
+(page ≥ 1, 1 ≤ per_page ≤ 50 → HTTP 422, routes.py:380-383).
+
+The reference's WebSocket log tail (routes.py:310-322) has no analog —
+there is no live crawl to tail; build progress is in the manifest files.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def _int_param(qs: dict, name: str, default: int) -> int:
+    v = qs.get(name, [None])[0]
+    if v is None:
+        return default
+    return int(v)  # ValueError → 422 by caller
+
+
+class EngineState:
+    """Resident engine handles shared by all request threads."""
+
+    def __init__(self, spark, index_dir: str):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.searcher = Searcher(spark, index_dir)
+        self.lock = threading.Lock()
+        self._stats_cache: dict | None = None
+
+    # ------------------------------------------------------------- endpoints
+    def search(self, query: str, page: int, per_page: int, mode: str) -> dict:
+        with self.lock:
+            return self.searcher.search(
+                query, page=page, per_page=per_page, mode=mode
+            )
+
+    def suggest(self, word: str, k: int) -> dict:
+        with self.lock:
+            rows = self.searcher.suggest(word, k=k).collect()
+        return {
+            "word": word,
+            "suggestions": [
+                {"term": r["term"], "dist": r["dist"], "df": r["df"]} for r in rows
+            ],
+        }
+
+    def status(self) -> dict:
+        """routes.py:268-291 shape; the 'crawl' is the index build."""
+        m = self._metrics()
+        return {
+            "status": "stopped",
+            "statistics": {
+                "urls_crawled": m["docs"],
+                "urls_failed": 0,
+                "urls_in_queue": 0,
+            },
+        }
+
+    def statistics(self) -> dict:
+        """routes.py:294-307 shape from index metadata (one Spark job on
+        first call for vocab size / unique domains, then cached)."""
+        m = self._metrics()
+        if self._stats_cache is None:
+            from pyspark.sql import functions as F
+
+            with self.lock:
+                seg = self.searcher._segments
+                total_terms = seg.select("term").distinct().count()
+                docs = self.searcher._docs
+                unique_domains = (
+                    docs.select(
+                        F.parse_url(F.col("url"), F.lit("HOST")).alias("d")
+                    )
+                    .distinct()
+                    .count()
+                )
+            self._stats_cache = {
+                "total_terms": total_terms,
+                "unique_domains": unique_domains,
+            }
+        meta = self.searcher.meta
+        return {
+            "crawler_statistics": {
+                "status": "stopped",
+                "urls_crawled": m["docs"],
+                "urls_failed": 0,
+                "unique_domains": self._stats_cache["unique_domains"],
+                "urls_in_queue": 0,
+            },
+            "database_statistics": {
+                "total_documents": meta.n_docs,
+                "total_terms": self._stats_cache["total_terms"],
+                "total_index_entries": m["postings"],
+            },
+        }
+
+    def _metrics(self) -> dict:
+        from uci_searchengine_spark.operators.index_build import build_metrics
+
+        try:
+            return build_metrics(self.index_dir)
+        except FileNotFoundError:
+            return {"partitions": 0, "docs": 0, "postings": 0, "bytes": 0}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: EngineState  # set on the handler class by make_server
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, obj, code: int = 200):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 (stdlib API name)
+        u = urlparse(self.path)
+        qs = parse_qs(u.query)
+        try:
+            if u.path == "/api/search":
+                query = qs.get("query", [None])[0]
+                if query is None:
+                    return self._json({"detail": "query is required"}, 422)
+                page = _int_param(qs, "page", 1)
+                per_page = _int_param(qs, "per_page", 10)
+                mode = qs.get("mode", ["or"])[0]
+                if page < 1 or not (1 <= per_page <= 50) or mode not in ("or", "and"):
+                    return self._json({"detail": "invalid parameter"}, 422)
+                return self._json(self.engine.search(query, page, per_page, mode))
+            if u.path == "/api/suggest":
+                word = qs.get("word", [None])[0]
+                if not word:
+                    return self._json({"detail": "word is required"}, 422)
+                return self._json(self.engine.suggest(word, _int_param(qs, "k", 5)))
+            if u.path == "/api/crawler/status":
+                return self._json(self.engine.status())
+            if u.path == "/api/crawler/statistics":
+                return self._json(self.engine.statistics())
+            if u.path == "/api/health":
+                return self._json({"ok": True})
+            return self._json({"detail": "Not Found"}, 404)
+        except ValueError:
+            return self._json({"detail": "invalid parameter"}, 422)
+        except Exception as e:  # engine errors surface as 500 JSON
+            return self._json({"detail": str(e)}, 500)
+
+
+def make_server(spark, index_dir: str, host: str = "127.0.0.1", port: int = 8080):
+    """Build (don't start) the HTTP server — ``.serve_forever()`` to run,
+    ``.shutdown()`` to stop. Port 0 picks an ephemeral port (tests)."""
+    engine = EngineState(spark, index_dir)
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Serve a built index over HTTP")
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+    from uci_searchengine_spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    srv = make_server(spark, args.index, args.host, args.port)
+    print(f"serving {args.index} on http://{args.host}:{srv.server_address[1]}/api/search")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
