@@ -216,11 +216,56 @@ class TestMultimodal:
         assert out[0]["format"] in ("png", "jpeg")
         assert out[0]["md5"] == hashlib.md5(raw).hexdigest()
 
-    def test_real_decoder_is_stubbed(self):
-        from uci_searchengine_spark.operators.multimodal import _decode_image_real
+    def test_real_image_header_parsers(self):
+        """Stdlib parsers invert the valid-container generators exactly;
+        pixel-level decode stays an honest stub."""
+        from uci_searchengine_spark.operators.multimodal import (
+            _decode_image_fake,
+            _decode_image_real,
+            _decode_pixels_real,
+            synth_image_bytes,
+        )
 
+        for i in (0, 1, 2, 3, 57, 100, 4999):
+            w, h, fmt = _decode_image_real(synth_image_bytes(i))
+            assert (w, h) == (16 + i % 101, 16 + (7 * i) % 89), i
+            assert fmt == ["png", "gif", "jpeg"][i % 3]
+        # JPEG parser walks past non-SOF segments (APP0 etc.)
+        import struct
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"
+        sof = struct.pack(">BHHB", 8, 33, 44, 1) + b"\x01\x11\x00"
+        jpeg = b"\xff\xd8" + app0 + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+        assert _decode_image_real(jpeg) == (44, 33, "jpeg")
+        with pytest.raises(ValueError):
+            _decode_image_real(b"not an image at all")
+        with pytest.raises(ValueError):
+            _decode_image_real(b"\x89PNG\r\n\x1a\n12345")  # truncated
         with pytest.raises(NotImplementedError):
-            _decode_image_real(b"xx")
+            _decode_pixels_real(b"xx")
+        # fake stays available and deterministic
+        assert _decode_image_fake(b"xx") == _decode_image_fake(b"xx")
+
+    def test_image_meta_real_fallback_mode(self, spark, docs_df):
+        """on_error='fake': valid containers decode real, arbitrary bytes
+        fall back to the deterministic fake (mixed corpus)."""
+        from uci_searchengine_spark.operators.multimodal import (
+            _decode_image_fake,
+            decode_image_meta,
+            synth_image_bytes,
+        )
+
+        rows = [(0, synth_image_bytes(0)), (1, b"arbitrary junk bytes")]
+        d = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {
+            r["doc_id"]: r
+            for r in decode_image_meta(
+                d, "doc_id", "payload", use_real=True, on_error="fake"
+            ).collect()
+        }
+        assert (out[0]["width"], out[0]["height"], out[0]["format"]) == (16, 16, "png")
+        fw, fh, ff = _decode_image_fake(b"arbitrary junk bytes")
+        assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (fw, fh, ff)
 
     def test_frame_samples(self, spark, docs_df):
         from uci_searchengine_spark.operators.multimodal import sample_frames
@@ -255,12 +300,40 @@ class TestAudio:
         assert out[0]["sample_rate"] == [8000, 16000, 22050, 44100, 48000][h[0] % 5]
         assert out[0]["loudness_fp"] == fp
 
-    def test_real_audio_decoder_is_stubbed(self, spark, docs_df):
-        from uci_searchengine_spark.operators.multimodal import decode_audio_meta
+    def test_real_wav_decode(self, spark):
+        """Real WAV path: sample_rate read from the container, chunking
+        over the decoded PCM frames; wave round-trips the generator."""
+        from uci_searchengine_spark.operators.multimodal import (
+            _decode_audio_real,
+            decode_audio_meta,
+            synth_wav_bytes,
+        )
 
-        d = docs_df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        for i in (0, 3, 7, 123):
+            rate, body = _decode_audio_real(synth_wav_bytes(i))
+            assert rate == [8000, 16000, 22050, 44100, 48000][i % 5]
+            assert len(body) == 2 * (50 + i % 100)
+        rows = [(i, synth_wav_bytes(i)) for i in range(6)]
+        d = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {
+            r["doc_id"]: r
+            for r in decode_audio_meta(
+                d, "doc_id", "payload", chunk_bytes=64, use_real=True
+            ).collect()
+        }
+        for i in range(6):
+            pcm_len = 2 * (50 + i % 100)
+            assert out[i]["sample_rate"] == [8000, 16000, 22050, 44100, 48000][i % 5]
+            assert out[i]["n_chunks"] == max(1, (pcm_len + 63) // 64)
+            assert out[i]["n_bytes"] == len(synth_wav_bytes(i))
+
+    def test_compressed_audio_decoder_is_stubbed(self):
+        from uci_searchengine_spark.operators.multimodal import (
+            _decode_compressed_audio_real,
+        )
+
         with pytest.raises(NotImplementedError):
-            decode_audio_meta(d, "doc_id", "payload", use_real=True)
+            _decode_compressed_audio_real(b"ID3")
 
 
 @pytest.mark.spark

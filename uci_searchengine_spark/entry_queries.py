@@ -1863,6 +1863,78 @@ FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text)//64, 1), 4)) AS
 """
 
 
+_GEN_IMG_SCHEMA = "doc_id long, payload binary"
+
+
+def q_image_meta_real(spark, sf_dir):
+    """REAL stdlib image decode: per doc, VALID PNG/GIF/JPEG bytes are
+    generated (multimodal.synth_image_bytes — correct CRCs, dims from the
+    id formula), then parsed back by the header parsers
+    (multimodal._decode_image_real). The oracle predicts the metadata
+    straight from the formula, so the gate proves parser∘generator =
+    identity on real container bytes."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [mm.synth_image_bytes(int(i)) for i in ids],
+                }
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        gen, schema=_GEN_IMG_SCHEMA
+    )
+    return mm.decode_image_meta(d, "doc_id", "payload", use_real=True).select(
+        "doc_id", "width", "height", "format"
+    )
+
+
+SQL_IMAGE_META_REAL = """
+SELECT doc_id,
+  (16 + doc_id % 101)::INT AS width,
+  (16 + (7*doc_id) % 89)::INT AS height,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format
+FROM documents
+"""
+
+
+def q_audio_meta_real(spark, sf_dir):
+    """REAL WAV decode via the stdlib wave module: valid PCM WAV bytes
+    generated per doc (multimodal.synth_wav_bytes), decoded back —
+    sample_rate read from the actual container, chunking over the DECODED
+    frames; the oracle predicts both from the id formula."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [mm.synth_wav_bytes(int(i)) for i in ids],
+                }
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        gen, schema=_GEN_IMG_SCHEMA
+    )
+    return mm.decode_audio_meta(
+        d, "doc_id", "payload", chunk_bytes=128, use_real=True
+    ).select("doc_id", "sample_rate", "n_chunks")
+
+
+SQL_AUDIO_META_REAL = """
+SELECT doc_id,
+  ([8000,16000,22050,44100,48000])[(doc_id % 5 + 1)::INT]::INT AS sample_rate,
+  greatest(CAST(ceil(2.0*(50 + doc_id % 100)/128) AS INT), 1) AS n_chunks
+FROM documents
+"""
+
+
 # ------------------------------------------------------ breadth coverage
 def q_domain_filter(spark, sf_dir):
     """Pattern-based source filter (P9 analog: domain allowlist rlike)."""
@@ -2352,6 +2424,8 @@ QUERIES = {
     "pii_redact": (q_pii_redact, _sql_pii_redact()),
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "image_meta_real": (q_image_meta_real, SQL_IMAGE_META_REAL),
+    "audio_meta_real": (q_audio_meta_real, SQL_AUDIO_META_REAL),
     "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
     "domain_filter": (q_domain_filter, SQL_DOMAIN_FILTER),
     "snippet_exprs": (q_snippet_exprs, SQL_SNIPPET_EXPRS),

@@ -2,12 +2,19 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 typed metadata struct. The Spark-side plumbing — schemas, Arrow batch
-shapes, ``mapInPandas`` signatures, partitioning — is real and tested; the
-actual decode (PIL/ffmpeg/soundfile) is NOT available in this container,
-so the decode step is isolated behind ``_decode_image_real`` which raises
-``NotImplementedError``, and a clearly-marked deterministic fake
-(md5-derived dimensions) stands in so the distributed plumbing can be
-exercised end-to-end and verified against an external oracle.
+shapes, ``mapInPandas`` signatures, partitioning — is real and tested.
+Decode comes in three tiers:
+
+* REAL, stdlib-only: container-header metadata — PNG/GIF/JPEG
+  (width, height, format) parsed from header bytes, and full PCM WAV
+  decode via the ``wave`` module. Gate-verified against generators the
+  parsers must invert exactly (``synth_image_bytes``/``synth_wav_bytes``).
+* STUBBED (library genuinely absent in this container): pixel-level
+  image decode (``_decode_pixels_real``) and compressed audio codecs
+  (``_decode_compressed_audio_real``) raise NotImplementedError at a
+  clearly-marked boundary.
+* FAKE, deterministic: md5-derived metadata reproducible by the DuckDB
+  oracle — exercises the distributed plumbing on arbitrary bytes.
 
 At 100 TB: binary payloads dominate row size → keep them out of shuffles
 (derive metadata early, project payloads away before joins/aggs), size
@@ -38,10 +45,55 @@ IMAGE_META_SCHEMA = T.StructType(
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int, str]:
-    """Real decoder boundary. Requires an image library (PIL) that is not
-    present in this environment — STUB."""
+    """Real decode: pure-stdlib container-header parsing for PNG / GIF /
+    JPEG — the (width, height, format) metadata every curation pipeline
+    needs, with zero image-library dependency. Full pixel decode (resize,
+    feature extraction) still requires PIL/libvips and stays stubbed
+    (``_decode_pixels_real``); header metadata is real.
+
+    Raises ValueError on unrecognized bytes (callers choose fallback)."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is always the first chunk: width/height big-endian uint32
+        # at byte 16/20
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("truncated PNG")
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h, "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF")
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h, "gif"
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        # walk the marker chain to the first SOFn frame header
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    break
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h, "jpeg"
+            i += 2 + seglen
+        raise ValueError("JPEG without SOF header")
+    raise ValueError("unrecognized image container")
+
+
+def _decode_pixels_real(payload: bytes):
+    """Pixel-level decode boundary (resize / embeddings / OCR). Requires
+    PIL/libvips — not in this container; STUB."""
     raise NotImplementedError(
-        "image decode requires PIL/libvips; not available in this container"
+        "pixel decode requires PIL/libvips; not available in this container"
     )
 
 
@@ -58,15 +110,26 @@ def _decode_image_fake(payload: bytes) -> tuple[int, int, str]:
 
 
 def decode_image_meta(
-    df: DataFrame, id_col: str, payload_col: str, use_real: bool = False
+    df: DataFrame, id_col: str, payload_col: str, use_real: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """mapInPandas over (id, payload) → IMAGE_META_SCHEMA rows.
 
     Arrow-batched; per-image work happens inside the batch (decode is
     irreducibly per-payload, like HTML parse). Payload column is projected
     away in the output so downstream stages never shuffle blobs.
-    """
-    decode = _decode_image_real if use_real else _decode_image_fake
+
+    ``use_real=True``: stdlib header parsing (PNG/GIF/JPEG). Unrecognized
+    payloads raise by default; ``on_error="fake"`` falls back to the
+    deterministic fake per payload (mixed-corpus mode)."""
+    if use_real and on_error == "fake":
+        def decode(p):
+            try:
+                return _decode_image_real(p)
+            except ValueError:
+                return _decode_image_fake(p)
+    else:
+        decode = _decode_image_real if use_real else _decode_image_fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,10 +171,24 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
-def _decode_audio_real(payload: bytes) -> tuple[int, list[float]]:
-    """Real decoder boundary (soundfile/ffmpeg) — not in this container."""
+def _decode_audio_real(payload: bytes) -> tuple[int, bytes]:
+    """Real decode for WAV containers via the stdlib ``wave`` module:
+    (sample_rate, raw PCM frame bytes). Compressed codecs (mp3/ogg/flac)
+    would require soundfile/ffmpeg — that boundary stays stubbed
+    (``_decode_compressed_audio_real``); PCM WAV is fully real."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return w.getframerate(), w.readframes(w.getnframes())
+
+
+def _decode_compressed_audio_real(payload: bytes):
+    """Compressed-codec decode boundary (mp3/ogg/flac) — requires
+    soundfile/ffmpeg, not in this container; STUB."""
     raise NotImplementedError(
-        "audio decode requires soundfile/ffmpeg; not available in this container"
+        "compressed audio decode requires soundfile/ffmpeg; "
+        "not available in this container"
     )
 
 
@@ -119,15 +196,14 @@ def decode_audio_meta(
     df: DataFrame, id_col: str, payload_col: str, chunk_bytes: int = 128, use_real: bool = False
 ) -> DataFrame:
     """Audio-modality plumbing: payload → (sample_rate, chunk count,
-    loudness fingerprint). The fake decode derives a deterministic
-    sample_rate from the payload md5 and a per-chunk 'loudness'
-    fingerprint = md5 over the chunk md5s — both reproducible by the
-    DuckDB oracle. The real decoder is the stubbed boundary above; the
-    Spark-side schema / Arrow batch shape / blob-projection discipline is
-    what this operator pins."""
-    if use_real:
-        _decode_audio_real(b"")  # fail fast: decoder absent by design
-
+    loudness fingerprint). ``use_real=True`` parses WAV containers with
+    the stdlib ``wave`` module — sample_rate is the file's actual rate
+    and chunking/fingerprinting run over the DECODED PCM frames; the
+    fake derives a deterministic sample_rate from the payload md5 and
+    chunks the raw bytes (both reproducible by the DuckDB oracle).
+    Compressed codecs stay stubbed (``_decode_compressed_audio_real``).
+    The Spark-side schema / Arrow batch shape / blob-projection
+    discipline is identical on both paths."""
     rates = [8000, 16000, 22050, 44100, 48000]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,19 +211,23 @@ def decode_audio_meta(
             ids, nb, sr, nc, fp = [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(p)
-                h = hashlib.md5(raw).digest()
-                chunks = max(1, (len(raw) + chunk_bytes - 1) // chunk_bytes)
+                if use_real:
+                    rate, body = _decode_audio_real(raw)
+                else:
+                    h = hashlib.md5(raw).digest()
+                    rate, body = rates[h[0] % len(rates)], raw
+                chunks = max(1, (len(body) + chunk_bytes - 1) // chunk_bytes)
                 # md5 over the concatenated per-chunk HEX digests (hex, not
                 # binary: portable to engines whose md5 is VARCHAR-only)
                 chunk_digest = hashlib.md5(
                     "".join(
-                        hashlib.md5(raw[c * chunk_bytes : (c + 1) * chunk_bytes]).hexdigest()
+                        hashlib.md5(body[c * chunk_bytes : (c + 1) * chunk_bytes]).hexdigest()
                         for c in range(chunks)
                     ).encode()
                 ).hexdigest()
                 ids.append(i)
                 nb.append(len(raw))
-                sr.append(rates[h[0] % len(rates)])
+                sr.append(rate)
                 nc.append(chunks)
                 fp.append(chunk_digest)
             yield pd.DataFrame(
@@ -191,3 +271,62 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------- fixtures
+# Deterministic VALID container bytes for gates/tests: the real decoders
+# must invert these generators exactly (parser ⁻¹ ∘ generator = identity),
+# which the DuckDB oracle checks by predicting the metadata straight from
+# the id formula — end-to-end proof the stdlib parsers read real headers.
+
+def synth_image_bytes(doc_id: int) -> bytes:
+    """Valid PNG / GIF / JPEG bytes with dimensions derived from doc_id:
+    width = 16 + id % 101, height = 16 + (7*id) % 89, format cycling
+    png/gif/jpeg by id % 3. CRCs are correct (zlib.crc32)."""
+    import struct
+    import zlib
+
+    w = 16 + doc_id % 101
+    h = 16 + (7 * doc_id) % 89
+    m = doc_id % 3
+    if m == 0:  # PNG: signature + IHDR + IEND, real CRCs
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    if m == 1:  # GIF89a: little-endian logical screen size
+        return (
+            b"GIF89a" + struct.pack("<HH", w, h) + b"\xf0\x00\x00"
+            + b"\x00\x00\x00\xff\xff\xff" + b"\x3b"
+        )
+    # JPEG: SOI + SOF0 (1 component) + EOI
+    sof = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+
+
+def synth_wav_bytes(doc_id: int) -> bytes:
+    """Valid mono 16-bit PCM WAV: sample rate cycling the standard rates
+    by id % 5, 50 + id % 100 frames of deterministic samples."""
+    import io
+    import struct
+    import wave
+
+    rates = [8000, 16000, 22050, 44100, 48000]
+    n_frames = 50 + doc_id % 100
+    pcm = b"".join(
+        struct.pack("<h", ((doc_id * 31 + i * 7) % 4096) - 2048)
+        for i in range(n_frames)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rates[doc_id % 5])
+        wv.writeframes(pcm)
+    return buf.getvalue()
