@@ -357,6 +357,61 @@ class TestDupClusters:
         got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
         assert set(got.values()) == {0} and len(got) == 13
 
+    def test_star_equals_minlabel_random_graphs(self, spark):
+        """Large-star/small-star (O(log n) rounds) produces the IDENTICAL
+        labeling as min-label propagation on random graphs."""
+        import random
+
+        from uci_searchengine_spark.operators.dedup import connected_components
+
+        rng = random.Random(42)
+        for trial in range(3):
+            n = 40
+            edges = [
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randrange(10, 50))
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            if not edges:
+                continue
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            ml = {
+                r["id"]: r["comp"]
+                for r in connected_components(pairs, method="minlabel").collect()
+            }
+            st = {
+                r["id"]: r["comp"]
+                for r in connected_components(pairs, method="star").collect()
+            }
+            assert ml == st, (trial, sorted(edges))
+
+    def test_star_path_graph_logarithmic_rounds(self, spark):
+        """Path graph 0-1-2-…-64: min-label needs O(n) rounds; the star
+        method must finish in O(log n) — the scale claim, asserted."""
+        import math
+
+        from uci_searchengine_spark.operators.dedup import connected_components
+
+        n = 64
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        st_stats: dict = {}
+        st = {
+            r["id"]: r["comp"]
+            for r in connected_components(
+                pairs, method="star", max_iter=50, stats=st_stats
+            ).collect()
+        }
+        assert set(st.values()) == {0} and len(st) == n + 1
+        assert st_stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 2, st_stats
+        ml_stats: dict = {}
+        connected_components(
+            pairs, method="minlabel", max_iter=200, stats=ml_stats
+        ).collect()
+        # the contrast that motivates the star variant
+        assert ml_stats["rounds"] > st_stats["rounds"]
+
     def test_pii_redaction(self, spark):
         from uci_searchengine_spark.functions.textstats import pii_hit_count, redact_pii
 

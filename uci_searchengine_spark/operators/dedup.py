@@ -214,22 +214,33 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    method: str = "minlabel",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS: (id, comp) where comp is the
     minimum member id of the node's connected component — the
     keep-one-per-cluster step every dedup pipeline runs after pair
     generation (the pairwise ops above only PROPOSE edges).
 
-    Min-label propagation: each round every node adopts the smallest
-    label among itself and its neighbors; converges in O(diameter)
-    rounds, and dup clusters are shallow (near-dups of a common source),
-    so the loop exits after 2-4 rounds on real data. Each round is one
-    shuffle (edge⋈label + min-agg); the loop stops as soon as a round
-    changes nothing. At web scale with adversarially long chains, swap
-    the body for the large-star/small-star rounds (Kiveris et al.) —
-    same interface, O(log n) rounds; min-label is the right default for
-    the shallow-cluster regime.
+    Two interchangeable engines (identical output, tests assert it):
+
+    * ``method="minlabel"`` (default): each round every node adopts the
+      smallest label among itself and its neighbors; O(diameter) rounds,
+      one shuffle each. Dup clusters are shallow (near-dups of a common
+      source), so this exits after 2-4 rounds on real data.
+    * ``method="star"``: alternating large-star/small-star rounds
+      (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+      O(log n) rounds regardless of diameter; the scale-safe choice when
+      adversarially long chains are possible (e.g. template-drift chains
+      where A≈B≈C≈… without A≈C).
+
+    ``stats``: pass a dict to receive {"rounds": n} (round-count
+    assertions / telemetry).
     """
+    if method == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iter, stats)
+    if method != "minlabel":
+        raise ValueError(f"method must be 'minlabel' or 'star', got {method!r}")
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -243,7 +254,9 @@ def connected_components(
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         prop = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
@@ -265,7 +278,107 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     edges.unpersist()
+    return labels
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iter: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Large-star/small-star rounds (Kiveris et al. 2014): O(log n)
+    rounds on any graph shape.
+
+    Per round, two grouped passes over the edge list:
+
+    * LARGE-STAR: per node u with neighborhood Γ(u), m = min(Γ(u) ∪ {u});
+      re-point every STRICTLY LARGER neighbor at m — emit (v, m) for
+      v ∈ Γ(u), v > u. Halves long chains' height.
+    * SMALL-STAR: per node u, re-point u and every ≤-neighbor at m —
+      emit (v, m) for v ∈ Γ(u) ∪ {u}, v ≤ u. Flattens local stars.
+
+    Each pass is one shuffle (groupBy u + min + re-join); edges stay
+    bounded (≤ input edges after dedup). Converged when the edge multiset
+    stops changing (count + order-insensitive xxhash signature — one tiny
+    agg per round). Final state: every node points at its component min.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e):  # both directions: neighborhoods
+        return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    def _sig(e) -> tuple[int, int]:
+        # bit_xor: order-insensitive, overflow-free (edges are distinct,
+        # so XOR cancellation can't collide two different sets cheaply)
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"])
+
+    def _star(e, keep_cond):
+        """One star pass: for each u, m = min(Γ(u) ∪ {u}); emit (v, m)
+        for neighbors v satisfying keep_cond(v, u)."""
+        nbrs = _sym(e)
+        mins = nbrs.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        out = (
+            nbrs.filter(keep_cond(F.col("b"), F.col("a")))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        return out
+
+    sig = _sig(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        large = _star(edges, lambda v, u: v > u)
+        # small-star over the large-star output (the paper's alternation)
+        e2 = large.localCheckpoint(eager=True)
+        nbrs = _sym(e2)
+        mins = nbrs.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        small = (
+            nbrs.filter(F.col("b") <= F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged: edges point nodes at their component min; roots (the
+    # mins themselves) label themselves
+    labels = (
+        all_nodes.join(edges, all_nodes["id"] == edges["a"], "left")
+        .groupBy("id")
+        .agg(F.coalesce(F.min("b"), F.min("id")).alias("comp"))
+    )
     return labels
 
 
