@@ -203,6 +203,57 @@ class TestAppend:
         for (gu, gs), (eu, es) in zip(sorted(got, key=key), sorted(exp, key=key)):
             assert gu == eu and math.isclose(gs, es, rel_tol=1e-9), (q, got, exp)
 
+    def test_upsert_crash_window_self_heals(self, spark, tmp_path):
+        """Crash between the meta commit and delete_docs: the persisted
+        pending-tombstones file is applied on the next IndexMeta.load, so
+        the old version of a re-seen url never serves (and a pending file
+        from BEFORE the meta commit is left untouched)."""
+        import json
+        import os
+
+        from uci_searchengine_spark.operators.bm25 import search
+        from uci_searchengine_spark.operators.index_append import append_index
+        from uci_searchengine_spark.operators.index_build import IndexMeta, build_index
+        from uci_searchengine_spark.operators.tombstones import (
+            clear_tombstones,
+            load_tombstone_ids,
+        )
+        from uci_searchengine_spark.sources.synth import synth_pages
+
+        d = str(tmp_path / "idx_crash")
+        pages = synth_pages(spark, 60, SEED, partitions=3)
+        build_index(spark, pages, d, num_shards=4, n_buckets=2,
+                    input_snapshot="crash-gen0")
+        target = pages.orderBy("url").limit(1).collect()[0]
+        batch = spark.createDataFrame(
+            [(target["url"], target["warc_ts"],
+              bytearray(b"<html><body>zzznewword only content</body></html>"),
+              "zzznewword only content", "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        append_index(spark, batch, d, input_snapshot="crash-append")
+        stale = [int(i) for i in load_tombstone_ids(d)]
+        assert len(stale) == 1
+        # simulate the crash: tombstones gone, pending file back in place
+        clear_tombstones(d)
+        meta = IndexMeta.load(d)
+        with open(os.path.join(d, "pending-tombstones.json"), "w") as f:
+            json.dump({"gens": meta.gens, "ids": stale}, f)
+        # next load self-heals
+        IndexMeta.load(d)
+        assert not os.path.exists(os.path.join(d, "pending-tombstones.json"))
+        assert [int(i) for i in load_tombstone_ids(d)] == stale
+        env = search(spark, d, "zzznewword")
+        assert env["total_results"] == 1
+        # pre-commit pending (gens ahead of meta) must NOT be applied
+        clear_tombstones(d)
+        with open(os.path.join(d, "pending-tombstones.json"), "w") as f:
+            json.dump({"gens": meta.gens + 1, "ids": stale}, f)
+        IndexMeta.load(d)
+        assert os.path.exists(os.path.join(d, "pending-tombstones.json"))
+        assert load_tombstone_ids(d).size == 0
+        os.remove(os.path.join(d, "pending-tombstones.json"))
+
     def test_upsert_tombstones_old_version(self, spark, tmp_path):
         from uci_searchengine_spark.operators.bm25 import search
         from uci_searchengine_spark.operators.index_append import append_index

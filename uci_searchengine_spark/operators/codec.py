@@ -352,10 +352,19 @@ def pack_positions_raw(
         val_byte[row_off[g]], enc.size
     ).astype(np.int64)
     nb_per_group = np.diff(blk_bounds)
-    block_off = (
-        val_byte[row_off[block_start]]
-        - np.repeat(group_bytes[:-1], nb_per_group)
-    ).astype(np.int32)
+    rel = val_byte[row_off[block_start]] - np.repeat(group_bytes[:-1], nb_per_group)
+    # block_off is stored int32 GROUP-relative; the plane itself is
+    # large_binary (a task's whole stream may pass 2 GiB) but a SINGLE
+    # (term,bucket) group's encoded positions must fit int32 — enforce it
+    # rather than silently wrapping (mitigation: smaller bucket_size
+    # splits the offending group across buckets)
+    if rel.size and int(rel.max()) >= 2**31:
+        raise OverflowError(
+            f"a single (term,bucket) positions group spans {int(rel.max())} "
+            "bytes (≥2GiB int32 offset limit); rebuild with a smaller "
+            "bucket_size"
+        )
+    block_off = rel.astype(np.int32)
     return {"enc": enc, "group_bytes": group_bytes, "block_off": block_off}
 
 

@@ -96,6 +96,20 @@ def append_index(
         else 0.0
     )
     new_meta = replace(meta, n_docs=total, avgdl=avgdl, gens=gen + 1)
+    # crash-safety for the upsert window: persist the stale-id list BEFORE
+    # the meta commit — a crash between the meta os.replace and delete_docs
+    # would otherwise serve BOTH versions of re-seen urls. IndexMeta.load
+    # applies any pending file on next load, so the state self-heals.
+    pending = os.path.join(index_dir, "pending-tombstones.json")
+    if stale:
+        # the gens marker gates application: a reader loading BETWEEN this
+        # write and the meta commit must NOT hide the old versions yet
+        # (the replacement generation isn't visible to it)
+        with open(pending + ".tmp", "w") as f:
+            f.write(json.dumps(
+                {"gens": gen + 1, "ids": sorted(int(i) for i in stale)}
+            ))
+        os.replace(pending + ".tmp", pending)
     tmp = os.path.join(index_dir, "meta.json.tmp")
     with open(tmp, "w") as f:
         f.write(json.dumps(new_meta.__dict__, sort_keys=True))
@@ -105,4 +119,5 @@ def append_index(
         from uci_searchengine_spark.operators.tombstones import delete_docs
 
         delete_docs(index_dir, stale)
+        os.remove(pending)
     return new_meta

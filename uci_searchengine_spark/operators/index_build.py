@@ -142,8 +142,25 @@ class IndexMeta:
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
+        # self-heal the upsert crash window: if an append persisted its
+        # stale-id list (pending-tombstones.json, written BEFORE the meta
+        # commit) but crashed before delete_docs, apply it now so old
+        # versions of re-seen urls never serve (operators/index_append.py)
         with open(os.path.join(index_dir, "meta.json")) as f:
-            return IndexMeta(**json.load(f))
+            meta = IndexMeta(**json.load(f))
+        pending = os.path.join(index_dir, "pending-tombstones.json")
+        if os.path.exists(pending):
+            with open(pending) as f:
+                p = json.load(f)
+            # apply only once the append's meta commit is visible — before
+            # that, hiding the old versions would serve NEITHER version
+            if meta.gens >= p.get("gens", 0):
+                from uci_searchengine_spark.operators.tombstones import delete_docs
+
+                if p.get("ids"):
+                    delete_docs(index_dir, p["ids"])  # idempotent (dedup)
+                os.remove(pending)
+        return meta
 
 
 def _tune_worker_arrow() -> None:

@@ -63,9 +63,13 @@ def suggest(
         & (F.length("term") <= len(w) + max_dist)
     )
     if len(w) >= 4:
-        # trigram prefilter misses short words (an edit can erase every
-        # shared trigram of a 2-3 char word) — apply it only when the
-        # word is long enough that any ≤max_dist edit keeps one trigram
+        # trigram prefilter — a RECALL-TRADING heuristic (FIXTURES.md):
+        # a shared trigram is only GUARANTEED for len(w) ≥ 3*max_dist+3
+        # (9 for max_dist=2); for 4-8 char words, adversarial distance-2
+        # edits (e.g. 'abcd'→'axcy') can share none and are dropped. In
+        # practice typos cluster (transposition/doubling/adjacent-key)
+        # and keep a trigram; words ≤3 chars skip the filter entirely
+        # because misses dominate there.
         out = out.filter(
             F.arrays_overlap(
                 _trigrams("term"), F.array(*[F.lit(g) for g in grams])
