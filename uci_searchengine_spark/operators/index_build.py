@@ -67,6 +67,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -475,6 +476,8 @@ def _stage1_fn(
         docs_rows = 0
         postings_rows = 0
         doc_len_sum = 0
+        t_task0 = time.perf_counter()
+        phase_s = {"extract": 0.0, "tokenize": 0.0, "postings": 0.0, "write": 0.0}
 
         # streaming writers: rows land in parquet per Arrow chunk, so task
         # memory stays bounded by one chunk regardless of partition size
@@ -522,10 +525,13 @@ def _stage1_fn(
             doc_ids = (offset + counter + np.arange(len(d))).astype("int64")
             counter += len(d)
             titles, texts = [], []
+            _t = time.perf_counter()
             for url, html in zip(d["url"], d["html"]):
                 title, text, _links = extract_one(bytes(html), url)
                 titles.append(title)
                 texts.append(text)
+            phase_s["extract"] += time.perf_counter() - _t
+            _t = time.perf_counter()
             tokens = tokenize_series(pd.Series(texts, dtype=object))
             if stem:
                 from uci_searchengine_spark.functions.stem import (
@@ -534,6 +540,7 @@ def _stage1_fn(
 
                 tokens = stem_token_series(tokens)
             doc_lens = np.array([len(t) for t in tokens], dtype="int32")
+            phase_s["tokenize"] += time.perf_counter() - _t
             doc_len_sum += int(doc_lens.sum())
 
             docs = pd.DataFrame(
@@ -545,6 +552,7 @@ def _stage1_fn(
                     "text": texts,
                 }
             )
+            _t = time.perf_counter()
             buckets = (doc_ids // bucket_size).astype("int32")
             for bv in np.unique(buckets):
                 grp = docs[buckets == bv]
@@ -552,7 +560,9 @@ def _stage1_fn(
                     pa.Table.from_pandas(grp, preserve_index=False, schema=docs_schema)
                 )
                 docs_rows += len(grp)
+            phase_s["write"] += time.perf_counter() - _t
 
+            _t = time.perf_counter()
             posts = _postings_from_tokens(
                 doc_ids, doc_lens, list(tokens), with_positions=positions
             )
@@ -571,12 +581,15 @@ def _stage1_fn(
                 ).astype("int32")
             else:
                 pshard = (posts["shard"].to_numpy() % seg_parts).astype("int32")
+            phase_s["postings"] += time.perf_counter() - _t
             postings_rows += len(posts)
+            _t = time.perf_counter()
             for pv in np.unique(pshard):
                 grp = posts[pshard == pv]
                 _writer(post_writers, int(pv), "postings_flat", "pshard", posts_schema, "snappy").write_table(
                     pa.Table.from_pandas(grp, preserve_index=False, schema=posts_schema)
                 )
+            phase_s["write"] += time.perf_counter() - _t
 
         for pdf in batches:
             if hold is not None:
@@ -614,6 +627,14 @@ def _stage1_fn(
                 "doc_len_sum": doc_len_sum,
                 "input_snapshot": snapshot,
                 "status": "committed",
+                # per-partition build timings (lineage + metrics): task
+                # wall and where it went — the scaling diagnosis at any
+                # cluster size reads straight from the manifests
+                "secs_task": round(time.perf_counter() - t_task0, 3),
+                "secs_extract": round(phase_s["extract"], 3),
+                "secs_tokenize": round(phase_s["tokenize"], 3),
+                "secs_postings": round(phase_s["postings"], 3),
+                "secs_write": round(phase_s["write"], 3),
             },
         )
         yield pd.DataFrame({"partition_id": [pid], "skipped": [False]})
@@ -1059,6 +1080,175 @@ _WRITE_RESULT_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------- map-only path
+def plan_ranged_file_groups(
+    pages_path: str, write_partitions: int
+) -> "list[dict] | None":
+    """Planner for the MAP-ONLY stage-1 fast path.
+
+    If the input table's parquet files form non-overlapping url ranges
+    (the layout a production crawl table maintains: Iceberg/parquet
+    written ``SORTED BY url`` — see bench.py corpus prep), stage 1 needs
+    NO exchange at all: each task reads its own contiguous file group
+    with pyarrow, so the JVM does no shuffle write/read and no
+    row→Arrow conversion of the html payloads. Measured on this box the
+    exchange path's stage-1 tasks slow ~2-4x at 32-way parallelism from
+    JVM/python CPU contention alone; the map-only path's only JVM work
+    is task scheduling.
+
+    Returns url-ordered groups ``[{"pid", "files", "rows"}]`` (files
+    whose boundary urls touch share a group, so a url never spans two
+    groups — dedup stays task-local), or None when the layout doesn't
+    qualify (overlapping ranges / empty stats / not parquet) — callers
+    fall back to the range-exchange path. Boundary urls are read as
+    VALUES (first/last row of each file), not footer min/max stats,
+    which may be truncated for long strings.
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        files = sorted(
+            os.path.join(pages_path, f)
+            for f in os.listdir(pages_path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    except OSError:
+        return None
+    if not files:
+        return None
+    metas = []
+    for f in files:
+        try:
+            pf = pq.ParquetFile(f)
+            md = pf.metadata
+            if md.num_rows == 0:
+                continue
+            head = next(pf.iter_batches(batch_size=1, columns=["url"]))
+            first = head["url"][0].as_py()
+            lastrg = pf.read_row_group(md.num_row_groups - 1, columns=["url"])
+            last = lastrg["url"][len(lastrg) - 1].as_py()
+            metas.append({"file": f, "rows": md.num_rows, "lo": first, "hi": last})
+        except Exception:
+            return None
+    if not metas:
+        return None
+    metas.sort(key=lambda m: (m["lo"], m["hi"]))
+    for a, b in zip(metas, metas[1:]):
+        if b["lo"] < a["hi"]:
+            return None  # overlapping url ranges — exchange required
+    total = sum(m["rows"] for m in metas)
+    # aim for ~2 groups per slot: finer task grain smooths stragglers
+    # (map-only tasks have near-zero fixed cost, so extra tasks are cheap)
+    target = max(1, total // (2 * max(write_partitions, 1)))
+    groups: list[dict] = []
+    cur: list[dict] = []
+    cur_rows = 0
+    for i, m in enumerate(metas):
+        cur.append(m)
+        cur_rows += m["rows"]
+        boundary_shared = i + 1 < len(metas) and metas[i + 1]["lo"] == m["hi"]
+        if cur_rows >= target and not boundary_shared:
+            groups.append({"files": [x["file"] for x in cur], "rows": cur_rows})
+            cur, cur_rows = [], 0
+    if cur:
+        groups.append({"files": [x["file"] for x in cur], "rows": cur_rows})
+    for pid, g in enumerate(groups):
+        g["pid"] = pid
+    return groups
+
+
+def _read_group_sorted(files: list[str], columns: list[str]) -> pd.DataFrame:
+    """Read a file group with pyarrow and return rows sorted by
+    (url asc, warc_ts desc, xxhash64(html) desc) — the exact dedup order
+    the exchange path's sortWithinPartitions produces, so both paths
+    keep the same row per url."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.concat_tables(
+        [pq.read_table(f, columns=columns) for f in files]
+    )
+    pdf = tbl.to_pandas()
+    urls = pdf["url"].to_numpy()
+    if "warc_ts" not in pdf.columns:
+        if not (urls[:-1] <= urls[1:]).all():
+            pdf = pdf.sort_values("url", kind="stable", ignore_index=True)
+        return pdf
+    dup_urls = pd.Index(urls).duplicated(keep=False)
+    if not dup_urls.any():
+        if (urls[:-1] <= urls[1:]).all():
+            return pdf
+        return pdf.sort_values("url", kind="stable", ignore_index=True)
+    # duplicates present: full dedup order, hash tiebreak only on rows
+    # that tie on (url, warc_ts) — xxhash64 on html bytes is python-side
+    from uci_searchengine_spark.functions.xxhash import xxhash64 as _xxh
+
+    th = np.zeros(len(pdf), dtype=np.int64)
+    dmask = dup_urls.to_numpy() if hasattr(dup_urls, "to_numpy") else np.asarray(dup_urls)
+    for i in np.flatnonzero(dmask):
+        h = _xxh(bytes(pdf["html"].iloc[i]))
+        th[i] = h - (1 << 64) if h >= (1 << 63) else h
+    pdf = pdf.assign(_th=th)
+    pdf = pdf.sort_values(
+        ["url", "warc_ts", "_th"],
+        ascending=[True, False, False],
+        kind="stable",
+        ignore_index=True,
+    ).drop(columns="_th")
+    return pdf
+
+
+def _group_counts_fn(group_files: dict[int, list[str]]):
+    """Map-only pre-pass: distinct-url count per file group, url column
+    only (pyarrow, no JVM read)."""
+
+    def run(it):
+        from pyspark import TaskContext
+
+        _tune_worker_arrow()
+        pid = TaskContext.get().partitionId()
+        for _ in it:
+            pass
+        files = group_files.get(pid, [])
+        if not files:
+            yield pd.DataFrame({"pid": [pid], "cnt": [0]})
+            return
+        pdf = _read_group_sorted(files, ["url"])
+        urls = pdf["url"].to_numpy()
+        cnt = 1 + int((urls[1:] != urls[:-1]).sum()) if len(urls) else 0
+        yield pd.DataFrame({"pid": [pid], "cnt": [cnt]})
+
+    return run
+
+
+def _stage1_from_files_fn(inner_run, group_files: dict[int, list[str]]):
+    """Map-only stage 1: feed the SAME fused stage-1 pass
+    (``_stage1_fn``'s run) from a pyarrow read of the task's file group
+    instead of an exchanged Arrow stream — identical outputs, no JVM
+    dataflow. Chunked to the same batch grain so memory behavior
+    matches."""
+
+    def run(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for _ in it:
+            pass
+        files = group_files.get(pid, [])
+
+        def batches():
+            if not files:
+                return
+            pdf = _read_group_sorted(files, ["url", "warc_ts", "html"])
+            pdf = pdf[["url", "html"]]
+            for i in range(0, len(pdf), 10_000):
+                yield pdf.iloc[i : i + 10_000]
+
+        yield from inner_run(batches())
+
+    return run
+
+
 # target postings-bucket width for auto-derived n_buckets: bounds the
 # query-side dense accumulator (np.zeros(bucket_size) in wand._score_bucket)
 # at ~64 MB of float64 per scoring task regardless of corpus size
@@ -1085,6 +1275,7 @@ def build_index(
     positions: bool = False,
     doc_id_base: int = 0,
     bucket_size_override: int | None = None,
+    pages_path: str | None = None,
 ) -> IndexMeta:
     """Build (or resume) the index at ``index_dir`` from a pages DataFrame.
 
@@ -1100,11 +1291,26 @@ def build_index(
     ``positions=True`` adds the positional plane (delta-varint token
     positions per posting, block-aligned) to the segments — enables
     index-only phrase matching (operators/phrase.py) at ~1.5-3x segment
-    size; OFF by default."""
+    size; OFF by default.
+
+    ``pages_path``: path to the pages table's parquet directory. When the
+    table's files form non-overlapping url ranges (a crawl table written
+    SORTED BY url — the layout a production pipeline maintains), stage 1
+    runs MAP-ONLY: tasks read their own file group with pyarrow, no JVM
+    exchange, no Arrow conversion of html payloads (plan_ranged_file_
+    groups). Unsuitable layouts fall back to the range-exchange path
+    transparently; results are identical either way (tested). ``pages``
+    may be None when ``pages_path`` is given."""
     os.makedirs(index_dir, exist_ok=True)
     parallelism = spark.sparkContext.defaultParallelism
     write_partitions = write_partitions or parallelism
     url_stats: list | None = None
+
+    map_groups: list | None = None
+    if pages_path is not None:
+        map_groups = plan_ranged_file_groups(pages_path, write_partitions)
+        if pages is None:
+            pages = spark.read.parquet(pages_path)
 
     def _collect_url_stats() -> list:
         """One url-column scan returning per-input-partition (count,
@@ -1117,8 +1323,11 @@ def build_index(
         )
 
     if n_buckets is None:
-        url_stats = _collect_url_stats()
-        n_buckets = derive_n_buckets(sum(r["cnt"] for r in url_stats))
+        if map_groups is not None:
+            n_buckets = derive_n_buckets(sum(g["rows"] for g in map_groups))
+        else:
+            url_stats = _collect_url_stats()
+            n_buckets = derive_n_buckets(sum(r["cnt"] for r in url_stats))
 
     import time as _time
 
@@ -1154,8 +1363,10 @@ def build_index(
         f"{input_snapshot}#s{num_shards}b{n_buckets}p{write_partitions}"
         f"x{seg_split}{'+stem' if stem else ''}{'+pos' if positions else ''}"
         f"{f'+base{doc_id_base}' if doc_id_base else ''}"
-        f"{f'+bs{bucket_size_override}' if bucket_size_override else ''}v2"
+        f"{f'+bs{bucket_size_override}' if bucket_size_override else ''}"
+        f"{f'+map{len(map_groups)}' if map_groups is not None else ''}v2"
     )
+    n_stage1 = len(map_groups) if map_groups is not None else write_partitions
 
     docs_stage = _read_manifest(index_dir, "stage-docs")
     if not (
@@ -1170,6 +1381,49 @@ def build_index(
             pids_from_bounds,
             weighted_range_bounds,
         )
+
+        if map_groups is not None:
+            # MAP-ONLY path: url-sorted input files → per-group pyarrow
+            # reads. Both the counts pre-pass and stage 1 are pure python
+            # tasks; the JVM never touches the html bytes.
+            group_files = {g["pid"]: g["files"] for g in map_groups}
+            driver_r = exact_repartition(
+                spark.createDataFrame(
+                    [(g["pid"],) for g in map_groups], "pid int"
+                ),
+                len(map_groups),
+                "pid",
+            )
+            counts = {
+                r["pid"]: r["cnt"]
+                for r in driver_r.mapInPandas(
+                    _group_counts_fn(group_files), "pid int, cnt long"
+                ).collect()
+            }
+            _lap("map-only group counts")
+            offsets: dict[int, int] = {}
+            acc = doc_id_base
+            for pid in sorted(counts):
+                offsets[pid] = acc
+                acc += counts[pid]
+            n_docs = acc - doc_id_base
+            bucket_size = bucket_size_override or max(
+                1, math.ceil(n_docs / n_buckets)
+            )
+            inner = _stage1_fn(
+                index_dir, snap, offsets, bucket_size, num_shards,
+                seg_parts, seg_split, stem, positions,
+            )
+            driver_r.mapInPandas(
+                _stage1_from_files_fn(inner, group_files),
+                schema=_WRITE_RESULT_SCHEMA,
+            ).collect()
+            _lap("stage1 pass (map-only)")
+            return _finish_stage1_and_pack(
+                spark, index_dir, snap, n_stage1, n_docs, bucket_size,
+                num_shards, n_buckets, seg_parts, seg_split,
+                input_snapshot, stem, positions, _lap,
+            )
 
         # deterministic url-range partitioning: one-job weighted sample →
         # boundaries → exact placement (repartitionByRange seeds its
@@ -1237,47 +1491,73 @@ def build_index(
             schema=_WRITE_RESULT_SCHEMA,
         ).collect()
         _lap("stage1 pass")
-
-        # avgdl from the stage-1 manifests (each records Σ doc_len for its
-        # partition) — no extra Spark job; falls back to a column-pruned
-        # agg over the docs table for manifests from older layouts
-        tot_dl = 0
-        have_sums = True
-        for pid in range(write_partitions):
-            m = _read_manifest(index_dir, f"stage1-{pid:05d}")
-            if not m or "doc_len_sum" not in m:
-                have_sums = False
-                break
-            tot_dl += m["doc_len_sum"]
-        if have_sums:
-            avgdl = tot_dl / n_docs if n_docs else 0.0
-        else:
-            avgdl = float(
-                spark.read.parquet(os.path.join(index_dir, "docs"))
-                .agg(F.avg("doc_len"))
-                .collect()[0][0]
-                or 0.0
-            )
-        _lap("avgdl agg")
-        _commit_manifest(
-            index_dir,
-            "stage-docs",
-            {
-                "status": "committed",
-                "input_snapshot": snap,
-                "n_docs": n_docs,
-                "avgdl": avgdl,
-                "num_shards": num_shards,
-                "n_buckets": n_buckets,
-                "bucket_size": bucket_size,
-            },
+        return _finish_stage1_and_pack(
+            spark, index_dir, snap, n_stage1, n_docs, bucket_size,
+            num_shards, n_buckets, seg_parts, seg_split,
+            input_snapshot, stem, positions, _lap,
         )
-        docs_stage = _read_manifest(index_dir, "stage-docs")
 
-    n_docs = docs_stage["n_docs"]
-    avgdl = docs_stage["avgdl"]
-    bucket_size = docs_stage["bucket_size"]
+    return _pack_and_finalize(
+        spark, index_dir, snap,
+        docs_stage["n_docs"], docs_stage["avgdl"], docs_stage["bucket_size"],
+        num_shards, n_buckets, seg_parts, seg_split,
+        input_snapshot, stem, positions, _lap,
+    )
 
+
+def _finish_stage1_and_pack(
+    spark, index_dir, snap, n_stage1, n_docs, bucket_size,
+    num_shards, n_buckets, seg_parts, seg_split,
+    input_snapshot, stem, positions, _lap,
+) -> IndexMeta:
+    """Shared tail of both stage-1 paths: avgdl from the manifests,
+    stage-docs commit, then stage 2 + meta."""
+    # avgdl from the stage-1 manifests (each records Σ doc_len for its
+    # partition) — no extra Spark job; falls back to a column-pruned
+    # agg over the docs table for manifests from older layouts
+    tot_dl = 0
+    have_sums = True
+    for pid in range(n_stage1):
+        m = _read_manifest(index_dir, f"stage1-{pid:05d}")
+        if not m or "doc_len_sum" not in m:
+            have_sums = False
+            break
+        tot_dl += m["doc_len_sum"]
+    if have_sums:
+        avgdl = tot_dl / n_docs if n_docs else 0.0
+    else:
+        avgdl = float(
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .agg(F.avg("doc_len"))
+            .collect()[0][0]
+            or 0.0
+        )
+    _lap("avgdl agg")
+    _commit_manifest(
+        index_dir,
+        "stage-docs",
+        {
+            "status": "committed",
+            "input_snapshot": snap,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "num_shards": num_shards,
+            "n_buckets": n_buckets,
+            "bucket_size": bucket_size,
+        },
+    )
+    return _pack_and_finalize(
+        spark, index_dir, snap, n_docs, avgdl, bucket_size,
+        num_shards, n_buckets, seg_parts, seg_split,
+        input_snapshot, stem, positions, _lap,
+    )
+
+
+def _pack_and_finalize(
+    spark, index_dir, snap, n_docs, avgdl, bucket_size,
+    num_shards, n_buckets, seg_parts, seg_split,
+    input_snapshot, stem, positions, _lap,
+) -> IndexMeta:
     # Stage 2: NO Spark shuffle. Stage 1 already wrote the flat postings
     # partitioned by shard-group (pshard= hive dirs) — a "shuffle via
     # storage". Each stage-2 task reads exactly its group's files with

@@ -15,6 +15,15 @@ Iceberg snapshot would provide natively. On a cluster with
 ``--packages org.apache.iceberg:iceberg-spark-runtime-...`` and a
 catalog configured, the same call writes a real Iceberg table with no
 code change.
+
+Probe record (round 3, 2026-08-17): attempted to fetch
+``iceberg-spark-runtime`` from Maven Central to exercise the real
+branch — the sandbox has no DNS (``urlopen('https://repo1.maven.org')``
+→ ``URLError: Name or service not known``) and no Iceberg jar exists
+anywhere on the image (``find / -name '*iceberg*'`` empty, pyspark
+jars dir checked). The Iceberg branch therefore remains
+classpath-gated and untested in this environment by necessity;
+tests/test_partitioning.py covers the probe + fallback behavior.
 """
 
 from __future__ import annotations
