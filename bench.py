@@ -47,7 +47,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
-SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
+# 200k docs: big enough that per-job constant overhead (~2s of Spark
+# scheduling per build, identical at every cluster size and invisible at
+# real scale) does not dominate the high-core wall and understate the
+# dataflow's scaling
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "200000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 SCALE_RUNS = int(os.environ.get("BENCH_SCALE_RUNS", "3"))
 INDEX_DIR = os.environ.get(
@@ -141,11 +145,14 @@ def _sorted_corpus_path(spark, n: int) -> str:
     once, untimed (table maintenance, not build work)."""
     from pyspark.sql import functions as F
 
-    path = os.path.join(REPO, "_data", f"pages_{n}_s1337_sorted")
+    # 256 range partitions → many small, even files: the map-only planner
+    # packs them into even groups at any core count, so stage-1 waves have
+    # no stragglers (64 coarse files measured a 1.9x max/avg task skew)
+    path = os.path.join(REPO, "_data", f"pages_{n}_s1337_sorted256")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             _corpus(spark, n)
-            .repartitionByRange(64, "url")
+            .repartitionByRange(256, "url")
             .sortWithinPartitions("url", F.desc("warc_ts"))
             .write.mode("overwrite")
             .parquet(path)

@@ -1,0 +1,132 @@
+"""Crawl ingestion e2e against REAL local HTTP servers: BFS frontier,
+robots gating, 404 handling, per-domain pacing, resume, and
+crawl → build_index → search."""
+
+import http.server
+import threading
+import time
+
+import pytest
+
+
+class _Site(http.server.BaseHTTPRequestHandler):
+    pages: dict[str, bytes] = {}
+    log: list[tuple[float, str]] = []
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):  # noqa: N802
+        type(self).log.append((time.monotonic(), self.path))
+        body = type(self).pages.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def _serve(pages: dict[str, bytes]):
+    handler = type("H", (_Site,), {"pages": pages, "log": []})
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, handler
+
+
+@pytest.fixture(scope="module")
+def site():
+    """Two 'domains' (distinct ports): A has a robots.txt-gated area and
+    a dead link; B is a remote page A links to."""
+    b_srv, b_h = _serve({"/remote.html": b"<html><title>remote</title><body>zzzremote word</body></html>"})
+    b_base = f"http://127.0.0.1:{b_srv.server_address[1]}"
+    a_pages = {
+        "/robots.txt": b"User-agent: *\nDisallow: /private/\n",
+        "/index.html": (
+            "<html><title>home</title><body>zzzhome start "
+            '<a href="/a.html">a</a> <a href="/b.html">b</a> '
+            '<a href="/private/secret.html">s</a> <a href="/missing.html">m</a> '
+            f'<a href="{b_base}/remote.html">r</a></body></html>'
+        ).encode(),
+        "/a.html": b'<html><title>a</title><body>zzzalpha text <a href="/index.html">back</a></body></html>',
+        "/b.html": b"<html><title>b</title><body>zzzbeta text</body></html>",
+        "/private/secret.html": b"<html><body>zzzsecret never seen</body></html>",
+    }
+    a_srv, a_h = _serve(a_pages)
+    a_base = f"http://127.0.0.1:{a_srv.server_address[1]}"
+    yield a_base, a_h, b_base, b_h
+    a_srv.shutdown()
+    b_srv.shutdown()
+
+
+def test_rate_limiter_unit():
+    """min-interval pacing (rate_limiter.py:37-49 semantics), fake clock."""
+    from uci_searchengine_spark.crawler import DomainRateLimiter
+
+    t = [0.0]
+    slept = []
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        slept.append(round(s, 6))
+        t[0] += s
+
+    lim = DomainRateLimiter(2.0, clock=clock, sleep=sleep)  # 0.5s interval
+    lim.wait("a")            # first request: no sleep
+    lim.wait("a")            # immediate: sleeps 0.5
+    t[0] += 0.2
+    lim.wait("a")            # 0.2 elapsed: sleeps 0.3
+    lim.wait("b")            # other domain: independent, no sleep
+    assert slept == [0.5, 0.3]
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+class TestCrawlE2E:
+    def test_crawl_discovers_gates_and_builds(self, spark, site, tmp_path):
+        from uci_searchengine_spark.crawler import crawl
+        from uci_searchengine_spark.operators.bm25 import search
+        from uci_searchengine_spark.operators.index_build import build_index
+
+        a_base, a_h, b_base, b_h = site
+        out = str(tmp_path / "crawl")
+        st = crawl(
+            spark,
+            [f"{a_base}/index.html"],
+            out,
+            max_rounds=4,
+            requests_per_second=100.0,
+            fetch_partitions=4,
+        )
+        stats = st.statistics()
+        # ok: index, a, b, remote; failed: missing(404) + robots-blocked
+        assert stats["urls_crawled"] == 4, stats
+        assert stats["urls_failed"] == 2, stats
+        assert stats["urls_in_queue"] == 0
+        # the robots-disallowed page was NEVER requested
+        assert all("/private/" not in path for _, path in a_h.log)
+        # both domains fetched
+        assert any(p == "/remote.html" for _, p in b_h.log)
+
+        pages = spark.read.parquet(st.pages_dir)
+        assert pages.count() == 4
+        idx = str(tmp_path / "idx")
+        build_index(spark, pages, idx, num_shards=4, n_buckets=2,
+                    input_snapshot="crawl-e2e")
+        env = search(spark, idx, "zzzremote")
+        assert env["total_results"] == 1
+        assert env["results"][0]["url"].endswith("/remote.html")
+        env2 = search(spark, idx, "zzzsecret")
+        assert env2["total_results"] == 0
+
+        # resume: frontier is drained — rerun fetches NOTHING new
+        n_req = len(a_h.log) + len(b_h.log)
+        crawl(spark, [f"{a_base}/index.html"], out, max_rounds=6,
+              requests_per_second=100.0, fetch_partitions=4)
+        assert len(a_h.log) + len(b_h.log) == n_req

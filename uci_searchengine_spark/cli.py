@@ -92,6 +92,22 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--out", required=True)
 
+    cr = sub.add_parser("crawl", help="BFS crawl from seed urls (per-domain politeness, robots, resume)")
+    cr.add_argument("--seeds", required=True, help="comma-separated seed urls")
+    cr.add_argument("--out", required=True, help="crawl state + pages output dir")
+    cr.add_argument("--max-rounds", type=int, default=5)
+    cr.add_argument("--max-pages", type=int, default=10_000)
+    cr.add_argument("--rps", type=float, default=1.0, help="per-domain requests/sec")
+    cr.add_argument("--allow", default=None, help="regex url allowlist")
+    cr.add_argument("--no-robots", action="store_true")
+    cr.add_argument("--master", default=None)
+
+    sv = sub.add_parser("serve", help="HTTP API over a built index (/api/search ...)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
@@ -110,7 +126,27 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master)
     try:
-        if args.cmd == "synth":
+        if args.cmd == "crawl":
+            from uci_searchengine_spark.crawler import crawl
+
+            st = crawl(
+                spark,
+                args.seeds.split(","),
+                args.out,
+                max_rounds=args.max_rounds,
+                max_pages=args.max_pages,
+                requests_per_second=args.rps,
+                allow_pattern=args.allow,
+                respect_robots=not args.no_robots,
+            )
+            print(json.dumps(st.statistics()))
+        elif args.cmd == "serve":
+            from uci_searchengine_spark.http_api import make_server
+
+            srv = make_server(spark, args.index, args.host, args.port)
+            print(f"http://{args.host}:{srv.server_address[1]}/api/search", flush=True)
+            srv.serve_forever()
+        elif args.cmd == "synth":
             from uci_searchengine_spark.sources.synth import synth_pages
             from uci_searchengine_spark.sources.tables import write_table
 

@@ -1137,9 +1137,10 @@ def plan_ranged_file_groups(
         if b["lo"] < a["hi"]:
             return None  # overlapping url ranges — exchange required
     total = sum(m["rows"] for m in metas)
-    # aim for ~2 groups per slot: finer task grain smooths stragglers
+    # aim for ~3 groups per slot: finer task grain smooths stragglers —
+    # wave-tail time dominated the 8/32-core stage-1 wall on even corpora
     # (map-only tasks have near-zero fixed cost, so extra tasks are cheap)
-    target = max(1, total // (2 * max(write_partitions, 1)))
+    target = max(1, total // (3 * max(write_partitions, 1)))
     groups: list[dict] = []
     cur: list[dict] = []
     cur_rows = 0
@@ -1254,6 +1255,10 @@ def _stage1_from_files_fn(inner_run, group_files: dict[int, list[str]]):
 # at ~64 MB of float64 per scoring task regardless of corpus size
 DOCS_PER_BUCKET = 8_000_000
 
+# docs' worth of postings per stage-2 task: the storage-shuffle grain cap
+# (see the seg grid derivation in build_index)
+SEG_DOCS_PER_TASK = 12_500
+
 
 def derive_n_buckets(n_rows: int) -> int:
     """Bucket-grid size for a corpus of ``n_rows`` pages (pre-dedup upper
@@ -1345,13 +1350,29 @@ def build_index(
     # (seg_parts ≤ num_shards, split 1 — a term's entire posting list in
     # one task, df_global exact); when the job runs wider than the shard
     # count — the 10^12-doc regime where one shard ≫ one task's memory —
-    # split each shard's buckets across ceil(wp/num_shards) tasks
-    if write_partitions > num_shards:
-        seg_split = math.ceil(write_partitions / num_shards)
+    # split each shard's buckets across ceil(wp/num_shards) tasks.
+    #
+    # The grid follows DATA volume, not core count (AQE-coalesce analog
+    # for the storage shuffle): on a small corpus, core-count seg tasks
+    # just fragment the flat postings (every stage-1 task opens one
+    # writer PER pshard — 59 tasks × 32 pshards measured ~1.9k tiny
+    # files and stage 2 anti-scaled 0.6s→2.6s going 8→32 cores on 100k
+    # docs). At real scale rows/SEG_DOCS_PER_TASK ≫ cores and the cap
+    # never binds.
+    est_rows = None
+    if map_groups is not None:
+        est_rows = sum(g["rows"] for g in map_groups)
+    elif url_stats is not None:
+        est_rows = sum(r["cnt"] for r in url_stats)
+    seg_wp = write_partitions
+    if est_rows is not None:
+        seg_wp = min(seg_wp, max(1, math.ceil(est_rows / SEG_DOCS_PER_TASK)))
+    if seg_wp > num_shards:
+        seg_split = math.ceil(seg_wp / num_shards)
         seg_parts = num_shards * seg_split
     else:
         seg_split = 1
-        seg_parts = min(write_partitions, num_shards)
+        seg_parts = min(seg_wp, num_shards)
 
     # internal snapshot string folds in layout config so a shard/bucket/
     # partition-count change invalidates old partition manifests (resume is
