@@ -225,7 +225,7 @@ def main() -> None:
     # measures the box, not the dataflow.
     if not os.environ.get("BENCH_SKIP_SCALING"):
         scale_idx = os.path.join(REPO, "_data", f"bench_scale_idx_{SCALE_DOCS}")
-        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
+        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
         # INTERLEAVED rounds: visit 2 → 8 → 32 cores, then repeat. This
         # host's effective capacity swings 2-4x over minutes with nothing
         # running (phantom load / hypervisor steal), so consecutive

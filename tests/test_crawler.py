@@ -42,18 +42,18 @@ def _serve(pages: dict[str, bytes]):
 def site():
     """Two 'domains' (distinct ports): A has a robots.txt-gated area and
     a dead link; B is a remote page A links to."""
-    b_srv, b_h = _serve({"/remote.html": b"<html><title>remote</title><body>zzzremote word</body></html>"})
+    b_srv, b_h = _serve({"/remote.html": b"<html><head><title>remote</title></head>\n<body>zzzremote word</body></html>"})
     b_base = f"http://127.0.0.1:{b_srv.server_address[1]}"
     a_pages = {
         "/robots.txt": b"User-agent: *\nDisallow: /private/\n",
         "/index.html": (
-            "<html><title>home</title><body>zzzhome start "
+            "<html><head><title>home</title></head>\n<body>zzzhome start "
             '<a href="/a.html">a</a> <a href="/b.html">b</a> '
             '<a href="/private/secret.html">s</a> <a href="/missing.html">m</a> '
             f'<a href="{b_base}/remote.html">r</a></body></html>'
         ).encode(),
-        "/a.html": b'<html><title>a</title><body>zzzalpha text <a href="/index.html">back</a></body></html>',
-        "/b.html": b"<html><title>b</title><body>zzzbeta text</body></html>",
+        "/a.html": b'<html><head><title>a</title></head>\n<body>zzzalpha text <a href="/index.html">back</a></body></html>',
+        "/b.html": b"<html><head><title>b</title></head>\n<body>zzzbeta text</body></html>",
         "/private/secret.html": b"<html><body>zzzsecret never seen</body></html>",
     }
     a_srv, a_h = _serve(a_pages)
