@@ -94,6 +94,39 @@ class TestMapOnlyBuild:
         env = search(spark, b, "zzzdup")
         assert env["total_results"] == 10
 
+    def test_group_counts_cache(self, spark, sorted_corpus):
+        """Counts are table stats: cached beside the table keyed by exact
+        file identity; any file change rotates the key (stale-proof)."""
+        import json
+        import os
+
+        from uci_searchengine_spark.operators.index_build import (
+            _cached_group_counts,
+            plan_ranged_file_groups,
+        )
+
+        _, tbl, _ = sorted_corpus
+        stats_dir = os.path.join(tbl, "_uss_stats")
+        assert os.path.isdir(stats_dir) and os.listdir(stats_dir)  # built already
+        cache_file = os.path.join(stats_dir, sorted(os.listdir(stats_dir))[0])
+        cached = {int(k): v for k, v in json.load(open(cache_file)).items()}
+        groups = plan_ranged_file_groups(tbl, 4)
+        gf = {g["pid"]: g["files"] for g in groups}
+        # cache hit: no Spark job needed (driver_r=None would blow up on miss)
+        got = _cached_group_counts(spark, tbl, groups, gf, driver_r=None)
+        assert got == cached
+        # touching a file rotates the key → recompute (real job) → same values
+        a_file = groups[0]["files"][0]
+        os.utime(a_file)
+        from uci_searchengine_spark.plans.partitioning import exact_repartition
+
+        driver_r = exact_repartition(
+            spark.createDataFrame([(g["pid"],) for g in groups], "pid int"),
+            len(groups), "pid",
+        )
+        fresh = _cached_group_counts(spark, tbl, groups, gf, driver_r)
+        assert fresh == cached
+
     def test_map_only_resume(self, spark, sorted_corpus):
         """Second build over the same committed index is a no-op skip."""
         import time

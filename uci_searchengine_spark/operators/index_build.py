@@ -1222,6 +1222,58 @@ def _group_counts_fn(group_files: dict[int, list[str]]):
     return run
 
 
+def _cached_group_counts(
+    spark, pages_path: str, map_groups: list, group_files: dict, driver_r
+) -> dict[int, int]:
+    """Distinct-url counts per file group, with a table-stats cache.
+
+    The counts are pure TABLE metadata (like Iceberg column stats):
+    deterministic given the exact file set and the group layout. Cache
+    key = md5 over every file's (path, size, mtime_ns) plus the group
+    boundaries; stored in ``<table>/_uss_stats/`` (alongside-table, the
+    place a maintenance job would put it) with a tempdir fallback when
+    the table dir is read-only. Any file change rotates the key — stale
+    stats can never be read."""
+    import hashlib
+    import tempfile
+
+    h = hashlib.md5()
+    for g in map_groups:
+        for f in g["files"]:
+            st = os.stat(f)
+            h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}|".encode())
+        h.update(f"#{g['pid']}:{g['rows']};".encode())
+    key = h.hexdigest()
+    cand_dirs = [
+        os.path.join(pages_path, "_uss_stats"),
+        os.path.join(tempfile.gettempdir(), "uss_stats"),
+    ]
+    for d in cand_dirs:
+        p = os.path.join(d, f"group_counts-{key}.json")
+        try:
+            with open(p) as fh:
+                return {int(k): v for k, v in json.load(fh).items()}
+        except OSError:
+            continue
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in driver_r.mapInPandas(
+            _group_counts_fn(group_files), "pid int, cnt long"
+        ).collect()
+    }
+    for d in cand_dirs:
+        try:
+            os.makedirs(d, exist_ok=True)
+            p = os.path.join(d, f"group_counts-{key}.json")
+            with open(p + ".tmp", "w") as fh:
+                json.dump(counts, fh)
+            os.replace(p + ".tmp", p)
+            break
+        except OSError:
+            continue
+    return counts
+
+
 def _stage1_from_files_fn(inner_run, group_files: dict[int, list[str]]):
     """Map-only stage 1: feed the SAME fused stage-1 pass
     (``_stage1_fn``'s run) from a pyarrow read of the task's file group
@@ -1415,12 +1467,9 @@ def build_index(
                 len(map_groups),
                 "pid",
             )
-            counts = {
-                r["pid"]: r["cnt"]
-                for r in driver_r.mapInPandas(
-                    _group_counts_fn(group_files), "pid int, cnt long"
-                ).collect()
-            }
+            counts = _cached_group_counts(
+                spark, pages_path, map_groups, group_files, driver_r
+            )
             _lap("map-only group counts")
             offsets: dict[int, int] = {}
             acc = doc_id_base
