@@ -125,3 +125,101 @@ class TestHttpApi:
         for t in ts:
             t.join()
         assert results == [200] * 6
+
+
+@pytest.fixture(scope="module")
+def registry_server(spark, index_small, tmp_path_factory):
+    """Two registered index versions behind /api/databases routes."""
+    import os
+    import shutil
+
+    from uci_searchengine_spark.http_api import make_server
+    from uci_searchengine_spark.operators.index_build import build_index
+    from uci_searchengine_spark.registry import IndexRegistry
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    root = str(tmp_path_factory.mktemp("reg"))
+    reg = IndexRegistry(root, default="main")
+    reg.add("main", index_small)
+    alt_src = os.path.join(root, "_alt_build")
+    pages = spark.createDataFrame(
+        [("https://alt.example/one", None,
+          bytearray(b"<html><head><title>alt</title></head>\n<body>zzzaltonly text</body></html>"),
+          "zzzaltonly text", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    build_index(spark, pages, alt_src, num_shards=2, n_buckets=1,
+                input_snapshot="alt")
+    reg.add("alt", alt_src, move=True)
+    srv = make_server(spark, None, port=0, registry=reg)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, reg
+    srv.shutdown()
+
+
+def _post(base, path, payload):
+    import urllib.error
+
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _delete(base, path, key=None):
+    import urllib.error
+
+    headers = {"X-Secret-Key": key} if key else {}
+    req = urllib.request.Request(base + path, headers=headers, method="DELETE")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.mark.spark
+class TestIndexManagement:
+    def test_list_switch_serves_new_index(self, registry_server):
+        from uci_searchengine_spark.http_api import SECRET_KEY
+
+        base, reg = registry_server
+        code, got = _get(base, "/api/databases")
+        assert code == 200 and got["current"] == "main"
+        assert set(got["available"]) == {"alt", "main"}
+        # main index doesn't know the alt corpus
+        assert _get(base, "/api/search?query=zzzaltonly")[1]["total_results"] == 0
+        # bad key → 401; unknown name → 404
+        assert _post(base, "/api/databases/switch",
+                     {"db_name": "alt", "secret_key": "wrong"})[0] == 401
+        assert _post(base, "/api/databases/switch",
+                     {"db_name": "nope", "secret_key": SECRET_KEY})[0] == 404
+        code, msg = _post(base, "/api/databases/switch",
+                          {"db_name": "alt", "secret_key": SECRET_KEY})
+        assert code == 200 and "alt" in msg["message"]
+        # hot-swapped searcher serves the other corpus now
+        env = _get(base, "/api/search?query=zzzaltonly")[1]
+        assert env["total_results"] == 1
+        assert _get(base, "/api/databases")[1]["current"] == "alt"
+        # switch back for the delete test
+        _post(base, "/api/databases/switch",
+              {"db_name": "main", "secret_key": SECRET_KEY})
+
+    def test_delete_protections(self, registry_server):
+        from uci_searchengine_spark.http_api import SECRET_KEY
+
+        base, reg = registry_server
+        assert _delete(base, "/api/databases/alt")[0] == 401
+        assert _delete(base, "/api/databases/nope", SECRET_KEY)[0] == 404
+        # current + default protected
+        assert _delete(base, "/api/databases/main", SECRET_KEY)[0] == 400
+        code, msg = _delete(base, "/api/databases/alt", SECRET_KEY)
+        assert code == 200
+        assert _get(base, "/api/databases")[1]["available"] == ["main"]

@@ -19,6 +19,14 @@ point their frontend here unchanged:
   total_index_entries} (routes.py:294-307); index-derived.
 * ``GET /api/suggest?word=...`` — the fuzzy vocab suggestion
   (extension; the reference frontend has no suggest route).
+* ``GET /api/databases`` / ``POST /api/databases/switch`` /
+  ``DELETE /api/databases/<name>`` — multi-index version management
+  (routes.py:62-115 shapes, secret-key gated; the SQLite files become
+  named index directories — registry.IndexRegistry). Enabled when the
+  server is constructed with a registry. The reference's
+  ``POST /databases/upload`` (receiving a .sqlite file) has no HTTP
+  analog — a cluster-scale index is a directory on shared storage;
+  ``IndexRegistry.add`` is the registration API.
 
 Implementation: stdlib ThreadingHTTPServer (FastAPI/uvicorn aren't in
 this environment — the handler layer is ~100 lines and the envelope
@@ -34,6 +42,7 @@ there is no live crawl to tail; build progress is in the manifest files.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -46,17 +55,46 @@ def _int_param(qs: dict, name: str, default: int) -> int:
     return int(v)  # ValueError → 422 by caller
 
 
-class EngineState:
-    """Resident engine handles shared by all request threads."""
+SECRET_KEY = os.environ.get("USS_SECRET_KEY", "dev-secret-key")
 
-    def __init__(self, spark, index_dir: str):
+
+class EngineState:
+    """Resident engine handles shared by all request threads.
+
+    With a registry, the active index follows the CURRENT pointer and
+    ``switch`` hot-swaps the resident Searcher (the reference's
+    setup_connections reload, connection.py:36-135)."""
+
+    def __init__(self, spark, index_dir: str | None, registry=None):
         from uci_searchengine_spark.operators.serving import Searcher
 
         self.spark = spark
-        self.index_dir = index_dir
-        self.searcher = Searcher(spark, index_dir)
+        self.registry = registry
+        self.index_dir = index_dir if registry is None else registry.path()
+        self.searcher = Searcher(spark, self.index_dir)
         self.lock = threading.Lock()
         self._stats_cache: dict | None = None
+
+    # ------------------------------------------------- index management
+    def databases(self) -> dict:
+        r = self.registry
+        return {"current": r.current(), "available": r.available()}
+
+    def switch(self, name: str) -> dict:
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        r = self.registry
+        with self.lock:
+            r.switch(name)
+            self.index_dir = r.path(name)
+            self.searcher = Searcher(self.spark, self.index_dir)
+            self._stats_cache = None
+        return {"message": f"Switched to database: {name}"}
+
+    def delete_index(self, name: str) -> dict:
+        with self.lock:
+            self.registry.delete(name)
+        return {"message": f"Deleted database: {name}"}
 
     # ------------------------------------------------------------- endpoints
     def search(self, query: str, page: int, per_page: int, mode: str) -> dict:
@@ -171,6 +209,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(self.engine.status())
             if u.path == "/api/crawler/statistics":
                 return self._json(self.engine.statistics())
+            if u.path == "/api/databases" and self.engine.registry is not None:
+                return self._json(self.engine.databases())
             if u.path == "/api/health":
                 return self._json({"ok": True})
             return self._json({"detail": "Not Found"}, 404)
@@ -179,11 +219,58 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # engine errors surface as 500 JSON
             return self._json({"detail": str(e)}, 500)
 
+    def do_POST(self):  # noqa: N802
+        u = urlparse(self.path)
+        try:
+            if u.path == "/api/databases/switch" and self.engine.registry is not None:
+                n = int(self.headers.get("Content-Length") or 0)
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if body.get("secret_key") != SECRET_KEY:
+                    return self._json({"detail": "Invalid secret key"}, 401)
+                name = body.get("db_name")
+                if name not in self.engine.registry.available():
+                    return self._json({"detail": "Database not found"}, 404)
+                return self._json(self.engine.switch(name))
+            return self._json({"detail": "Not Found"}, 404)
+        except Exception as e:
+            return self._json({"detail": str(e)}, 500)
 
-def make_server(spark, index_dir: str, host: str = "127.0.0.1", port: int = 8080):
+    def do_DELETE(self):  # noqa: N802
+        u = urlparse(self.path)
+        try:
+            if (
+                u.path.startswith("/api/databases/")
+                and self.engine.registry is not None
+            ):
+                if self.headers.get("X-Secret-Key") != SECRET_KEY:
+                    return self._json({"detail": "Invalid secret key"}, 401)
+                name = u.path.rsplit("/", 1)[-1]
+                r = self.engine.registry
+                if name not in r.available():
+                    return self._json({"detail": "Database not found"}, 404)
+                if name == r.current():
+                    return self._json(
+                        {"detail": "Cannot delete current database"}, 400
+                    )
+                if r.default and name == r.default:
+                    return self._json(
+                        {"detail": "Cannot delete default database"}, 400
+                    )
+                return self._json(self.engine.delete_index(name))
+            return self._json({"detail": "Not Found"}, 404)
+        except Exception as e:
+            return self._json({"detail": str(e)}, 500)
+
+
+def make_server(
+    spark, index_dir: str | None, host: str = "127.0.0.1", port: int = 8080,
+    registry=None,
+):
     """Build (don't start) the HTTP server — ``.serve_forever()`` to run,
-    ``.shutdown()`` to stop. Port 0 picks an ephemeral port (tests)."""
-    engine = EngineState(spark, index_dir)
+    ``.shutdown()`` to stop. Port 0 picks an ephemeral port (tests).
+    ``registry``: an IndexRegistry enabling the /api/databases routes;
+    the active index then follows the registry's CURRENT pointer."""
+    engine = EngineState(spark, index_dir, registry=registry)
     handler = type("BoundHandler", (_Handler,), {"engine": engine})
     return ThreadingHTTPServer((host, port), handler)
 
