@@ -130,3 +130,47 @@ class TestCrawlE2E:
         crawl(spark, [f"{a_base}/index.html"], out, max_rounds=6,
               requests_per_second=100.0, fetch_partitions=4)
         assert len(a_h.log) + len(b_h.log) == n_req
+
+    def test_incremental_crawl_to_index(self, spark, site, tmp_path):
+        """The crawl-to-query pipeline, incrementally: each crawl round's
+        delta (hive round=N dir) is appended as an index generation;
+        the final index answers queries exactly like a one-shot build
+        over the full crawl."""
+        from uci_searchengine_spark.crawler import crawl
+        from uci_searchengine_spark.operators.index_append import append_index
+        from uci_searchengine_spark.operators.index_build import build_index
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        a_base, _, _, _ = site
+        out = str(tmp_path / "crawl_inc")
+        st = crawl(spark, [f"{a_base}/index.html"], out, max_rounds=4,
+                   requests_per_second=100.0, fetch_partitions=4)
+        rounds = [m["round"] for m in st.round_manifests() if m["fetched_ok"]]
+        assert len(rounds) >= 2  # BFS produced at least two delta rounds
+
+        inc = str(tmp_path / "idx_inc")
+        for i, rnd in enumerate(rounds):
+            delta = spark.read.parquet(st.round_pages_dir(rnd))
+            if i == 0:
+                build_index(spark, delta, inc, num_shards=4, n_buckets=2,
+                            input_snapshot=f"round{rnd}")
+            else:
+                append_index(spark, delta, inc, input_snapshot=f"round{rnd}")
+
+        full = str(tmp_path / "idx_full")
+        build_index(spark, spark.read.parquet(st.pages_dir)
+                    .select("url", "warc_ts", "html", "text", "lang"),
+                    full, num_shards=4, n_buckets=2, input_snapshot="full")
+
+        from uci_searchengine_spark.operators.index_build import load_docs
+
+        def by_url(idx, q):
+            id2url = {r["doc_id"]: r["url"]
+                      for r in load_docs(spark, idx).select("doc_id", "url").collect()}
+            return sorted(
+                (id2url[r["doc_id"]], round(r["score"], 9))
+                for r in score_wand(spark, idx, q, 10).collect()
+            )
+
+        for q in ("zzzremote", "zzzalpha text", "text"):
+            assert by_url(inc, q) == by_url(full, q), q

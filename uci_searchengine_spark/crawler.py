@@ -11,7 +11,7 @@ ROUNDS over a frontier relation:
             batch ──repartition BY DOMAIN──▶ fetch tasks
             fetch task: robots.txt gate + min-interval pacing + GET,
                         per domain, ALL LOCAL to the task
-            ok rows ──▶ pages table (append, round-stamped files)
+            ok rows ──▶ pages table (hive round=N partition dirs)
             links(ok) ──normalize/filter──▶ next frontier
 
 **Per-domain politeness without coordination**: the batch is hash-
@@ -165,6 +165,11 @@ class CrawlState:
     def state_dir(self) -> str:
         return os.path.join(self.out_dir, "_crawl_state")
 
+    def round_pages_dir(self, rnd: int) -> str:
+        """One round's delta (hive ``round=N`` dir) — the unit an
+        incremental consumer appends."""
+        return os.path.join(self.pages_dir, f"round={rnd}")
+
     def round_manifests(self) -> list[dict]:
         if not os.path.isdir(self.state_dir):
             return []
@@ -270,8 +275,13 @@ def crawl(
             ex, schema=PAGES_SCHEMA + ", links array<string>"
         ).cache()
         (
+            # hive round= partitioning: the whole table reads as one
+            # pages relation, and incremental consumers (append_index per
+            # round, or a Structured Streaming file source discovering
+            # new round dirs) address each round's delta directly
             enriched.select("url", "warc_ts", "html", "text", "lang")
-            .write.mode("append").parquet(st.pages_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(st.pages_dir, f"round={rnd}"))
         )
         n_ok = enriched.count()
         n_failed = failed.count()
@@ -300,8 +310,7 @@ def crawl(
 
         # commit the round: swap state dirs, then the manifest (rename-
         # commit last, so a crash re-runs the whole round idempotently —
-        # pages append of a rerun round double-writes urls, and the
-        # build's keep-latest dedup absorbs exactly that)
+        # the round's pages dir is overwritten, never double-appended)
         import shutil
 
         for tmp, final in ((tmp_seen, seen_path), (tmp_frontier, frontier_path)):
