@@ -225,7 +225,7 @@ def main() -> None:
     # measures the box, not the dataflow.
     if not os.environ.get("BENCH_SKIP_SCALING"):
         scale_idx = os.path.join(REPO, "_data", f"bench_scale_idx_{SCALE_DOCS}")
-        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
+        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
         # INTERLEAVED rounds: visit 2 → 8 → 32 cores, then repeat. This
         # host's effective capacity swings 2-4x over minutes with nothing
         # running (phantom load / hypervisor steal), so consecutive
@@ -241,13 +241,21 @@ def main() -> None:
         # build 10x; stop after the last COMPLETE round once the budget
         # is spent so a driver-side timeout never truncates the whole
         # bench output (every level is always visited at least once)
-        budget_s = float(os.environ.get("BENCH_SCALING_BUDGET_S", "900"))
+        budget_s = float(os.environ.get("BENCH_SCALING_BUDGET_S", "720"))
         t_start = time.perf_counter()
         rounds_done = 0
+        stop = False
         for rnd in range(rounds):
-            if rnd > 0 and time.perf_counter() - t_start > budget_s:
+            if stop or (rnd > 0 and time.perf_counter() - t_start > budget_s):
                 break
             for cores in (2, 8, 32):
+                # after the first complete round, re-check the budget
+                # before EVERY visit — a bad host phase can stretch one
+                # 200k-doc visit past the whole budget, and the driver
+                # must always receive intact JSON
+                if rnd > 0 and time.perf_counter() - t_start > budget_s:
+                    stop = True
+                    break
                 # level-2 builds are ~4x longer; fewer timed runs per
                 # visit keeps the section's wall time bounded
                 runs = 1 if cores == 2 else max(1, SCALE_RUNS - 1)
@@ -263,7 +271,8 @@ def main() -> None:
                 )
                 spark.stop()
                 ceil_by_cores[cores].append(_mp_ceiling(cores))
-            rounds_done = rnd + 1
+            else:
+                rounds_done = rnd + 1
         shutil.rmtree(scale_idx, ignore_errors=True)
         ceil = {c: min(v) for c, v in ceil_by_cores.items()}
         t2, t8, t32 = (min(t_by_cores[c]) for c in (2, 8, 32))
