@@ -118,9 +118,9 @@ class TestSearchE2E:
     def test_searcher_envelope_matches_oracle_one_job(
         self, spark, index_small, oracle_small
     ):
-        """Searcher.search folds total_results into the scoring pass
-        (wand.topk_and_count): envelope equals the oracle's AND the
-        scorer+count runs as ONE Spark job (plus one doc-fetch job)."""
+        """Searcher.search folds total_results AND the doc-store fetch
+        into the scoring pass (wand.topk_count_docs): envelope equals the
+        oracle's and the whole query is ONE Spark action."""
         from uci_searchengine_spark.operators.serving import Searcher
 
         s = Searcher(spark, index_small)
@@ -138,9 +138,9 @@ class TestSearchE2E:
         for g, e in zip(got["results"], exp["results"]):
             assert math.isclose(g["score"], e["score"], rel_tol=1e-9)
         assert got["did_you_mean"] is None
-        # exactly TWO actions: the folded scorer+count collect and the
-        # doc-store fetch collect (AQE fans each action into several job
-        # ids, so count distinct collect call-sites, not jobs)
+        # exactly ONE action: the folded scorer+count+doc-fetch collect
+        # (AQE fans one action into several job ids, so count distinct
+        # collect call-sites, not jobs)
         sites = set()
         for j in jobs:
             ji = tracker.getJobInfo(j)
@@ -150,7 +150,7 @@ class TestSearchE2E:
                 si = tracker.getStageInfo(st)
                 if si is not None:
                     sites.add(si.name.split(" at ")[-1])
-        assert len(sites) <= 2, sites
+        assert len(sites) <= 1, sites
 
     def test_searcher_envelope_zero_hits_did_you_mean(self, spark, index_small):
         """Envelope-shape parity with bm25.search: the did_you_mean key is

@@ -168,6 +168,23 @@ def match_count(
 _SNIPPET_SCHEMA = T.StringType()
 
 
+def snippet_text(t: str, lowered_terms: list[str], max_length: int = 200) -> str:
+    """The reference snippet rule (search.py:41-65) as a plain function —
+    shared by the display UDF and the per-bucket one-job envelope path."""
+    t = t.lower()
+    positions = [p for q in lowered_terms if (p := t.find(q)) != -1]
+    if not positions:
+        return t[:max_length] + "..."
+    start = max(0, min(positions) - 50)
+    end = min(len(t), start + max_length)
+    s = t[start:end]
+    if start > 0:
+        s = "..." + s
+    if end < len(t):
+        s = s + "..."
+    return s
+
+
 def make_snippet_udf(terms: list[str], max_length: int = 200):
     """Pandas UDF for the reference snippet rule (search.py:41-65) —
     applied only to the ≤k returned rows (off hot path)."""
@@ -175,21 +192,7 @@ def make_snippet_udf(terms: list[str], max_length: int = 200):
 
     @F.pandas_udf(_SNIPPET_SCHEMA)
     def snippet(text: pd.Series) -> pd.Series:
-        def one(t: str) -> str:
-            t = t.lower()
-            positions = [p for q in lowered if (p := t.find(q)) != -1]
-            if not positions:
-                return t[:max_length] + "..."
-            start = max(0, min(positions) - 50)
-            end = min(len(t), start + max_length)
-            s = t[start:end]
-            if start > 0:
-                s = "..." + s
-            if end < len(t):
-                s = s + "..."
-            return s
-
-        return text.map(one)
+        return text.map(lambda t: snippet_text(t, lowered, max_length))
 
     return snippet
 

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from uci_searchengine_spark.operators import wand as _wand
 from uci_searchengine_spark.operators.bm25 import (
-    make_snippet_udf,
     query_terms,
     terms_for_index,
 )
@@ -87,9 +86,11 @@ class Searcher:
 
         Matching terms follow the index's analysis chain (stemmed iff the
         index is); snippets highlight the raw query forms (display rule).
-        Hits AND total_results come from ONE Spark job
-        (wand.topk_and_count) — the envelope used to run the scorer and
-        then a second count job over the same pruned relation."""
+        The WHOLE envelope — hits, total_results, AND the doc-store
+        url/title/snippet — comes from ONE Spark job
+        (wand.topk_count_docs): each scoring task reads its own bucket's
+        co-located docs for its local winners, so there is no doc join
+        and no second job."""
         terms = terms_for_index(self.meta, query)
         if not terms:
             return {
@@ -102,32 +103,11 @@ class Searcher:
                 "results": [],
             }
         seg = _wand.prune_relation(self._segments, self.meta, terms)
-        hits, total = _wand.topk_and_count(
-            seg, self.meta, k=page * per_page, mode=mode, n_terms=len(terms),
+        rows, total = _wand.topk_count_docs(
+            seg, self.meta, self.index_dir, query_terms(query),
+            k=page * per_page, mode=mode, n_terms=len(terms),
             excl=_wand.load_excl(self.index_dir, self.spark, self.meta.bucket_size),
         )
-        rows = []
-        if hits:
-            ids = [d for d, _ in hits]
-            buckets = sorted({int(i) // self.meta.bucket_size for i in ids})
-            tiny = self.spark.createDataFrame(hits, "doc_id long, score double")
-            docs = self._docs.filter(
-                F.col("bucket").isin(buckets) & F.col("doc_id").isin(ids)
-            )
-            rows = (
-                docs.join(F.broadcast(tiny), "doc_id")
-                .select(
-                    "doc_id",
-                    "url",
-                    "title",
-                    make_snippet_udf(query_terms(query))(F.col("text")).alias(
-                        "snippet"
-                    ),
-                    "score",
-                )
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .collect()
-            )
         start = (page - 1) * per_page
         sel = rows[start : start + per_page]
         dym = None

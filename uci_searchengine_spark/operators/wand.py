@@ -38,6 +38,7 @@ single-node oracle on the full reference query set (tests/test_query.py).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -589,3 +590,152 @@ def topk_and_count(
     ).collect()[0]
     hits = [(int(r["doc_id"]), -float(r["neg_score"])) for r in row["top"]]
     return hits, int(row["total"])
+
+
+_TOPK_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("n_matched", T.LongType(), False),
+        T.StructField(
+            "top",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("neg_score", T.DoubleType(), False),
+                        T.StructField("doc_id", T.LongType(), False),
+                        T.StructField("url", T.StringType(), True),
+                        T.StructField("title", T.StringType(), True),
+                        T.StructField("snippet", T.StringType(), True),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def topk_count_docs(
+    seg: DataFrame,
+    meta: IndexMeta,
+    index_dir: str,
+    display_terms: list[str],
+    k: int,
+    mode: str = "or",
+    n_terms: int | None = None,
+    excl: "np.ndarray | BucketedExcl | None" = None,
+) -> tuple[list[dict], int]:
+    """The WHOLE search envelope from ONE Spark job.
+
+    ``topk_and_count`` folded the match count into the scoring pass;
+    this folds the doc-store fetch in too. The doc store is bucketed on
+    the SAME doc-range grid as the segments, so each scoring task reads
+    its own bucket's docs for its ≤k local winners — a task-local
+    pyarrow read with a doc_id row-group filter (the co-location pattern
+    phrase verification already uses), never a join, never a second job.
+    Returns (rows, total): rows ordered (score desc, doc_id asc) with
+    url/title/snippet attached, snippets under the reference display
+    rule (raw query forms — bm25.snippet_text)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from uci_searchengine_spark.operators.bm25 import snippet_text
+    from uci_searchengine_spark.operators.index_build import generation_dirs
+
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    n_docs = meta.n_docs
+    avgdl, bucket_size = meta.avgdl, meta.bucket_size
+    docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
+    lowered = [t.lower() for t in display_terms]
+
+    def make_fn(excl_local):
+        def fn(key, seg_pdf):
+            empty = pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "n_matched": pd.Series([], dtype="int64"),
+                    "top": pd.Series([], dtype="object"),
+                }
+            )
+            if not len(seg_pdf):
+                return empty
+            idf_map = {
+                t: idf_fn(n_docs, int(d))
+                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+            }
+            if mode == "and":
+                pdf, n = _score_bucket_and(
+                    seg_pdf, idf_map, avgdl, bucket_size, n_terms, k,
+                    excl=excl_local, count_matches=True,
+                )
+            else:
+                pdf, n = _score_bucket(
+                    seg_pdf, idf_map, avgdl, bucket_size, k,
+                    excl=excl_local, count_matches=True,
+                )
+            if not n:
+                return empty
+            bucket = int(seg_pdf["bucket"].iloc[0])
+            ids = [int(d) for d in pdf["doc_id"]]
+            parts = [
+                p
+                for d in docs_dirs
+                if os.path.isdir(p := os.path.join(d, f"bucket={bucket}"))
+            ]
+            docs: dict[int, tuple[str, str, str]] = {}
+            if parts:
+                tbl = pa.concat_tables(
+                    [
+                        pads.dataset(p, format="parquet").to_table(
+                            columns=["doc_id", "url", "title", "text"],
+                            filter=pads.field("doc_id").isin(ids),
+                        )
+                        for p in parts
+                    ]
+                )
+                dp = tbl.to_pandas()
+                for did, url, title, text in zip(
+                    dp["doc_id"], dp["url"], dp["title"], dp["text"]
+                ):
+                    docs[int(did)] = (url, title, snippet_text(text, lowered))
+            top = []
+            for did, s in zip(pdf["doc_id"], pdf["score"]):
+                url, title, snip = docs.get(int(did), (None, None, None))
+                top.append(
+                    {
+                        "neg_score": -float(s),
+                        "doc_id": int(did),
+                        "url": url,
+                        "title": title,
+                        "snippet": snip,
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([bucket], dtype="int64"),
+                    "n_matched": pd.Series([n], dtype="int64"),
+                    "top": pd.Series([top], dtype="object"),
+                }
+            )
+
+        return fn
+
+    per_bucket = apply_per_bucket(seg, excl, make_fn, _TOPK_DOCS_SCHEMA)
+    row = per_bucket.agg(
+        F.coalesce(F.sum("n_matched"), F.lit(0)).alias("total"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("top"))), 1, k
+        ).alias("top"),
+    ).collect()[0]
+    rows = [
+        {
+            "doc_id": int(r["doc_id"]),
+            "score": -float(r["neg_score"]),
+            "url": r["url"],
+            "title": r["title"],
+            "snippet": r["snippet"],
+        }
+        for r in row["top"]
+    ]
+    return rows, int(row["total"])
