@@ -174,3 +174,35 @@ class TestCrawlE2E:
 
         for q in ("zzzremote", "zzzalpha text", "text"):
             assert by_url(inc, q) == by_url(full, q), q
+
+    def test_crawl_output_feeds_streaming_ingest(self, spark, site, tmp_path):
+        """The live pipeline end: readStream over the crawl's pages table
+        (round=N dirs are discovered as they land) drives the incremental
+        postings ingest — streamed postings equal the batch dataflow's."""
+        from uci_searchengine_spark.crawler import crawl
+        from uci_searchengine_spark.streaming.ingest import (
+            incremental_postings,
+            stream_pages,
+        )
+
+        a_base, _, _, _ = site
+        out = str(tmp_path / "crawl_stream")
+        st = crawl(spark, [f"{a_base}/index.html"], out, max_rounds=4,
+                   requests_per_second=100.0, fetch_partitions=4)
+        pages_glob = st.pages_dir + "/round=*"
+        q = incremental_postings(
+            stream_pages(spark, pages_glob, max_files=2),
+            str(tmp_path / "flat"), str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        streamed = spark.read.parquet(str(tmp_path / "flat"))
+        batch_pages = spark.read.parquet(st.pages_dir).select(
+            "url", "warc_ts", "html", "text", "lang"
+        )
+        from uci_searchengine_spark.streaming.ingest import _batch_postings
+
+        expected = _batch_postings(batch_pages)
+        got = {(r["doc_id"], r["term"], r["tf"]) for r in streamed.collect()}
+        exp = {(r["doc_id"], r["term"], r["tf"]) for r in expected.collect()}
+        assert got == exp and len(got) > 0
