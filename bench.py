@@ -375,6 +375,23 @@ def main() -> None:
         1000 * sorted(wlat)[max(0, int(len(wlat) * 0.95) - 1)], 1
     )
 
+    # 2c) serving-envelope latency on the task-local plan (the auto
+    # choice for any query whose pruned shard bytes fit one task —
+    # operators/local_search.py): full envelope (hits + exact total +
+    # url/title/snippet), zero Spark jobs, rank-identical to the
+    # distributed plan by shared closure. This is the number to compare
+    # against the reference's resident-process query latency.
+    searcher.search(BENCH_QUERIES[0], plan="local")  # warm footer memo
+    llat = []
+    for q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        searcher.search(q, plan="local")
+        llat.append(time.perf_counter() - t0)
+    out["serve_local_p50_ms"] = round(1000 * statistics.median(llat), 1)
+    out["serve_local_p95_ms"] = round(
+        1000 * sorted(llat)[max(0, int(len(llat) * 0.95) - 1)], 1
+    )
+
     # 3) headline relational / training-data queries over the sf dir
     for name in HEADLINE:
         fn, _sql = QUERIES[name]

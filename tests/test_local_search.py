@@ -1,0 +1,186 @@
+"""Task-local serving plan ≡ distributed plan (operators/local_search.py).
+
+The local path runs the SAME per-bucket envelope closure
+(wand.make_envelope_fn) over a pyarrow scan of the same pruned files;
+these tests pin the full-envelope equality across every index shape
+that exercises a different code branch: single-gen, multi-generation
+append (gen_avgdl inflation + df re-aggregation), seg_split>1
+(fragment-local df), and tombstones (exclusion array)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SEED = 1337
+N = 300
+
+QUERIES = [
+    ("arbak arbal", "or"),
+    ("arbak arbal", "and"),
+    ("stop0 arbak page", "or"),
+    ("stop0 arbak page", "and"),
+    ("arbat", "or"),
+    ("zzz-nothere arbak", "or"),
+]
+
+
+def _assert_plans_equal(searcher, extras=()):
+    for q, mode in list(QUERIES) + list(extras):
+        a = searcher.search(q, mode=mode, plan="spark")
+        b = searcher.search(q, mode=mode, plan="local")
+        assert a == b, (q, mode, a, b)
+    # pagination slices through the same k=page*per_page path
+    a = searcher.search("arbak arbal", page=2, per_page=3, plan="spark")
+    b = searcher.search("arbak arbal", page=2, per_page=3, plan="local")
+    assert a == b
+
+
+@pytest.mark.spark
+class TestLocalSearch:
+    def test_envelope_equal_single_gen(self, spark, index_small):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small)
+        _assert_plans_equal(s)
+
+    def test_envelope_equal_multigen(self, spark, tmp_path):
+        """Appended index: local path must re-aggregate df across
+        generations and carry gen_avgdl for admissible block-max."""
+        from uci_searchengine_spark.operators.index_append import append_index
+        from uci_searchengine_spark.operators.index_build import build_index
+        from uci_searchengine_spark.operators.serving import Searcher
+        from uci_searchengine_spark.sources.synth import synth_pages
+
+        d = str(tmp_path / "idx")
+        pages = synth_pages(spark, N, SEED, partitions=5)
+        urls = sorted(r["url"] for r in pages.select("url").distinct().collect())
+        cut = urls[141]  # unaligned split → shared boundary bucket
+        build_index(
+            spark, pages.filter(F.col("url") < cut), d,
+            num_shards=8, n_buckets=4, input_snapshot="local-gen0",
+        )
+        append_index(
+            spark, pages.filter(F.col("url") >= cut), d,
+            input_snapshot="local-gen1",
+        )
+        s = Searcher(spark, d)
+        assert s.meta.gens > 1
+        _assert_plans_equal(s)
+
+    def test_envelope_equal_seg_split(self, spark, tmp_path):
+        """seg_split>1: fragment-local df rows — the local read must sum
+        them exactly like prune_relation's in-plan aggregate."""
+        from uci_searchengine_spark.operators.index_build import (
+            IndexMeta,
+            build_index,
+        )
+        from uci_searchengine_spark.operators.serving import Searcher
+        from uci_searchengine_spark.sources.synth import synth_pages
+
+        d = str(tmp_path / "idx")
+        build_index(
+            spark, synth_pages(spark, N, SEED, partitions=5), d,
+            num_shards=2, n_buckets=4, write_partitions=8,
+            input_snapshot="local-split",
+        )
+        assert IndexMeta.load(d).seg_split > 1
+        s = Searcher(spark, d)
+        _assert_plans_equal(s)
+
+    def test_envelope_equal_with_tombstones(self, spark, tmp_path):
+        from uci_searchengine_spark.operators.index_build import build_index
+        from uci_searchengine_spark.operators.serving import Searcher
+        from uci_searchengine_spark.operators.tombstones import delete_docs
+        from uci_searchengine_spark.sources.synth import synth_pages
+
+        d = str(tmp_path / "idx")
+        build_index(
+            spark, synth_pages(spark, N, SEED, partitions=5), d,
+            num_shards=8, n_buckets=4, input_snapshot="local-tomb",
+        )
+        s0 = Searcher(spark, d)
+        victims = [r["doc_id"] for r in s0.top_k("arbak arbal", k=3).collect()]
+        delete_docs(d, victims)
+        s = Searcher(spark, d)
+        a = s.search("arbak arbal", plan="spark")
+        b = s.search("arbak arbal", plan="local")
+        assert a == b
+        assert not {r["url"] for r in a["results"]} & {
+            u
+            for u, in spark.read.parquet(d + "/docs")
+            .filter(F.col("doc_id").isin(victims))
+            .select("url")
+            .collect()
+        }
+
+    def test_auto_plan_policy(self, spark, index_small):
+        """auto = bytes-based: tiny fixture index → local; limit 0 →
+        distributed; forced plans override."""
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small)
+        s.search("arbak")
+        assert s.last_plan == "local"
+        s2 = Searcher(spark, index_small, local_bytes_limit=0)
+        s2.search("arbak")
+        assert s2.last_plan == "spark"
+        s2.search("arbak", plan="local")
+        assert s2.last_plan == "local"
+        with pytest.raises(ValueError):
+            s.search("arbak", plan="nope")
+
+    def test_zero_hit_did_you_mean_parity(self, spark, index_small):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small)
+        a = s.search("arbakk", plan="spark")  # typo → 0 hits → suggestion
+        b = s.search("arbakk", plan="local")
+        assert a == b
+        assert a["total_results"] == 0
+
+    def test_pruned_shard_bytes_counts_generations(self, spark, index_small):
+        from uci_searchengine_spark.operators.local_search import (
+            pruned_shard_bytes,
+        )
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small)
+        all_shards = list(range(s.meta.num_shards))
+        total = pruned_shard_bytes(index_small, all_shards)
+        assert total > 0
+        one = pruned_shard_bytes(index_small, all_shards[:1])
+        assert 0 < one < total
+
+    @pytest.mark.parametrize(
+        "word", ["arbakk", "arbk", "stp0", "xyzzy", "ab", "pagee"]
+    )
+    def test_suggest_local_equals_spark(self, spark, index_small, word):
+        from uci_searchengine_spark.operators.local_search import (
+            VocabIndex,
+            suggest_local,
+            vocab_local,
+        )
+        from uci_searchengine_spark.operators.suggest import suggest
+
+        v = VocabIndex(vocab_local(index_small))
+        a = [
+            (r["term"], r["df"], r["dist"])
+            for r in suggest(spark, index_small, word).collect()
+        ]
+        b = [(r["term"], r["df"], r["dist"]) for r in suggest_local(v, word)]
+        assert a == b
+
+    def test_suggest_query_local_equals_spark(self, spark, index_small):
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.local_search import (
+            VocabIndex,
+            suggest_query_local,
+            vocab_local,
+        )
+        from uci_searchengine_spark.operators.suggest import suggest_query
+
+        meta = IndexMeta.load(index_small)
+        v = VocabIndex(vocab_local(index_small))
+        for q in ["arbakk arbal", "xyzzy", "arbak", "arbakk stp0"]:
+            assert suggest_query(spark, index_small, q) == suggest_query_local(
+                index_small, meta, q, v
+            ), q

@@ -203,6 +203,12 @@ def _commit_manifest(index_dir: str, name: str, payload: dict) -> None:
 
 _DATA_SUBDIRS = ("docs", "postings_flat", "segments")
 
+# Doc-store parquet row-group size. Docs are doc_id-sorted per bucket
+# file, so serving's winner fetch (doc_id isin filter) prunes on
+# row-group stats — small groups mean a top-k fetch decompresses ~this
+# many text rows per winner bucket, not the whole bucket.
+DOCS_ROW_GROUP = 256
+
 
 def _snapshot_marker(index_dir: str) -> str:
     return os.path.join(index_dir, "_snapshot")
@@ -556,8 +562,12 @@ def _stage1_fn(
             buckets = (doc_ids // bucket_size).astype("int32")
             for bv in np.unique(buckets):
                 grp = docs[buckets == bv]
+                # small row groups: docs are doc_id-sorted, so the serving
+                # fetch's doc_id filter prunes decode to the winners' row
+                # groups instead of the whole bucket's text column
                 _writer(docs_writers, int(bv), "docs", "bucket", docs_schema, "zstd").write_table(
-                    pa.Table.from_pandas(grp, preserve_index=False, schema=docs_schema)
+                    pa.Table.from_pandas(grp, preserve_index=False, schema=docs_schema),
+                    row_group_size=DOCS_ROW_GROUP,
                 )
                 docs_rows += len(grp)
             phase_s["write"] += time.perf_counter() - _t

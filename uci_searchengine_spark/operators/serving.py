@@ -33,12 +33,31 @@ from uci_searchengine_spark.operators.index_build import (
 
 
 class Searcher:
-    """Resident query service over a built index."""
+    """Resident query service over a built index.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    ``local_bytes_limit`` — per-query plan choice for ``search()``: when
+    the query terms' pruned ``shard=`` dirs total at most this many
+    on-disk bytes, the envelope executes in-process over a pyarrow scan
+    of the same files with the same per-bucket closure
+    (operators/local_search.py — AQE's localize-a-tiny-exchange decision
+    applied to serving); above it, the distributed plan runs. 0 disables
+    the local path."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        local_bytes_limit: int = 64 << 20,
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.meta = IndexMeta.load(index_dir)
+        self.local_bytes_limit = local_bytes_limit
+        self.last_plan: str | None = None  # "local" | "spark" (search())
+        # local path's doc-store footer memo (path,size,mtime)-keyed
+        self._pf_cache: dict = {}
+        self._vocab_pdf = None  # resident (term, df) frame, lazy
+        self._vocab_bytes: int | None = None
         # analyzed once; every query applies filters to these relations
         self._segments: DataFrame = load_segments(spark, index_dir)
         self._docs: DataFrame = load_docs(spark, index_dir)
@@ -79,18 +98,81 @@ class Searcher:
         return suggest(self.spark, self.index_dir, word, k, max_dist)
 
     # ------------------------------------------------------------- envelope
+    def _use_local(self, terms: list[str], excl, plan: str) -> bool:
+        """Per-query local/distributed choice. A BucketedExcl exclusion
+        set (tombstones past the driver cap) is a Spark relation and
+        forces the distributed plan; otherwise "auto" compares the
+        pruned shard dirs' on-disk bytes against ``local_bytes_limit``."""
+        if plan not in ("auto", "local", "spark"):
+            raise ValueError(f"plan must be auto|local|spark, got {plan!r}")
+        if plan == "spark":
+            return False
+        bucketed = isinstance(excl, _wand.BucketedExcl)
+        if plan == "local":
+            if bucketed:
+                raise ValueError(
+                    "plan='local' needs a driver-resident exclusion set; "
+                    "this index's tombstones exceed the driver cap"
+                )
+            return True
+        if bucketed or not self.local_bytes_limit:
+            return False
+        from uci_searchengine_spark.operators.local_search import (
+            pruned_shard_bytes,
+        )
+
+        shard_map = _wand._shards_for_terms(terms, self.meta.num_shards)
+        shards = sorted(set(shard_map.values()))
+        return (
+            pruned_shard_bytes(self.index_dir, shards)
+            <= self.local_bytes_limit
+        )
+
+    def _vocab_fits_local(self) -> bool:
+        """Vocabulary plane (term+df compressed bytes, footer stats)
+        under the local budget? Cached — the plane only changes with a
+        new generation, which reloads the Searcher."""
+        if self._vocab_bytes is None:
+            from uci_searchengine_spark.operators.local_search import (
+                vocab_col_bytes,
+            )
+
+            self._vocab_bytes = vocab_col_bytes(self.index_dir)
+        return bool(
+            self.local_bytes_limit
+            and self._vocab_bytes <= self.local_bytes_limit
+        )
+
+    def _vocab(self):
+        if self._vocab_pdf is None:
+            from uci_searchengine_spark.operators.local_search import (
+                VocabIndex,
+                vocab_local,
+            )
+
+            self._vocab_pdf = VocabIndex(vocab_local(self.index_dir))
+        return self._vocab_pdf
+
     def search(
-        self, query: str, page: int = 1, per_page: int = 10, mode: str = "or"
+        self,
+        query: str,
+        page: int = 1,
+        per_page: int = 10,
+        mode: str = "or",
+        plan: str = "auto",
     ) -> dict:
         """Result envelope (search.py:119-126 shape) on the resident index.
 
         Matching terms follow the index's analysis chain (stemmed iff the
         index is); snippets highlight the raw query forms (display rule).
         The WHOLE envelope — hits, total_results, AND the doc-store
-        url/title/snippet — comes from ONE Spark job
-        (wand.topk_count_docs): each scoring task reads its own bucket's
-        co-located docs for its local winners, so there is no doc join
-        and no second job."""
+        url/title/snippet — comes from ONE action: either one Spark job
+        (wand.topk_count_docs — each scoring task reads its own bucket's
+        co-located docs for its local winners, no doc join, no second
+        job) or, when the pruned scan fits one task
+        (``local_bytes_limit``), the identical closure run in-process
+        (local_search.local_topk_count_docs) with no job at all.
+        ``plan``: "auto" (bytes-based choice), "local", "spark"."""
         terms = terms_for_index(self.meta, query)
         if not terms:
             return {
@@ -102,21 +184,49 @@ class Searcher:
                 "did_you_mean": None,
                 "results": [],
             }
-        seg = _wand.prune_relation(self._segments, self.meta, terms)
-        rows, total = _wand.topk_count_docs(
-            seg, self.meta, self.index_dir, query_terms(query),
-            k=page * per_page, mode=mode, n_terms=len(terms),
-            excl=_wand.load_excl(self.index_dir, self.spark, self.meta.bucket_size),
-        )
+        excl = _wand.load_excl(self.index_dir, self.spark, self.meta.bucket_size)
+        if self._use_local(terms, excl, plan):
+            from uci_searchengine_spark.operators.local_search import (
+                local_topk_count_docs,
+            )
+
+            self.last_plan = "local"
+            rows, total = local_topk_count_docs(
+                self.index_dir, self.meta, query_terms(query), terms,
+                k=page * per_page, mode=mode, excl=excl,
+                pf_cache=self._pf_cache,
+            )
+        else:
+            self.last_plan = "spark"
+            seg = _wand.prune_relation(self._segments, self.meta, terms)
+            rows, total = _wand.topk_count_docs(
+                seg, self.meta, self.index_dir, query_terms(query),
+                k=page * per_page, mode=mode, n_terms=len(terms),
+                excl=excl,
+            )
         start = (page - 1) * per_page
         sel = rows[start : start + per_page]
         dym = None
         if total == 0:
             # zero hits → spell-correct from this index's vocabulary
-            # (envelope parity with bm25.search / FIXTURES.md schema)
-            from uci_searchengine_spark.operators.suggest import suggest_query
+            # (envelope parity with bm25.search / FIXTURES.md schema).
+            # On the local plan the vocabulary (term+df plane, the
+            # smallest plane of the index) is served from a resident
+            # frame — the whole zero-hit envelope stays job-free.
+            if self.last_plan == "local" and self._vocab_fits_local():
+                from uci_searchengine_spark.operators.local_search import (
+                    suggest_query_local,
+                )
 
-            dym = suggest_query(self.spark, self.index_dir, query)
+                dym = suggest_query_local(
+                    self.index_dir, self.meta, query, self._vocab()
+                )
+            else:
+                from uci_searchengine_spark.operators.suggest import (
+                    suggest_query,
+                )
+
+                dym = suggest_query(self.spark, self.index_dir, query)
         return {
             "query": query,
             "total_results": total,

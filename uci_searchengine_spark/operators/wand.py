@@ -615,39 +615,116 @@ _TOPK_DOCS_SCHEMA = T.StructType(
 )
 
 
-def topk_count_docs(
-    seg: DataFrame,
-    meta: IndexMeta,
-    index_dir: str,
-    display_terms: list[str],
-    k: int,
-    mode: str = "or",
-    n_terms: int | None = None,
-    excl: "np.ndarray | BucketedExcl | None" = None,
-) -> tuple[list[dict], int]:
-    """The WHOLE search envelope from ONE Spark job.
+_DOC_COLS = ["doc_id", "url", "title", "text"]
 
-    ``topk_and_count`` folded the match count into the scoring pass;
-    this folds the doc-store fetch in too. The doc store is bucketed on
-    the SAME doc-range grid as the segments, so each scoring task reads
-    its own bucket's docs for its ≤k local winners — a task-local
-    pyarrow read with a doc_id row-group filter (the co-location pattern
-    phrase verification already uses), never a join, never a second job.
-    Returns (rows, total): rows ordered (score desc, doc_id asc) with
-    url/title/snippet attached, snippets under the reference display
-    rule (raw query forms — bm25.snippet_text)."""
-    import pyarrow as pa
-    import pyarrow.dataset as pads
 
+def _doc_file_entry(fp: str):
+    """(ParquetFile, [(min_doc_id, max_doc_id) per row group]) for one
+    doc-store file — the footer-only metadata a winner fetch prunes on.
+    Row groups are doc_id-sorted (DOCS_ROW_GROUP), so stats are tight."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(fp)
+    md = pf.metadata
+    ci = next(
+        i
+        for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema == "doc_id"
+    )
+    ranges = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            ranges.append((None, None))  # no stats → always read
+        else:
+            ranges.append((int(st.min), int(st.max)))
+    return pf, ranges
+
+
+def fetch_bucket_docs(
+    docs_dirs: list[str],
+    bucket: int,
+    ids: list[int],
+    lowered: list[str],
+    pf_cache: "dict | None" = None,
+) -> dict[int, tuple[str, str, str]]:
+    """Co-located doc-store fetch for one bucket's winners: read ONLY
+    the row groups of the bucket's own ``bucket=`` dir(s) whose doc_id
+    stats cover a winner (footer-stats pruning over the doc_id-sorted
+    DOCS_ROW_GROUP layout) — never a join. Shared by the distributed
+    closure (inside each scoring task) and the local path (driver,
+    final winners only). ``pf_cache`` (resident serving) memoizes
+    footers keyed by (path, size, mtime) so repeat queries skip the
+    metadata read. Returns {doc_id: (url, title, snippet)} with
+    snippets under the reference display rule (bm25.snippet_text)."""
     from uci_searchengine_spark.operators.bm25 import snippet_text
-    from uci_searchengine_spark.operators.index_build import generation_dirs
 
-    if mode not in ("or", "and"):
-        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    idset = set(int(i) for i in ids)
+    srt = sorted(idset)
+    docs: dict[int, tuple[str, str, str]] = {}
+    for d in docs_dirs:
+        p = os.path.join(d, f"bucket={bucket}")
+        if not os.path.isdir(p):
+            continue
+        for fn_ in sorted(os.listdir(p)):
+            if not fn_.endswith(".parquet"):
+                continue
+            fp = os.path.join(p, fn_)
+            ent = None
+            if pf_cache is not None:
+                stt = os.stat(fp)
+                key = (fp, stt.st_size, stt.st_mtime_ns)
+                ent = pf_cache.get(key)
+                if ent is None:
+                    ent = pf_cache[key] = _doc_file_entry(fp)
+            else:
+                ent = _doc_file_entry(fp)
+            pf, ranges = ent
+            need = [
+                i
+                for i, (lo, hi) in enumerate(ranges)
+                if lo is None
+                or any(lo <= x <= hi for x in srt)
+            ]
+            if not need:
+                continue
+            tbl = pf.read_row_groups(need, columns=_DOC_COLS, use_threads=False)
+            for did, url, title, text in zip(
+                tbl["doc_id"], tbl["url"], tbl["title"], tbl["text"]
+            ):
+                k = did.as_py()
+                if k in idset:
+                    docs[k] = (
+                        url.as_py(),
+                        title.as_py(),
+                        snippet_text(text.as_py(), lowered),
+                    )
+    return docs
+
+
+def make_envelope_fn(
+    meta: IndexMeta,
+    docs_dirs: list[str],
+    lowered: list[str],
+    k: int,
+    mode: str,
+    n_terms: int | None,
+    with_docs: bool = True,
+):
+    """Per-bucket envelope closure builder SHARED by the Spark path
+    (``topk_count_docs``) and the task-local path
+    (``operators.local_search``) — one code path, so the two plans are
+    rank- and byte-identical by construction. Returns
+    ``make_fn(excl_local) -> (key, seg_pdf) -> pdf`` in the
+    ``apply_per_bucket`` shape.
+
+    ``with_docs=False`` skips the per-bucket doc-store fetch (url/title/
+    snippet come back None): the local path scores all buckets first and
+    fetches docs for the ≤k GLOBAL winners only — the distributed plan
+    fetches per bucket because its tasks run in parallel and a second
+    round-trip would cost another job."""
     n_docs = meta.n_docs
     avgdl, bucket_size = meta.avgdl, meta.bucket_size
-    docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
-    lowered = [t.lower() for t in display_terms]
 
     def make_fn(excl_local):
         def fn(key, seg_pdf):
@@ -677,28 +754,11 @@ def topk_count_docs(
             if not n:
                 return empty
             bucket = int(seg_pdf["bucket"].iloc[0])
-            ids = [int(d) for d in pdf["doc_id"]]
-            parts = [
-                p
-                for d in docs_dirs
-                if os.path.isdir(p := os.path.join(d, f"bucket={bucket}"))
-            ]
             docs: dict[int, tuple[str, str, str]] = {}
-            if parts:
-                tbl = pa.concat_tables(
-                    [
-                        pads.dataset(p, format="parquet").to_table(
-                            columns=["doc_id", "url", "title", "text"],
-                            filter=pads.field("doc_id").isin(ids),
-                        )
-                        for p in parts
-                    ]
+            if with_docs:
+                docs = fetch_bucket_docs(
+                    docs_dirs, bucket, [int(d) for d in pdf["doc_id"]], lowered
                 )
-                dp = tbl.to_pandas()
-                for did, url, title, text in zip(
-                    dp["doc_id"], dp["url"], dp["title"], dp["text"]
-                ):
-                    docs[int(did)] = (url, title, snippet_text(text, lowered))
             top = []
             for did, s in zip(pdf["doc_id"], pdf["score"]):
                 url, title, snip = docs.get(int(did), (None, None, None))
@@ -721,6 +781,38 @@ def topk_count_docs(
 
         return fn
 
+    return make_fn
+
+
+def topk_count_docs(
+    seg: DataFrame,
+    meta: IndexMeta,
+    index_dir: str,
+    display_terms: list[str],
+    k: int,
+    mode: str = "or",
+    n_terms: int | None = None,
+    excl: "np.ndarray | BucketedExcl | None" = None,
+) -> tuple[list[dict], int]:
+    """The WHOLE search envelope from ONE Spark job.
+
+    ``topk_and_count`` folded the match count into the scoring pass;
+    this folds the doc-store fetch in too. The doc store is bucketed on
+    the SAME doc-range grid as the segments, so each scoring task reads
+    its own bucket's docs for its ≤k local winners — a task-local
+    pyarrow read with a doc_id row-group filter (the co-location pattern
+    phrase verification already uses), never a join, never a second job.
+    Returns (rows, total): rows ordered (score desc, doc_id asc) with
+    url/title/snippet attached, snippets under the reference display
+    rule (raw query forms — bm25.snippet_text)."""
+    from uci_searchengine_spark.operators.index_build import generation_dirs
+
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
+    make_fn = make_envelope_fn(
+        meta, docs_dirs, [t.lower() for t in display_terms], k, mode, n_terms
+    )
     per_bucket = apply_per_bucket(seg, excl, make_fn, _TOPK_DOCS_SCHEMA)
     row = per_bucket.agg(
         F.coalesce(F.sum("n_matched"), F.lit(0)).alias("total"),
