@@ -184,3 +184,160 @@ class TestLocalSearch:
             assert suggest_query(spark, index_small, q) == suggest_query_local(
                 index_small, meta, q, v
             ), q
+
+
+BOOL_QUERIES = [
+    "stop0 arbak",                 # pure OR
+    "stop0 -arbak",                # OR + NOT
+    "+arbak stop1",                # MUST + OR
+    "+arband +arbast",             # pure MUST (AND)
+    'stop0 "arbak stop1"',         # phrase + OR
+    '"arband arbast" -stop2',      # phrase + NOT
+    "-stop0",                      # no positives → empty
+    "+zzzznotaword stop1",         # absent MUST → empty
+]
+
+PHRASES = ["arbak stop1", "arband arbast", "stop0 stop0", "zzz nothere"]
+
+
+def _bool_rows(df):
+    return [{"doc_id": r["doc_id"], "score": r["score"]} for r in df.collect()]
+
+
+def _phrase_rows(df):
+    return [
+        {"doc_id": r["doc_id"], "score": r["score"], "n_occ": r["n_occ"]}
+        for r in df.collect()
+    ]
+
+
+@pytest.mark.spark
+class TestLocalBooleanPhrase:
+    """boolean/phrase task-local twins ≡ the distributed plans — the
+    same shared per-bucket closures (boolean.make_boolean_fn /
+    phrase.make_phrase_fn) merged in-process."""
+
+    @pytest.mark.parametrize("query", BOOL_QUERIES)
+    def test_boolean_local_equals_spark(self, spark, index_small, query):
+        from uci_searchengine_spark.operators.boolean import boolean_search
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.local_search import (
+            boolean_topk_local,
+        )
+
+        meta = IndexMeta.load(index_small)
+        a = _bool_rows(boolean_search(spark, index_small, query, 10))
+        b = boolean_topk_local(index_small, meta, query, 10)
+        assert a == b, query
+
+    @pytest.mark.parametrize("query", [q for q in BOOL_QUERIES if '"' in q])
+    def test_boolean_local_positional(self, spark, index_positional, query):
+        from uci_searchengine_spark.operators.boolean import boolean_search
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.local_search import (
+            boolean_topk_local,
+        )
+
+        meta = IndexMeta.load(index_positional)
+        a = _bool_rows(
+            boolean_search(
+                spark, index_positional, query, 10, phrase_method="positions"
+            )
+        )
+        b = boolean_topk_local(
+            index_positional, meta, query, 10, phrase_method="positions"
+        )
+        assert a == b, query
+
+    @pytest.mark.parametrize("phrase", PHRASES)
+    def test_phrase_local_equals_spark(self, spark, index_small, phrase):
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.local_search import (
+            phrase_topk_local,
+        )
+        from uci_searchengine_spark.operators.phrase import phrase_search
+
+        meta = IndexMeta.load(index_small)
+        a = _phrase_rows(phrase_search(spark, index_small, phrase, 10))
+        b = phrase_topk_local(index_small, meta, phrase, 10)
+        assert a == b, phrase
+
+    @pytest.mark.parametrize("phrase", PHRASES)
+    def test_phrase_local_positional(self, spark, index_positional, phrase):
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.local_search import (
+            phrase_topk_local,
+        )
+        from uci_searchengine_spark.operators.phrase import phrase_search
+
+        meta = IndexMeta.load(index_positional)
+        a = _phrase_rows(
+            phrase_search(spark, index_positional, phrase, 10, method="positions")
+        )
+        b = phrase_topk_local(
+            index_positional, meta, phrase, 10, method="positions"
+        )
+        assert a == b, phrase
+
+    def test_multigen_and_tombstones(self, spark, tmp_path):
+        """Appended index + tombstones: boundary-bucket union semantics
+        and the exclusion array must flow through the local twins."""
+        from uci_searchengine_spark.operators.boolean import boolean_search
+        from uci_searchengine_spark.operators.index_append import append_index
+        from uci_searchengine_spark.operators.index_build import (
+            IndexMeta,
+            build_index,
+        )
+        from uci_searchengine_spark.operators.local_search import (
+            boolean_topk_local,
+            phrase_topk_local,
+        )
+        from uci_searchengine_spark.operators.phrase import phrase_search
+        from uci_searchengine_spark.operators.tombstones import delete_docs
+        from uci_searchengine_spark.operators.wand import load_excl
+        from uci_searchengine_spark.sources.synth import synth_pages
+
+        d = str(tmp_path / "idx")
+        pages = synth_pages(spark, N, SEED, partitions=5)
+        urls = sorted(r["url"] for r in pages.select("url").distinct().collect())
+        cut = urls[141]
+        build_index(
+            spark, pages.filter(F.col("url") < cut), d,
+            num_shards=8, n_buckets=4, input_snapshot="lbp-gen0",
+        )
+        append_index(
+            spark, pages.filter(F.col("url") >= cut), d,
+            input_snapshot="lbp-gen1",
+        )
+        meta = IndexMeta.load(d)
+        assert meta.gens > 1
+        q = '+arbak "arbak stop1" -stop2'
+        a = _bool_rows(boolean_search(spark, d, q, 10))
+        assert a  # non-trivial fixture
+        victims = [a[0]["doc_id"]]
+        delete_docs(d, victims)
+        meta = IndexMeta.load(d)
+        excl = load_excl(d)
+        for query in BOOL_QUERIES + [q]:
+            x = _bool_rows(boolean_search(spark, d, query, 10))
+            y = boolean_topk_local(d, meta, query, 10, excl=excl)
+            assert x == y, query
+            assert victims[0] not in {r["doc_id"] for r in y}
+        for phrase in PHRASES:
+            x = _phrase_rows(phrase_search(spark, d, phrase, 10))
+            y = phrase_topk_local(d, meta, phrase, 10, excl=excl)
+            assert x == y, phrase
+
+    def test_searcher_rows_plan_choice(self, spark, index_small):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small)
+        a = s.boolean_rows('+arbak stop1 -stop2', plan="spark")
+        assert s.last_plan == "spark"
+        b = s.boolean_rows('+arbak stop1 -stop2', plan="auto")
+        assert s.last_plan == "local"  # tiny fixture fits the local budget
+        assert a == b
+        p = s.phrase_rows("arbak stop1", plan="spark")
+        q = s.phrase_rows("arbak stop1", plan="auto")
+        assert s.last_plan == "local"
+        assert p == q and p

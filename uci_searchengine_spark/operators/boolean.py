@@ -83,32 +83,52 @@ def boolean_search(
 ) -> DataFrame:
     """Top-k (doc_id, score) under the boolean syntax."""
     meta = IndexMeta.load(index_dir)
-    bq: BoolQuery = parse_query(query, lambda s: analyze_seq(meta, s))
-    pos = bq.positive_terms
+    bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method)
     empty = spark.createDataFrame([], _OUT)
-    if not pos:
+    if not bq.positive_terms:
         return empty
-    req = bq.required_terms
-    neg = bq.not_terms
+    seg = pruned_segments(
+        spark, index_dir, meta, all_terms,
+        with_positions=bool(bq.phrases) and use_pos,
+    )
+    tomb_in = load_excl(index_dir, spark, meta.bucket_size)  # joins the NOT set
+    make_fn = make_boolean_fn(meta, index_dir, bq, k, use_pos)
+    per_bucket = apply_per_bucket(seg, tomb_in, make_fn, _OUT)
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def boolean_plan(meta: IndexMeta, query: str, phrase_method: str = "auto"):
+    """Shared prelude of the distributed and task-local boolean plans:
+    (parsed query, deduped positive+negative terms, positional-plane
+    decision) — including the validation error."""
+    bq: BoolQuery = parse_query(query, lambda s: analyze_seq(meta, s))
     has_pos_plane = bool(getattr(meta, "positions", False))
     use_pos = (
         has_pos_plane if phrase_method == "auto" else phrase_method == "positions"
     )
     if bq.phrases and use_pos and not has_pos_plane:
         raise ValueError("index has no positional plane")
-    all_terms = list(dict.fromkeys(pos + neg))
-    seg = pruned_segments(
-        spark, index_dir, meta, all_terms,
-        with_positions=bool(bq.phrases) and use_pos,
-    )
+    all_terms = list(dict.fromkeys(bq.positive_terms + bq.not_terms))
+    return bq, all_terms, use_pos
+
+
+def make_boolean_fn(
+    meta: IndexMeta, index_dir: str, bq: "BoolQuery", k: int, use_pos: bool
+):
+    """Per-bucket boolean closure builder SHARED by the Spark path
+    (``boolean_search``) and the task-local path
+    (``local_search.boolean_topk_local``) — one code path, identical
+    results by construction."""
     from uci_searchengine_spark.operators.index_build import generation_dirs
 
+    pos = bq.positive_terms
+    req = bq.required_terms
+    neg = bq.not_terms
     docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
     n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
     stem = bool(getattr(meta, "stem", False))
     pos_set, req_set, neg_set = set(pos), set(req), set(neg)
     phrases = bq.phrases
-    tomb_in = load_excl(index_dir, spark, bucket_size)  # tombstones join the NOT set
 
     def make_fn(tomb):
         def score_fn(key, seg_pdf):
@@ -219,9 +239,16 @@ def boolean_search(
                     cand = np.asarray(sorted(survivors), dtype=np.int64)
                 if not cand.size:
                     return out_empty
-            # complete the scores: every positive term, candidate-restricted
+            # complete the scores: every positive term, candidate-restricted.
+            # Iterate in sorted-term order: rows of the SAME term cover
+            # disjoint doc ranges (generations), so only the across-term
+            # float-add order matters — pinning it makes the score bit-equal
+            # between the Spark plan and the task-local plan regardless of
+            # row delivery order (shuffle vs file scan).
             acc = np.zeros(bucket_size, dtype=np.float64)
-            for r in pos_rows.itertuples(index=False):
+            for r in sorted(
+                pos_rows.itertuples(index=False), key=lambda r: r.term
+            ):
                 d, tf, dl = _row_decode(r, cand, base)
                 if not d.size:
                     continue
@@ -248,8 +275,7 @@ def boolean_search(
 
         return score_fn
 
-    per_bucket = apply_per_bucket(seg, tomb_in, make_fn, _OUT)
-    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return make_fn
 
 
 def boolean_results(

@@ -60,13 +60,17 @@ def pruned_shard_bytes(index_dir: str, shards: list[int]) -> int:
 
 
 def read_pruned_segments_local(
-    index_dir: str, meta: IndexMeta, terms: list[str]
+    index_dir: str,
+    meta: IndexMeta,
+    terms: list[str],
+    with_positions: bool = False,
 ) -> pd.DataFrame:
     """pyarrow replica of ``wand.prune_relation`` over the same files:
     shard-dir (partition) pruning, term row filter, positional-plane
-    column pruning, per-generation ``gen_avgdl``, and the identical
-    multi-fragment/multi-generation df_global resolution (sum of
-    fragment-local df per term)."""
+    column pruning (kept when ``with_positions`` — the phrase path),
+    per-generation ``gen_avgdl``, and the identical multi-fragment/
+    multi-generation df_global resolution (sum of fragment-local df per
+    term)."""
     import pyarrow as pa
     import pyarrow.dataset as pads
 
@@ -85,7 +89,7 @@ def read_pruned_segments_local(
             cols = [
                 c
                 for c in ds.schema.names
-                if c not in ("positions", "pos_block_off")
+                if with_positions or c not in ("positions", "pos_block_off")
             ]
             tbl = ds.to_table(
                 columns=cols, filter=pads.field("term").isin(terms)
@@ -173,6 +177,98 @@ def local_topk_count_docs(
             }
         )
     return rows, total
+
+
+def _merge_bucket_outputs(
+    parts: list[pd.DataFrame], k: int
+) -> list[dict]:
+    """Global merge of per-bucket scorer outputs — the in-process twin
+    of the Spark plans' ``orderBy(score desc, doc_id asc).limit(k)``."""
+    if not parts:
+        return []
+    allr = pd.concat(parts, ignore_index=True)
+    if not len(allr):
+        return []
+    order = np.lexsort(
+        (allr["doc_id"].to_numpy(), -allr["score"].to_numpy())
+    )[:k]
+    out = allr.iloc[order]
+    rows = []
+    for r in out.itertuples(index=False):
+        d = {"doc_id": int(r.doc_id), "score": float(r.score)}
+        if hasattr(r, "n_occ"):
+            d["n_occ"] = int(r.n_occ)
+        rows.append(d)
+    return rows
+
+
+def _run_buckets_local(seg: pd.DataFrame, fn) -> list[pd.DataFrame]:
+    parts = []
+    for _, gpdf in seg.groupby("bucket", sort=False):
+        out = fn(None, gpdf.reset_index(drop=True))
+        if len(out):
+            parts.append(out)
+    return parts
+
+
+def phrase_topk_local(
+    index_dir: str,
+    meta: IndexMeta,
+    phrase: str,
+    k: int = 10,
+    method: str = "auto",
+    excl: "np.ndarray | None" = None,
+) -> list[dict]:
+    """In-process twin of ``phrase.phrase_search``: the SAME per-bucket
+    closure (``phrase.make_phrase_fn`` — shared, not copied) over the
+    same pruned files, positional plane included when the strategy uses
+    it. Returns [(doc_id, score, n_occ)] rows in the identical
+    (score desc, doc_id asc) top-k order."""
+    from uci_searchengine_spark.operators.phrase import (
+        make_phrase_fn,
+        phrase_plan,
+    )
+
+    seq, terms, use_pos = phrase_plan(meta, phrase, method)
+    if not seq:
+        return []
+    seg = read_pruned_segments_local(
+        index_dir, meta, terms, with_positions=use_pos
+    )
+    if not len(seg):
+        return []
+    fn = make_phrase_fn(meta, index_dir, seq, terms, k, use_pos)(excl)
+    return _merge_bucket_outputs(_run_buckets_local(seg, fn), k)
+
+
+def boolean_topk_local(
+    index_dir: str,
+    meta: IndexMeta,
+    query: str,
+    k: int = 10,
+    phrase_method: str = "auto",
+    excl: "np.ndarray | None" = None,
+) -> list[dict]:
+    """In-process twin of ``boolean.boolean_search``: the SAME per-bucket
+    closure (``boolean.make_boolean_fn``) over the same pruned files —
+    +must/-not/"phrase" semantics, tombstones joining the NOT set, the
+    identical (score desc, doc_id asc) top-k."""
+    from uci_searchengine_spark.operators.boolean import (
+        boolean_plan,
+        make_boolean_fn,
+    )
+
+    bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method)
+    if not bq.positive_terms:
+        return []
+    seg = read_pruned_segments_local(
+        index_dir, meta, all_terms,
+        with_positions=bool(bq.phrases) and use_pos,
+    )
+    if not len(seg):
+        return []
+    fn = make_boolean_fn(meta, index_dir, bq, k, use_pos)(excl)
+    return _merge_bucket_outputs(_run_buckets_local(seg, fn), k)
 
 
 # ---------------------------------------------------------------- suggest

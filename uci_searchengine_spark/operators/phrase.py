@@ -176,26 +176,50 @@ def phrase_search(
 
     ``method``: "auto" uses the positional plane when the index has one,
     else the doc store; "positions" / "docstore" force a strategy."""
+    meta = IndexMeta.load(index_dir)
+    seq, terms, use_pos = phrase_plan(meta, phrase, method)
+    empty = spark.createDataFrame([], _OUT_SCHEMA)
+    if not seq:
+        return empty
+    seg = pruned_segments(spark, index_dir, meta, terms, with_positions=use_pos)
+    excl = load_excl(index_dir, spark, meta.bucket_size)
+    make_fn = make_phrase_fn(meta, index_dir, seq, terms, k, use_pos)
+    per_bucket = apply_per_bucket(seg, excl, make_fn, _OUT_SCHEMA)
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def phrase_plan(meta: IndexMeta, phrase: str, method: str):
+    """Shared prelude of the distributed and task-local phrase plans:
+    (analyzed sequence, deduped terms, positional-plane decision) —
+    including the method validation errors."""
     if method not in ("auto", "positions", "docstore"):
         raise ValueError(f"unknown method {method!r}")
-    meta = IndexMeta.load(index_dir)
     has_pos = bool(getattr(meta, "positions", False))
     if method == "positions" and not has_pos:
         raise ValueError("index has no positional plane (build with positions=True)")
     use_pos = has_pos if method == "auto" else (method == "positions")
     seq = analyze_seq(meta, phrase)
-    empty = spark.createDataFrame([], _OUT_SCHEMA)
-    if not seq:
-        return empty
-    terms = list(dict.fromkeys(seq))
-    n_terms = len(terms)
+    return seq, list(dict.fromkeys(seq)), use_pos
+
+
+def make_phrase_fn(
+    meta: IndexMeta,
+    index_dir: str,
+    seq: list[str],
+    terms: list[str],
+    k: int,
+    use_pos: bool,
+):
+    """Per-bucket phrase closure builder SHARED by the Spark path
+    (``phrase_search``) and the task-local path
+    (``local_search.phrase_topk_local``) — one code path, identical
+    results by construction."""
     from uci_searchengine_spark.operators.index_build import generation_dirs
 
-    seg = pruned_segments(spark, index_dir, meta, terms, with_positions=use_pos)
+    n_terms = len(terms)
     docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
     n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
     stem = bool(getattr(meta, "stem", False))
-    excl = load_excl(index_dir, spark, bucket_size)
 
     def make_fn(excl_local):
         def score_fn(key, seg_pdf):
@@ -239,8 +263,7 @@ def phrase_search(
 
         return score_fn
 
-    per_bucket = apply_per_bucket(seg, excl, make_fn, _OUT_SCHEMA)
-    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return make_fn
 
 
 def phrase_results(

@@ -91,6 +91,65 @@ class Searcher:
 
         return boolean_search(self.spark, self.index_dir, query, k)
 
+    def phrase_rows(
+        self, phrase: str, k: int = 10, method: str = "auto",
+        plan: str = "auto",
+    ) -> list[dict]:
+        """Phrase top-k as rows [(doc_id, score, n_occ)], plan-chosen
+        like ``search()``: in-process when the pruned scan fits
+        ``local_bytes_limit`` (same closure as the Spark plan —
+        operators/local_search.py), else the distributed job."""
+        from uci_searchengine_spark.operators.local_search import (
+            phrase_topk_local,
+        )
+        from uci_searchengine_spark.operators.phrase import (
+            phrase_plan,
+            phrase_search,
+        )
+
+        seq, terms, _use_pos = phrase_plan(self.meta, phrase, method)
+        if not seq:
+            return []
+        excl = _wand.load_excl(
+            self.index_dir, self.spark, self.meta.bucket_size
+        )
+        if self._use_local(terms, excl, plan):
+            self.last_plan = "local"
+            return phrase_topk_local(
+                self.index_dir, self.meta, phrase, k, method, excl=excl
+            )
+        self.last_plan = "spark"
+        df = phrase_search(self.spark, self.index_dir, phrase, k, method=method)
+        return [r.asDict() for r in df.collect()]
+
+    def boolean_rows(
+        self, query: str, k: int = 10, plan: str = "auto"
+    ) -> list[dict]:
+        """Boolean (+must/-not/"phrase") top-k as rows
+        [(doc_id, score)], plan-chosen like ``search()``."""
+        from uci_searchengine_spark.operators.boolean import (
+            boolean_plan,
+            boolean_search,
+        )
+        from uci_searchengine_spark.operators.local_search import (
+            boolean_topk_local,
+        )
+
+        bq, all_terms, _use_pos = boolean_plan(self.meta, query)
+        if not bq.positive_terms:
+            return []
+        excl = _wand.load_excl(
+            self.index_dir, self.spark, self.meta.bucket_size
+        )
+        if self._use_local(all_terms, excl, plan):
+            self.last_plan = "local"
+            return boolean_topk_local(
+                self.index_dir, self.meta, query, k, excl=excl
+            )
+        self.last_plan = "spark"
+        df = boolean_search(self.spark, self.index_dir, query, k)
+        return [r.asDict() for r in df.collect()]
+
     def suggest(self, word: str, k: int = 5, max_dist: int = 2):
         """Fuzzy "did you mean" over this index's vocabulary."""
         from uci_searchengine_spark.operators.suggest import suggest
