@@ -391,6 +391,14 @@ def main() -> None:
     out["serve_local_p95_ms"] = round(
         1000 * sorted(llat)[max(0, int(len(llat) * 0.95) - 1)], 1
     )
+    # boolean / phrase on the same task-local plan (shared closures —
+    # operators/local_search.boolean_topk_local / phrase_topk_local)
+    t0 = time.perf_counter()
+    searcher.phrase_rows("arbak stop1", plan="local")
+    out["phrase_local_ms"] = round(1000 * (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    searcher.boolean_rows('stop0 +arbak -stop9 "arbak stop1"', plan="local")
+    out["boolean_local_ms"] = round(1000 * (time.perf_counter() - t0), 1)
 
     # 3) headline relational / training-data queries over the sf dir
     for name in HEADLINE:

@@ -223,3 +223,60 @@ class TestIndexManagement:
         code, msg = _delete(base, "/api/databases/alt", SECRET_KEY)
         assert code == 200
         assert _get(base, "/api/databases")[1]["available"] == ["main"]
+
+
+@pytest.mark.spark
+class TestAdvancedRoute:
+    def test_boolean_envelope_parity(self, spark, index_small, http_server):
+        """HTTP boolean results == boolean_results (doc-attached gate
+        surface): same url/title/snippet/score in the same order."""
+        from uci_searchengine_spark.operators.boolean import boolean_results
+
+        base, _ = http_server
+        q = 'stop0 +arbak -stop9'
+        code, got = _get(
+            base, "/api/advanced?query=" + q.replace(" ", "%20").replace("+", "%2B")
+        )
+        assert code == 200 and got["mode"] == "boolean"
+        exp = [
+            {"url": r["url"], "title": r["title"], "snippet": r["snippet"],
+             "score": r["score"]}
+            for r in boolean_results(spark, index_small, q, 10).collect()
+        ]
+        assert json.loads(json.dumps(got["results"])) == json.loads(
+            json.dumps(exp)
+        )
+
+    def test_phrase_envelope_parity(self, spark, index_small, http_server):
+        from uci_searchengine_spark.operators.phrase import phrase_results
+
+        base, _ = http_server
+        code, got = _get(
+            base, "/api/advanced?query=arbak%20stop1&mode=phrase&k=5"
+        )
+        assert code == 200 and got["mode"] == "phrase"
+        exp = [
+            {"url": r["url"], "title": r["title"], "snippet": r["snippet"],
+             "score": r["score"]}
+            for r in phrase_results(spark, index_small, "arbak stop1", 5).collect()
+        ]
+        got_stripped = [
+            {kk: v for kk, v in r.items() if kk != "n_occ"}
+            for r in got["results"]
+        ]
+        assert json.loads(json.dumps(got_stripped)) == json.loads(
+            json.dumps(exp)
+        )
+        assert all(r["n_occ"] >= 1 for r in got["results"])
+
+    def test_advanced_validation(self, http_server):
+        base, _ = http_server
+        for p in (
+            "/api/advanced",                       # missing query
+            "/api/advanced?query=x&mode=regex",    # bad mode
+            "/api/advanced?query=x&k=0",
+            "/api/advanced?query=x&k=51",
+        ):
+            code, body = _get_err(base, p)
+            assert code == 422, p
+            assert "detail" in body

@@ -19,6 +19,10 @@ point their frontend here unchanged:
   total_index_entries} (routes.py:294-307); index-derived.
 * ``GET /api/suggest?word=...`` — the fuzzy vocab suggestion
   (extension; the reference frontend has no suggest route).
+* ``GET /api/advanced?query=...&mode=boolean|phrase&k=K`` — the
+  boolean (+must/-not/"phrase") and exact-phrase query surface with
+  doc-attached results (extension; ``Searcher.boolean_envelope`` /
+  ``phrase_envelope``, plan-chosen local/distributed like search).
 * ``GET /api/databases`` / ``POST /api/databases/switch`` /
   ``DELETE /api/databases/<name>`` — multi-index version management
   (routes.py:62-115 shapes, secret-key gated; the SQLite files become
@@ -102,6 +106,14 @@ class EngineState:
             return self.searcher.search(
                 query, page=page, per_page=per_page, mode=mode
             )
+
+    def advanced(self, query: str, mode: str, k: int) -> dict:
+        """Boolean / phrase query surface (extension route): doc-attached
+        top-k from the plan-chosen Searcher envelope."""
+        with self.lock:
+            if mode == "phrase":
+                return self.searcher.phrase_envelope(query, k=k)
+            return self.searcher.boolean_envelope(query, k=k)
 
     def suggest(self, word: str, k: int) -> dict:
         with self.lock:
@@ -200,6 +212,15 @@ class _Handler(BaseHTTPRequestHandler):
                 if page < 1 or not (1 <= per_page <= 50) or mode not in ("or", "and"):
                     return self._json({"detail": "invalid parameter"}, 422)
                 return self._json(self.engine.search(query, page, per_page, mode))
+            if u.path == "/api/advanced":
+                query = qs.get("query", [None])[0]
+                mode = qs.get("mode", ["boolean"])[0]
+                k = _int_param(qs, "k", 10)
+                if query is None:
+                    return self._json({"detail": "query is required"}, 422)
+                if mode not in ("boolean", "phrase") or not (1 <= k <= 50):
+                    return self._json({"detail": "invalid parameter"}, 422)
+                return self._json(self.engine.advanced(query, mode, k))
             if u.path == "/api/suggest":
                 word = qs.get("word", [None])[0]
                 if not word:

@@ -16,6 +16,7 @@ filters reach the same parquet scan.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -149,6 +150,78 @@ class Searcher:
         self.last_plan = "spark"
         df = boolean_search(self.spark, self.index_dir, query, k)
         return [r.asDict() for r in df.collect()]
+
+    def _docs_for_rows(
+        self, rows: list[dict], display_terms: list[str]
+    ) -> dict[int, tuple]:
+        """Co-located doc-store fetch for ≤k winner rows (bounded —
+        never a join): per-bucket footer-stats-pruned row-group reads
+        through the resident footer memo. Shared display rule
+        (bm25.snippet_text) with every other serving surface."""
+        from uci_searchengine_spark.operators.index_build import (
+            generation_dirs,
+        )
+
+        docs_dirs = [
+            os.path.join(d, "docs") for d in generation_dirs(self.index_dir)
+        ]
+        lowered = [t.lower() for t in display_terms]
+        by_bucket: dict[int, list[int]] = {}
+        for r in rows:
+            by_bucket.setdefault(
+                int(r["doc_id"]) // self.meta.bucket_size, []
+            ).append(int(r["doc_id"]))
+        found: dict[int, tuple] = {}
+        for b, ids in by_bucket.items():
+            found.update(
+                _wand.fetch_bucket_docs(
+                    docs_dirs, b, ids, lowered, self._pf_cache
+                )
+            )
+        return found
+
+    def _attach(self, rows: list[dict], display_terms: list[str]) -> list[dict]:
+        docs = self._docs_for_rows(rows, display_terms)
+        out = []
+        for r in rows:
+            url, title, snip = docs.get(int(r["doc_id"]), (None, None, None))
+            d = {"url": url, "title": title, "snippet": snip,
+                 "score": r["score"]}
+            if "n_occ" in r:
+                d["n_occ"] = r["n_occ"]
+            out.append(d)
+        return out
+
+    def phrase_envelope(
+        self, phrase: str, k: int = 10, method: str = "auto",
+        plan: str = "auto",
+    ) -> dict:
+        """Doc-attached phrase results (url/title/snippet/score/n_occ),
+        plan-chosen; snippets highlight the raw phrase tokens (display
+        rule — phrase_results parity)."""
+        rows = self.phrase_rows(phrase, k, method, plan)
+        return {
+            "query": phrase,
+            "mode": "phrase",
+            "results": self._attach(rows, query_terms(phrase)),
+        }
+
+    def boolean_envelope(
+        self, query: str, k: int = 10, plan: str = "auto"
+    ) -> dict:
+        """Doc-attached boolean results; snippets highlight the raw
+        POSITIVE tokens only — negated terms must not be promoted in the
+        display (boolean_results rule)."""
+        from uci_searchengine_spark.functions.queryparse import parse_query
+        from uci_searchengine_spark.functions.tokenize import tokenize_py
+
+        rows = self.boolean_rows(query, k, plan)
+        raw_pos = parse_query(query, tokenize_py).positive_terms
+        return {
+            "query": query,
+            "mode": "boolean",
+            "results": self._attach(rows, raw_pos),
+        }
 
     def suggest(self, word: str, k: int = 5, max_dist: int = 2):
         """Fuzzy "did you mean" over this index's vocabulary."""
