@@ -1,0 +1,234 @@
+"""Generation merge (operators/merge.py) ≡ compaction-by-rebuild.
+
+merge_generations never re-tokenizes — it decodes, concatenates, drops
+tombstones, and repacks under the merged stats. Because n_docs / avgdl /
+df come out as the SAME integer sums a rebuild computes, merged BM25
+scores must equal compact_index's rebuild on the surviving pages; doc
+ids are preserved (holes allowed) where the rebuild renumbers, so the
+equivalence is asserted via urls.
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SEED = 2024
+N = 300
+
+QUERIES = [
+    ("arbak arbal", "or"),
+    ("stop0 arbak", "or"),
+    ("stop0 arbak", "and"),
+    ("arbat", "or"),
+]
+
+
+def _url_map(spark, index_dir):
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    return {
+        r["doc_id"]: r["url"]
+        for r in load_docs(spark, index_dir).select("doc_id", "url").collect()
+    }
+
+
+def _ranked_urls(spark, index_dir, rows, umap=None):
+    umap = umap or _url_map(spark, index_dir)
+    return [(umap[r["doc_id"]], r["score"]) for r in rows]
+
+
+def _build_lifecycle(spark, tmp_path, positions=False):
+    """build → append → upsert-append → delete: the full multi-gen +
+    tombstone state the merge must fold."""
+    from uci_searchengine_spark.operators.index_append import append_index
+    from uci_searchengine_spark.operators.index_build import build_index
+    from uci_searchengine_spark.operators.tombstones import delete_docs
+    from uci_searchengine_spark.operators.wand import score_wand
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    d = str(tmp_path / "idx")
+    pages = synth_pages(spark, N, SEED, partitions=5)
+    urls = sorted(r["url"] for r in pages.select("url").distinct().collect())
+    c1, c2 = urls[117], urls[231]
+    build_index(
+        spark, pages.filter(F.col("url") < c1), d,
+        num_shards=8, n_buckets=4, input_snapshot="m-gen0",
+        positions=positions,
+    )
+    append_index(
+        spark, pages.filter((F.col("url") >= c1) & (F.col("url") < c2)), d,
+        input_snapshot="m-gen1",
+    )
+    # upsert: re-append 10 already-seen urls (old versions tombstoned)
+    # alongside the fresh tail
+    reseen = pages.filter(F.col("url").isin(urls[50:60]))
+    append_index(
+        spark, pages.filter(F.col("url") >= c2).unionByName(reseen), d,
+        input_snapshot="m-gen2",
+    )
+    victims = [
+        r["doc_id"]
+        for r in score_wand(spark, d, "arbak arbal", k=4).collect()
+    ]
+    delete_docs(d, victims)
+    return d
+
+
+@pytest.mark.spark
+class TestMerge:
+    def test_merge_equals_compact(self, spark, tmp_path):
+        from uci_searchengine_spark.operators.compact import compact_index
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.merge import merge_generations
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        src = _build_lifecycle(spark, tmp_path)
+        md = str(tmp_path / "merged")
+        cd = str(tmp_path / "compacted")
+        mmeta = merge_generations(spark, src, md)
+        cmeta = compact_index(spark, src, cd)
+        # identical recomputed stats (integer sums both ways)
+        assert mmeta.n_docs == cmeta.n_docs
+        assert math.isclose(mmeta.avgdl, cmeta.avgdl, rel_tol=1e-12)
+        assert mmeta.gens == 1 and mmeta.seg_split == 1
+        mu, cu = _url_map(spark, md), _url_map(spark, cd)
+        assert sorted(mu.values()) == sorted(cu.values())
+        for q, mode in QUERIES:
+            a = _ranked_urls(
+                spark, md,
+                score_wand(spark, md, q, k=10, mode=mode).collect(), mu,
+            )
+            b = _ranked_urls(
+                spark, cd,
+                score_wand(spark, cd, q, k=10, mode=mode).collect(), cu,
+            )
+            assert [u for u, _ in a] == [u for u, _ in b], (q, mode, a, b)
+            for (_, sa), (_, sb) in zip(a, b):
+                assert math.isclose(sa, sb, rel_tol=1e-9), (q, mode)
+
+    def test_merged_flat_plane(self, spark, tmp_path):
+        """The merged postings_flat plane agrees with the segments:
+        naive ≡ wand on the merged index, and the cold-path envelope's
+        match_count works."""
+        from uci_searchengine_spark.operators.bm25 import (
+            score_naive,
+            search as cold_search,
+        )
+        from uci_searchengine_spark.operators.merge import merge_generations
+        from uci_searchengine_spark.operators.serving import Searcher
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        src = _build_lifecycle(spark, tmp_path)
+        md = str(tmp_path / "merged")
+        merge_generations(spark, src, md)
+        for q, mode in QUERIES:
+            a = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in score_naive(spark, md, q, 10, mode=mode).collect()
+            ]
+            b = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in score_wand(spark, md, q, 10, mode=mode).collect()
+            ]
+            assert a == b, (q, mode)
+        env = cold_search(spark, md, "arbak arbal")
+        srch = Searcher(spark, md).search("arbak arbal")
+        assert env["total_results"] == srch["total_results"] > 0
+        assert [r["url"] for r in env["results"]] == [
+            r["url"] for r in srch["results"]
+        ]
+
+    def test_merge_boolean_phrase_and_envelope(self, spark, tmp_path):
+        from uci_searchengine_spark.operators.boolean import boolean_search
+        from uci_searchengine_spark.operators.compact import compact_index
+        from uci_searchengine_spark.operators.merge import merge_generations
+        from uci_searchengine_spark.operators.phrase import phrase_search
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        src = _build_lifecycle(spark, tmp_path)
+        md = str(tmp_path / "merged")
+        cd = str(tmp_path / "compacted")
+        merge_generations(spark, src, md)
+        compact_index(spark, src, cd)
+        mu, cu = _url_map(spark, md), _url_map(spark, cd)
+        a = _ranked_urls(
+            spark, md,
+            boolean_search(spark, md, 'stop0 +arbak -stop9', 10).collect(),
+            mu,
+        )
+        b = _ranked_urls(
+            spark, cd,
+            boolean_search(spark, cd, 'stop0 +arbak -stop9', 10).collect(),
+            cu,
+        )
+        assert [u for u, _ in a] == [u for u, _ in b]
+        pa_ = phrase_search(spark, md, "arbak stop1", 10).collect()
+        pb_ = phrase_search(spark, cd, "arbak stop1", 10).collect()
+        assert [(mu[r["doc_id"]], r["n_occ"]) for r in pa_] == [
+            (cu[r["doc_id"]], r["n_occ"]) for r in pb_
+        ]
+        # serving envelope: same urls/totals (snippets identical text)
+        ea = Searcher(spark, md).search("arbak arbal")
+        eb = Searcher(spark, cd).search("arbak arbal")
+        assert ea["total_results"] == eb["total_results"]
+        assert [r["url"] for r in ea["results"]] == [
+            r["url"] for r in eb["results"]
+        ]
+        assert [r["snippet"] for r in ea["results"]] == [
+            r["snippet"] for r in eb["results"]
+        ]
+
+    def test_merge_positional_plane(self, spark, tmp_path):
+        """Positions survive the merge: positional verify == docstore
+        verify == the compacted index, on a merged multi-gen index."""
+        from uci_searchengine_spark.operators.compact import compact_index
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.merge import merge_generations
+        from uci_searchengine_spark.operators.phrase import phrase_search
+
+        src = _build_lifecycle(spark, tmp_path, positions=True)
+        md = str(tmp_path / "merged")
+        merge_generations(spark, src, md)
+        assert IndexMeta.load(md).positions
+        mu = _url_map(spark, md)
+        for phrase in ["arbak stop1", "arband arbast", "stop0 stop0"]:
+            via_pos = phrase_search(
+                spark, md, phrase, 10, method="positions"
+            ).collect()
+            via_doc = phrase_search(
+                spark, md, phrase, 10, method="docstore"
+            ).collect()
+            assert [
+                (mu[r["doc_id"]], r["n_occ"], r["score"]) for r in via_pos
+            ] == [
+                (mu[r["doc_id"]], r["n_occ"], r["score"]) for r in via_doc
+            ], phrase
+
+    def test_merge_idempotent_resume(self, spark, tmp_path):
+        """Re-running the merge skips every committed task: no data file
+        is rewritten (mtime-stable), results unchanged."""
+        from uci_searchengine_spark.operators.merge import merge_generations
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        src = _build_lifecycle(spark, tmp_path)
+        md = str(tmp_path / "merged")
+        merge_generations(spark, src, md)
+        before = {}
+        for root, _, fns in os.walk(md):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    before[p] = os.stat(p).st_mtime_ns
+        r1 = score_wand(spark, md, "arbak arbal", k=10).collect()
+        merge_generations(spark, md if False else src, md)  # rerun
+        after = {}
+        for root, _, fns in os.walk(md):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    after[p] = os.stat(p).st_mtime_ns
+        assert before == after
+        r2 = score_wand(spark, md, "arbak arbal", k=10).collect()
+        assert r1 == r2

@@ -92,6 +92,14 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--index", required=True)
     cp.add_argument("--out", required=True)
 
+    mg = sub.add_parser(
+        "merge",
+        help="merge generations+tombstones without re-tokenizing "
+        "(decode→concat→repack; doc ids preserved)",
+    )
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--out", required=True)
+
     cr = sub.add_parser("crawl", help="BFS crawl from seed urls (per-domain politeness, robots, resume)")
     cr.add_argument("--seeds", required=True, help="comma-separated seed urls")
     cr.add_argument("--out", required=True, help="crawl state + pages output dir")
@@ -184,6 +192,11 @@ def main(argv: list[str] | None = None) -> int:
             from uci_searchengine_spark.operators.compact import compact_index
 
             meta = compact_index(spark, args.index, args.out)
+            print(meta.to_json())
+        elif args.cmd == "merge":
+            from uci_searchengine_spark.operators.merge import merge_generations
+
+            meta = merge_generations(spark, args.index, args.out)
             print(meta.to_json())
         elif args.cmd == "query":
             from uci_searchengine_spark.operators.bm25 import search, score_naive

@@ -1,0 +1,467 @@
+"""Generation merge WITHOUT re-tokenization (Lucene-style segment merge).
+
+``compact_index`` (operators/compact.py) folds generations + tombstones
+by rebuilding from the doc store — it re-runs extract/tokenize/pack over
+every live document. That is the semantics-preserving baseline, but at
+corpus scale compaction should be IO-bound, not CPU-bound: a posting
+list's bytes already exist in every generation; merging them needs a
+decode → concatenate → re-delta → pack, never a tokenizer.
+
+``merge_generations`` produces a fresh single-generation index at
+``out_dir`` from the source index's own planes:
+
+* **segments**: one task per ``shard=`` dir reads that shard's rows from
+  every generation (the shard grid is shared across generations — term →
+  shard never changes), decodes each (term, bucket) group's postings,
+  concatenates across generations (generation doc-id ranges are disjoint
+  and ascending — ``append_index`` bases each generation at the parent's
+  n_docs — so concatenation in generation order IS doc order, asserted),
+  drops tombstoned postings, and repacks with ``codec.pack_many_raw``
+  under the merged corpus' avgdl. Block-max metadata comes out EXACT for
+  the merged stats — queries on the merged index need no per-generation
+  bound inflation and no in-plan df aggregation. The positional plane
+  (when present) is carried through the same way (decode → mask by the
+  surviving postings → ``pack_positions_raw`` on the new block grid).
+* **doc store**: one task per ``bucket=`` dir concatenates the bucket's
+  rows across generations minus tombstones, keeping the doc_id-sorted
+  ``DOCS_ROW_GROUP`` layout the serving fetch prunes on.
+* **stats un-freeze**: n_docs / avgdl / df are recomputed over survivors
+  (integer sums — bit-identical to what a from-scratch rebuild computes),
+  so merged BM25 scores equal a rebuild of the surviving pages; doc_ids
+  are PRESERVED (stable external ids, holes allowed) where a rebuild
+  would renumber.
+
+Physical plan: two storage-shuffle jobs (the same pattern as the build's
+stage 2 — ``exact_repartition`` over a unit driver table, each task
+reading exactly its hive dir with pyarrow), zero JVM exchanges of
+posting bytes, per-task resume manifests keyed by the source snapshot +
+generation count + tombstone state. At 100 TB each shard task streams
+(vocab/num_shards × buckets × gens) groups; a shard larger than task
+memory splits on bucket ranges exactly like the build's ``seg_split``
+(extension point — the group loop is already bucket-ordered).
+
+Reference parity: the reference has no merge (SQLite rewrites pages in
+place); this is the scale-side completion of the Lucene-shaped
+append/tombstone lifecycle (operators/index_append.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from uci_searchengine_spark.operators.index_build import (
+    DOCS_ROW_GROUP,
+    IndexMeta,
+    _commit_manifest,
+    _read_manifest,
+    _wipe_stale,
+    _write_snapshot_marker,
+    generation_dirs,
+)
+
+_DOC_RES = "pid int, docs long, doc_len_sum long, bytes long, skipped boolean"
+_SEG_RES = "pid int, rows long, postings long, bytes long, skipped boolean"
+
+
+def _tomb_sorted(index_dir: str) -> np.ndarray:
+    from uci_searchengine_spark.operators.tombstones import load_tombstone_ids
+
+    t = load_tombstone_ids(index_dir)
+    return np.sort(t) if t.size else np.empty(0, dtype=np.int64)
+
+
+def _drop_sorted(ids: np.ndarray, tomb: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of ``ids`` against the sorted ``tomb`` array."""
+    if not tomb.size or not ids.size:
+        return np.ones(ids.size, dtype=bool)
+    p = np.clip(np.searchsorted(tomb, ids), 0, tomb.size - 1)
+    return tomb[p] != ids
+
+
+def _bucket_dirs(src_dirs: list[str], sub: str) -> list[int]:
+    """Sorted hive-partition values present under ``sub`` across all
+    generations (driver-side listdir — O(dirs) metadata)."""
+    vals: set[int] = set()
+    for d in src_dirs:
+        root = os.path.join(d, sub)
+        if not os.path.isdir(root):
+            continue
+        for fn in os.listdir(root):
+            if "=" in fn:
+                vals.add(int(fn.split("=", 1)[1]))
+    return sorted(vals)
+
+
+def _docs_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
+                   snap: str):
+    def run(it):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tomb = _tomb_sorted(src_index_dir)
+        for pdf in it:
+            for pid in pdf["pid"].tolist():
+                name = f"docs-{pid:05d}"
+                m = _read_manifest(out_dir, name)
+                if m and m.get("status") == "committed" and m.get(
+                    "input_snapshot"
+                ) == snap:
+                    yield pd.DataFrame(
+                        [[pid, m["docs"], m["doc_len_sum"], m["bytes"], True]],
+                        columns=["pid", "docs", "doc_len_sum", "bytes",
+                                 "skipped"],
+                    )
+                    continue
+                parts = []
+                for d in src_dirs:
+                    p = os.path.join(d, "docs", f"bucket={pid}")
+                    if not os.path.isdir(p):
+                        continue
+                    for fn in sorted(os.listdir(p)):
+                        if fn.endswith(".parquet"):
+                            parts.append(pq.read_table(os.path.join(p, fn)))
+                n = dl = size = 0
+                if parts:
+                    tbl = pa.concat_tables(parts).combine_chunks()
+                    ids = tbl.column("doc_id").to_numpy()
+                    keep = _drop_sorted(ids, tomb)
+                    tbl = tbl.take(
+                        np.flatnonzero(keep)[np.argsort(ids[keep],
+                                                        kind="stable")]
+                    )
+                    n = tbl.num_rows
+                    if n:
+                        dl = int(tbl.column("doc_len").to_numpy().sum())
+                        odir = os.path.join(out_dir, "docs", f"bucket={pid}")
+                        os.makedirs(odir, exist_ok=True)
+                        path = os.path.join(odir, "part-00000.parquet")
+                        pq.write_table(
+                            tbl, path + ".tmp", compression="zstd",
+                            row_group_size=DOCS_ROW_GROUP,
+                        )
+                        os.replace(path + ".tmp", path)
+                        size = os.path.getsize(path)
+                _commit_manifest(out_dir, name, {
+                    "partition_id": pid, "docs": int(n), "doc_len_sum": dl,
+                    "postings": 0, "bytes": size,
+                    "input_snapshot": snap, "status": "committed",
+                })
+                yield pd.DataFrame(
+                    [[pid, int(n), dl, size, False]],
+                    columns=["pid", "docs", "doc_len_sum", "bytes", "skipped"],
+                )
+
+    return run
+
+
+def _seg_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
+                  snap: str, avgdl: float, positions: bool):
+    def run(it):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from uci_searchengine_spark.operators.codec import (
+            pack_many_raw,
+            pack_positions_raw,
+            unpack_positions,
+            unpack_postings,
+        )
+
+        tomb = _tomb_sorted(src_index_dir)
+        for pdf in it:
+            for pid in pdf["pid"].tolist():
+                name = f"segments-{pid:05d}"
+                m = _read_manifest(out_dir, name)
+                if m and m.get("status") == "committed" and m.get(
+                    "input_snapshot"
+                ) == snap:
+                    yield pd.DataFrame(
+                        [[pid, m["rows"], m["postings"], m["bytes"], True]],
+                        columns=["pid", "rows", "postings", "bytes",
+                                 "skipped"],
+                    )
+                    continue
+                cols = ["term", "bucket", "postings"] + (
+                    ["positions"] if positions else []
+                )
+                parts = []
+                for gi, d in enumerate(src_dirs):
+                    p = os.path.join(d, "segments", f"shard={pid}")
+                    if not os.path.isdir(p):
+                        continue
+                    for fn in sorted(os.listdir(p)):
+                        if fn.endswith(".parquet"):
+                            t = pq.read_table(os.path.join(p, fn),
+                                              columns=cols)
+                            parts.append(t.append_column(
+                                "gen", pa.array([gi] * t.num_rows,
+                                                pa.int32())
+                            ))
+                rows = post_total = size = 0
+                if parts:
+                    tbl = pa.concat_tables(parts).combine_chunks()
+                    term_codes, term_uniq = pd.factorize(
+                        tbl.column("term").to_pandas(), sort=True
+                    )
+                    bucket = tbl.column("bucket").to_numpy()
+                    gen = tbl.column("gen").to_numpy()
+                    # (term, bucket, gen) ascending: generation order IS
+                    # doc order (append bases each gen past the parent)
+                    order = np.lexsort((gen, bucket, term_codes))
+                    post_col = tbl.column("postings")
+                    pos_col = tbl.column("positions") if positions else None
+                    ids_l, tf_l, dl_l, pos_l = [], [], [], []
+                    gid_l, gterm_l, gbucket_l = [], [], []
+                    n_groups = 0
+                    prev_key = None
+                    for ri in order.tolist():
+                        d_, tf_, dl_ = unpack_postings(
+                            post_col[ri].as_py()
+                        )
+                        key = (int(term_codes[ri]), int(bucket[ri]))
+                        if key != prev_key:
+                            n_groups += 1
+                            prev_key = key
+                            gterm_l.append(key[0])
+                            gbucket_l.append(key[1])
+                        ids_l.append(d_)
+                        tf_l.append(tf_)
+                        dl_l.append(dl_)
+                        gid_l.append(
+                            np.full(d_.size, n_groups - 1, dtype=np.int64)
+                        )
+                        if positions:
+                            pf, _ro = unpack_positions(
+                                pos_col[ri].as_py(), tf_
+                            )
+                            pos_l.append(pf)
+                    ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+                    tf = np.concatenate(tf_l) if tf_l else np.empty(0, np.int32)
+                    dl = np.concatenate(dl_l) if dl_l else np.empty(0, np.int32)
+                    gid = np.concatenate(gid_l) if gid_l else np.empty(0, np.int64)
+                    # group boundaries must already be in doc order
+                    brk = np.flatnonzero(np.diff(gid) == 0)
+                    assert np.all(np.diff(ids)[brk] > 0), (
+                        "generation doc ranges out of order"
+                    )
+                    keep = _drop_sorted(ids, tomb)
+                    ids, tf, dl = ids[keep], tf[keep], dl[keep]
+                    if positions:
+                        pos_flat = (
+                            np.concatenate(pos_l) if pos_l
+                            else np.empty(0, np.int64)
+                        )
+                        pos_flat = pos_flat[
+                            np.repeat(keep, np.concatenate(tf_l))
+                        ] if pos_flat.size else pos_flat
+                    gid = gid[keep]
+                    # surviving groups, group-relative starts
+                    sizes = np.bincount(gid, minlength=n_groups)
+                    live = np.flatnonzero(sizes)
+                    rows = live.size
+                    if rows:
+                        starts = np.concatenate(
+                            ([0], np.cumsum(sizes[live])[:-1])
+                        )
+                        lt = np.asarray(gterm_l, dtype=np.int64)[live]
+                        lb = np.asarray(gbucket_l, dtype=np.int64)[live]
+                        raw = pack_many_raw(ids, tf, dl, starts, avgdl)
+                        G = rows
+                        postings_arr = pa.Array.from_buffers(
+                            pa.binary(), G,
+                            [None,
+                             pa.py_buffer(raw["group_bytes"].astype(np.int32)),
+                             pa.py_buffer(raw["enc"])],
+                        )
+                        blk32 = pa.array(raw["blk_bounds"].astype(np.int32))
+                        # df_global: term runs are contiguous (groups are
+                        # (term, bucket)-sorted; whole shard in one task)
+                        t_brk = np.concatenate(
+                            ([0], np.flatnonzero(lt[1:] != lt[:-1]) + 1)
+                        )
+                        run_lens = np.diff(np.append(t_brk, G))
+                        dfg = np.repeat(
+                            np.add.reduceat(
+                                raw["counts"].astype(np.int64), t_brk
+                            ),
+                            run_lens,
+                        )
+                        cols_out = {
+                            "term": pa.array(
+                                term_uniq.take(lt), pa.string()
+                            ),
+                            "bucket": pa.array(lb.astype(np.int32)),
+                            "df": pa.array(raw["counts"].astype(np.int32)),
+                            "postings": postings_arr,
+                            "block_max": pa.ListArray.from_arrays(
+                                blk32, pa.array(raw["block_max"])
+                            ),
+                            "block_offsets": pa.ListArray.from_arrays(
+                                blk32, pa.array(raw["block_off"])
+                            ),
+                            "block_last_doc": pa.ListArray.from_arrays(
+                                blk32, pa.array(raw["block_last"])
+                            ),
+                            "df_global": pa.array(dfg),
+                        }
+                        if positions:
+                            praw = pack_positions_raw(
+                                pos_flat, tf, starts,
+                                raw["blk_bounds"], raw["block_start"],
+                            )
+                            cols_out["positions"] = pa.Array.from_buffers(
+                                pa.large_binary(), G,
+                                [None,
+                                 pa.py_buffer(
+                                     praw["group_bytes"].astype(np.int64)
+                                 ),
+                                 pa.py_buffer(praw["enc"])],
+                            )
+                            cols_out["pos_block_off"] = (
+                                pa.ListArray.from_arrays(
+                                    blk32, pa.array(praw["block_off"])
+                                )
+                            )
+                        seg = pa.table(cols_out)
+                        post_total = int(raw["counts"].sum())
+                        odir = os.path.join(
+                            out_dir, "segments", f"shard={pid}"
+                        )
+                        os.makedirs(odir, exist_ok=True)
+                        path = os.path.join(odir, "part-00000.parquet")
+                        pq.write_table(seg, path + ".tmp",
+                                       compression="zstd")
+                        os.replace(path + ".tmp", path)
+                        size = os.path.getsize(path)
+                        # flat-postings plane (score_naive / match_count
+                        # / a future re-pack read it): same survivors,
+                        # same (term, bucket, doc) order
+                        from uci_searchengine_spark.operators.index_build import (  # noqa: E501
+                            _xxh_many,
+                        )
+
+                        gterms = term_uniq.take(lt).to_numpy()
+                        gsizes = sizes[live]
+                        flat = pa.table({
+                            "term": pa.array(
+                                np.repeat(gterms, gsizes), pa.string()
+                            ),
+                            "doc_id": pa.array(ids),
+                            "tf": pa.array(tf.astype(np.int32)),
+                            "doc_len": pa.array(dl.astype(np.int32)),
+                            "th": pa.array(
+                                np.repeat(_xxh_many(gterms), gsizes)
+                            ),
+                            "shard": pa.array(
+                                np.full(ids.size, pid, dtype=np.int32)
+                            ),
+                            "bucket": pa.array(
+                                np.repeat(lb, gsizes).astype(np.int32)
+                            ),
+                        })
+                        fdir = os.path.join(
+                            out_dir, "postings_flat", f"pshard={pid}"
+                        )
+                        os.makedirs(fdir, exist_ok=True)
+                        fpath = os.path.join(fdir, "part-00000.parquet")
+                        pq.write_table(flat, fpath + ".tmp",
+                                       compression="zstd")
+                        os.replace(fpath + ".tmp", fpath)
+                        size += os.path.getsize(fpath)
+                _commit_manifest(out_dir, name, {
+                    "partition_id": pid, "docs": 0,
+                    "postings": int(post_total), "bytes": size,
+                    "rows": int(rows),
+                    "input_snapshot": snap, "status": "committed",
+                })
+                yield pd.DataFrame(
+                    [[pid, int(rows), int(post_total), size, False]],
+                    columns=["pid", "rows", "postings", "bytes", "skipped"],
+                )
+
+    return run
+
+
+def merge_generations(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    input_snapshot: str = "merge",
+) -> IndexMeta:
+    """Merge ``index_dir``'s generations + tombstones into a fresh
+    single-generation index at ``out_dir`` — no re-tokenization, doc ids
+    preserved. Resumable per shard/bucket task (manifests keyed by the
+    source's snapshot + gens + tombstone state)."""
+    from uci_searchengine_spark.operators.tombstones import (
+        tombstone_count_estimate,
+    )
+    from uci_searchengine_spark.plans.partitioning import exact_repartition
+
+    meta = IndexMeta.load(index_dir)
+    src_dirs = generation_dirs(index_dir)
+    snap = (
+        f"merge:{meta.input_snapshot}:gens={meta.gens}"
+        f":tomb={tombstone_count_estimate(index_dir)}:{input_snapshot}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    _wipe_stale(out_dir, snap)
+    _write_snapshot_marker(out_dir, snap)
+
+    # 1) doc store merge + merged corpus stats (integer sums — identical
+    # to what a from-scratch rebuild would compute)
+    buckets = _bucket_dirs(src_dirs, "docs")
+    ddf = spark.createDataFrame([(b,) for b in buckets], "pid int")
+    dres = (
+        exact_repartition(ddf, max(len(buckets), 1), "pid")
+        .mapInPandas(
+            _docs_merge_fn(index_dir, src_dirs, out_dir, snap), _DOC_RES
+        )
+        .collect()
+    )
+    n_docs = sum(r["docs"] for r in dres)
+    tot_dl = sum(r["doc_len_sum"] for r in dres)
+    avgdl = tot_dl / n_docs if n_docs else 0.0
+    _commit_manifest(out_dir, "stage-docs", {
+        "status": "committed", "input_snapshot": snap,
+        "n_docs": int(n_docs), "avgdl": avgdl, "doc_len_sum": int(tot_dl),
+        "num_shards": meta.num_shards,
+        "n_buckets": (max(buckets) + 1) if buckets else meta.n_buckets,
+        "bucket_size": meta.bucket_size,
+    })
+
+    # 2) segment merge under the merged avgdl (exact block-max bounds)
+    shards = _bucket_dirs(src_dirs, "segments")
+    sdf = spark.createDataFrame([(s,) for s in shards], "pid int")
+    (
+        exact_repartition(sdf, max(len(shards), 1), "pid")
+        .mapInPandas(
+            _seg_merge_fn(
+                index_dir, src_dirs, out_dir, snap, avgdl,
+                bool(getattr(meta, "positions", False)),
+            ),
+            _SEG_RES,
+        )
+        .collect()
+    )
+
+    new_meta = IndexMeta(
+        n_docs=int(n_docs),
+        avgdl=avgdl,
+        num_shards=meta.num_shards,
+        n_buckets=(max(buckets) + 1) if buckets else meta.n_buckets,
+        bucket_size=meta.bucket_size,
+        input_snapshot=snap,
+        seg_split=1,
+        stem=bool(getattr(meta, "stem", False)),
+        positions=bool(getattr(meta, "positions", False)),
+        gens=1,
+    )
+    tmp = os.path.join(out_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        f.write(new_meta.to_json())
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    return new_meta
