@@ -280,3 +280,23 @@ class TestAdvancedRoute:
             code, body = _get_err(base, p)
             assert code == 422, p
             assert "detail" in body
+
+
+@pytest.mark.spark
+class TestLogsRoute:
+    def test_logs_tail_and_cursor(self, http_server):
+        """Manifest-commit tail (reference WS payload shape): first poll
+        returns the build's events, polling with the returned cursor
+        returns nothing new."""
+        base, _ = http_server
+        code, got = _get(base, "/api/crawler/logs")
+        assert code == 200
+        assert got["cursor"] > 0
+        assert got["events"], "a built index must have manifest events"
+        for e in got["events"]:
+            assert set(e) == {"message", "timestamp"}
+            assert "committed" in e["message"]
+        code, again = _get(base, f"/api/crawler/logs?cursor={got['cursor']}")
+        assert code == 200
+        assert again["events"] == []
+        assert again["cursor"] == got["cursor"]

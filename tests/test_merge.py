@@ -232,3 +232,41 @@ class TestMerge:
         assert before == after
         r2 = score_wand(spark, md, "arbak arbal", k=10).collect()
         assert r1 == r2
+
+
+@pytest.mark.spark
+class TestMergePolicy:
+    def test_should_merge_policy(self, spark, tmp_path):
+        from uci_searchengine_spark.operators.index_append import append_index
+        from uci_searchengine_spark.operators.index_build import build_index
+        from uci_searchengine_spark.operators.merge import (
+            maybe_merge,
+            should_merge,
+        )
+        from uci_searchengine_spark.operators.tombstones import delete_docs
+        from uci_searchengine_spark.sources.synth import synth_pages
+
+        d = str(tmp_path / "idx")
+        pages = synth_pages(spark, 120, SEED, partitions=4)
+        urls = sorted(r["url"] for r in pages.select("url").collect())
+        build_index(
+            spark, pages.filter(F.col("url") < urls[60]), d,
+            num_shards=4, n_buckets=2, input_snapshot="pol0",
+        )
+        assert not should_merge(d)
+        assert maybe_merge(spark, d, str(tmp_path / "m0")) is None
+        # generation debt: 2 appends stay under max_gens=2? gens=3 > 2
+        append_index(spark, pages.filter(
+            (F.col("url") >= urls[60]) & (F.col("url") < urls[90])
+        ), d, input_snapshot="pol1")
+        append_index(spark, pages.filter(F.col("url") >= urls[90]), d,
+                     input_snapshot="pol2")
+        assert not should_merge(d, max_gens=4)
+        assert should_merge(d, max_gens=2)
+        # tombstone debt
+        delete_docs(d, list(range(40)))
+        assert should_merge(d, max_gens=9, max_tombstone_frac=0.2)
+        m = maybe_merge(spark, d, str(tmp_path / "m1"), max_gens=2)
+        assert m is not None and m.gens == 1
+        # merged index is healthy again
+        assert not should_merge(str(tmp_path / "m1"))

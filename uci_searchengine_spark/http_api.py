@@ -175,6 +175,57 @@ class EngineState:
             },
         }
 
+    def logs(self, cursor: int) -> dict:
+        """Incremental build/crawl event tail — the reference streams
+        crawler logs over a WebSocket (routes.py:310-337, payload
+        {"message", "timestamp"}); the stdlib analog is a cursor poll:
+        events = manifest commits newer than ``cursor`` (mtime_ns),
+        next cursor = the max seen. The engine's manifests ARE its
+        progress log (per-partition docs/postings/bytes), so the tail
+        needs no side-channel logger."""
+        import datetime as _dt
+
+        from uci_searchengine_spark.operators.index_build import (
+            generation_dirs,
+        )
+
+        events = []
+        new_cursor = cursor
+        for d in generation_dirs(self.index_dir):
+            mdir = os.path.join(d, "_manifest")
+            if not os.path.isdir(mdir):
+                continue
+            for fn in os.listdir(mdir):
+                if not fn.endswith(".json"):
+                    continue
+                p = os.path.join(mdir, fn)
+                st = os.stat(p)
+                if st.st_mtime_ns <= cursor:
+                    continue
+                try:
+                    with open(p) as f:
+                        m = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                bits = [
+                    f"{k}={m[k]}"
+                    for k in ("docs", "postings", "bytes", "rows", "n_docs")
+                    if m.get(k)
+                ]
+                events.append((st.st_mtime_ns, {
+                    "message": f"{fn[:-5]} {m.get('status', '?')}"
+                    + (f" ({', '.join(bits)})" if bits else ""),
+                    "timestamp": _dt.datetime.fromtimestamp(
+                        st.st_mtime_ns / 1e9, _dt.timezone.utc
+                    ).isoformat(),
+                }))
+                new_cursor = max(new_cursor, st.st_mtime_ns)
+        events.sort(key=lambda e: e[0])
+        return {
+            "cursor": new_cursor,
+            "events": [e for _, e in events[-500:]],
+        }
+
     def _metrics(self) -> dict:
         from uci_searchengine_spark.operators.index_build import build_metrics
 
@@ -226,6 +277,10 @@ class _Handler(BaseHTTPRequestHandler):
                 if not word:
                     return self._json({"detail": "word is required"}, 422)
                 return self._json(self.engine.suggest(word, _int_param(qs, "k", 5)))
+            if u.path == "/api/crawler/logs":
+                return self._json(
+                    self.engine.logs(_int_param(qs, "cursor", 0))
+                )
             if u.path == "/api/crawler/status":
                 return self._json(self.engine.status())
             if u.path == "/api/crawler/statistics":

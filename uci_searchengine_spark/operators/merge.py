@@ -386,6 +386,42 @@ def _seg_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
     return run
 
 
+def should_merge(
+    index_dir: str, max_gens: int = 4, max_tombstone_frac: float = 0.2
+) -> bool:
+    """Tiered merge policy (Lucene TieredMergePolicy analog, simplified
+    to the two debts this index actually accumulates): merge when the
+    generation count exceeds ``max_gens`` (every query scans one pruned
+    dir per generation and pays in-plan df aggregation + block-max
+    inflation) or when tombstones exceed ``max_tombstone_frac`` of the
+    corpus (dead postings decoded then discarded by every scorer, and
+    frozen df keeps idf stale). Metadata-only — no Spark job."""
+    from uci_searchengine_spark.operators.tombstones import (
+        tombstone_count_estimate,
+    )
+
+    meta = IndexMeta.load(index_dir)
+    if int(getattr(meta, "gens", 1)) > max_gens:
+        return True
+    n = meta.n_docs or 1
+    return tombstone_count_estimate(index_dir) / n > max_tombstone_frac
+
+
+def maybe_merge(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    max_gens: int = 4,
+    max_tombstone_frac: float = 0.2,
+) -> "IndexMeta | None":
+    """Run ``merge_generations`` iff ``should_merge`` — the call an
+    ingest loop makes after each append. Returns the merged meta, or
+    None when the index is healthy."""
+    if not should_merge(index_dir, max_gens, max_tombstone_frac):
+        return None
+    return merge_generations(spark, index_dir, out_dir)
+
+
 def merge_generations(
     spark: SparkSession,
     index_dir: str,
