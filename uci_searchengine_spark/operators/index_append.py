@@ -62,6 +62,10 @@ def append_index(
     meta = IndexMeta.load(index_dir)
     gen = int(getattr(meta, "gens", 1))
     gen_dir = os.path.join(index_dir, f"gen-{gen}")
+    # id base: past every EXISTING id, not past the live count — a merged
+    # parent preserves ids with holes (next_doc_id > n_docs there)
+    nxt = int(getattr(meta, "next_doc_id", -1))
+    base = nxt if nxt >= 0 else meta.n_docs
 
     # upsert: old ids of re-seen urls → tombstones (collected driver-side;
     # bounded by the overlap, and the join is broadcast-small)
@@ -85,7 +89,7 @@ def append_index(
         input_snapshot=f"{input_snapshot}#gen{gen}",
         stem=bool(getattr(meta, "stem", False)),
         positions=bool(getattr(meta, "positions", False)),
-        doc_id_base=meta.n_docs,
+        doc_id_base=base,
         bucket_size_override=meta.bucket_size,
     )
 
@@ -95,7 +99,10 @@ def append_index(
         if total
         else 0.0
     )
-    new_meta = replace(meta, n_docs=total, avgdl=avgdl, gens=gen + 1)
+    new_meta = replace(
+        meta, n_docs=total, avgdl=avgdl, gens=gen + 1,
+        next_doc_id=base + gmeta.n_docs,
+    )
     # crash-safety for the upsert window: persist the stale-id list BEFORE
     # the meta commit — a crash between the meta os.replace and delete_docs
     # would otherwise serve BOTH versions of re-seen urls. IndexMeta.load

@@ -137,6 +137,12 @@ class IndexMeta:
     # aggregate df in-plan and inflate block-max bounds per generation
     # (the stored bounds were computed with that generation's avgdl).
     gens: int = 1
+    # First doc id a future append may assign. -1 (builds; dense ids)
+    # means "== n_docs". A MERGED index preserves ids with holes, so its
+    # live count (n_docs, the idf input) sits BELOW the id ceiling —
+    # basing an append at n_docs would collide with surviving ids
+    # (operators/merge.py sets this to max live id + 1).
+    next_doc_id: int = -1
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)

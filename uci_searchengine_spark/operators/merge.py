@@ -63,7 +63,8 @@ from uci_searchengine_spark.operators.index_build import (
     generation_dirs,
 )
 
-_DOC_RES = "pid int, docs long, doc_len_sum long, bytes long, skipped boolean"
+_DOC_RES = ("pid int, docs long, doc_len_sum long, max_doc long, "
+            "bytes long, skipped boolean")
 _SEG_RES = "pid int, rows long, postings long, bytes long, skipped boolean"
 
 
@@ -134,9 +135,10 @@ def _docs_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
                     "input_snapshot"
                 ) == snap:
                     yield pd.DataFrame(
-                        [[pid, m["docs"], m["doc_len_sum"], m["bytes"], True]],
-                        columns=["pid", "docs", "doc_len_sum", "bytes",
-                                 "skipped"],
+                        [[pid, m["docs"], m["doc_len_sum"],
+                          m.get("max_doc", -1), m["bytes"], True]],
+                        columns=["pid", "docs", "doc_len_sum", "max_doc",
+                                 "bytes", "skipped"],
                     )
                     continue
                 parts = []
@@ -148,6 +150,7 @@ def _docs_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
                         if fn.endswith(".parquet"):
                             parts.append(pq.read_table(os.path.join(p, fn)))
                 n = dl = size = 0
+                max_doc = -1
                 if parts:
                     tbl = pa.concat_tables(parts).combine_chunks()
                     ids = tbl.column("doc_id").to_numpy()
@@ -159,6 +162,7 @@ def _docs_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
                     n = tbl.num_rows
                     if n:
                         dl = int(tbl.column("doc_len").to_numpy().sum())
+                        max_doc = int(tbl.column("doc_id").to_numpy().max())
                         odir = os.path.join(out_dir, "docs", f"bucket={pid}")
                         os.makedirs(odir, exist_ok=True)
                         path = os.path.join(odir, "part-00000.parquet")
@@ -170,12 +174,13 @@ def _docs_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
                         size = os.path.getsize(path)
                 _commit_manifest(out_dir, name, {
                     "partition_id": pid, "docs": int(n), "doc_len_sum": dl,
-                    "postings": 0, "bytes": size,
+                    "max_doc": max_doc, "postings": 0, "bytes": size,
                     "input_snapshot": snap, "status": "committed",
                 })
                 yield pd.DataFrame(
-                    [[pid, int(n), dl, size, False]],
-                    columns=["pid", "docs", "doc_len_sum", "bytes", "skipped"],
+                    [[pid, int(n), dl, max_doc, size, False]],
+                    columns=["pid", "docs", "doc_len_sum", "max_doc",
+                             "bytes", "skipped"],
                 )
 
     return run
@@ -501,6 +506,7 @@ def merge_generations(
     )
     n_docs = sum(r["docs"] for r in dres)
     tot_dl = sum(r["doc_len_sum"] for r in dres)
+    max_doc = max((r["max_doc"] for r in dres), default=-1)
     avgdl = tot_dl / n_docs if n_docs else 0.0
     _commit_manifest(out_dir, "stage-docs", {
         "status": "committed", "input_snapshot": snap,
@@ -536,6 +542,9 @@ def merge_generations(
         stem=bool(getattr(meta, "stem", False)),
         positions=bool(getattr(meta, "positions", False)),
         gens=1,
+        # ids are PRESERVED with holes: the live count (idf input) can
+        # sit below existing ids — a future append must base past them
+        next_doc_id=max_doc + 1,
     )
     tmp = os.path.join(out_dir, "meta.json.tmp")
     with open(tmp, "w") as f:
