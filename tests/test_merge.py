@@ -349,3 +349,46 @@ class TestAppendAfterMerge:
         assert meta2.next_doc_id == mmeta.next_doc_id + (
             meta2.n_docs - mmeta.n_docs
         )
+
+
+@pytest.mark.spark
+class TestMergeSegSplit:
+    def test_merge_seg_split_equivalent(self, spark, tmp_path):
+        """seg_split>1 (shard ≫ task memory): bucket-striped merge tasks
+        write fragment files with fragment-local df; queries aggregate
+        df in-plan (meta.seg_split contract) — results identical to the
+        unsplit merge (same preserved doc ids)."""
+        from uci_searchengine_spark.operators.boolean import boolean_search
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.merge import merge_generations
+        from uci_searchengine_spark.operators.phrase import phrase_search
+        from uci_searchengine_spark.operators.wand import score_wand
+
+        src = _build_lifecycle(spark, tmp_path)
+        m1 = str(tmp_path / "m1")
+        m2 = str(tmp_path / "m2")
+        merge_generations(spark, src, m1)
+        merge_generations(spark, src, m2, seg_split=2)
+        meta2 = IndexMeta.load(m2)
+        assert meta2.seg_split == 2
+        # the split actually fragmented at least one shard
+        import glob
+        assert any(
+            len(glob.glob(os.path.join(m2, "segments", d, "*.parquet"))) > 1
+            for d in os.listdir(os.path.join(m2, "segments"))
+        )
+        def rows(df):
+            return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+        for q, mode in QUERIES:
+            assert rows(score_wand(spark, m1, q, 10, mode=mode)) == rows(
+                score_wand(spark, m2, q, 10, mode=mode)
+            ), (q, mode)
+        assert rows(
+            boolean_search(spark, m1, 'stop0 +arbak -stop9', 10)
+        ) == rows(boolean_search(spark, m2, 'stop0 +arbak -stop9', 10))
+        p1 = phrase_search(spark, m1, "arbak stop1", 10).collect()
+        p2 = phrase_search(spark, m2, "arbak stop1", 10).collect()
+        assert [(r["doc_id"], r["n_occ"]) for r in p1] == [
+            (r["doc_id"], r["n_occ"]) for r in p2
+        ]

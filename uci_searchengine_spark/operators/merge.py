@@ -66,6 +66,9 @@ from uci_searchengine_spark.operators.index_build import (
 _DOC_RES = ("pid int, docs long, doc_len_sum long, max_doc long, "
             "bytes long, skipped boolean")
 _SEG_RES = "pid int, rows long, postings long, bytes long, skipped boolean"
+# task tables carry (pid, task): pid is a DENSE 0..P-1 placement key
+# (exact_repartition requires values in [0, P)); task is the payload id
+# (bucket value / composite shard·split) — present dirs can have gaps
 
 
 def _tomb_sorted(index_dir: str) -> np.ndarray:
@@ -128,7 +131,7 @@ def _docs_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
 
         tomb = _tomb_sorted(src_index_dir)
         for pdf in it:
-            for pid in pdf["pid"].tolist():
+            for pid in pdf["task"].tolist():
                 name = f"docs-{pid:05d}"
                 m = _read_manifest(out_dir, name)
                 if m and m.get("status") == "committed" and m.get(
@@ -187,7 +190,14 @@ def _docs_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
 
 
 def _seg_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
-                  snap: str, avgdl: float, positions: bool):
+                  snap: str, avgdl: float, positions: bool,
+                  seg_split: int = 1, total_buckets: int = 0):
+    """``seg_split`` > 1 (a shard larger than one task's memory): task
+    pid encodes (shard, bucket-stripe); each task reads only its stripe
+    (parquet bucket filter) and writes its own fragment file. df_global
+    is then fragment-local — exactly the build's seg_split contract,
+    resolved in-plan by every query path when meta.seg_split > 1."""
+
     def run(it):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -198,8 +208,10 @@ def _seg_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
         )
 
         tomb = _tomb_sorted(src_index_dir)
+        stride = -(-max(total_buckets, 1) // seg_split)
         for pdf in it:
-            for pid in pdf["pid"].tolist():
+            for pid in pdf["task"].tolist():
+                shard, sl = pid // seg_split, pid % seg_split
                 name = f"segments-{pid:05d}"
                 m = _read_manifest(out_dir, name)
                 if m and m.get("status") == "committed" and m.get(
@@ -214,15 +226,21 @@ def _seg_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
                 cols = ["term", "bucket", "df", "postings"] + (
                     ["positions"] if positions else []
                 )
+                filt = (
+                    [("bucket", ">=", sl * stride),
+                     ("bucket", "<", (sl + 1) * stride)]
+                    if seg_split > 1
+                    else None
+                )
                 parts = []
                 for gi, d in enumerate(src_dirs):
-                    p = os.path.join(d, "segments", f"shard={pid}")
+                    p = os.path.join(d, "segments", f"shard={shard}")
                     if not os.path.isdir(p):
                         continue
                     for fn in sorted(os.listdir(p)):
                         if fn.endswith(".parquet"):
                             t = pq.read_table(os.path.join(p, fn),
-                                              columns=cols)
+                                              columns=cols, filters=filt)
                             parts.append(t.append_column(
                                 "gen", pa.array([gi] * t.num_rows,
                                                 pa.int32())
@@ -375,10 +393,10 @@ def _seg_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
                         seg = pa.table(cols_out)
                         post_total = int(raw["counts"].sum())
                         odir = os.path.join(
-                            out_dir, "segments", f"shard={pid}"
+                            out_dir, "segments", f"shard={shard}"
                         )
                         os.makedirs(odir, exist_ok=True)
-                        path = os.path.join(odir, "part-00000.parquet")
+                        path = os.path.join(odir, f"part-{sl:05d}.parquet")
                         pq.write_table(seg, path + ".tmp",
                                        compression="zstd")
                         os.replace(path + ".tmp", path)
@@ -403,17 +421,17 @@ def _seg_merge_fn(src_index_dir: str, src_dirs: list[str], out_dir: str,
                                 np.repeat(_xxh_many(gterms), gsizes)
                             ),
                             "shard": pa.array(
-                                np.full(ids.size, pid, dtype=np.int32)
+                                np.full(ids.size, shard, dtype=np.int32)
                             ),
                             "bucket": pa.array(
                                 np.repeat(lb, gsizes).astype(np.int32)
                             ),
                         })
                         fdir = os.path.join(
-                            out_dir, "postings_flat", f"pshard={pid}"
+                            out_dir, "postings_flat", f"pshard={shard}"
                         )
                         os.makedirs(fdir, exist_ok=True)
-                        fpath = os.path.join(fdir, "part-00000.parquet")
+                        fpath = os.path.join(fdir, f"part-{sl:05d}.parquet")
                         pq.write_table(flat, fpath + ".tmp",
                                        compression="zstd")
                         os.replace(fpath + ".tmp", fpath)
@@ -473,11 +491,16 @@ def merge_generations(
     index_dir: str,
     out_dir: str,
     input_snapshot: str = "merge",
+    seg_split: int = 1,
 ) -> IndexMeta:
     """Merge ``index_dir``'s generations + tombstones into a fresh
     single-generation index at ``out_dir`` — no re-tokenization, doc ids
     preserved. Resumable per shard/bucket task (manifests keyed by the
-    source's snapshot + gens + tombstone state)."""
+    source's snapshot + gens + tombstone state). ``seg_split`` > 1
+    splits each shard's merge over bucket stripes (shard ≫ one task's
+    memory at corpus scale); the merged meta records it so queries
+    aggregate the fragment-local df in-plan, exactly as after a split
+    build."""
     from uci_searchengine_spark.operators.tombstones import (
         tombstone_count_estimate,
     )
@@ -487,7 +510,8 @@ def merge_generations(
     src_dirs = generation_dirs(index_dir)
     snap = (
         f"merge:{meta.input_snapshot}:gens={meta.gens}"
-        f":tomb={tombstone_count_estimate(index_dir)}:{input_snapshot}"
+        f":tomb={tombstone_count_estimate(index_dir)}"
+        f":split={seg_split}:{input_snapshot}"
     )
     os.makedirs(out_dir, exist_ok=True)
     _wipe_stale(out_dir, snap)
@@ -496,7 +520,9 @@ def merge_generations(
     # 1) doc store merge + merged corpus stats (integer sums — identical
     # to what a from-scratch rebuild would compute)
     buckets = _bucket_dirs(src_dirs, "docs")
-    ddf = spark.createDataFrame([(b,) for b in buckets], "pid int")
+    ddf = spark.createDataFrame(
+        list(enumerate(buckets)) or [(0, -1)], "pid int, task int"
+    )
     dres = (
         exact_repartition(ddf, max(len(buckets), 1), "pid")
         .mapInPandas(
@@ -518,13 +544,18 @@ def merge_generations(
 
     # 2) segment merge under the merged avgdl (exact block-max bounds)
     shards = _bucket_dirs(src_dirs, "segments")
-    sdf = spark.createDataFrame([(s,) for s in shards], "pid int")
+    total_buckets = (max(buckets) + 1) if buckets else meta.n_buckets
+    tasks = [s * seg_split + r for s in shards for r in range(seg_split)]
+    sdf = spark.createDataFrame(
+        list(enumerate(tasks)) or [(0, -1)], "pid int, task int"
+    )
     (
-        exact_repartition(sdf, max(len(shards), 1), "pid")
+        exact_repartition(sdf, max(len(tasks), 1), "pid")
         .mapInPandas(
             _seg_merge_fn(
                 index_dir, src_dirs, out_dir, snap, avgdl,
                 bool(getattr(meta, "positions", False)),
+                seg_split=seg_split, total_buckets=total_buckets,
             ),
             _SEG_RES,
         )
@@ -538,7 +569,7 @@ def merge_generations(
         n_buckets=(max(buckets) + 1) if buckets else meta.n_buckets,
         bucket_size=meta.bucket_size,
         input_snapshot=snap,
-        seg_split=1,
+        seg_split=seg_split,
         stem=bool(getattr(meta, "stem", False)),
         positions=bool(getattr(meta, "positions", False)),
         gens=1,
