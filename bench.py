@@ -236,6 +236,7 @@ def main() -> None:
         # warm-up build primes the pool, and the contemporaneous raw-
         # multiprocessing ceiling is sampled right after the visit.
         t_by_cores: dict[int, list[float]] = {2: [], 8: [], 32: []}
+        t_by_round: list[dict[int, list[float]]] = []
         ceil_by_cores: dict[int, list[float]] = {2: [], 8: [], 32: []}
         # wall-clock budget: this host's bad phases can stretch a 100k
         # build 10x; stop after the last COMPLETE round once the budget
@@ -248,6 +249,7 @@ def main() -> None:
         for rnd in range(rounds):
             if stop or (rnd > 0 and time.perf_counter() - t_start > budget_s):
                 break
+            t_by_round.append({2: [], 8: [], 32: []})
             for cores in (2, 8, 32):
                 # after the first complete round, re-check the budget
                 # before EVERY visit — a bad host phase can stretch one
@@ -256,9 +258,13 @@ def main() -> None:
                 if rnd > 0 and time.perf_counter() - t_start > budget_s:
                     stop = True
                     break
-                # level-2 builds are ~4x longer; fewer timed runs per
-                # visit keeps the section's wall time bounded
-                runs = 1 if cores == 2 else max(1, SCALE_RUNS - 1)
+                # sample allocation follows noise: the 2-core level is
+                # BOTH the N→4N numerator and this host's noisiest
+                # regime (per-level spread 2-4x across phases), so IT
+                # gets the extra timed run; 8/32 are comparatively
+                # stable and appear in more pairs, one run per visit
+                # suffices under min-of-all-rounds
+                runs = max(1, SCALE_RUNS - 1) if cores == 2 else 1
                 spark = get_spark(
                     app_name=f"bench-scale-{cores}-r{rnd}",
                     master=f"local[{cores}]",
@@ -266,9 +272,11 @@ def main() -> None:
                 )
                 pages = _sorted_corpus_path(spark, SCALE_DOCS)
                 _warmup(spark, pages)
-                t_by_cores[cores] += _timed_builds(
+                visit_times = _timed_builds(
                     spark, pages, scale_idx, SCALE_DOCS, runs
                 )
+                t_by_cores[cores] += visit_times
+                t_by_round[rnd][cores] += visit_times
                 spark.stop()
                 ceil_by_cores[cores].append(_mp_ceiling(cores))
             else:
@@ -297,6 +305,14 @@ def main() -> None:
             },
             "efficiency_2_to_8": eff28,
             "efficiency_8_to_32": eff832,
+            # same-round pairing diagnostic: each round's levels ran in
+            # the same few-minute window, so these expose how much of
+            # the headline number is host phase noise vs dataflow
+            "efficiency_2_to_8_by_round": [
+                round((min(tr[2]) / min(tr[8])) / 4, 3)
+                for tr in t_by_round
+                if tr[2] and tr[8]
+            ],
             "host_ceiling_raw_mp_2s": c2,
             "host_ceiling_raw_mp_8s": c8,
             "host_ceiling_raw_mp_32s": c32,
