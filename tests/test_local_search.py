@@ -341,3 +341,45 @@ class TestLocalBooleanPhrase:
         q = s.phrase_rows("arbak stop1", plan="auto")
         assert s.last_plan == "local"
         assert p == q and p
+
+
+@pytest.mark.spark
+class TestDocstoreGuard:
+    def test_docstore_verify_respects_budget(self, spark, index_small):
+        """auto plan for DOC-STORE-verified phrase/boolean: the local
+        choice must also fit the doc store (its verify cost follows
+        candidate docs, not pruned segment bytes); a budget between the
+        two sizes forces the distributed plan for phrase but keeps the
+        envelope local."""
+        from uci_searchengine_spark.operators.local_search import (
+            pruned_shard_bytes,
+        )
+        from uci_searchengine_spark.operators.serving import Searcher
+        from uci_searchengine_spark.operators.wand import _shards_for_terms
+
+        s0 = Searcher(spark, index_small)
+        seg_bytes = pruned_shard_bytes(
+            index_small,
+            sorted(set(_shards_for_terms(
+                ["arbak", "stop1"], s0.meta.num_shards
+            ).values())),
+        )
+        ds_bytes = s0._docstore_bytes()
+        assert seg_bytes < ds_bytes  # precondition of the fixture
+        budget = (seg_bytes + ds_bytes) // 2
+        s = Searcher(spark, index_small, local_bytes_limit=budget)
+        # envelope: segment-bytes check only → local
+        s.search("arbak")
+        assert s.last_plan == "local"
+        # phrase (docstore method on this index): guard → distributed
+        s.phrase_rows("arbak stop1")
+        assert s.last_plan == "spark"
+        # forced local still honored (explicit override)
+        s.phrase_rows("arbak stop1", plan="local")
+        assert s.last_plan == "local"
+        # boolean without phrases: no doc-store verify → local
+        s.boolean_rows("+arbak stop1")
+        assert s.last_plan == "local"
+        # boolean WITH a phrase: guard applies
+        s.boolean_rows('+arbak "arbak stop1"')
+        assert s.last_plan == "spark"

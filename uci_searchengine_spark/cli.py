@@ -100,6 +100,18 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--index", required=True)
     mg.add_argument("--out", required=True)
 
+    ig = sub.add_parser(
+        "ingest",
+        help="apply a page-delta parquet to a registry's current index: "
+        "first delta builds, later ones append; the tiered merge policy "
+        "folds debt into a new version and switches CURRENT",
+    )
+    ig.add_argument("--pages", required=True, help="delta pages parquet dir")
+    ig.add_argument("--registry", required=True, help="index registry root")
+    ig.add_argument("--num-shards", type=int, default=8)
+    ig.add_argument("--max-gens", type=int, default=4)
+    ig.add_argument("--snapshot", default="ingest")
+
     cr = sub.add_parser("crawl", help="BFS crawl from seed urls (per-domain politeness, robots, resume)")
     cr.add_argument("--seeds", required=True, help="comma-separated seed urls")
     cr.add_argument("--out", required=True, help="crawl state + pages output dir")
@@ -198,6 +210,21 @@ def main(argv: list[str] | None = None) -> int:
 
             meta = merge_generations(spark, args.index, args.out)
             print(meta.to_json())
+        elif args.cmd == "ingest":
+            import json as _json
+
+            from uci_searchengine_spark.operators.lifecycle import ingest_round
+            from uci_searchengine_spark.registry import IndexRegistry
+
+            reg = IndexRegistry(args.registry)
+            cur = ingest_round(
+                spark, spark.read.parquet(args.pages), reg,
+                num_shards=args.num_shards, max_gens=args.max_gens,
+                input_snapshot=args.snapshot,
+            )
+            print(_json.dumps(
+                {"current": cur, "available": reg.available()}
+            ))
         elif args.cmd == "query":
             from uci_searchengine_spark.operators.bm25 import search, score_naive
             from uci_searchengine_spark.operators.wand import score_wand

@@ -57,6 +57,7 @@ class Searcher:
         self.last_plan: str | None = None  # "local" | "spark" (search())
         # local path's doc-store footer memo (path,size,mtime)-keyed
         self._pf_cache: dict = {}
+        self._docs_bytes: int | None = None  # doc-store size, lazy
         self._vocab_pdf = None  # resident (term, df) frame, lazy
         self._vocab_bytes: int | None = None
         # analyzed once; every query applies filters to these relations
@@ -108,13 +109,22 @@ class Searcher:
             phrase_search,
         )
 
-        seq, terms, _use_pos = phrase_plan(self.meta, phrase, method)
+        seq, terms, use_pos = phrase_plan(self.meta, phrase, method)
         if not seq:
             return []
         excl = _wand.load_excl(
             self.index_dir, self.spark, self.meta.bucket_size
         )
-        if self._use_local(terms, excl, plan):
+        # doc-store verification tokenizes candidate docs in-process —
+        # its cost follows the DOC STORE, not the pruned segment bytes,
+        # so the local choice must also fit the doc store in budget
+        # (positional verify is index-only and needs no such guard)
+        local_ok = self._use_local(terms, excl, plan) and (
+            use_pos
+            or plan == "local"
+            or self._docstore_bytes() <= self.local_bytes_limit
+        )
+        if local_ok:
             self.last_plan = "local"
             return phrase_topk_local(
                 self.index_dir, self.meta, phrase, k, method, excl=excl
@@ -136,13 +146,21 @@ class Searcher:
             boolean_topk_local,
         )
 
-        bq, all_terms, _use_pos = boolean_plan(self.meta, query)
+        bq, all_terms, use_pos = boolean_plan(self.meta, query)
         if not bq.positive_terms:
             return []
         excl = _wand.load_excl(
             self.index_dir, self.spark, self.meta.bucket_size
         )
-        if self._use_local(all_terms, excl, plan):
+        # same doc-store guard as phrase_rows, only when phrases will
+        # verify from the doc store
+        needs_docstore = bool(bq.phrases) and not use_pos
+        local_ok = self._use_local(all_terms, excl, plan) and (
+            not needs_docstore
+            or plan == "local"
+            or self._docstore_bytes() <= self.local_bytes_limit
+        )
+        if local_ok:
             self.last_plan = "local"
             return boolean_topk_local(
                 self.index_dir, self.meta, query, k, excl=excl
@@ -259,6 +277,31 @@ class Searcher:
             pruned_shard_bytes(self.index_dir, shards)
             <= self.local_bytes_limit
         )
+
+    def _docstore_bytes(self) -> int:
+        """On-disk bytes of the whole doc store (all generations) —
+        cached; the policy input for DOC-STORE-VERIFY strategies, whose
+        in-process cost scales with candidate docs, not with the pruned
+        segment bytes the envelope check uses."""
+        if getattr(self, "_docs_bytes", None) is None:
+            from uci_searchengine_spark.operators.index_build import (
+                generation_dirs,
+            )
+
+            total = 0
+            for d in generation_dirs(self.index_dir):
+                root = os.path.join(d, "docs")
+                if not os.path.isdir(root):
+                    continue
+                for bd in os.listdir(root):
+                    p = os.path.join(root, bd)
+                    if not os.path.isdir(p):
+                        continue
+                    for fn in os.listdir(p):
+                        if fn.endswith(".parquet"):
+                            total += os.path.getsize(os.path.join(p, fn))
+            self._docs_bytes = total
+        return self._docs_bytes
 
     def _vocab_fits_local(self) -> bool:
         """Vocabulary plane (term+df compressed bytes, footer stats)
