@@ -470,3 +470,68 @@ def test_pagerank_matches_bruteforce(spark):
     assert set(got) == set(rank)
     for v in nodes:
         assert got[v] == pytest.approx(rank[v], rel=1e-9), v
+
+
+@pytest.mark.spark
+class TestRepetitionAndDecontamination:
+    def test_repetition_fractions_vs_python(self, spark, docs_df):
+        from collections import Counter
+
+        from uci_searchengine_spark.functions import textstats
+
+        out = {
+            r["doc_id"]: r
+            for r in docs_df.select(
+                "doc_id",
+                F.round(textstats.top_word_fraction(F.col("text")), 9).alias("twf"),
+                F.round(textstats.top_bigram_fraction(F.col("text")), 9).alias("tbf"),
+                F.round(
+                    textstats.duplicate_line_fraction(F.col("text")), 9
+                ).alias("dlf"),
+            ).collect()
+        }
+        for doc_id, text in [(r["doc_id"], r["text"]) for r in docs_df.collect()]:
+            toks = text.strip().lower().split()
+            exp_twf = max(Counter(toks).values()) / len(toks)
+            grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            exp_tbf = max(Counter(grams).values()) / len(grams) if grams else 0.0
+            assert out[doc_id]["twf"] == pytest.approx(exp_twf, abs=1e-8)
+            assert out[doc_id]["tbf"] == pytest.approx(exp_tbf, abs=1e-8)
+            assert out[doc_id]["dlf"] == 0.0  # no newlines in fixture
+
+    def test_duplicate_line_fraction(self, spark):
+        from uci_searchengine_spark.functions import textstats
+
+        df = spark.createDataFrame(
+            [
+                (0, "a line\nanother\na line\n\n  \nthird"),  # 4 non-empty, 1 dup
+                (1, ""),
+                (2, "x\nx\nx"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["dlf"]
+            for r in df.select(
+                "doc_id",
+                textstats.duplicate_line_fraction(F.col("text")).alias("dlf"),
+            ).collect()
+        }
+        assert out[0] == pytest.approx(0.25)
+        assert out[1] == 0.0
+        assert out[2] == pytest.approx(2 / 3)
+
+    def test_decontaminate_flags_overlap(self, spark, docs_df):
+        from uci_searchengine_spark.operators.dedup import decontaminate
+
+        ev = docs_df.filter(F.col("doc_id") == 0)
+        tr = docs_df.filter(F.col("doc_id") > 0)
+        hits = {
+            r["id"]: r["n_shared"]
+            for r in decontaminate(tr, ev, "doc_id", "text", n=4).collect()
+        }
+        # doc 1 is an exact dup, doc 5 a case-dup: all shingles shared.
+        # doc 2 differs by one word; doc 3 shares nothing; doc 4 is short.
+        assert hits[1] == hits[5] and hits[1] > 0
+        assert 0 < hits.get(2, 0) < hits[1]
+        assert 3 not in hits and 4 not in hits

@@ -1363,6 +1363,109 @@ FROM sampled ORDER BY doc_id
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-rule repetition filter (Rae et al. 2021, table A1): top-word
+    fraction, top-bigram fraction, duplicate-line fraction, and the keep
+    decision. All JVM — the max-frequency stat is the longest run of the
+    SORTED token array (one aggregate() pass, no per-word groupBy), so the
+    whole filter folds into the document scan at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    twf = F.round(textstats.top_word_fraction(c), 9)
+    tbf = F.round(textstats.top_bigram_fraction(c), 9)
+    dlf = F.round(textstats.duplicate_line_fraction(c), 9)
+    return d.select(
+        "doc_id",
+        twf.alias("top_word_frac"),
+        tbf.alias("top_bigram_frac"),
+        dlf.alias("dup_line_frac"),
+        F.when((twf <= 0.1) & (tbf <= 0.04) & (dlf <= 0.3), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH base AS (SELECT doc_id, trim(lower(text)) AS tx, text FROM documents),
+toks AS (SELECT doc_id, string_split(tx, ' ') AS t FROM base WHERE tx <> ''),
+w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+wc AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS twf
+       FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+       GROUP BY doc_id),
+bg AS (SELECT doc_id, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS gs
+       FROM toks WHERE len(t) >= 2),
+b AS (SELECT doc_id, unnest(gs) AS g FROM bg),
+bc AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf
+       FROM (SELECT doc_id, g, count(*) AS c FROM b GROUP BY doc_id, g)
+       GROUP BY doc_id),
+lf AS (SELECT doc_id,
+              list_filter(list_transform(string_split(text, chr(10)),
+                                         l -> trim(l)), l -> l <> '') AS ls
+       FROM base),
+dl AS (SELECT doc_id,
+              CASE WHEN len(ls) = 0 THEN 0.0
+                   ELSE (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+              END AS dlf
+       FROM lf)
+SELECT d.doc_id,
+       round(coalesce(wc.twf, 0.0), 9) AS top_word_frac,
+       round(coalesce(bc.tbf, 0.0), 9) AS top_bigram_frac,
+       round(dl.dlf, 9) AS dup_line_frac,
+       (CASE WHEN round(coalesce(wc.twf, 0.0), 9) <= 0.1
+                  AND round(coalesce(bc.tbf, 0.0), 9) <= 0.04
+                  AND round(dl.dlf, 9) <= 0.3
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM documents d
+LEFT JOIN wc ON wc.doc_id = d.doc_id
+LEFT JOIN bc ON bc.doc_id = d.doc_id
+JOIN dl ON dl.doc_id = d.doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (GPT-3 appendix-C shape): flag training
+    docs sharing any word 4-gram with a held-out eval sample (the
+    deterministic 2% md5 slice of the corpus stands in for the benchmark
+    suite). Eval shingles broadcast; the training scan is one pass."""
+    from uci_searchengine_spark.operators.sampling import hash_uniform_col
+
+    docs = _t(spark, sf_dir, "documents")
+    u = hash_uniform_col(F.col("doc_id"))
+    ev = docs.filter(u < 0.02)
+    tr = docs.filter(u >= 0.02)
+    return dd.decontaminate(tr, ev, "doc_id", "text", n=4).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+def _sql_decontaminate() -> str:
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    return f"""
+WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents),
+u AS (SELECT doc_id, {hash_uniform_sql('doc_id')} AS u FROM documents),
+grams AS (
+  SELECT DISTINCT tt.doc_id AS id,
+         CAST(('0x' || substr(md5(g),1,8)) AS UBIGINT)::BIGINT AS shingle_id
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) < 4 THEN [array_to_string(t,' ')]
+                ELSE [array_to_string(t[i:i+3],' ') FOR i IN range(1, len(t)-2)]
+           END AS gs
+    FROM t) tt, unnest(gs) AS z(g)
+),
+ev AS (SELECT DISTINCT shingle_id FROM grams JOIN u ON grams.id = u.doc_id
+       WHERE u.u < 0.02),
+tr AS (SELECT id, shingle_id FROM grams JOIN u ON grams.id = u.doc_id
+       WHERE u.u >= 0.02)
+SELECT id AS doc_id, count(*)::BIGINT AS n_shared
+FROM tr WHERE shingle_id IN (SELECT shingle_id FROM ev)
+GROUP BY id
+"""
+
+
 def q_simhash(spark, sf_dir):
     """60-bit SimHash per doc (near-dup fingerprint)."""
     return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
@@ -2461,6 +2564,8 @@ QUERIES = {
     "pagerank": (q_pagerank, _sql_pagerank()),
     "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
     "training_prep": (q_training_prep, _sql_training_prep()),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash()),

@@ -133,3 +133,68 @@ def pii_hit_count(c: Column) -> Column:
     for _pat, token in PII_PATTERNS:
         n = n + F.size(F.split(red, F.lit(token).cast("string"), -1)) - 1
     return n.cast("long")
+
+
+# Repetition statistics: the Gopher-rule family (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", table A1) that training-data
+# pipelines apply to drop boilerplate/spam documents. All pure JVM:
+# the max-frequency computation sorts the token array once and takes
+# the longest equal-run via a single aggregate() pass — O(n log n) per
+# row, no per-word groupBy, no Python.
+
+
+def _max_run_frac(arr: Column) -> Column:
+    """max frequency of any element / len(arr), via longest run in the
+    sorted array (a single JVM aggregate pass; 0.0 for empty arrays)."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(F.array_sort(arr), acc0, merge, lambda a: a["best"])
+    return F.when(F.size(arr) <= 0, F.lit(0.0)).otherwise(
+        best / F.size(arr)
+    )
+
+
+def _ws_tokens(c: Column) -> Column:
+    t = F.trim(F.lower(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def top_word_fraction(c: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token."""
+    return _max_run_frac(_ws_tokens(c))
+
+
+def top_bigram_fraction(c: Column) -> Column:
+    """Fraction of adjacent-token bigrams taken by the most frequent
+    bigram (0.0 for docs with < 2 tokens)."""
+    toks = _ws_tokens(c)
+    grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+    )
+    return _max_run_frac(grams)
+
+
+def duplicate_line_fraction(c: Column) -> Column:
+    """Fraction of non-empty trimmed lines that are duplicates of an
+    earlier line — the Gopher boilerplate signal. 0.0 when no lines."""
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    return F.when(F.size(lines) <= 0, F.lit(0.0)).otherwise(
+        (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+    )

@@ -522,3 +522,30 @@ def embedding_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """(id, n_shared) — training docs sharing ≥1 word n-gram with an
+    eval/benchmark set, with the count of distinct shared shingles.
+
+    The standard pre-training decontamination pass (GPT-3 appendix C
+    shape: drop training docs that overlap the eval suite). Candidates
+    via the same md5 shingle ids as the dedup family; the eval side of a
+    100 TB run is benchmark-sized (10³–10⁶ docs), so its distinct
+    shingle set is broadcast and the scan stays one-pass with no
+    shuffle on the training side — the aggregation shuffles only the
+    contaminated subset's (id, shingle) pairs.
+    """
+    tr = shingles(df, id_col, text_col, n)
+    ev = shingles(eval_df, id_col, text_col, n).select("shingle_id").distinct()
+    return (
+        tr.join(F.broadcast(ev), "shingle_id")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+    )
