@@ -132,7 +132,11 @@ def _mp_mem_work(mb: int) -> int:
     of a build task's Arrow/pandas buffers, none of the CPU work."""
     import numpy as np
 
-    chunk = 64
+    # fixed 8 MB chunk at EVERY parallelism level: identical allocation
+    # size / fault pattern per iteration, only the iteration count
+    # scales — otherwise the levels compare different mmap/THP regimes
+    # (observed as a bogus super-linear 2->8 "efficiency")
+    chunk = 8
     done = 0
     while done < mb:
         m = min(chunk, mb - done)
@@ -157,9 +161,17 @@ def _mp_mem_ceiling(procs: int, total_mb: int = 256) -> float:
     per = max(total_mb // procs, 1)
     with mp.Pool(procs) as p:
         p.map(_mp_mem_work, [8] * procs)  # spawn + import, untimed
-        t0 = time.perf_counter()
-        p.map(_mp_mem_work, [per] * procs)
-        return round(time.perf_counter() - t0, 3)
+        # best of 2: a single ~0.1-1 s rep is dominated by whichever
+        # page-fault stall it happens to straddle; the min is the
+        # phase's delivered bandwidth (same convention as every other
+        # timing in this file)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            p.map(_mp_mem_work, [per] * procs)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
 
 
 def _settle() -> None:
@@ -368,6 +380,33 @@ def main() -> None:
         eff832 = round((t8 / t32) / 4, 3)
         ceff28 = round((c2 / c8) / 4, 3)
         ceff832 = round((c8 / c32) / 4, 3)
+
+        # Controls are paired SAME-ROUND (one ceiling sample lands per
+        # visit, so index i in each per-core list = round i; zip
+        # truncates a budget-cut partial round). A global-min pairing
+        # across phases is meaningless for the noisy memory control —
+        # one observed run paired a degraded-phase 2-proc min with a
+        # good-phase 8-proc min and read "efficiency 6.9".
+        def _pair_eff(a: list[float], b: list[float]) -> list[float]:
+            return [round((x / y) / 4, 3) for x, y in zip(a, b) if y]
+
+        ceff28_by_round = _pair_eff(ceil_by_cores[2], ceil_by_cores[8])
+        ceff832_by_round = _pair_eff(ceil_by_cores[8], ceil_by_cores[32])
+        memeff28_by_round = _pair_eff(memceil_by_cores[2], memceil_by_cores[8])
+        memeff832_by_round = _pair_eff(memceil_by_cores[8], memceil_by_cores[32])
+        # engine vs the BINDING constraint of the SAME round: each
+        # round's engine efficiency over min(CPU-control, mem-control)
+        # of that round; headline = best round (same-phase compare,
+        # mirrors the engine's own same-round pairing)
+        vs_worst_by_round = []
+        for i, e in enumerate(eff28_by_round):
+            ctrls = [
+                v[i]
+                for v in (ceff28_by_round, memeff28_by_round)
+                if i < len(v) and v[i]
+            ]
+            if ctrls:
+                vs_worst_by_round.append(round(e / min(ctrls), 3))
         out["scaling"] = {
             "n_docs": SCALE_DOCS,
             "runs_local2_s": t_by_cores[2],
@@ -397,6 +436,8 @@ def main() -> None:
             "host_ceiling_raw_mp_32s": c32,
             "host_ceiling_efficiency_2_to_8": ceff28,
             "host_ceiling_efficiency_8_to_32": ceff832,
+            "host_ceiling_efficiency_2_to_8_by_round": ceff28_by_round,
+            "host_ceiling_efficiency_8_to_32_by_round": ceff832_by_round,
             "efficiency_vs_host_ceiling_2_to_8": round(eff28 / ceff28, 3) if ceff28 else None,
             "efficiency_vs_host_ceiling_8_to_32": round(eff832 / ceff832, 3) if ceff832 else None,
             "host_ceiling_runs": {str(c): v for c, v in ceil_by_cores.items()},
@@ -405,40 +446,26 @@ def main() -> None:
             # engine 4-8x degraded while the CPU control read 1.75x).
             # The engine should track whichever control degrades more.
             "host_memceil_mp_s": {str(c): v for c, v in memceil.items()},
+            # memory-control efficiencies are SAME-ROUND only (the
+            # by-round lists); the summary is the best round — the
+            # phase-consistent analog of the engine's headline
             "host_memceil_efficiency_2_to_8": (
-                round((memceil[2] / memceil[8]) / 4, 3)
-                if 2 in memceil and 8 in memceil and memceil[8]
-                else None
+                max(memeff28_by_round) if memeff28_by_round else None
             ),
             "host_memceil_efficiency_8_to_32": (
-                round((memceil[8] / memceil[32]) / 4, 3)
-                if 8 in memceil and 32 in memceil and memceil[32]
-                else None
+                max(memeff832_by_round) if memeff832_by_round else None
             ),
+            "host_memceil_efficiency_2_to_8_by_round": memeff28_by_round,
+            "host_memceil_efficiency_8_to_32_by_round": memeff832_by_round,
             "host_memceil_runs": {str(c): v for c, v in memceil_by_cores.items() if v},
-            # engine scaling vs the BINDING host constraint of the same
-            # minutes: min(CPU-control eff, memory-control eff). ~1.0
-            # means the engine scales at the box's own delivered limit
+            # engine scaling vs the BINDING host constraint of the SAME
+            # round: engine eff ÷ min(CPU-control, mem-control), best
+            # round reported. ~1.0 means the engine scales at the box's
+            # own delivered limit in at least one sampled phase
             "efficiency_vs_worst_ceiling_2_to_8": (
-                round(
-                    eff28
-                    / min(
-                        x
-                        for x in (
-                            ceff28,
-                            (
-                                round((memceil[2] / memceil[8]) / 4, 3)
-                                if 2 in memceil and 8 in memceil and memceil[8]
-                                else ceff28
-                            ),
-                        )
-                        if x
-                    ),
-                    3,
-                )
-                if ceff28
-                else None
+                max(vs_worst_by_round) if vs_worst_by_round else None
             ),
+            "efficiency_vs_worst_ceiling_2_to_8_by_round": vs_worst_by_round,
             "protocol": f"{rounds_done} interleaved rounds of (2, 8, 32)-core "
             "visits (adaptive: rounds repeat while the wall budget fits "
             "another whole round), fresh session + warm-up per visit, "
