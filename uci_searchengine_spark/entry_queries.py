@@ -1363,6 +1363,110 @@ FROM sampled ORDER BY doc_id
 """
 
 
+def q_training_prep_v2(spark, sf_dir):
+    """The COMPLETE modern pre-training data pipeline in one declarative
+    dataflow: held-out eval slice → language filter → quality floor →
+    Gopher repetition filter → exact-dedup canonicalization → eval-set
+    decontamination → deterministic hash sample → leakage-free
+    train/test split. Every stage is a scan-side predicate, a keyed
+    aggregate, or a broadcast anti-join; Catalyst fuses the predicates
+    into one scan projection, so at 100 TB the pipeline costs one pass
+    over the corpus plus the dedup exchange."""
+    from pyspark.sql import Window
+
+    from uci_searchengine_spark.operators.sampling import hash_uniform_col
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    u = hash_uniform_col(F.col("doc_id"))
+    ev = docs.filter(u < 0.02)  # held-out eval slice, never trained on
+    tr = docs.filter(u >= 0.02)
+    contaminated = dd.decontaminate(tr, ev, "doc_id", "text", n=4).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = tr.filter(
+        (F.col("lang") == "en")
+        & (F.round(textstats.quality_score(c), 2) >= 0.6)
+        & (F.round(textstats.top_word_fraction(c), 9) <= 0.12)
+        & (F.round(textstats.top_bigram_fraction(c), 9) <= 0.06)
+    ).select("doc_id", textstats.fingerprint_md5(c).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    canon = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    clean = canon.join(contaminated, "doc_id", "left_anti")
+    sampled = clean.filter(hash_uniform_col(F.col("doc_id")) < 0.5)
+    return sampled.withColumn(
+        "split",
+        F.when(
+            hash_uniform_col(F.col("doc_id") * 31 + 7) < 0.1, F.lit("test")
+        ).otherwise(F.lit("train")),
+    ).orderBy("doc_id")
+
+
+def _sql_training_prep_v2() -> str:
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    return f"""
+WITH q AS ({SQL_QUALITY_SCORES}),
+base AS (SELECT doc_id, trim(lower(text)) AS tx FROM documents),
+toksr AS (SELECT doc_id, string_split(tx, ' ') AS t FROM base WHERE tx <> ''),
+wr AS (SELECT doc_id, unnest(t) AS w FROM toksr),
+wc AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS twf
+       FROM (SELECT doc_id, w, count(*) AS c FROM wr GROUP BY doc_id, w)
+       GROUP BY doc_id),
+bgr AS (SELECT doc_id, [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS gs
+        FROM toksr WHERE len(t) >= 2),
+br AS (SELECT doc_id, unnest(gs) AS g FROM bgr),
+bc AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf
+       FROM (SELECT doc_id, g, count(*) AS c FROM br GROUP BY doc_id, g)
+       GROUP BY doc_id),
+u AS (SELECT doc_id, {hash_uniform_sql('doc_id')} AS u FROM documents),
+grams AS (
+  SELECT DISTINCT tt.doc_id AS id,
+         CAST(('0x' || substr(md5(g),1,8)) AS UBIGINT)::BIGINT AS shingle_id
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) < 4 THEN [array_to_string(t,' ')]
+                ELSE [array_to_string(t[i:i+3],' ') FOR i IN range(1, len(t)-2)]
+           END AS gs
+    FROM toksr) tt, unnest(gs) AS z(g)
+),
+evs AS (SELECT DISTINCT shingle_id FROM grams JOIN u ON grams.id = u.doc_id
+        WHERE u.u < 0.02),
+cont AS (SELECT DISTINCT id AS doc_id
+         FROM grams JOIN u ON grams.id = u.doc_id
+         WHERE u.u >= 0.02 AND shingle_id IN (SELECT shingle_id FROM evs)),
+kept AS (
+  SELECT d.doc_id,
+         md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN u uu ON uu.doc_id = d.doc_id
+  LEFT JOIN wc ON wc.doc_id = d.doc_id
+  LEFT JOIN bc ON bc.doc_id = d.doc_id
+  WHERE uu.u >= 0.02 AND d.lang = 'en' AND q.quality >= 0.6
+    AND round(coalesce(wc.twf, 0.0), 9) <= 0.12
+    AND round(coalesce(bc.tbf, 0.0), 9) <= 0.06
+),
+canon AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+clean AS (SELECT doc_id FROM canon
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+sampled AS (SELECT doc_id FROM clean WHERE {hash_uniform_sql('doc_id')} < 0.5)
+SELECT doc_id,
+       CASE WHEN {hash_uniform_sql('doc_id * 31 + 7')} < 0.1
+            THEN 'test' ELSE 'train' END AS split
+FROM sampled ORDER BY doc_id
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-rule repetition filter (Rae et al. 2021, table A1): top-word
     fraction, top-bigram fraction, duplicate-line fraction, and the keep
@@ -2566,6 +2670,7 @@ QUERIES = {
     "training_prep": (q_training_prep, _sql_training_prep()),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
+    "training_prep_v2": (q_training_prep_v2, _sql_training_prep_v2()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash()),
