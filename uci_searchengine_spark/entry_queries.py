@@ -53,27 +53,57 @@ def q_bm25_topk(spark, sf_dir):
     """Flagship: BM25 top-10 for a fixed query over `documents`
     (S7/S8, P4, J3/J4, A1-A4/A6, T1, U1 — the §3.1 lifecycle, relational
     form; the compressed-segment form is exercised in tests/)."""
-    toks = _doc_tokens(spark, sf_dir).cache()  # reused by dl/stats/postings
+    # Fully in-plan, zero collect, zero cache — the plan you'd run at
+    # 100 TB, where the token stream can't be cached and corpus stats
+    # can't round-trip through the driver:
+    # * per-term tf comes straight off the token array (JVM HOF fused
+    #   into the scan projection), and doc_len rides in the SAME
+    #   projection — no explode of the full token stream, no
+    #   token-granularity shuffle, no doc_id join for lengths;
+    # * (n_docs, avgdl) and (term → df) are one-row/8-row aggregates
+    #   broadcast back into the scoring expression, so the whole query
+    #   is one action: scan → tiny aggs → matching-postings groupBy →
+    #   TakeOrderedAndProject.
+    toks = _doc_tokens(spark, sf_dir)
     dl = toks.select("doc_id", F.size("t").alias("doc_len"))
     stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+        F.count("*").cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    tf_pairs = F.array(
+        *[
+            F.struct(
+                F.lit(term).alias("term"),
+                F.size(
+                    F.filter(F.col("t"), lambda x: x == F.lit(term))
+                )
+                .cast("int")
+                .alias("tf"),
+            )
+            for term in BM25_QUERY_TERMS
+        ]
+    )
     posts = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .filter(F.col("term").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("int").alias("tf"))
+        toks.select(
+            "doc_id", F.size("t").alias("doc_len"), F.explode(tf_pairs).alias("p")
+        )
+        .select(
+            "doc_id",
+            "doc_len",
+            F.col("p.term").alias("term"),
+            F.col("p.tf").alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
     )
     dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tfd = F.col("tf").cast("double")
     tf_part = tfd * (BM25_K1 + 1.0) / (
-        tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doc_len") / F.lit(avgdl))
+        tfd
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doc_len") / F.col("avgdl"))
     )
     scored = (
         posts.join(F.broadcast(dfs), "term")
-        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", (idf * tf_part).alias("contrib"))
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
