@@ -535,3 +535,24 @@ class TestRepetitionAndDecontamination:
         assert hits[1] == hits[5] and hits[1] > 0
         assert 0 < hits.get(2, 0) < hits[1]
         assert 3 not in hits and 4 not in hits
+
+    def test_minhash_inrow_equals_agg(self, spark, docs_df):
+        from uci_searchengine_spark.operators.dedup import (
+            minhash_signatures,
+            minhash_signatures_inrow,
+            shingles,
+        )
+
+        agg = {
+            r["id"]: r["sig"]
+            for r in minhash_signatures(
+                shingles(docs_df, "doc_id", "text", n=3), n_perm=16, seed=7
+            ).collect()
+        }
+        inrow = {
+            r["id"]: r["sig"]
+            for r in minhash_signatures_inrow(
+                docs_df, "doc_id", "text", n_perm=16, seed=7, n=3
+            ).collect()
+        }
+        assert agg == inrow
