@@ -60,6 +60,36 @@ def main() -> None:
         )
     )
 
+    # 1b) relational BM25 gate: fully in-plan — no cache, corpus stats
+    # broadcast via a cross join, bounded top-k
+    from uci_searchengine_spark.entry_queries import QUERIES as _GATES
+
+    rel = _GATES["bm25_topk"][0](spark, "/root/testdata/sf0.001")
+    plan = rel._sc._jvm.PythonSQLUtils.explainString(
+        rel._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "relational bm25: in-plan broadcast stats (no driver collect)",
+            "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "relational bm25: no cached token relation",
+            "InMemoryTableScan" not in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "relational bm25: bounded top-k (TakeOrderedAndProject)",
+            "TakeOrderedAndProject" in plan,
+            plan,
+        )
+    )
+
     # 2) naive scorer: broadcast of the tiny df side + TakeOrderedAndProject
     topk = score_naive(spark, IDX, "stop0 arbak", 10)
     plan = topk._sc._jvm.PythonSQLUtils.explainString(
