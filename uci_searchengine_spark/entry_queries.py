@@ -2596,6 +2596,83 @@ FROM documents ORDER BY doc_id
 """
 
 
+# DuckDB mirror of textstats.ws_token_count (shared with SQL_TOKEN_COUNTS).
+_WS_TOK_SQL = (
+    "CAST(CASE WHEN trim(text)='' THEN 0 "
+    "ELSE len(string_split_regex(trim(text),'\\s+')) END AS BIGINT)"
+)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (concat-and-chunk): every doc gets its
+    token span and sequence range inside its shard's packed stream.
+    Shard id + shuffle order are md5-deterministic, the cumsum is a
+    window PARTITIONED BY shard — all shards pack in parallel, no global
+    ordering bottleneck (the single-stream formulation would be one
+    window partition = one task at 100 TB)."""
+    from uci_searchengine_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", textstats.ws_token_count(F.col("text")).alias("tok")
+    )
+    return (
+        pack_sequences(with_tok, "doc_id", "tok", seq_len=512, n_shards=8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from uci_searchengine_spark.operators.packing import pack_sequences_sql
+
+    inner = f"SELECT doc_id, {_WS_TOK_SQL} AS tok FROM documents"
+    packed = pack_sequences_sql(inner, "doc_id", "tok", 512, 8)
+    return (
+        "SELECT id AS doc_id, shard, start_off, end_off, first_seq, last_seq"
+        f" FROM ({packed}) ORDER BY doc_id"
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup over the embedding table: SRP-LSH
+    near-pairs → connected components → canonical = min vec_id of the
+    cluster; EVERY vector gets a keep/drop verdict (singletons keep
+    themselves). Composes two gate-verified stages into the per-row
+    decision an embedding-dedup pipeline actually applies."""
+    pairs = q_embedding_near_pairs(spark, sf_dir)
+    comp = dd.connected_components(pairs.select("id_a", "id_b"))
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+    out = emb.join(
+        comp.select(F.col("id").alias("vec_id"), "comp"), "vec_id", "left"
+    )
+    comp_final = F.coalesce("comp", F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        comp_final.alias("comp"),
+        (comp_final == F.col("vec_id")).alias("keep"),
+    ).orderBy("vec_id")
+
+
+def _sql_semantic_dedup() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_embedding_near_pairs()}),
+e(a, b) AS (SELECT id_a, id_b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+SELECT v.vec_id,
+       coalesce(c.comp, v.vec_id) AS comp,
+       (coalesce(c.comp, v.vec_id) = v.vec_id) AS keep
+FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id
+ORDER BY v.vec_id
+"""
+
+
 def q_bigram_vocab(spark, sf_dir):
     """Top-20 bigram vocabulary over the tokenized corpus (training-data
     vocab building): adjacent-pair expansion stays a JVM array transform
@@ -2676,6 +2753,8 @@ QUERIES = {
     "bigram_pmi": (q_bigram_pmi, _sql_bigram_pmi()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
     "split_assign": (q_split_assign, _sql_split_assign()),
+    "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
+    "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
     "brands_except": (q_brands_except, SQL_BRANDS_EXCEPT),
