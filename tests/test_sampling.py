@@ -77,3 +77,70 @@ class TestSampling:
             "doc_id",
         )
         assert dropped.count() == 0
+
+
+@pytest.mark.spark
+class TestMixture:
+    def _docs(self, spark, parts=5):
+        from pyspark.sql import functions as F
+
+        # skewed token mass: domain d0 has ~8x the tokens of d3
+        return (
+            spark.range(0, 4000)
+            .repartition(parts)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("d"), (F.col("id") % 4).cast("string")).alias(
+                    "source"
+                ),
+                ((F.col("id") % 4) * -25 + 100 + F.col("id") % 7).alias("tok"),
+            )
+        )
+
+    def test_weights_shape_and_binding_domain(self, spark):
+        from uci_searchengine_spark.operators.sampling import mixture_weights
+
+        w = {r["domain"]: r for r in
+             mixture_weights(self._docs(spark), "source", "tok").collect()}
+        assert set(w) == {"d0", "d1", "d2", "d3"}
+        fracs = {d: r["sample_frac"] for d, r in w.items()}
+        assert all(0.0 < f <= 1.0 for f in fracs.values())
+        # the token-poorest domain is binding (kept whole) under a
+        # uniform target; the richest is cut the most
+        assert fracs["d3"] == pytest.approx(1.0)
+        assert fracs["d0"] == min(fracs.values())
+
+    def test_applied_mix_matches_target(self, spark):
+        from uci_searchengine_spark.operators.sampling import (
+            apply_mixture,
+            mixture_weights,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark)
+        w = mixture_weights(docs, "source", "tok")
+        kept = apply_mixture(docs, "source", "doc_id", w)
+        toks = {
+            r["source"]: r["t"]
+            for r in kept.groupBy("source").agg(F.sum("tok").alias("t")).collect()
+        }
+        total = sum(toks.values())
+        for share in (toks[d] / total for d in toks):
+            assert share == pytest.approx(0.25, abs=0.03)
+
+    def test_partition_invariance_and_explicit_target(self, spark):
+        from uci_searchengine_spark.operators.sampling import (
+            apply_mixture,
+            mixture_weights,
+        )
+
+        tgt = {"d0": 0.5, "d1": 0.25, "d2": 0.25}  # d3 excluded -> frac 0
+        a = mixture_weights(self._docs(spark, 1), "source", "tok", tgt)
+        b = mixture_weights(self._docs(spark, 17), "source", "tok", tgt)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb
+        fr = {d: f for d, _t, f in ra}
+        assert fr["d3"] == 0.0
+        kept = apply_mixture(self._docs(spark), "source", "doc_id", a)
+        assert kept.filter("source = 'd3'").count() == 0

@@ -2673,6 +2673,59 @@ ORDER BY v.vec_id
 """
 
 
+def q_domain_mixture(spark, sf_dir):
+    """Domain-mixture rebalancing to a uniform token target over
+    sources (The-Pile/DoReMi-style data mixing at the prep stage):
+    per-source keep fraction (binding source keeps 1.0) plus the docs
+    actually kept by the deterministic hash filter. One corpus-sized
+    groupBy; the weights are a #domains-row broadcast relation."""
+    from uci_searchengine_spark.operators.sampling import (
+        apply_mixture,
+        mixture_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", textstats.ws_token_count(F.col("text")).alias("tok")
+    )
+    w = mixture_weights(docs, "source", "tok")
+    kept = apply_mixture(docs, "source", "doc_id", w)
+    kc = kept.groupBy("source").agg(F.count("*").alias("kept_docs"))
+    return (
+        w.join(kc, w["domain"] == kc["source"], "left")
+        .select(
+            "domain",
+            "tokens",
+            F.round("sample_frac", 9).alias("sample_frac"),
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _sql_domain_mixture() -> str:
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    u = hash_uniform_sql("doc_id")
+    return f"""
+WITH d AS (SELECT doc_id, source, {_WS_TOK_SQL} AS tok FROM documents),
+t AS (SELECT source AS domain, CAST(sum(tok) AS BIGINT) AS tokens
+      FROM d GROUP BY source),
+r AS (SELECT domain, tokens,
+             (1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM t))
+             / (CAST(tokens AS DOUBLE) / (SELECT CAST(sum(tokens) AS DOUBLE) FROM t)) AS ratio
+      FROM t),
+w AS (SELECT domain, tokens,
+             ratio / (SELECT max(ratio) FROM r) AS sample_frac FROM r),
+k AS (SELECT d.source AS domain, count(*) AS kept
+      FROM d JOIN w ON w.domain = d.source
+      WHERE {u} < w.sample_frac GROUP BY d.source)
+SELECT w.domain, w.tokens, round(w.sample_frac, 9) AS sample_frac,
+       CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_docs
+FROM w LEFT JOIN k ON k.domain = w.domain
+ORDER BY w.domain
+"""
+
+
 def q_bigram_vocab(spark, sf_dir):
     """Top-20 bigram vocabulary over the tokenized corpus (training-data
     vocab building): adjacent-pair expansion stays a JVM array transform
@@ -2755,6 +2808,7 @@ QUERIES = {
     "split_assign": (q_split_assign, _sql_split_assign()),
     "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
+    "domain_mixture": (q_domain_mixture, _sql_domain_mixture()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
     "brands_except": (q_brands_except, SQL_BRANDS_EXCEPT),

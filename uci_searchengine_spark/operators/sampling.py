@@ -17,7 +17,7 @@ for the LLM-data-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^32 — the md5-prefix u32 is uniform on [0, 2^32)
@@ -78,4 +78,69 @@ def train_test_split(
             hash_uniform_col(F.col(key_col)) < F.lit(float(test_fraction)),
             F.lit("test"),
         ).otherwise(F.lit("train")),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    tok_col: str,
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain keep fractions that reshape the corpus token mix to a
+    TARGET distribution by downsampling only (DoReMi/The-Pile-style
+    domain mixing, applied at the data-prep stage).
+
+    ``target`` maps domain → desired token share (need not sum to 1 —
+    it is renormalized); ``None`` means uniform over observed domains.
+    frac_d = (target_d / actual_share_d), rescaled so the binding
+    (most-underrepresented-in-target) domain keeps fraction 1.0 — the
+    sampled corpus then matches the target mix in expectation while
+    discarding as little data as possible.
+
+    Scale shape: ONE groupBy-sum over the big table; everything after
+    runs on the #domains-row aggregate (the unpartitioned window is
+    over that tiny relation, never the corpus).
+    """
+    totals = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(tok_col)).alias("tokens")
+    )
+    if target is None:
+        tgt = F.lit(1.0)
+    else:
+        tgt = F.lit(0.0)
+        for d, w in target.items():
+            tgt = F.when(F.col("domain") == d, F.lit(float(w))).otherwise(tgt)
+    w_all = Window.partitionBy()
+    weighted = totals.withColumn("_tgt", tgt).withColumn(
+        "_ratio",
+        (F.col("_tgt") / F.sum("_tgt").over(w_all))
+        / (F.col("tokens") / F.sum("tokens").over(w_all)),
+    )
+    return weighted.select(
+        "domain",
+        "tokens",
+        (F.col("_ratio") / F.max("_ratio").over(w_all)).alias("sample_frac"),
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: DataFrame,
+) -> DataFrame:
+    """Filter ``df`` to the mixture: broadcast the tiny per-domain
+    fraction table and keep rows whose hash-uniform falls below their
+    domain's fraction — deterministic, one scan, no extra shuffle."""
+    w = weights.select(
+        F.col("domain").alias(domain_col), "sample_frac"
+    )
+    return (
+        df.join(F.broadcast(w), domain_col, "left")
+        .filter(
+            hash_uniform_col(F.col(key_col))
+            < F.coalesce("sample_frac", F.lit(0.0))
+        )
+        .drop("sample_frac")
     )
