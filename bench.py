@@ -77,6 +77,8 @@ HEADLINE = [
     "simhash",
     "events_hourly",
     "latest_event_per_user",
+    "training_prep_v2",
+    "pack_sequences",
 ]
 
 BENCH_QUERIES = [

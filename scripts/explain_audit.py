@@ -90,6 +90,63 @@ def main() -> None:
         )
     )
 
+    # 1c) sequence packing: the ONLY data-sized exchange is the window's
+    # hash partitioning on shard — per-shard parallel cumsum, no global
+    # ordering (a rangepartitioning exchange here would be the
+    # single-stream bottleneck the operator exists to avoid)
+    from uci_searchengine_spark.operators.packing import pack_sequences
+
+    docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(
+        docs01.select("doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("tok")),
+        "doc_id",
+        "tok",
+        512,
+        8,
+    )
+    plan = packed._sc._jvm.PythonSQLUtils.explainString(
+        packed._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "packing: single shard-hash exchange, window cumsum",
+            plan.count("Arguments: hashpartitioning(shard") == 1
+            and "Window" in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "packing: no global range exchange",
+            "rangepartitioning" not in plan,
+            plan,
+        )
+    )
+
+    # 1d) mixture application: per-domain fractions arrive by broadcast —
+    # the corpus side is filtered in place, no corpus-sized join shuffle
+    from uci_searchengine_spark.operators.sampling import (
+        apply_mixture,
+        mixture_weights,
+    )
+
+    mw = mixture_weights(
+        docs01.select("doc_id", "source", F.lit(1).alias("tok")), "source", "tok"
+    )
+    applied = apply_mixture(
+        docs01.select("doc_id", "source"), "source", "doc_id", mw
+    )
+    plan = applied._sc._jvm.PythonSQLUtils.explainString(
+        applied._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "mixture: weights broadcast-joined onto the scan",
+            "BroadcastHashJoin" in plan,
+            plan,
+        )
+    )
+
     # 2) naive scorer: broadcast of the tiny df side + TakeOrderedAndProject
     topk = score_naive(spark, IDX, "stop0 arbak", 10)
     plan = topk._sc._jvm.PythonSQLUtils.explainString(
