@@ -1497,6 +1497,64 @@ FROM sampled ORDER BY doc_id
 """
 
 
+def q_training_prep_v3(spark, sf_dir):
+    """training_prep_v2 carried to the trainer's doorstep: the
+    surviving 'train' docs are domain-rebalanced to a uniform token
+    target over sources and packed into 512-token training sequences —
+    raw pages → filtered/deduped/decontaminated → mixed → packed spans,
+    ONE declarative dataflow end to end. Every hash-based decision on
+    the way (eval slice, sample, split, mixture keep, packing shard)
+    draws from its own salted md5 stream, so the stages compose
+    independently instead of correlating on a shared md5(doc_id)."""
+    from uci_searchengine_spark.operators.packing import pack_sequences
+    from uci_searchengine_spark.operators.sampling import (
+        apply_mixture,
+        mixture_weights,
+    )
+
+    v2 = q_training_prep_v2(spark, sf_dir)
+    train_ids = v2.filter(F.col("split") == "train").select("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.join(train_ids, "doc_id").select(
+        "doc_id",
+        "source",
+        textstats.ws_token_count(F.col("text")).alias("tok"),
+    )
+    w = mixture_weights(d, "source", "tok")
+    mixed = apply_mixture(d, "source", "doc_id", w)
+    packed = pack_sequences(
+        mixed.select("doc_id", "tok"), "doc_id", "tok", seq_len=512, n_shards=8
+    )
+    return packed.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+def _sql_training_prep_v3() -> str:
+    from uci_searchengine_spark.operators.packing import pack_sequences_sql
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    um = hash_uniform_sql("d.doc_id", "mix")
+    inner = f"""
+WITH v2 AS ({_sql_training_prep_v2()}),
+d AS (SELECT doc.doc_id, doc.source, {_WS_TOK_SQL} AS tok
+      FROM documents doc JOIN v2 ON v2.doc_id = doc.doc_id
+      WHERE v2.split = 'train'),
+t AS (SELECT source AS domain, CAST(sum(tok) AS BIGINT) AS tokens
+      FROM d GROUP BY source),
+r AS (SELECT domain, tokens,
+             (1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM t))
+             / (CAST(tokens AS DOUBLE) / (SELECT CAST(sum(tokens) AS DOUBLE) FROM t)) AS ratio
+      FROM t),
+w AS (SELECT domain, ratio / (SELECT max(ratio) FROM r) AS sample_frac FROM r)
+SELECT d.doc_id, d.tok FROM d JOIN w ON w.domain = d.source
+WHERE {um} < w.sample_frac
+"""
+    packed = pack_sequences_sql(inner, "doc_id", "tok", 512, 8)
+    return (
+        "SELECT id AS doc_id, shard, start_off, end_off, first_seq, last_seq"
+        f" FROM ({packed}) ORDER BY doc_id"
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-rule repetition filter (Rae et al. 2021, table A1): top-word
     fraction, top-bigram fraction, duplicate-line fraction, and the keep
@@ -2705,7 +2763,7 @@ def q_domain_mixture(spark, sf_dir):
 def _sql_domain_mixture() -> str:
     from uci_searchengine_spark.operators.sampling import hash_uniform_sql
 
-    u = hash_uniform_sql("doc_id")
+    u = hash_uniform_sql("doc_id", "mix")
     return f"""
 WITH d AS (SELECT doc_id, source, {_WS_TOK_SQL} AS tok FROM documents),
 t AS (SELECT source AS domain, CAST(sum(tok) AS BIGINT) AS tokens
@@ -2809,6 +2867,7 @@ QUERIES = {
     "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
     "domain_mixture": (q_domain_mixture, _sql_domain_mixture()),
+    "training_prep_v3": (q_training_prep_v3, _sql_training_prep_v3()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "running_revenue": (q_running_revenue, SQL_RUNNING_REVENUE),
     "brands_except": (q_brands_except, SQL_BRANDS_EXCEPT),

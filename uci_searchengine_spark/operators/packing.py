@@ -42,6 +42,7 @@ def pack_sequences(
     tok_col: str,
     seq_len: int,
     n_shards: int = 64,
+    salt: str = "pack",
 ) -> DataFrame:
     """Assign every document a token span in its shard's packed stream.
 
@@ -59,9 +60,13 @@ def pack_sequences(
 
     Zero-token documents are dropped (they occupy no span). One shuffle
     total (the window exchange on shard); the cumsum itself is a
-    map-side running sum within each shard partition.
+    map-side running sum within each shard partition. The shard/order
+    hash is salted (default ``"pack"``) so it stays uniform even when
+    upstream stages already filtered on unsalted md5(id) — an unsalted
+    shard assignment after a ``u < 0.5`` hash-sample would leave half
+    the shards empty.
     """
-    u = hash_uniform_col(F.col(id_col))
+    u = hash_uniform_col(F.col(id_col), salt)
     shard = F.floor(u * n_shards).cast("int")
     w = (
         Window.partitionBy("shard")
@@ -98,9 +103,10 @@ def pack_sequences_sql(
     tok_col: str,
     seq_len: int,
     n_shards: int = 64,
+    salt: str = "pack",
 ) -> str:
     """DuckDB mirror of :func:`pack_sequences` (same md5 shard/order)."""
-    u = hash_uniform_sql(id_col)
+    u = hash_uniform_sql(id_col, salt)
     return f"""
 WITH src AS (
   SELECT {id_col} AS id, CAST({tok_col} AS BIGINT) AS tok,

@@ -24,22 +24,32 @@ from pyspark.sql import functions as F
 _U32_SPAN = float(1 << 32)
 
 
-def hash_uniform_col(key: Column) -> Column:
+def hash_uniform_col(key: Column, salt: str | None = None) -> Column:
     """Deterministic uniform [0,1) per key: first 8 hex chars of
     md5(key) as u32 / 2^32. Portable — DuckDB:
-    CAST(('0x' || substr(md5(k),1,8)) AS UBIGINT) / 4294967296.0"""
+    CAST(('0x' || substr(md5(k),1,8)) AS UBIGINT) / 4294967296.0
+
+    ``salt`` hashes ``key || ':' || salt`` instead — an INDEPENDENT
+    uniform stream per decision. A pipeline that samples, splits,
+    rebalances, and shards off the SAME unsalted md5(key) correlates
+    every stage (e.g. after a ``u < 0.5`` sample, an unsalted 8-way
+    shard assignment would leave shards 4-7 empty); give each composed
+    decision its own salt."""
+    k = key.cast("string")
+    if salt:
+        k = F.concat(k, F.lit(":" + salt))
     return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-            "double"
-        )
-        / _U32_SPAN
+        F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("double") / _U32_SPAN
     )
 
 
-def hash_uniform_sql(key: str) -> str:
+def hash_uniform_sql(key: str, salt: str | None = None) -> str:
     """DuckDB mirror of ``hash_uniform_col``."""
+    k = f"CAST({key} AS VARCHAR)"
+    if salt:
+        k = f"({k} || ':{salt}')"
     return (
-        f"(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)),1,8)) AS UBIGINT)"
+        f"(CAST(('0x' || substr(md5({k}),1,8)) AS UBIGINT)"
         f" / 4294967296.0)"
     )
 
@@ -129,17 +139,20 @@ def apply_mixture(
     domain_col: str,
     key_col: str,
     weights: DataFrame,
+    salt: str = "mix",
 ) -> DataFrame:
     """Filter ``df`` to the mixture: broadcast the tiny per-domain
     fraction table and keep rows whose hash-uniform falls below their
-    domain's fraction — deterministic, one scan, no extra shuffle."""
+    domain's fraction — deterministic, one scan, no extra shuffle.
+    Salted by default so the keep decision is independent of any other
+    hash-of-key decision upstream (sampling, splitting)."""
     w = weights.select(
         F.col("domain").alias(domain_col), "sample_frac"
     )
     return (
         df.join(F.broadcast(w), domain_col, "left")
         .filter(
-            hash_uniform_col(F.col(key_col))
+            hash_uniform_col(F.col(key_col), salt)
             < F.coalesce("sample_frac", F.lit(0.0))
         )
         .drop("sample_frac")
