@@ -1,0 +1,211 @@
+"""Prefix (wildcard) queries, filter-context search, and batch query
+evaluation — each pinned against the single-node oracle / the already-
+oracle-pinned single-query scorer."""
+
+import math
+
+import pytest
+
+from uci_searchengine_spark.operators.batch_eval import batch_topk
+from uci_searchengine_spark.operators.filtered import filtered_topk
+from uci_searchengine_spark.operators.prefix import (
+    expand_prefix,
+    parse_wildcards,
+    prefix_search,
+)
+from uci_searchengine_spark.operators.wand import score_wand
+
+
+def _oracle_vocab(oracle):
+    return {t: len(p) for t, p in oracle.postings.items()}
+
+
+def _pick_prefix(oracle, min_terms=3):
+    """A 3-char prefix that several vocab terms share (data-derived so the
+    test tracks the synth corpus)."""
+    from collections import Counter
+
+    c = Counter(t[:3] for t in oracle.postings if len(t) >= 3)
+    pref, n = c.most_common(1)[0]
+    assert n >= min_terms, f"synth vocab too flat for prefix test ({n})"
+    return pref
+
+
+def _oracle_topk_terms(oracle, terms, k=10):
+    """OR-sum BM25 top-k for an explicit term list (expansion already
+    applied) — mirrors prefix_search's disjunctive rewrite."""
+    scores = {}
+    for t in dict.fromkeys(terms):
+        plist = oracle.postings.get(t)
+        if not plist:
+            continue
+        w = oracle.idf(t)
+        for d, tf in plist.items():
+            dl = oracle.doc_len[d]
+            tf_part = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / oracle.avgdl))
+            scores[d] = scores.get(d, 0.0) + w * tf_part
+    kept = [(d, s) for d, s in scores.items() if s > 0]
+    return sorted(kept, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_parse_wildcards():
+    lits, prefs = parse_wildcards("data SPARK* x yz*")
+    assert lits == ["data", "x"]
+    assert prefs == ["spark", "yz"]
+    # a bare star / mid-token star is not a prefix pattern
+    lits, prefs = parse_wildcards("* a*b c")
+    assert prefs == []
+    assert lits == ["*", "a*b", "c"]
+
+
+def test_expand_prefix_matches_vocab(spark, index_small, oracle_small):
+    pref = _pick_prefix(oracle_small)
+    vocab = _oracle_vocab(oracle_small)
+    want_all = sorted(
+        (t for t in vocab if t.startswith(pref)),
+        key=lambda t: (-vocab[t], t),
+    )
+    got = expand_prefix(spark, index_small, pref, max_expansions=10**6)
+    assert got == want_all
+    # the cap truncates in (df desc, term asc) order
+    got2 = expand_prefix(spark, index_small, pref, max_expansions=2)
+    assert got2 == want_all[:2]
+
+
+def test_prefix_search_vs_oracle(spark, index_small, oracle_small):
+    pref = _pick_prefix(oracle_small)
+    vocab = _oracle_vocab(oracle_small)
+    expanded = sorted(
+        (t for t in vocab if t.startswith(pref)), key=lambda t: (-vocab[t], t)
+    )[:50]
+    # one literal term + one wildcard
+    want = _oracle_topk_terms(oracle_small, ["stop0"] + expanded, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in prefix_search(spark, index_small, f"stop0 {pref}*", k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12), (gd, gs, ws)
+
+
+def test_prefix_search_no_match_prefix(spark, index_small):
+    # unknown prefix + no literals -> empty, no crash
+    assert prefix_search(spark, index_small, "zzzzqq*", k=5).count() == 0
+
+
+def test_filtered_topk_vs_oracle(spark, index_small, oracle_small):
+    query = "stop0 arbak"
+    allowed_ids = [d for d in range(oracle_small.n_docs) if d % 3 == 0]
+    allowed = spark.createDataFrame([(d,) for d in allowed_ids], "doc_id long")
+    scores = oracle_small.score(query)
+    want = sorted(
+        ((d, s) for d, s in scores.items() if d % 3 == 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in filtered_topk(spark, index_small, query, allowed, k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+    # filtered scores equal the unfiltered scores of the same docs
+    # (filter context never changes the score)
+    unfiltered = dict(
+        (r["doc_id"], r["score"])
+        for r in score_wand(spark, index_small, query, k=1000).collect()
+    )
+    for gd, gs in got:
+        assert math.isclose(gs, unfiltered[gd], rel_tol=1e-12)
+
+
+def test_filtered_topk_and_mode(spark, index_small, oracle_small):
+    query = "stop0 arbak"
+    allowed_ids = [d for d in range(oracle_small.n_docs) if d % 2 == 0]
+    allowed = spark.createDataFrame([(d,) for d in allowed_ids], "doc_id long")
+    want = [
+        (d, s) for d, s in oracle_small.top_k_and(query, k=10**9) if d % 2 == 0
+    ][:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in filtered_topk(
+            spark, index_small, query, allowed, k=10, mode="and"
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
+
+
+def test_filtered_topk_empty_filter(spark, index_small):
+    allowed = spark.createDataFrame([], "doc_id long")
+    assert filtered_topk(spark, index_small, "stop0", allowed, k=5).count() == 0
+
+
+def test_filtered_beats_postfilter(spark, index_small, oracle_small):
+    """The reason the filter must mask at accumulation time: restrict to
+    docs OUTSIDE the unfiltered top-k, and the filtered result must still
+    surface them (a post-filter of the top-k would return nothing)."""
+    query = "stop0"
+    unfiltered = [d for d, _ in oracle_small.top_k(query, k=10)]
+    scores = oracle_small.score(query)
+    outside = [d for d in scores if d not in set(unfiltered)]
+    if not outside:
+        pytest.skip("corpus too small: every match is in the top-10")
+    allowed = spark.createDataFrame([(d,) for d in outside], "doc_id long")
+    want = sorted(
+        ((d, scores[d]) for d in outside), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in filtered_topk(spark, index_small, query, allowed, k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_batch_topk_equals_single(spark, index_small):
+    queries = {
+        "q1": "stop0 arbak",
+        "q2": "arband arbast",
+        "q3": "stop0 stop1 arbak",
+        "q4": "zzzzqq",  # no hits
+    }
+    for mode in ("or", "and"):
+        batch = batch_topk(spark, index_small, queries, k=10, mode=mode).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        for qid, q in queries.items():
+            single = [
+                (r["doc_id"], r["score"])
+                for r in score_wand(spark, index_small, q, k=10, mode=mode).collect()
+            ]
+            got = by_q.get(qid, [])
+            assert [d for d, _ in got] == [d for d, _ in single], (mode, qid)
+            for (gd, gs), (sd, ss) in zip(got, single):
+                assert math.isclose(gs, ss, rel_tol=1e-12), (mode, qid, gd)
+
+
+def test_filtered_respects_tombstones(spark, index_small, oracle_small, tmp_path):
+    """Tombstoned docs stay out even when the filter allows them."""
+    import shutil
+
+    from uci_searchengine_spark.operators.tombstones import delete_docs
+
+    idx2 = str(tmp_path / "idx_tomb")
+    shutil.copytree(index_small, idx2)
+    query = "stop0"
+    top = [d for d, _ in oracle_small.top_k(query, k=3)]
+    delete_docs(idx2, top[:1])
+    allowed = spark.createDataFrame(
+        [(d,) for d in range(oracle_small.n_docs)], "doc_id long"
+    )
+    got = [r["doc_id"] for r in filtered_topk(spark, idx2, query, allowed, k=10).collect()]
+    assert top[0] not in got
+    scores = oracle_small.score(query)
+    want = sorted(
+        ((d, s) for d, s in scores.items() if d != top[0]),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert got == [d for d, _ in want]

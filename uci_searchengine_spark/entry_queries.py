@@ -2836,6 +2836,175 @@ SELECT DISTINCT term FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id = 1)
 """
 
 
+# ------------------------------------------------ round-3 search breadth
+def q_prefix_search(spark, sf_dir):
+    """Wildcard query ``dat* join`` over the compressed-segment index:
+    the prefix expands against the term dictionary (one column-pruned
+    vocab scan, capped at 50 highest-df terms — Lucene's scoring-boolean
+    rewrite), then the expanded disjunction scores through the block-max
+    pruned scorer. Oracle mirrors the expansion cap and ordering
+    exactly (operators/prefix.py)."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.prefix import prefix_search
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = prefix_search(spark, idx, "dat* join", k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_PREFIX_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+allterms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM allterms
+  WHERE term LIKE 'dat%' GROUP BY term
+),
+exp AS (SELECT term FROM vocab ORDER BY df DESC, term ASC LIMIT 50),
+qterms AS (SELECT term FROM exp UNION SELECT 'join' AS term),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM allterms
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_filtered_search(spark, sf_dir):
+    """Filter-context search (Lucene bool.filter): BM25 top-10 among
+    English docs ONLY — the allowed set is a relational predicate
+    (lang='en') delivered to the scorers as a bucket-cogrouped inclusion
+    relation on the doc-range grid, masked at accumulation time so
+    block-max pruning stays admissible post-filter. Scores are pure
+    BM25 with CORPUS-wide stats (a filter constrains eligibility, never
+    the score). operators/filtered.py."""
+    from uci_searchengine_spark.operators.filtered import filtered_topk
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    idx = _segments_index_dir(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang") == "en").select("doc_id")
+    topk = filtered_topk(spark, idx, " ".join(BM25_QUERY_TERMS), allowed, k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_FILTERED_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id, s.score FROM scored s
+JOIN documents doc ON s.doc_id = doc.doc_id
+WHERE s.score > 0 AND doc.lang = 'en'
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
+BATCH_EVAL_QUERIES = {
+    "q1": "data spark",
+    "q2": "join table",
+    "q3": "data join",
+}
+
+
+def q_batch_bm25(spark, sf_dir):
+    """Batch query evaluation: three queries scored against the segment
+    index in ONE Spark job (one pruned scan over the union term set,
+    per-bucket scoring of every query, one per-query top-k window) —
+    the offline-eval shape where scheduler round-trips, not scoring,
+    dominate a query-at-a-time loop. operators/batch_eval.py."""
+    from uci_searchengine_spark.operators.batch_eval import batch_topk
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    idx = _segments_index_dir(spark, sf_dir)
+    out = batch_topk(spark, idx, BATCH_EVAL_QUERIES, k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        out.join(urls, "doc_id")
+        .select(
+            "query_id",
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _sql_batch_bm25() -> str:
+    pairs = []
+    from uci_searchengine_spark.functions.tokenize import tokenize_py
+
+    for qid, q in BATCH_EVAL_QUERIES.items():
+        for t in dict.fromkeys(tokenize_py(q)):
+            pairs.append(f"('{qid}','{t}')")
+    values = ",".join(pairs)
+    return f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+qt AS (SELECT * FROM (VALUES {values}) AS v(query_id, term)),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM qt q JOIN posts p ON p.term=q.term
+  JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored WHERE score > 0
+)
+SELECT query_id, doc_id, score FROM ranked WHERE rn <= 10
+ORDER BY query_id, score DESC, doc_id ASC
+"""
+
+
 # Registry order matters: the driver's correctness gate checks the FIRST 50
 # entries only. Keep (a) any previously-red or never-driver-verified gate and
 # (b) every gate whose implementation changed this round inside that window;
@@ -2883,13 +3052,14 @@ QUERIES = {
     "phrase_positional_topk": (q_phrase_positional_topk, _sql_phrase_segments_topk()),
     "boolean_search": (q_boolean_search, _sql_boolean_search()),
     "suggest": (q_suggest, _sql_suggest()),
-    "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
-    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    # -- new this round: search-surface breadth --
+    "prefix_search_topk": (q_prefix_search, SQL_PREFIX_SEARCH),
+    "filtered_search": (q_filtered_search, SQL_FILTERED_SEARCH),
+    "batch_bm25_topk": (q_batch_bm25, _sql_batch_bm25()),
     "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
     "bm25_append": (q_bm25_append, SQL_BM25_TOPK),
     "pagerank": (q_pagerank, _sql_pagerank()),
     "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
-    "training_prep": (q_training_prep, _sql_training_prep()),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "training_prep_v2": (q_training_prep_v2, _sql_training_prep_v2()),
@@ -2903,6 +3073,9 @@ QUERIES = {
     # ---- driver window boundary is position 50; slots above left for any
     # ---- gates added this round; everything below is long-stable (green in
     # ---- CORRECTNESS_r02 and untouched) and covered by local replica + pytest
+    "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
+    "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
+    "training_prep": (q_training_prep, _sql_training_prep()),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "term_df_top20": (q_term_df_top20, SQL_TERM_DF_TOP20),

@@ -181,10 +181,16 @@ def _score_bucket(
     k: int,
     excl: "np.ndarray | None" = None,
     count_matches: bool = False,
+    incl: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """``excl``: sorted global doc ids to EXCLUDE (boolean NOT). Applied
     at accumulation time — before θ ever tightens — so block-max pruning
     stays admissible for the post-exclusion top-k.
+
+    ``incl``: sorted global doc ids to KEEP (filter context — only docs
+    in the set are eligible hits). Applied at the same accumulation
+    point as ``excl`` and for the same reason: masking before θ ever
+    tightens keeps the pruning admissible for the post-filter top-k.
 
     ``count_matches``: also return this bucket's exact matched-doc count
     as ``(pdf, n)``. Counting the OR-union's cardinality requires decoding
@@ -232,6 +238,14 @@ def _score_bucket(
         if excl is not None and excl.size and d.size:
             p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
             m = excl[p] != d
+            d, tf, dl = d[m], tf[m], dl[m]
+            if d.size == 0:
+                continue
+        if incl is not None and d.size:
+            if incl.size == 0:
+                continue
+            p = np.clip(np.searchsorted(incl, d), 0, incl.size - 1)
+            m = incl[p] == d
             d, tf, dl = d[m], tf[m], dl[m]
             if d.size == 0:
                 continue
@@ -289,6 +303,7 @@ def _score_bucket_and(
     k: int | None,
     excl: "np.ndarray | None" = None,
     count_matches: bool = False,
+    incl: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Conjunctive (ALL-terms) top-k for one bucket: rarest-first
     posting-list intersection with block skipping. ``count_matches``
@@ -335,6 +350,16 @@ def _score_bucket_and(
                     p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
                     m = excl[p] != d
                     d, tf, dl = d[m], tf[m], dl[m]
+                if incl is not None and d.size:
+                    if incl.size == 0:
+                        d = d[:0]; tf = tf[:0]; dl = dl[:0]
+                    else:
+                        # filter context: the rarest list defines the
+                        # candidate set, so masking it here filters the
+                        # whole intersection
+                        p = np.clip(np.searchsorted(incl, d), 0, incl.size - 1)
+                        m = incl[p] == d
+                        d, tf, dl = d[m], tf[m], dl[m]
             else:
                 d, tf, dl = _decode_for_candidates(
                     blob,
