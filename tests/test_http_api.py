@@ -53,6 +53,16 @@ class TestHttpApi:
         assert got["page"] == 2 and got["per_page"] == 3
         assert len(got["results"]) <= 3
 
+    def test_wildcard_query_over_http(self, spark, index_small, http_server):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        base, _ = http_server
+        code, got = _get(base, "/api/search?query=stop0%20arb*&per_page=5")
+        assert code == 200
+        assert got["total_results"] > 0
+        exp = Searcher(spark, index_small).search("stop0 arb*", per_page=5)
+        assert got == json.loads(json.dumps(exp))
+
     def test_zero_hits_did_you_mean(self, http_server):
         base, _ = http_server
         code, got = _get(base, "/api/search?query=arbak1")

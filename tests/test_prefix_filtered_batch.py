@@ -209,3 +209,48 @@ def test_filtered_respects_tombstones(spark, index_small, oracle_small, tmp_path
         key=lambda kv: (-kv[1], kv[0]),
     )[:10]
     assert got == [d for d, _ in want]
+
+
+def test_searcher_wildcard_envelope(spark, index_small, oracle_small):
+    """The resident Searcher accepts `stem*` queries: both plans agree,
+    and the envelope equals typing the expansions by hand."""
+    from uci_searchengine_spark.operators.serving import Searcher
+
+    pref = _pick_prefix(oracle_small)
+    s = Searcher(spark, index_small)
+    q = f"stop0 {pref}*"
+    env_local = s.search(q, plan="local")
+    assert s.last_plan == "local"
+    env_spark = s.search(q, plan="spark")
+    assert s.last_plan == "spark"
+    assert env_local["total_results"] == env_spark["total_results"] > 0
+    assert env_local["results"] == env_spark["results"]
+
+    vocab = _oracle_vocab(oracle_small)
+    expanded = sorted(
+        (t for t in vocab if t.startswith(pref)), key=lambda t: (-vocab[t], t)
+    )[:50]
+    manual = s.search("stop0 " + " ".join(expanded), plan="spark")
+    assert manual["total_results"] == env_spark["total_results"]
+    assert manual["results"] == env_spark["results"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wildcard"):
+        s.search(q, mode="and")
+
+
+def test_expand_prefix_local_equals_spark(spark, index_small):
+    from uci_searchengine_spark.operators.local_search import vocab_local
+    from uci_searchengine_spark.operators.prefix import (
+        expand_prefix,
+        expand_prefix_local,
+    )
+
+    v = vocab_local(index_small)
+    for pref, cap in [("arb", 50), ("arb", 7), ("stop", 50), ("zzqq", 50)]:
+        loc = expand_prefix_local(
+            v["term"].to_numpy(), v["df"].to_numpy(), pref, cap
+        )
+        sp = expand_prefix(spark, index_small, pref, cap)
+        assert loc == sp, (pref, cap)

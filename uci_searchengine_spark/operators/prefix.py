@@ -101,6 +101,25 @@ def prefix_terms(
     return list(dict.fromkeys(terms))
 
 
+def expand_prefix_local(
+    terms, dfs, prefix: str, max_expansions: int = MAX_EXPANSIONS
+) -> list[str]:
+    """In-process replica of ``expand_prefix`` over a resident vocabulary
+    (numpy term/df arrays — serving.Searcher's VocabIndex planes): same
+    (df desc, term asc) ordering and cap, zero Spark jobs. Equality with
+    the Spark path is pytest-pinned."""
+    import numpy as np
+    import pandas as pd
+
+    mask = pd.Series(terms).str.startswith(prefix).to_numpy()
+    if not mask.any():
+        return []
+    t = np.asarray(terms)[mask]
+    d = np.asarray(dfs)[mask].astype("int64")
+    order = np.lexsort((t, -d))  # primary: df desc; secondary: term asc
+    return [str(x) for x in t[order][:max_expansions]]
+
+
 def prefix_search(
     spark: SparkSession,
     index_dir: str,

@@ -318,6 +318,21 @@ class Searcher:
             and self._vocab_bytes <= self.local_bytes_limit
         )
 
+    def _expand_prefix(self, prefix: str) -> list[str]:
+        """Wildcard expansion for ``search()``: resident job-free path
+        when the vocab plane fits the local budget, else one Spark
+        vocab scan (both capped + ordered identically —
+        operators/prefix.py)."""
+        from uci_searchengine_spark.operators.prefix import (
+            expand_prefix,
+            expand_prefix_local,
+        )
+
+        if self._vocab_fits_local():
+            v = self._vocab()
+            return expand_prefix_local(v.terms, v.df, prefix)
+        return expand_prefix(self.spark, self.index_dir, prefix)
+
     def _vocab(self):
         if self._vocab_pdf is None:
             from uci_searchengine_spark.operators.local_search import (
@@ -347,8 +362,37 @@ class Searcher:
         job) or, when the pruned scan fits one task
         (``local_bytes_limit``), the identical closure run in-process
         (local_search.local_topk_count_docs) with no job at all.
-        ``plan``: "auto" (bytes-based choice), "local", "spark"."""
-        terms = terms_for_index(self.meta, query)
+        ``plan``: "auto" (bytes-based choice), "local", "spark".
+
+        Wildcards: a ``stem*`` token expands against the vocabulary
+        (operators/prefix.py — resident job-free expansion when the
+        vocab plane fits the local budget, else one Spark vocab scan)
+        and the expansions score as ordinary OR terms. OR mode only —
+        a wildcard inside an AND query is an OR-group (boolean.py
+        territory)."""
+        from uci_searchengine_spark.operators.prefix import parse_wildcards
+
+        literals, prefixes = parse_wildcards(query)
+        if prefixes:
+            if mode != "or":
+                raise ValueError("wildcard queries support mode='or' only")
+            terms = (
+                terms_for_index(self.meta, " ".join(literals))
+                if literals
+                else []
+            )
+            expanded: list[str] = []
+            for p in prefixes:
+                expanded.extend(self._expand_prefix(p))
+            terms = list(dict.fromkeys(terms + expanded))
+            # display rule: highlight literal raw forms AND the concrete
+            # expansions (the match the user actually got)
+            disp = list(
+                dict.fromkeys(query_terms(" ".join(literals)) + expanded)
+            )
+        else:
+            terms = terms_for_index(self.meta, query)
+            disp = query_terms(query)
         if not terms:
             return {
                 "query": query,
@@ -367,7 +411,7 @@ class Searcher:
 
             self.last_plan = "local"
             rows, total = local_topk_count_docs(
-                self.index_dir, self.meta, query_terms(query), terms,
+                self.index_dir, self.meta, disp, terms,
                 k=page * per_page, mode=mode, excl=excl,
                 pf_cache=self._pf_cache,
             )
@@ -375,7 +419,7 @@ class Searcher:
             self.last_plan = "spark"
             seg = _wand.prune_relation(self._segments, self.meta, terms)
             rows, total = _wand.topk_count_docs(
-                seg, self.meta, self.index_dir, query_terms(query),
+                seg, self.meta, self.index_dir, disp,
                 k=page * per_page, mode=mode, n_terms=len(terms),
                 excl=excl,
             )
