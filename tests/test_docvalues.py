@@ -1,0 +1,120 @@
+"""Doc-values plane + static-rank blended scoring: pinned against the
+plain scorer (weight 0), a python blend oracle, and a pruning stress
+case a post-hoc blend would get wrong."""
+
+import math
+
+import pytest
+
+from uci_searchengine_spark.operators.docvalues import (
+    attach_doc_values,
+    blended_topk,
+)
+from uci_searchengine_spark.operators.wand import score_wand
+
+
+@pytest.fixture(scope="module")
+def dv_index(spark, index_small, tmp_path_factory):
+    """index_small cloned with a deterministic doc-values plane:
+    value(doc) = ((doc_id * 37) % 101) / 101  — spread over [0, 1)."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("dv_idx") / "idx")
+    shutil.copytree(index_small, d)
+    from uci_searchengine_spark.operators.index_build import IndexMeta
+
+    n = IndexMeta.load(d).n_docs
+    vals = spark.range(n).selectExpr(
+        # divide by a DOUBLE: a bare 101.0 literal is DECIMAL in Spark SQL
+        # and would truncate the value to 6 digits
+        "id AS doc_id", "((id * 37) % 101) / cast(101 AS DOUBLE) AS value"
+    )
+    attach_doc_values(spark, d, vals, "rank")
+    return d
+
+
+def _dv(doc_id):
+    return ((doc_id * 37) % 101) / 101.0
+
+
+def test_blend_weight_zero_equals_plain(spark, dv_index):
+    q = "stop0 arbak"
+    plain = [(r["doc_id"], r["score"]) for r in score_wand(spark, dv_index, q, k=10).collect()]
+    blended = [
+        (r["doc_id"], r["score"])
+        for r in blended_topk(spark, dv_index, q, "rank", k=10, weight=0.0).collect()
+    ]
+    assert blended == plain
+
+
+def test_blend_missing_plane_is_plain(spark, index_small):
+    q = "stop0"
+    plain = [(r["doc_id"], r["score"]) for r in score_wand(spark, index_small, q, k=10).collect()]
+    blended = [
+        (r["doc_id"], r["score"])
+        for r in blended_topk(spark, index_small, q, "nosuch", k=10, weight=3.0).collect()
+    ]
+    assert blended == plain
+
+
+@pytest.mark.parametrize("weight", [0.1, 1.0, 25.0])
+def test_blend_vs_python_oracle(spark, dv_index, oracle_small, weight):
+    q = "stop0 arbak"
+    scores = oracle_small.score(q)
+    want = sorted(
+        ((d, s + weight * _dv(d)) for d, s in scores.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in blended_topk(spark, dv_index, q, "rank", k=10, weight=weight).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], weight
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12), (weight, gd)
+
+
+def test_blend_beats_posthoc(spark, dv_index, oracle_small):
+    """At a large weight, the winners are dv-dominated docs that mostly
+    sit OUTSIDE the plain bm25 top-10 — a post-scoring blend of the
+    pruned top-k could not produce them, pinning that the bonus rides
+    inside the θ-pruned accumulation."""
+    q = "stop0"
+    weight = 50.0
+    scores = oracle_small.score(q)
+    want = sorted(
+        ((d, s + weight * _dv(d)) for d, s in scores.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    plain_top = {d for d, _ in oracle_small.top_k(q, k=10)}
+    assert any(d not in plain_top for d, _ in want), "stress premise broken"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in blended_topk(spark, dv_index, q, "rank", k=10, weight=weight).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_blend_respects_tombstones(spark, dv_index, oracle_small, tmp_path):
+    import shutil
+
+    from uci_searchengine_spark.operators.tombstones import delete_docs
+
+    idx2 = str(tmp_path / "idx")
+    shutil.copytree(dv_index, idx2)
+    q = "stop0"
+    weight = 2.0
+    scores = oracle_small.score(q)
+    ranked = sorted(
+        ((d, s + weight * _dv(d)) for d, s in scores.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    dead = ranked[0][0]
+    delete_docs(idx2, [dead])
+    want = [(d, s) for d, s in ranked if d != dead][:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in blended_topk(spark, idx2, q, "rank", k=10, weight=weight).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert dead not in [d for d, _ in got]

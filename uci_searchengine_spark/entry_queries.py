@@ -3005,6 +3005,63 @@ ORDER BY query_id, score DESC, doc_id ASC
 """
 
 
+def q_blended_search(spark, sf_dir):
+    """Static-rank blended ranking (Lucene doc-values analog): a per-doc
+    query-independent signal — here 0.05·ln(1+n_chars) — is written as a
+    doc-values plane on the index's own bucket grid and blended into the
+    BM25 ranking at query time (final = bm25 + value), with the θ-pruning
+    bound widened by the bucket's max bonus so block-max skipping stays
+    admissible. operators/docvalues.py."""
+    from uci_searchengine_spark.operators.docvalues import (
+        attach_doc_values,
+        blended_topk,
+    )
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    idx = _segments_index_dir(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id", (F.log1p(F.col("n_chars").cast("double")) * 0.05).alias("value")
+    )
+    attach_doc_values(spark, idx, vals, "lenrank")
+    topk = blended_topk(
+        spark, idx, " ".join(BM25_QUERY_TERMS), "lenrank", k=10, weight=1.0
+    )
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_BLENDED_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ) AS bscore
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id, round(s.bscore + 0.05 * ln(1.0 + doc.n_chars), 6) AS score
+FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+WHERE s.bscore > 0
+ORDER BY score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 # Registry order matters: the driver's correctness gate checks the FIRST 50
 # entries only. Keep (a) any previously-red or never-driver-verified gate and
 # (b) every gate whose implementation changed this round inside that window;
@@ -3056,9 +3113,9 @@ QUERIES = {
     "prefix_search_topk": (q_prefix_search, SQL_PREFIX_SEARCH),
     "filtered_search": (q_filtered_search, SQL_FILTERED_SEARCH),
     "batch_bm25_topk": (q_batch_bm25, _sql_batch_bm25()),
+    "blended_search": (q_blended_search, SQL_BLENDED_SEARCH),
     "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
     "bm25_append": (q_bm25_append, SQL_BM25_TOPK),
-    "pagerank": (q_pagerank, _sql_pagerank()),
     "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
@@ -3073,6 +3130,7 @@ QUERIES = {
     # ---- driver window boundary is position 50; slots above left for any
     # ---- gates added this round; everything below is long-stable (green in
     # ---- CORRECTNESS_r02 and untouched) and covered by local replica + pytest
+    "pagerank": (q_pagerank, _sql_pagerank()),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "training_prep": (q_training_prep, _sql_training_prep()),

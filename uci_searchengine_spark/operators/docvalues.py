@@ -1,0 +1,255 @@
+"""Doc-values plane + static-rank blended scoring.
+
+Lucene analog: per-document numeric doc-values (PageRank, quality score,
+freshness) stored COLUMN-wise beside the index and blended into the
+ranking at query time — ``final = bm25 + weight * value`` — without
+touching the postings planes.
+
+Layout: ``<index_dir>/docvalues/<name>/bucket=N/*.parquet`` with rows
+``(doc_id, value)`` — the SAME doc-range bucket grid as the postings and
+the doc store, so each scoring task reads its own bucket's values
+co-located (a footer-pruned columnar read inside the task; never a join,
+never a shuffle). Values for docs missing from the relation default
+to 0.0.
+
+Pruning stays admissible: the block-max θ-test now bounds unseen docs by
+``remaining_term_ub + max_bucket_bonus`` (the bucket's max stored value
+× weight, computed per task from its own values array). The candidate
+set and θ itself are maintained over the BLENDED scores. With
+weight == 0 this degrades to exactly the BM25 bound. The Lucene
+impact-sorting analog — folding the bonus into per-block max metadata at
+build time for tighter skipping — is the scale refinement, noted, not
+needed for correctness.
+
+Hit semantics: doc-values are a RANKING signal, not a matching signal —
+only docs matching ≥1 query term (OR) / all terms (AND) are hits, and
+the bonus applies to hits only.
+
+Reference: no static ranking exists in UCI-SearchEngine; breadth
+extension (north-star family: web-scale ranking needs a query-independent
+signal lane).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uci_searchengine_spark import BM25_B, BM25_K1
+from uci_searchengine_spark.operators.bm25 import idf as idf_fn
+from uci_searchengine_spark.operators.bm25 import terms_for_index
+from uci_searchengine_spark.operators.codec import unpack_postings
+from uci_searchengine_spark.operators.index_build import IndexMeta
+from uci_searchengine_spark.operators.wand import (
+    _TOPK_SCHEMA,
+    _decode_for_candidates,
+    apply_per_bucket,
+    load_excl,
+    pruned_segments,
+)
+
+
+def dv_dir(index_dir: str, name: str) -> str:
+    return os.path.join(index_dir, "docvalues", name)
+
+
+def attach_doc_values(
+    spark: SparkSession, index_dir: str, values: DataFrame, name: str
+) -> str:
+    """Write a doc-values plane: ``values`` has (doc_id, value) — any
+    relational computation (PageRank output, quality score...). One
+    map-side write partitioned on the index's own bucket grid; doc ids
+    outside [0, n_docs) are rejected. Overwrites a same-named plane
+    (doc-values are derived data — rewriting them is cheap and safe; the
+    postings planes are never touched)."""
+    meta = IndexMeta.load(index_dir)
+    out = dv_dir(index_dir, name)
+    (
+        values.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") < meta.n_docs))
+        .withColumn(
+            "bucket",
+            (F.col("doc_id") / F.lit(meta.bucket_size)).cast("long"),
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    return out
+
+
+def _load_bucket_values(
+    index_dir: str, name: str, bucket: int, bucket_size: int
+) -> "np.ndarray | None":
+    """Dense bucket-local value vector (size bucket_size, 0.0 default)
+    from the bucket's own hive dir — a task-local columnar read."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(dv_dir(index_dir, name), f"bucket={bucket}")
+    if not os.path.isdir(p):
+        return None
+    base = bucket * bucket_size
+    vec = np.zeros(bucket_size, dtype=np.float64)
+    for fn in sorted(os.listdir(p)):
+        if not fn.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(p, fn), columns=["doc_id", "value"])
+        ids = t["doc_id"].to_numpy() - base
+        vec[ids] = t["value"].to_numpy(zero_copy_only=False)
+    return vec
+
+
+def _score_bucket_blended(
+    seg: pd.DataFrame,
+    idf_map: dict,
+    avgdl: float,
+    bucket_size: int,
+    k: int,
+    bonus: "np.ndarray | None",
+    excl: "np.ndarray | None" = None,
+) -> pd.DataFrame:
+    """OR-mode block-max scoring with a per-doc additive bonus: the
+    θ-test bounds unseen docs by remaining_ub + max(bonus); θ and the
+    candidate set are maintained over blended scores. Mirrors
+    wand._score_bucket (same decode, same exclusion point, same
+    tie-aware top-k) with the bonus lane added."""
+    _empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+    )
+    if not len(seg):
+        return _empty
+    bucket = int(seg["bucket"].iloc[0])
+    base = bucket * bucket_size
+    max_bonus = float(bonus.max()) if bonus is not None and bonus.size else 0.0
+
+    has_gen = "gen_avgdl" in seg.columns
+    rows = []
+    for r in seg.itertuples(index=False):
+        w = idf_map[r.term]
+        bm = np.asarray(r.block_max, dtype=np.float64)
+        infl = max(1.0, avgdl / float(r.gen_avgdl)) if has_gen else 1.0
+        rows.append((w * (BM25_K1 + 1.0) * bm.max() * infl, w, r))
+    rows.sort(key=lambda x: -x[0])
+
+    acc = np.zeros(bucket_size, dtype=np.float64)
+    theta = -np.inf
+    cand: "np.ndarray | None" = None
+    remaining_ub = sum(x[0] for x in rows)
+
+    def blended(loc_ids: np.ndarray) -> np.ndarray:
+        s = acc[loc_ids]
+        return s if bonus is None else s + bonus[loc_ids]
+
+    for ub, w, r in rows:
+        remaining_ub -= ub
+        blob = bytes(r.postings)
+        if cand is None:
+            d, tf, dl = unpack_postings(blob)
+        else:
+            d, tf, dl = _decode_for_candidates(
+                blob,
+                np.asarray(r.block_offsets, dtype=np.int64),
+                np.asarray(r.block_last_doc, dtype=np.int64),
+                cand,
+                base,
+            )
+            if d.size == 0:
+                continue
+        if excl is not None and excl.size and d.size:
+            p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
+            m = excl[p] != d
+            d, tf, dl = d[m], tf[m], dl[m]
+            if d.size == 0:
+                continue
+        tf_f = tf.astype(np.float64)
+        contrib = w * (
+            tf_f
+            * (BM25_K1 + 1.0)
+            / (tf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl))
+        )
+        np.add.at(acc, d - base, contrib)
+
+        if cand is None:
+            nz = np.flatnonzero(acc > 0)
+            if nz.size >= k:
+                bl = blended(nz)
+                theta = np.partition(bl, nz.size - k)[nz.size - k]
+            # unseen docs can reach at most remaining_ub + max_bonus
+            if remaining_ub + max_bonus < theta:
+                bl = blended(nz)
+                cand = nz[bl + remaining_ub >= theta] + base
+        else:
+            nz = cand - base
+            if nz.size >= k:
+                bl = blended(nz)
+                theta = np.partition(bl, nz.size - k)[nz.size - k]
+                cand = cand[bl + remaining_ub >= theta]
+
+    nz = np.flatnonzero(acc > 0) if cand is None else np.unique(cand - base)
+    nz = nz[acc[nz] > 0]
+    if nz.size == 0:
+        return _empty
+    scores = blended(nz)
+    if nz.size > k:
+        kth = np.partition(scores, nz.size - k)[nz.size - k]
+        keep = scores >= kth
+        nz, scores = nz[keep], scores[keep]
+    order = np.lexsort((nz, -scores))[:k]
+    return pd.DataFrame(
+        {"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]}
+    )
+
+
+def blended_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    dv_name: str,
+    k: int = 10,
+    weight: float = 1.0,
+) -> DataFrame:
+    """Top-k under ``bm25 + weight * doc_value`` (OR matching). The
+    values plane is read task-locally per bucket; weight scales inside
+    the task so one stored plane serves any blend weight."""
+    meta = IndexMeta.load(index_dir)
+    terms = terms_for_index(meta, query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    seg = pruned_segments(spark, index_dir, meta, terms)
+    n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
+    idx_dir, name, wgt = index_dir, dv_name, float(weight)
+
+    def make_fn(excl_local):
+        def fn(key, seg_pdf):
+            if not len(seg_pdf):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "score": pd.Series([], dtype="float64"),
+                    }
+                )
+            bucket = int(seg_pdf["bucket"].iloc[0])
+            vec = _load_bucket_values(idx_dir, name, bucket, bucket_size)
+            bonus = None if vec is None or wgt == 0.0 else wgt * vec
+            idf_map = {
+                t: idf_fn(n_docs, int(d))
+                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+            }
+            return _score_bucket_blended(
+                seg_pdf, idf_map, avgdl, bucket_size, k, bonus, excl=excl_local
+            )
+
+        return fn
+
+    excl = load_excl(index_dir, spark, meta.bucket_size)
+    per_bucket = apply_per_bucket(seg, excl, make_fn, _TOPK_SCHEMA)
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
