@@ -63,6 +63,23 @@ class TestHttpApi:
         exp = Searcher(spark, index_small).search("stop0 arb*", per_page=5)
         assert got == json.loads(json.dumps(exp))
 
+    def test_site_filter_over_http(self, spark, index_small, http_server):
+        import urllib.parse
+
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        base, _ = http_server
+        exp_any = Searcher(spark, index_small).search("stop0")
+        host = urllib.parse.urlparse(exp_any["results"][0]["url"]).netloc
+        q = urllib.parse.quote(f"stop0 site:{host}")
+        code, got = _get(base, f"/api/search?query={q}&per_page=5")
+        assert code == 200
+        assert 0 < got["total_results"] <= exp_any["total_results"]
+        assert all(
+            urllib.parse.urlparse(r["url"]).netloc == host
+            for r in got["results"]
+        )
+
     def test_zero_hits_did_you_mean(self, http_server):
         base, _ = http_server
         code, got = _get(base, "/api/search?query=arbak1")

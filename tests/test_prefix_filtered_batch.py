@@ -254,3 +254,69 @@ def test_expand_prefix_local_equals_spark(spark, index_small):
         )
         sp = expand_prefix(spark, index_small, pref, cap)
         assert loc == sp, (pref, cap)
+
+
+def test_searcher_site_filter(spark, index_small, oracle_small):
+    """Google-style `site:host` query operator: envelope restricted to
+    one host, totals exact, scores unchanged."""
+    from collections import Counter
+    from urllib.parse import urlparse
+
+    from uci_searchengine_spark.operators.serving import Searcher
+
+    s = Searcher(spark, index_small)
+    q = "stop0"
+    scores = oracle_small.score(q)
+    host_of = {d: urlparse(oracle_small.urls[d]).netloc for d in scores}
+    host = Counter(host_of.values()).most_common(1)[0][0]
+    in_host = {d for d, h in host_of.items() if h == host}
+    want = sorted(
+        ((d, sc) for d, sc in scores.items() if d in in_host),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    env = s.search(f"{q} site:{host}")
+    assert env["total_results"] == len(in_host)
+    assert [r["url"] for r in env["results"]] == [
+        oracle_small.urls[d] for d, _ in want
+    ]
+    for r, (d, sc) in zip(env["results"], want):
+        assert math.isclose(r["score"], sc, rel_tol=1e-12)
+
+    # two hosts OR together
+    host2 = next(h for h in host_of.values() if h != host)
+    in_2 = {d for d, h in host_of.items() if h in (host, host2)}
+    env2 = s.search(f"{q} site:{host} site:{host2}")
+    assert env2["total_results"] == len(in_2)
+
+    # unknown host -> zero hits
+    env3 = s.search(f"{q} site:no.such.host.example")
+    assert env3["total_results"] == 0 and env3["results"] == []
+
+
+def test_searcher_site_plus_wildcard(spark, index_small, oracle_small):
+    """site: composes with wildcard expansion (filter over the expanded
+    disjunction)."""
+    from collections import Counter
+    from urllib.parse import urlparse
+
+    from uci_searchengine_spark.operators.serving import Searcher
+
+    pref = _pick_prefix(oracle_small)
+    vocab = _oracle_vocab(oracle_small)
+    expanded = sorted(
+        (t for t in vocab if t.startswith(pref)), key=lambda t: (-vocab[t], t)
+    )[:50]
+    full = {d: s for d, s in _oracle_topk_terms(oracle_small, expanded, k=10**9)}
+    host_of = {d: urlparse(oracle_small.urls[d]).netloc for d in full}
+    host = Counter(host_of.values()).most_common(1)[0][0]
+    in_host = {d for d, h in host_of.items() if h == host}
+    want = sorted(
+        ((d, s) for d, s in full.items() if d in in_host),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    s_ = Searcher(spark, index_small)
+    env = s_.search(f"{pref}* site:{host}")
+    assert env["total_results"] == len(in_host)
+    assert [r["url"] for r in env["results"]] == [
+        oracle_small.urls[d] for d, _ in want
+    ]

@@ -27,6 +27,8 @@ extension with Lucene semantics.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -36,12 +38,31 @@ from uci_searchengine_spark.operators.bm25 import idf as idf_fn
 from uci_searchengine_spark.operators.bm25 import terms_for_index
 from uci_searchengine_spark.operators.index_build import IndexMeta
 from uci_searchengine_spark.operators.wand import (
+    _TOPK_COUNT_SCHEMA,
     _TOPK_SCHEMA,
     _score_bucket,
     _score_bucket_and,
     load_excl,
     pruned_segments,
 )
+
+_SITE = re.compile(r"^site:([\w.\-:]+)$", re.IGNORECASE)
+
+
+def parse_site_filters(query: str) -> tuple[str, list[str]]:
+    """Split ``site:host`` tokens (Google-style query operator) from the
+    rest of the query. Parsed BEFORE tokenization (the analyzer would
+    split the dots). Hosts are lowercased; match semantics = exact url
+    netloc (authority) equality — the crawler's own domain rule."""
+    rest: list[str] = []
+    hosts: list[str] = []
+    for raw in query.split():
+        m = _SITE.match(raw)
+        if m:
+            hosts.append(m.group(1).lower())
+        else:
+            rest.append(raw)
+    return " ".join(rest), hosts
 
 
 def _bucketed(allowed: DataFrame, bucket_size: int) -> DataFrame:
@@ -51,6 +72,29 @@ def _bucketed(allowed: DataFrame, bucket_size: int) -> DataFrame:
         .alias("bucket"),
         F.col("doc_id").cast("long").alias("doc_id"),
     )
+
+
+def _prep(spark, index_dir: str, query: str, allowed: DataFrame,
+          terms: "list[str] | None" = None):
+    """Shared prelude: analyze, resolve tombstones (driver array rides
+    alongside the inclusion mask; a BucketedExcl relation anti-joins into
+    the filter — one cogroup mechanism per bucket either way), pruned
+    segment scan. Returns None when the query has no analyzable terms.
+    ``terms`` overrides analysis (already-analyzed term lists — e.g.
+    wildcard expansions, which must not round-trip the analyzer)."""
+    meta = IndexMeta.load(index_dir)
+    if terms is None:
+        terms = terms_for_index(meta, query)
+    if not terms:
+        return None
+    excl = load_excl(index_dir, spark, meta.bucket_size)
+    excl_arr: "np.ndarray | None" = None
+    if isinstance(excl, np.ndarray):
+        excl_arr = excl
+    elif excl is not None:
+        allowed = allowed.join(excl.df.select("doc_id"), "doc_id", "left_anti")
+    seg = pruned_segments(spark, index_dir, meta, terms)
+    return meta, terms, excl_arr, allowed, seg
 
 
 def filtered_topk(
@@ -68,22 +112,11 @@ def filtered_topk(
     the same doc (filter context, not a boost)."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    meta = IndexMeta.load(index_dir)
-    terms = terms_for_index(meta, query)
     empty = spark.createDataFrame([], "doc_id long, score double")
-    if not terms:
+    prep = _prep(spark, index_dir, query, allowed)
+    if prep is None:
         return empty
-
-    excl = load_excl(index_dir, spark, meta.bucket_size)
-    excl_arr: "np.ndarray | None" = None
-    if isinstance(excl, np.ndarray):
-        # common case: tombstones fit the driver closure — ship alongside
-        # the inclusion mask, zero extra plan nodes
-        excl_arr = excl
-    elif excl is not None:  # BucketedExcl relation: fold into the filter
-        allowed = allowed.join(excl.df.select("doc_id"), "doc_id", "left_anti")
-
-    seg = pruned_segments(spark, index_dir, meta, terms)
+    meta, terms, excl_arr, allowed, seg = prep
     n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
     n_terms = len(terms)
 
@@ -115,3 +148,80 @@ def filtered_topk(
         .applyInPandas(fn, schema=_TOPK_SCHEMA)
     )
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def filtered_topk_count(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    allowed: DataFrame,
+    k: int = 10,
+    mode: str = "or",
+    terms: "list[str] | None" = None,
+) -> "tuple[list[tuple[int, float]], int]":
+    """Envelope primitive: filtered global top-k AND the exact
+    post-filter match count from ONE Spark job (mirror of
+    wand.topk_and_count, with the inclusion cogroup). The count is the
+    OR-union (or intersection) size AMONG allowed docs — exactly what a
+    ``site:`` results page reports as total_results."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    prep = _prep(spark, index_dir, query, allowed, terms=terms)
+    if prep is None:
+        return [], 0
+    meta, terms, excl_arr, allowed, seg = prep
+    n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
+    n_terms = len(terms)
+
+    def fn(key, seg_pdf, incl_pdf):
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int64"),
+                "n_matched": pd.Series([], dtype="int64"),
+                "top": pd.Series([], dtype="object"),
+            }
+        )
+        if not len(seg_pdf):
+            return empty
+        incl = np.unique(incl_pdf["doc_id"].to_numpy().astype(np.int64))
+        idf_map = {
+            t: idf_fn(n_docs, int(d))
+            for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+        }
+        if mode == "and":
+            pdf, n = _score_bucket_and(
+                seg_pdf, idf_map, avgdl, bucket_size, n_terms, k,
+                excl=excl_arr, incl=incl, count_matches=True,
+            )
+        else:
+            pdf, n = _score_bucket(
+                seg_pdf, idf_map, avgdl, bucket_size, k,
+                excl=excl_arr, incl=incl, count_matches=True,
+            )
+        if not n:
+            return empty
+        top = [
+            {"neg_score": -float(s), "doc_id": int(d)}
+            for d, s in zip(pdf["doc_id"], pdf["score"])
+        ]
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series([int(seg_pdf["bucket"].iloc[0])], dtype="int64"),
+                "n_matched": pd.Series([n], dtype="int64"),
+                "top": pd.Series([top], dtype="object"),
+            }
+        )
+
+    per_bucket = (
+        seg.groupBy("bucket")
+        .cogroup(_bucketed(allowed, bucket_size).groupBy("bucket"))
+        .applyInPandas(fn, schema=_TOPK_COUNT_SCHEMA)
+    )
+    row = per_bucket.agg(
+        F.coalesce(F.sum("n_matched"), F.lit(0)).alias("total"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("top"))), 1, k
+        ).alias("top"),
+    ).collect()[0]
+    hits = [(int(r["doc_id"]), -float(r["neg_score"])) for r in row["top"]]
+    return hits, int(row["total"])

@@ -369,10 +369,22 @@ class Searcher:
         vocab plane fits the local budget, else one Spark vocab scan)
         and the expansions score as ordinary OR terms. OR mode only —
         a wildcard inside an AND query is an OR-group (boolean.py
-        territory)."""
+        territory).
+
+        ``site:host`` tokens (Google-style) become a filter context:
+        eligibility restricted to docs whose url authority equals a
+        given host (multiple site: tokens OR together), scores
+        unchanged. Runs the distributed filtered plan
+        (operators/filtered.py — one scoring job with the allowed
+        relation cogrouped per bucket, plus the bounded co-located
+        winner fetch, same shape as the boolean/phrase envelopes)."""
+        from uci_searchengine_spark.operators.filtered import (
+            parse_site_filters,
+        )
         from uci_searchengine_spark.operators.prefix import parse_wildcards
 
-        literals, prefixes = parse_wildcards(query)
+        rest, hosts = parse_site_filters(query)
+        literals, prefixes = parse_wildcards(rest)
         if prefixes:
             if mode != "or":
                 raise ValueError("wildcard queries support mode='or' only")
@@ -391,8 +403,8 @@ class Searcher:
                 dict.fromkeys(query_terms(" ".join(literals)) + expanded)
             )
         else:
-            terms = terms_for_index(self.meta, query)
-            disp = query_terms(query)
+            terms = terms_for_index(self.meta, rest)
+            disp = query_terms(rest)
         if not terms:
             return {
                 "query": query,
@@ -402,6 +414,40 @@ class Searcher:
                 "total_pages": 0,
                 "did_you_mean": None,
                 "results": [],
+            }
+        if hosts:
+            from uci_searchengine_spark.operators.filtered import (
+                filtered_topk_count,
+            )
+
+            allowed = self._docs.filter(
+                F.parse_url(F.col("url"), F.lit("AUTHORITY")).isin(hosts)
+            ).select("doc_id")
+            self.last_plan = "spark"
+            hits, total = filtered_topk_count(
+                self.spark, self.index_dir, rest, allowed,
+                k=page * per_page, mode=mode, terms=terms,
+            )
+            start = (page - 1) * per_page
+            rows = self._attach(
+                [{"doc_id": d, "score": s} for d, s in hits[start : start + per_page]],
+                disp,
+            )
+            dym = None
+            if total == 0:
+                from uci_searchengine_spark.operators.suggest import (
+                    suggest_query,
+                )
+
+                dym = suggest_query(self.spark, self.index_dir, rest)
+            return {
+                "query": query,
+                "total_results": total,
+                "page": page,
+                "per_page": per_page,
+                "total_pages": math.ceil(total / per_page),
+                "did_you_mean": dym,
+                "results": rows,
             }
         excl = _wand.load_excl(self.index_dir, self.spark, self.meta.bucket_size)
         if self._use_local(terms, excl, plan):
