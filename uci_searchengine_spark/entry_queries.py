@@ -3062,6 +3062,58 @@ ORDER BY score DESC, s.doc_id ASC LIMIT 10
 """
 
 
+def q_more_like_this(spark, sf_dir):
+    """More-Like-This (Lucene MLT): the source doc's top-25 tf·idf terms
+    → BM25 disjunction → source excluded at accumulation time.
+    operators/mlt.py; oracle replays selection + scoring in SQL."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.mlt import more_like_this
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = more_like_this(spark, idx, 0, k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+allterms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+src AS (
+  SELECT term, count(*) AS tf FROM allterms WHERE doc_id = 0 GROUP BY term
+),
+df_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM allterms GROUP BY term),
+sel AS (
+  SELECT s.term
+  FROM src s JOIN df_all f ON s.term = f.term CROSS JOIN stats st
+  ORDER BY s.tf * ln((st.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0) DESC, s.term ASC
+  LIMIT 25
+),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM allterms
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0 AND doc_id <> 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # Registry order matters: the driver's correctness gate checks the FIRST 50
 # entries only. Keep (a) any previously-red or never-driver-verified gate and
 # (b) every gate whose implementation changed this round inside that window;
@@ -3114,6 +3166,7 @@ QUERIES = {
     "filtered_search": (q_filtered_search, SQL_FILTERED_SEARCH),
     "batch_bm25_topk": (q_batch_bm25, _sql_batch_bm25()),
     "blended_search": (q_blended_search, SQL_BLENDED_SEARCH),
+    "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
     "bm25_append": (q_bm25_append, SQL_BM25_TOPK),
     "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
