@@ -80,6 +80,19 @@ class TestHttpApi:
             for r in got["results"]
         )
 
+    def test_similar_route(self, spark, index_small, http_server):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        base, _ = http_server
+        code, got = _get(base, "/api/similar?doc_id=42&k=5")
+        assert code == 200
+        exp = Searcher(spark, index_small).similar(42, k=5)
+        assert got == json.loads(json.dumps(exp))
+        code, err = _get_err(base, "/api/similar")
+        assert code == 422
+        code, err = _get_err(base, "/api/similar?doc_id=notanint")
+        assert code == 422
+
     def test_zero_hits_did_you_mean(self, http_server):
         base, _ = http_server
         code, got = _get(base, "/api/search?query=arbak1")

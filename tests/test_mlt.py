@@ -65,3 +65,21 @@ def test_mlt_max_terms_cap(spark, index_small, oracle_small):
         ).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_searcher_similar_envelope(spark, index_small, oracle_small):
+    from uci_searchengine_spark.operators.serving import Searcher
+
+    doc_id = 42
+    terms_want, want = _oracle_mlt(oracle_small, doc_id)
+    env = Searcher(spark, index_small).similar(doc_id, k=10)
+    assert env["doc_id"] == doc_id
+    assert env["terms"] == terms_want
+    assert [r["url"] for r in env["results"]] == [
+        oracle_small.urls[d] for d, _ in want
+    ]
+    for r, (d, sc) in zip(env["results"], want):
+        assert math.isclose(r["score"], sc, rel_tol=1e-12)
+    # unknown doc -> empty envelope
+    empty = Searcher(spark, index_small).similar(oracle_small.n_docs + 9)
+    assert empty["results"] == [] and empty["terms"] == []

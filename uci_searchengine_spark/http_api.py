@@ -115,6 +115,12 @@ class EngineState:
                 return self.searcher.phrase_envelope(query, k=k)
             return self.searcher.boolean_envelope(query, k=k)
 
+    def similar(self, doc_id: int, k: int) -> dict:
+        """More-Like-This route (extension): doc-attached related
+        documents + the selected terms."""
+        with self.lock:
+            return self.searcher.similar(doc_id, k=k)
+
     def suggest(self, word: str, k: int) -> dict:
         with self.lock:
             rows = self.searcher.suggest(word, k=k).collect()
@@ -277,6 +283,14 @@ class _Handler(BaseHTTPRequestHandler):
                 if not word:
                     return self._json({"detail": "word is required"}, 422)
                 return self._json(self.engine.suggest(word, _int_param(qs, "k", 5)))
+            if u.path == "/api/similar":
+                raw = qs.get("doc_id", [None])[0]
+                if raw is None:
+                    return self._json({"detail": "doc_id is required"}, 422)
+                k = _int_param(qs, "k", 10)
+                if not (1 <= k <= 50):
+                    return self._json({"detail": "invalid parameter"}, 422)
+                return self._json(self.engine.similar(int(raw), k))
             if u.path == "/api/crawler/logs":
                 return self._json(
                     self.engine.logs(_int_param(qs, "cursor", 0))

@@ -113,6 +113,31 @@ def select_terms(
     return [t for _, t in scored[:max_terms]]
 
 
+def mlt_topk_for_terms(
+    spark: SparkSession,
+    index_dir: str,
+    meta: IndexMeta,
+    terms: list[str],
+    exclude_id: int,
+    k: int,
+) -> DataFrame:
+    """Scoring tail shared by ``more_like_this`` and the serving
+    surface: the selected disjunction with the source doc excluded."""
+    seg = pruned_segments(spark, index_dir, meta, terms)
+    excl = load_excl(index_dir, spark, meta.bucket_size)
+    if isinstance(excl, BucketedExcl):
+        # keep the relation; drop the source post-hoc from a k+1 fetch
+        out = _topk_over_segments(seg, meta, k + 1, mode="or", excl=excl)
+        return (
+            out.filter(F.col("doc_id") != int(exclude_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    src = np.array([int(exclude_id)], dtype=np.int64)
+    excl_arr = src if excl is None else np.union1d(excl, src)
+    return _topk_over_segments(seg, meta, k, mode="or", excl=excl_arr)
+
+
 def more_like_this(
     spark: SparkSession,
     index_dir: str,
@@ -134,16 +159,4 @@ def more_like_this(
     )
     if not terms:
         return empty
-    seg = pruned_segments(spark, index_dir, meta, terms)
-    excl = load_excl(index_dir, spark, meta.bucket_size)
-    if isinstance(excl, BucketedExcl):
-        # keep the relation; drop the source post-hoc from a k+1 fetch
-        out = _topk_over_segments(seg, meta, k + 1, mode="or", excl=excl)
-        return (
-            out.filter(F.col("doc_id") != int(doc_id))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
-    src = np.array([int(doc_id)], dtype=np.int64)
-    excl_arr = src if excl is None else np.union1d(excl, src)
-    return _topk_over_segments(seg, meta, k, mode="or", excl=excl_arr)
+    return mlt_topk_for_terms(spark, index_dir, meta, terms, int(doc_id), k)

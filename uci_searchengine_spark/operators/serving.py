@@ -241,6 +241,38 @@ class Searcher:
             "results": self._attach(rows, raw_pos),
         }
 
+    def similar(self, doc_id: int, k: int = 10, max_terms: int = 25) -> dict:
+        """More-Like-This envelope (related-articles surface): the
+        source doc's characteristic terms (operators/mlt.py selection)
+        scored as a disjunction with the source excluded; winners
+        doc-attached via the bounded co-located fetch. Exposes the
+        selected terms so a UI can explain WHY a result is similar."""
+        from uci_searchengine_spark.operators.mlt import (
+            _source_text,
+            mlt_topk_for_terms,
+            select_terms,
+        )
+
+        text = _source_text(self.index_dir, self.meta, int(doc_id))
+        if text is None:
+            return {"doc_id": int(doc_id), "terms": [], "results": []}
+        terms = select_terms(
+            self.spark, self.index_dir, self.meta, text, max_terms
+        )
+        if not terms:
+            return {"doc_id": int(doc_id), "terms": [], "results": []}
+        rows = [
+            r.asDict()
+            for r in mlt_topk_for_terms(
+                self.spark, self.index_dir, self.meta, terms, int(doc_id), k
+            ).collect()
+        ]
+        return {
+            "doc_id": int(doc_id),
+            "terms": terms,
+            "results": self._attach(rows, terms),
+        }
+
     def suggest(self, word: str, k: int = 5, max_dist: int = 2):
         """Fuzzy "did you mean" over this index's vocabulary."""
         from uci_searchengine_spark.operators.suggest import suggest
