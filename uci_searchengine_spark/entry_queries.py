@@ -3114,6 +3114,59 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_related_docs(spark, sf_dir):
+    """Batch related-documents precompute (MLT for EVERY doc as one
+    dataflow): per-doc tf·idf term selection (top 10, df-cap 100 head
+    guard) → selection ⋈ BM25 contributions → top-3 related per doc.
+    operators/related.py; candidate volume bounded by
+    max_terms·df_cap per source at any corpus size."""
+    from uci_searchengine_spark.operators.related import related_docs
+
+    toks = _doc_tokens(spark, sf_dir)
+    return related_docs(toks, k=3, max_terms=10, df_cap=1000).orderBy(
+        "src", F.desc("score"), F.asc("cand")
+    )
+
+
+SQL_RELATED_DOCS = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+sp AS (
+  SELECT p.doc_id, p.term,
+         p.tf * ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0) AS sel_score,
+         ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+           * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) AS contrib
+  FROM posts p
+  JOIN dfs f ON p.term = f.term AND f.df <= 1000
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+sel AS (
+  SELECT doc_id AS src, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY sel_score DESC, term ASC) AS rn
+    FROM sp
+  ) WHERE rn <= 10
+),
+pairs AS (
+  SELECT sel.src, sp2.doc_id AS cand, round(sum(sp2.contrib), 6) AS score
+  FROM sel JOIN sp sp2 ON sel.term = sp2.term AND sel.src <> sp2.doc_id
+  GROUP BY sel.src, sp2.doc_id
+)
+SELECT src, cand, score FROM (
+  SELECT src, cand, score,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, cand ASC) AS rn
+  FROM pairs
+) WHERE rn <= 3
+ORDER BY src, score DESC, cand ASC
+"""
+
+
 # Registry order matters: the driver's correctness gate checks the FIRST 50
 # entries only. Keep (a) any previously-red or never-driver-verified gate and
 # (b) every gate whose implementation changed this round inside that window;
@@ -3167,6 +3220,7 @@ QUERIES = {
     "batch_bm25_topk": (q_batch_bm25, _sql_batch_bm25()),
     "blended_search": (q_blended_search, SQL_BLENDED_SEARCH),
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
+    "related_docs": (q_related_docs, SQL_RELATED_DOCS),
     "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
     "bm25_append": (q_bm25_append, SQL_BM25_TOPK),
     "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
