@@ -249,6 +249,84 @@ def main() -> None:
         )
     )
 
+    # 6) round-3 query surfaces
+    # prefix expansion: one vocab scan, heavy planes pruned, in-plan cap
+    from uci_searchengine_spark.operators.suggest import vocab as _vocab
+
+    ex = (
+        _vocab(spark, IDX)
+        .filter(F.col("term").startswith("arb"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+    plan = ex._sc._jvm.PythonSQLUtils.explainString(
+        ex._jdf.queryExecution(), "formatted"
+    )
+    rs = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = rs.group(1) if rs else ""
+    checks.append(
+        (
+            "prefix expansion: vocab scan prunes postings planes",
+            "postings" not in read_cols and "block_max" not in read_cols,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "prefix expansion: cap applied in-plan (TakeOrderedAndProject)",
+            "TakeOrderedAndProject" in plan,
+            plan,
+        )
+    )
+
+    # batch eval: ONE pruned scan for the whole query batch (scan count)
+    from uci_searchengine_spark.operators.batch_eval import batch_topk
+
+    bt = batch_topk(
+        spark, IDX, {"q1": "stop0 arbak", "q2": "arbak stop1"}, k=5
+    )
+    plan = bt._sc._jvm.PythonSQLUtils.explainString(
+        bt._jdf.queryExecution(), "formatted"
+    )
+    # count scan NODES (the formatted plan repeats each node in the
+    # detail section — match the "(N) Scan parquet" detail headers)
+    n_seg_scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    checks.append(
+        (
+            "batch eval: one segment scan for the whole batch",
+            n_seg_scans == 1 and "PartitionFilters: [" in plan,
+            plan,
+        )
+    )
+
+    # related_docs: stats + dfs broadcast, no cache, bounded final window
+    from uci_searchengine_spark.functions.tokenize import tokens_col
+    from uci_searchengine_spark.operators.related import related_docs
+
+    toks = synth_pages(spark, 100, 1337, partitions=4).select(
+        F.xxhash64("url").alias("doc_id"),
+        tokens_col(F.decode("html", "utf-8")).alias("t"),
+    )
+    rd = related_docs(toks, k=3, max_terms=5, df_cap=50)
+    plan = rd._sc._jvm.PythonSQLUtils.explainString(
+        rd._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "related_docs: df-cap + stats joined via broadcast",
+            plan.count("BroadcastHashJoin") >= 1
+            and "BroadcastNestedLoopJoin" in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "related_docs: no cached relation (recomputable lineage)",
+            "InMemoryTableScan" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
