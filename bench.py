@@ -607,6 +607,39 @@ def main() -> None:
     searcher.boolean_rows('stop0 +arbak -stop9 "arbak stop1"', plan="local")
     out["boolean_local_ms"] = round(1000 * (time.perf_counter() - t0), 1)
 
+    # 2d) round-3 query surfaces on the same warm index: wildcard
+    # (resident job-free vocab expansion + envelope), site: filter
+    # (cogrouped inclusion, one scoring job), more-like-this, and a
+    # 4-query batch in one job
+    t0 = time.perf_counter()
+    env = searcher.search("arba* stop1", plan="local")
+    out["wildcard_local_cold_ms"] = round(1000 * (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    searcher.search("arbak* stop0", plan="local")  # vocab plane resident now
+    out["wildcard_local_ms"] = round(1000 * (time.perf_counter() - t0), 1)
+    host = None
+    if env["results"]:
+        from urllib.parse import urlparse as _up
+
+        host = _up(env["results"][0]["url"]).netloc
+    if host:
+        t0 = time.perf_counter()
+        searcher.search(f"stop0 arbak site:{host}")
+        out["queries"]["site_filter"] = round(time.perf_counter() - t0, 3)
+    from uci_searchengine_spark.operators.batch_eval import batch_topk
+    from uci_searchengine_spark.operators.mlt import more_like_this
+
+    t0 = time.perf_counter()
+    more_like_this(spark, INDEX_DIR, 0, k=10).collect()
+    out["queries"]["more_like_this"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    batch_topk(
+        spark, INDEX_DIR,
+        {f"q{i}": q for i, q in enumerate(BENCH_QUERIES[:4])},
+        k=10,
+    ).collect()
+    out["queries"]["batch_eval_4q"] = round(time.perf_counter() - t0, 3)
+
     # 3) headline relational / training-data queries over the sf dir
     for name in HEADLINE:
         fn, _sql = QUERIES[name]

@@ -354,25 +354,40 @@ class Searcher:
         """Wildcard expansion for ``search()``: resident job-free path
         when the vocab plane fits the local budget, else one Spark
         vocab scan (both capped + ordered identically —
-        operators/prefix.py)."""
+        operators/prefix.py). Uses the RAW (term, df) frame — the
+        suggestion structure's trigram lists / DP matrix are not needed
+        for a startswith scan and cost seconds to build on a large
+        vocabulary."""
         from uci_searchengine_spark.operators.prefix import (
             expand_prefix,
             expand_prefix_local,
         )
 
         if self._vocab_fits_local():
-            v = self._vocab()
-            return expand_prefix_local(v.terms, v.df, prefix)
+            v = self._vocab_raw()
+            return expand_prefix_local(
+                v["term"].to_numpy(), v["df"].to_numpy(), prefix
+            )
         return expand_prefix(self.spark, self.index_dir, prefix)
+
+    def _vocab_raw(self):
+        """Resident (term, df) pandas frame — shared input of the
+        wildcard expansion and the suggestion VocabIndex."""
+        if getattr(self, "_vocab_raw_pdf", None) is None:
+            from uci_searchengine_spark.operators.local_search import (
+                vocab_local,
+            )
+
+            self._vocab_raw_pdf = vocab_local(self.index_dir)
+        return self._vocab_raw_pdf
 
     def _vocab(self):
         if self._vocab_pdf is None:
             from uci_searchengine_spark.operators.local_search import (
                 VocabIndex,
-                vocab_local,
             )
 
-            self._vocab_pdf = VocabIndex(vocab_local(self.index_dir))
+            self._vocab_pdf = VocabIndex(self._vocab_raw())
         return self._vocab_pdf
 
     def search(
