@@ -1,0 +1,109 @@
+"""OR-groups `(a|b)` in boolean queries + wildcard desugar, pinned
+against the python oracle (whose group logic is independent set
+arithmetic over the postings dicts)."""
+
+import math
+
+import pytest
+
+from uci_searchengine_spark.functions.queryparse import parse_query
+from uci_searchengine_spark.functions.tokenize import tokenize_py
+from uci_searchengine_spark.operators.boolean import (
+    boolean_search,
+    expand_wildcards,
+)
+
+GROUP_QUERIES = [
+    "(arbak|arband) +stop0",          # group + must
+    "(arbak|arband)",                 # group alone (scored, required)
+    "(arbak|arband|arbast) -stop9",   # 3-way group + NOT
+    "stop1 (arbak|arband)",           # OR term + group
+    '(arbak|arband) "arbak stop1"',   # group + phrase
+    "(arbak|arband) (stop0|stop1)",   # two groups
+    "(arbak|zzznope)",                # group with an absent member
+    "(zzznope|qqqnope)",              # group with NO present member
+    "(arbak|arband) -arbak -arband",  # contradiction -> empty
+    "(arbak)",                        # single-member group == +must
+]
+
+
+def test_parse_groups():
+    bq = parse_query("(a|b) +c -d (e|f g)", lambda s: tokenize_py(s))
+    assert bq.groups == [["a", "b"], ["e", "f", "g"]]
+    assert bq.must_terms == ["c"] and bq.not_terms == ["d"]
+    assert set(["a", "b", "e", "f", "g"]).issubset(bq.positive_terms)
+    # single-member group folds to MUST; empty group drops
+    bq = parse_query("(a) () x", lambda s: tokenize_py(s))
+    assert bq.groups == [] and bq.must_terms == ["a"] and bq.or_terms == ["x"]
+    # negated group -> NOT members
+    bq = parse_query("-(a|b) x", lambda s: tokenize_py(s))
+    assert bq.not_terms == ["a", "b"] and bq.groups == []
+
+
+@pytest.mark.parametrize("q", GROUP_QUERIES)
+def test_boolean_groups_vs_oracle(spark, index_small, oracle_small, q):
+    want = oracle_small.boolean_top_k(q, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in boolean_search(spark, index_small, q, k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12), (q, gd)
+
+
+def test_boolean_groups_local_plan_equality(spark, index_small):
+    from uci_searchengine_spark.operators.serving import Searcher
+
+    s = Searcher(spark, index_small)
+    for q in GROUP_QUERIES[:6]:
+        loc = s.boolean_rows(q, k=10, plan="local")
+        dist = s.boolean_rows(q, k=10, plan="spark")
+        assert loc == dist, q
+
+
+def test_expand_wildcards_rewrite():
+    exp = {"arb": ["arbak", "arband"], "zzq": []}
+    f = lambda p: exp.get(p, [])
+    assert (
+        expand_wildcards("arb* +stop0", f).split()
+        == ["(arbak|arband)", "+stop0"]
+    )
+    # negated wildcard with no expansion disappears
+    assert expand_wildcards("-zzq* stop0", f).split() == ["stop0"]
+    # required wildcard with no expansion -> unsatisfiable
+    assert expand_wildcards("zzq* stop0", f) is None
+    assert expand_wildcards("+zzq*", f) is None
+    # quoted phrases untouched
+    assert (
+        " ".join(expand_wildcards('"arb* x" arb*', f).split())
+        == '"arb* x" (arbak|arband)'
+    )
+
+
+def test_boolean_wildcard_vs_manual_group(spark, index_small, oracle_small):
+    from collections import Counter
+
+    vocab = {t: len(p) for t, p in oracle_small.postings.items()}
+    pref = Counter(
+        t[:4] for t in oracle_small.postings if len(t) >= 4
+    ).most_common(1)[0][0]
+    expanded = sorted(
+        (t for t in vocab if t.startswith(pref)), key=lambda t: (-vocab[t], t)
+    )[:50]
+    manual = f"({'|'.join(expanded)}) +stop0"
+    want = oracle_small.boolean_top_k(manual, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in boolean_search(
+            spark, index_small, f"{pref}* +stop0", k=10
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # and through the resident Searcher (local plan)
+    from uci_searchengine_spark.operators.serving import Searcher
+
+    rows = Searcher(spark, index_small).boolean_rows(
+        f"{pref}* +stop0", k=10, plan="local"
+    )
+    assert [(r["doc_id"], r["score"]) for r in rows] == got

@@ -3167,6 +3167,52 @@ ORDER BY src, score DESC, cand ASC
 """
 
 
+def q_boolean_groups(spark, sf_dir):
+    """Boolean OR-group clause `(data|spark) +join`: results must hold
+    `join` AND at least one of {data, spark}; scores are the OR-sum over
+    all three (operators/boolean.py constraint intersection —
+    rarest-first over single terms and member-union groups)."""
+    from uci_searchengine_spark.operators.boolean import boolean_search
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = boolean_search(spark, idx, "(data|spark) +join", k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_BOOLEAN_GROUPS = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score,
+         max(CASE WHEN p.term = 'join' THEN 1 ELSE 0 END) AS has_must,
+         max(CASE WHEN p.term IN ('data','spark') THEN 1 ELSE 0 END) AS has_group
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored
+WHERE has_must = 1 AND has_group = 1 AND score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # Registry order matters: the driver's correctness gate checks the FIRST 50
 # entries only. Keep (a) any previously-red or never-driver-verified gate and
 # (b) every gate whose implementation changed this round inside that window;
@@ -3221,9 +3267,9 @@ QUERIES = {
     "blended_search": (q_blended_search, SQL_BLENDED_SEARCH),
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "related_docs": (q_related_docs, SQL_RELATED_DOCS),
+    "boolean_groups": (q_boolean_groups, SQL_BOOLEAN_GROUPS),
     "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
     "bm25_append": (q_bm25_append, SQL_BM25_TOPK),
-    "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "training_prep_v2": (q_training_prep_v2, _sql_training_prep_v2()),
@@ -3238,6 +3284,7 @@ QUERIES = {
     # ---- gates added this round; everything below is long-stable (green in
     # ---- CORRECTNESS_r02 and untouched) and covered by local replica + pytest
     "pagerank": (q_pagerank, _sql_pagerank()),
+    "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),
     "training_prep": (q_training_prep, _sql_training_prep()),

@@ -1,5 +1,15 @@
 """Boolean query syntax: bare terms (OR), ``+term`` (MUST), ``-term``
-(MUST NOT), ``"quoted phrase"`` (exact token sequence required).
+(MUST NOT), ``"quoted phrase"`` (exact token sequence required),
+``(a|b)`` (required ANY-OF group — the synonym/constraint clause; a
+wildcard inside a boolean query desugars to one, operators/boolean.py).
+
+Group semantics: every result must contain ≥1 member of each group;
+members score like ordinary positive terms (their own idf — Lucene's
+scoring-boolean shape, not SynonymQuery's shared-position blending).
+``-(a|b)`` = none of the members may appear (De Morgan into NOT terms).
+A group that analyzes to one member is just a MUST term; an empty group
+is dropped. Members that also appear as NOT terms are kept in the group
+(``(a|b) -a -b`` is an honest contradiction and returns nothing).
 
 The reference UI exposes none of this (backend/app/api/search.py is a
 bare token OR); this is the breadth layer every fulltext engine grows.
@@ -14,6 +24,7 @@ import re
 from dataclasses import dataclass, field
 
 _PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
+_GROUP_RE = re.compile(r"([+-]?)\(([^)]*)\)")
 
 
 @dataclass
@@ -22,14 +33,18 @@ class BoolQuery:
     must_terms: list[str] = field(default_factory=list)    # all required
     not_terms: list[str] = field(default_factory=list)     # none allowed
     phrases: list[list[str]] = field(default_factory=list)  # required seqs
+    groups: list[list[str]] = field(default_factory=list)   # req any-of sets
 
     @property
     def positive_terms(self) -> list[str]:
-        """Distinct scoring terms: or + must + phrase tokens, in first-
-        appearance order."""
+        """Distinct scoring terms: or + must + group members + phrase
+        tokens, in first-appearance order."""
         out: dict[str, None] = {}
         for t in self.or_terms + self.must_terms:
             out.setdefault(t)
+        for g in self.groups:
+            for t in g:
+                out.setdefault(t)
         for p in self.phrases:
             for t in p:
                 out.setdefault(t)
@@ -74,6 +89,24 @@ def parse_query(q: str, analyze) -> BoolQuery:
         return " "
 
     rest = _PHRASE_RE.sub(eat_phrase, q)
+
+    def eat_group(m: re.Match) -> str:
+        members: dict[str, None] = {}
+        for piece in m.group(2).split("|"):
+            for t in analyze(piece):
+                members.setdefault(t)
+        mem = list(members)
+        if not mem:
+            return " "
+        if m.group(1) == "-":
+            bq.not_terms.extend(mem)
+        elif len(mem) == 1:
+            bq.must_terms.append(mem[0])
+        else:
+            bq.groups.append(mem)
+        return " "
+
+    rest = _GROUP_RE.sub(eat_group, rest)
     for chunk in rest.split():
         sign = ""
         if chunk[0] in "+-":

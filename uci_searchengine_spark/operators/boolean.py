@@ -2,18 +2,24 @@
 
 Syntax (functions/queryparse.py): bare terms are scored OR; ``+term``
 must appear; ``-term`` must not; ``"a b"`` must appear as an exact token
-sequence. Score = the same OR-sum BM25 over all positive terms, rank
-(score desc, doc_id asc) — identical contract to score_wand.
+sequence; ``(a|b)`` is a required ANY-OF group (≥1 member must appear —
+the synonym/constraint clause). A ``stem*`` wildcard desugars to a
+group of its vocabulary expansions (``expand_wildcards``), which is how
+wildcards work inside conjunctive queries. Score = the same OR-sum BM25
+over all positive terms, rank (score desc, doc_id asc) — identical
+contract to score_wand.
 
 Per-bucket physical plan (one applyInPandas over the pruned segment
 relation — the same single-job shape as every other scorer):
 
-* **required terms present** (must / phrase tokens): rarest-first
-  posting-list intersection over the required set (cost bounded by the
-  rarest list), NOT-terms subtracted with candidate-restricted block
-  decode, phrases verified from the positional plane (or the co-located
-  doc store), and only then are the remaining positive terms decoded —
-  candidate-restricted — to complete the scores.
+* **required constraints present** (must / phrase tokens / any-of
+  groups): rarest-first intersection over the constraint list — a
+  single term's doc set, or a group's member-UNION — (cost bounded by
+  the most selective constraint), NOT-terms subtracted with
+  candidate-restricted block decode, phrases verified from the
+  positional plane (or the co-located doc store), and only then are the
+  remaining positive terms decoded — candidate-restricted — to complete
+  the scores.
 * **pure OR + NOT**: the block-max pruned OR scorer with the exclusion
   set applied at accumulation time (before θ tightens), keeping the
   pruning admissible for the post-exclusion top-k.
@@ -74,6 +80,49 @@ def _setdiff_sorted(cand: np.ndarray, drop: np.ndarray) -> np.ndarray:
     return cand[drop[p] != cand]
 
 
+_WILDCARD_TOK = __import__("re").compile(r"(?<!\S)([+-]?)(\w+)\*(?!\S)")
+
+
+def expand_wildcards(query: str, expander) -> "str | None":
+    """Desugar ``stem*`` tokens (outside quoted phrases) into required
+    any-of groups of their vocabulary expansions:
+    ``dat* → (data|database|…)``, ``-dat* → -(…)``; ``+`` is implied —
+    a group is always required. ``expander(prefix) -> list[str]``
+    (operators/prefix.py — Spark vocab scan or the resident frame).
+
+    Returns the rewritten query, or None when a non-negated wildcard
+    has NO expansion (an unsatisfiable required clause — the caller
+    returns the empty result instead of silently dropping it). A
+    negated wildcard with no expansion just disappears (nothing to
+    exclude)."""
+    import re as _re2
+
+    unsat = False
+
+    def _one(m: "_re2.Match") -> str:
+        nonlocal unsat
+        sign, stem = m.group(1), m.group(2).lower()
+        terms = expander(stem)
+        if not terms:
+            if sign != "-":
+                unsat = True
+            return " "
+        return f" {sign if sign == '-' else ''}({'|'.join(terms)}) "
+
+    parts = []
+    last = 0
+    # leave quoted phrases untouched
+    for m in _PHRASE_RE_Q.finditer(query):
+        parts.append(_WILDCARD_TOK.sub(_one, query[last : m.start()]))
+        parts.append(m.group(0))
+        last = m.end()
+    parts.append(_WILDCARD_TOK.sub(_one, query[last:]))
+    return None if unsat else "".join(parts)
+
+
+_PHRASE_RE_Q = __import__("re").compile(r'[+-]?"[^"]*"')
+
+
 def boolean_search(
     spark: SparkSession,
     index_dir: str,
@@ -81,7 +130,17 @@ def boolean_search(
     k: int = 10,
     phrase_method: str = "auto",
 ) -> DataFrame:
-    """Top-k (doc_id, score) under the boolean syntax."""
+    """Top-k (doc_id, score) under the boolean syntax. ``stem*``
+    wildcards are expanded against the vocabulary first
+    (``expand_wildcards``)."""
+    if "*" in query:
+        from uci_searchengine_spark.operators.prefix import expand_prefix
+
+        query = expand_wildcards(
+            query, lambda p: expand_prefix(spark, index_dir, p)
+        )
+        if query is None:
+            return spark.createDataFrame([], _OUT)
     meta = IndexMeta.load(index_dir)
     bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method)
     empty = spark.createDataFrame([], _OUT)
@@ -124,6 +183,7 @@ def make_boolean_fn(
     pos = bq.positive_terms
     req = bq.required_terms
     neg = bq.not_terms
+    grps = [list(g) for g in getattr(bq, "groups", [])]
     docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
     n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
     stem = bool(getattr(meta, "stem", False))
@@ -149,7 +209,7 @@ def make_boolean_fn(
                 t: idf_fn(n_docs, int(d))
                 for t, d in zip(pos_rows["term"], pos_rows["df_global"])
             }
-            if not req_set:
+            if not req_set and not grps:
                 excl = tomb
                 if len(neg_rows):
                     parts = [_row_decode(r, None, base)[0] for r in neg_rows.itertuples(index=False)]
@@ -171,14 +231,31 @@ def make_boolean_fn(
             # group rows per TERM: multi-generation boundary buckets carry
             # one row per generation for the same term — its doc set is the
             # UNION of the rows (intersecting them would wrongly empty)
-            by_req: dict[str, list] = {}
-            for r in req_rows.itertuples(index=False):
-                by_req.setdefault(r.term, []).append(r)
-            groups = sorted(
-                by_req.items(), key=lambda kv: (int(kv[1][0].df_global), kv[0])
-            )
+            by_term_rows: dict[str, list] = {}
+            for r in pos_rows.itertuples(index=False):
+                by_term_rows.setdefault(r.term, []).append(r)
+            # constraints = required single terms AND any-of groups —
+            # each is "doc must be in the UNION of these rows' doc sets".
+            # Rarest-first (summed df estimate) so the intersection cost
+            # is bounded by the most selective constraint.
+            constraints: list[tuple[int, str, list]] = []
+            for t in sorted(req_set):
+                trows = by_term_rows[t]
+                constraints.append((int(trows[0].df_global), t, trows))
+            for g in grps:
+                rows_g: list = []
+                df_g = 0
+                for m in g:
+                    for r in by_term_rows.get(m, []):
+                        rows_g.append(r)
+                        df_g += int(r.df_global)
+                if not rows_g:
+                    # no member of this group has postings in the bucket
+                    return out_empty
+                constraints.append((df_g, "|".join(g), rows_g))
+            constraints.sort(key=lambda c: (c[0], c[1]))
             cand: np.ndarray | None = None
-            for _term, trows in groups:
+            for _df, _key, trows in constraints:
                 parts = []
                 for r in trows:
                     d, _tf, _dl = _row_decode(r, cand, base)
@@ -186,7 +263,9 @@ def make_boolean_fn(
                         parts.append(d)
                 if not parts:
                     return out_empty
-                d = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+                # union: same-term generation rows are disjoint, but a
+                # GROUP's members can share docs — np.unique covers both
+                d = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
                 cand = d  # ascending
             if tomb is not None:
                 cand = _setdiff_sorted(cand, tomb)

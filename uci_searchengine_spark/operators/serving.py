@@ -141,11 +141,16 @@ class Searcher:
         from uci_searchengine_spark.operators.boolean import (
             boolean_plan,
             boolean_search,
+            expand_wildcards,
         )
         from uci_searchengine_spark.operators.local_search import (
             boolean_topk_local,
         )
 
+        if "*" in query:
+            query = expand_wildcards(query, self._expand_prefix)
+            if query is None:
+                return []
         bq, all_terms, use_pos = boolean_plan(self.meta, query)
         if not bq.positive_terms:
             return []

@@ -149,6 +149,11 @@ class OracleIndex:
         for d, s in scores.items():
             if any(d not in self.postings.get(t, {}) for t in req):
                 continue
+            if any(
+                all(d not in self.postings.get(m, {}) for m in g)
+                for g in bq.groups
+            ):
+                continue  # an any-of group with no member present
             if any(d in self.postings.get(t, {}) for t in bq.not_terms):
                 continue
             toks = None
