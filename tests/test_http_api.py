@@ -93,6 +93,19 @@ class TestHttpApi:
         code, err = _get_err(base, "/api/similar?doc_id=notanint")
         assert code == 422
 
+    def test_terms_enum_route(self, spark, index_small, oracle_small, http_server):
+        base, _ = http_server
+        code, got = _get(base, "/api/terms?prefix=arb&k=5")
+        assert code == 200 and got["prefix"] == "arb"
+        vocab = {t: len(p) for t, p in oracle_small.postings.items()}
+        want = sorted(
+            ((t, d) for t, d in vocab.items() if t.startswith("arb")),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:5]
+        assert [(r["term"], r["df"]) for r in got["terms"]] == want
+        code, _err = _get_err(base, "/api/terms?k=0")
+        assert code == 422
+
     def test_zero_hits_did_you_mean(self, http_server):
         base, _ = http_server
         code, got = _get(base, "/api/search?query=arbak1")

@@ -115,6 +115,14 @@ class EngineState:
                 return self.searcher.phrase_envelope(query, k=k)
             return self.searcher.boolean_envelope(query, k=k)
 
+    def terms(self, prefix: str, k: int) -> dict:
+        """Terms-enum route (extension): top-k vocabulary terms by df."""
+        with self.lock:
+            return {
+                "prefix": prefix,
+                "terms": self.searcher.term_stats(prefix, k),
+            }
+
     def similar(self, doc_id: int, k: int) -> dict:
         """More-Like-This route (extension): doc-attached related
         documents + the selected terms."""
@@ -283,6 +291,12 @@ class _Handler(BaseHTTPRequestHandler):
                 if not word:
                     return self._json({"detail": "word is required"}, 422)
                 return self._json(self.engine.suggest(word, _int_param(qs, "k", 5)))
+            if u.path == "/api/terms":
+                prefix = qs.get("prefix", [""])[0]
+                k = _int_param(qs, "k", 20)
+                if not (1 <= k <= 1000):
+                    return self._json({"detail": "invalid parameter"}, 422)
+                return self._json(self.engine.terms(prefix, k))
             if u.path == "/api/similar":
                 raw = qs.get("doc_id", [None])[0]
                 if raw is None:

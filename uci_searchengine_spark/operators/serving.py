@@ -278,6 +278,29 @@ class Searcher:
             "results": self._attach(rows, terms),
         }
 
+    def term_stats(self, prefix: str = "", k: int = 20) -> list[dict]:
+        """Terms-enum surface (Lucene TermsEnum / ES _terms_enum):
+        top-k (term, df) under an optional prefix, df desc. Job-free on
+        the resident vocab frame when the plane fits the local budget;
+        one pruned Spark vocab scan otherwise."""
+        if self._vocab_fits_local():
+            v = self._vocab_raw()
+            pdf = v[v["term"].str.startswith(prefix)] if prefix else v
+            pdf = pdf.sort_values(
+                ["df", "term"], ascending=[False, True]
+            ).head(k)
+            return [
+                {"term": t, "df": int(d)}
+                for t, d in zip(pdf["term"], pdf["df"])
+            ]
+        from uci_searchengine_spark.operators.suggest import vocab
+
+        rel = vocab(self.spark, self.index_dir)
+        if prefix:
+            rel = rel.filter(F.col("term").startswith(prefix))
+        rows = rel.orderBy(F.desc("df"), F.asc("term")).limit(k).collect()
+        return [{"term": r["term"], "df": int(r["df"])} for r in rows]
+
     def suggest(self, word: str, k: int = 5, max_dist: int = 2):
         """Fuzzy "did you mean" over this index's vocabulary."""
         from uci_searchengine_spark.operators.suggest import suggest
