@@ -1,0 +1,117 @@
+"""Percolator (standing queries): batch matches pinned against a python
+set-arithmetic oracle and against boolean_search's result set on the
+indexed corpus; streaming percolation ≡ batch."""
+
+import pytest
+
+from uci_searchengine_spark.functions.phrase import count_phrase_py
+from uci_searchengine_spark.functions.queryparse import parse_query
+from uci_searchengine_spark.functions.tokenize import tokenize_py
+from uci_searchengine_spark.operators.percolate import percolate
+
+QUERIES = {
+    "must": "+stop0 +arbak",
+    "group": "(arbak|arband) +stop0",
+    "notq": "arbak -stop9",
+    "phrase": '"arbak stop1"',
+    "pure_or": "arbak arband",
+    "contra": "(arbak|arband) -arbak -arband",
+    "empty": "!!! ...",
+}
+
+
+def _matches(toks, q):
+    bq = parse_query(q, tokenize_py)
+    ts = set(toks)
+    if not bq.positive_terms:
+        return False
+    if any(t not in ts for t in bq.must_terms):
+        return False
+    if any(not (ts & set(g)) for g in bq.groups):
+        return False
+    if any(count_phrase_py(toks, p) == 0 for p in bq.phrases):
+        return False
+    if ts & set(bq.not_terms):
+        return False
+    if bq.or_terms and not (bq.must_terms or bq.groups or bq.phrases):
+        if not (ts & set(bq.or_terms)):
+            return False
+    return True
+
+
+def _want(texts):
+    out = set()
+    for d, text in enumerate(texts):
+        toks = tokenize_py(text)
+        for qid, q in QUERIES.items():
+            if _matches(toks, q):
+                out.add((qid, d))
+    return out
+
+
+def test_percolate_vs_oracle(spark, oracle_small):
+    texts = oracle_small.texts
+    docs = spark.createDataFrame(
+        [(i, tokenize_py(t)) for i, t in enumerate(texts)],
+        "doc_id long, t array<string>",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(docs, QUERIES).collect()
+    }
+    want = _want(texts)
+    assert got == want
+    assert not [p for p in got if p[0] in ("contra", "empty")]
+
+
+def test_percolate_matches_boolean_search(spark, index_small, oracle_small):
+    """Percolation's match set == boolean_search's result set (score
+    dropped) for every non-degenerate registered query."""
+    from uci_searchengine_spark.operators.boolean import boolean_search
+
+    texts = oracle_small.texts
+    docs = spark.createDataFrame(
+        [(i, tokenize_py(t)) for i, t in enumerate(texts)],
+        "doc_id long, t array<string>",
+    )
+    got = {}
+    for r in percolate(docs, QUERIES).collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for qid, q in QUERIES.items():
+        bs = {
+            r["doc_id"]
+            for r in boolean_search(spark, index_small, q, k=10**6).collect()
+        }
+        assert got.get(qid, set()) == bs, qid
+
+
+def test_percolate_streaming_equals_batch(spark, oracle_small, tmp_path):
+    texts = oracle_small.texts[:120]
+    docs = spark.createDataFrame(
+        [(i, tokenize_py(t)) for i, t in enumerate(texts)],
+        "doc_id long, t array<string>",
+    )
+    src = str(tmp_path / "percolate_src")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, t array<string>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = percolate(stream, QUERIES)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("percolate_hits")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.sql("SELECT * FROM percolate_hits").collect()
+    }
+    batch = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(docs, QUERIES).collect()
+    }
+    assert streamed == batch and batch

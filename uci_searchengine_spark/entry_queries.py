@@ -3213,6 +3213,43 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+PERCOLATE_QUERIES = {
+    "q_group": "(data|spark) +join",
+    "q_must": "+data +spark",
+    "q_not": "data -join",
+    "q_phrase": '"data spark"',
+}
+
+
+def q_percolate(spark, sf_dir):
+    """Percolator (standing queries / alerting): four registered boolean
+    queries — must / any-of group / NOT / exact phrase — matched against
+    every document in ONE scan projection of pure-JVM array predicates
+    (operators/percolate.py). The identical expression percolates a
+    readStream (pytest pins streamed ≡ batch)."""
+    from uci_searchengine_spark.operators.percolate import percolate
+
+    toks = _doc_tokens(spark, sf_dir)
+    return percolate(toks, PERCOLATE_QUERIES).orderBy("query_id", "doc_id")
+
+
+SQL_PERCOLATE = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql_expr('text')} AS t FROM documents)
+SELECT 'q_group' AS query_id, doc_id FROM toks
+WHERE list_has_any(t, ['data','spark']) AND list_has_all(t, ['join'])
+UNION ALL
+SELECT 'q_must', doc_id FROM toks
+WHERE list_has_all(t, ['data','spark'])
+UNION ALL
+SELECT 'q_not', doc_id FROM toks
+WHERE list_has_any(t, ['data']) AND NOT list_has_any(t, ['join'])
+UNION ALL
+SELECT 'q_phrase', doc_id FROM toks
+WHERE length(list_filter(range(1, len(t)), i -> t[i] = 'data' AND t[i+1] = 'spark')) > 0
+ORDER BY query_id, doc_id
+"""
+
+
 # Registry order matters: the driver's correctness gate checks the FIRST 50
 # entries only. Keep (a) any previously-red or never-driver-verified gate and
 # (b) every gate whose implementation changed this round inside that window;
@@ -3268,7 +3305,7 @@ QUERIES = {
     "more_like_this": (q_more_like_this, SQL_MORE_LIKE_THIS),
     "related_docs": (q_related_docs, SQL_RELATED_DOCS),
     "boolean_groups": (q_boolean_groups, SQL_BOOLEAN_GROUPS),
-    "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
+    "percolate": (q_percolate, SQL_PERCOLATE),
     "bm25_append": (q_bm25_append, SQL_BM25_TOPK),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
@@ -3284,6 +3321,7 @@ QUERIES = {
     # ---- gates added this round; everything below is long-stable (green in
     # ---- CORRECTNESS_r02 and untouched) and covered by local replica + pytest
     "pagerank": (q_pagerank, _sql_pagerank()),
+    "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
     "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
     "hybrid_rrf": (q_hybrid_rrf, SQL_HYBRID_RRF),

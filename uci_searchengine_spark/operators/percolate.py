@@ -1,0 +1,111 @@
+"""Percolator: standing queries matched against incoming documents
+(Lucene/Elasticsearch percolate — the alerting direction: queries are
+stored, documents stream through).
+
+Implementation is the INVERSE of the serving path and deliberately
+index-free: each registered boolean query compiles to a pure-JVM column
+predicate over the document's token array —
+
+* MUST terms:   ``size(array_except(musts, t)) == 0``  (containment)
+* any-of group: ``arrays_overlap(t, members)`` per group
+* NOT terms:    ``NOT arrays_overlap(t, nots)``
+* OR terms (no other positive clause): ``arrays_overlap(t, ors)``
+* phrases:      ``phrase_count_col(t, seq) > 0`` (the engine's existing
+  JVM HOF adjacency counter — functions/phrase.py)
+
+All Q predicates evaluate in ONE scan projection
+(``array_compact(array(when(cond_q, qid)...))`` → explode), inside
+whole-stage codegen, no Python anywhere. The same expression runs on a
+batch frame or a readStream frame — percolation over Structured
+Streaming is the identical call (pytest pins streamed ≡ batch).
+
+Scale: expression size grows with the registry; fine for the
+10^2-10^4 standing queries an alerting system holds per job. For 10^5+
+the scale path is a term→query inverted index (pre-filter candidate
+queries per doc by shared terms, then verify) — Lucene's percolator
+does exactly this; noted, not needed at alerting sizes.
+
+Matching semantics mirror boolean_search's RESULT SET exactly (score
+ignored — percolation is boolean); `(a|b) -a -b` style contradictions
+match nothing, queries with no positive clause match nothing.
+
+Reference: none (breadth extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from uci_searchengine_spark.functions.phrase import phrase_count_col
+from uci_searchengine_spark.functions.queryparse import parse_query
+from uci_searchengine_spark.functions.tokenize import tokenize_py
+
+
+def _query_pred(tcol: Column, bq) -> Column:
+    conds: list[Column] = []
+    if bq.must_terms:
+        conds.append(
+            F.size(
+                F.array_except(
+                    F.array(*[F.lit(t) for t in bq.must_terms]), tcol
+                )
+            )
+            == 0
+        )
+    for g in bq.groups:
+        conds.append(F.arrays_overlap(tcol, F.array(*[F.lit(t) for t in g])))
+    for p in bq.phrases:
+        conds.append(phrase_count_col(tcol, p) > 0)
+    has_positive_clause = bool(bq.must_terms or bq.groups or bq.phrases)
+    if bq.or_terms and not has_positive_clause:
+        # pure-OR query: ≥1 scored term must appear (boolean_search's
+        # result set is exactly the OR union there)
+        conds.append(
+            F.arrays_overlap(tcol, F.array(*[F.lit(t) for t in bq.or_terms]))
+        )
+    if not conds:
+        return F.lit(False)  # no positive clause → matches nothing
+    if bq.not_terms:
+        conds.append(
+            ~F.arrays_overlap(tcol, F.array(*[F.lit(t) for t in bq.not_terms]))
+        )
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def compile_queries(queries: "dict[str, str]", analyze=None):
+    """Parse the registry once (driver-side; the registry is tiny by
+    definition). ``analyze`` defaults to the pinned tokenizer — pass the
+    index's analyzer chain for stemmed deployments."""
+    analyze = analyze or tokenize_py
+    return {str(qid): parse_query(q, analyze) for qid, q in queries.items()}
+
+
+def percolate(
+    docs: DataFrame,
+    queries: "dict[str, str]",
+    id_col: str = "doc_id",
+    tokens_col_name: str = "t",
+    analyze=None,
+) -> DataFrame:
+    """(query_id, <id_col>) for every (registered query, doc) match.
+
+    ``docs``: batch OR streaming DataFrame with an id column and an
+    analyzed token-array column."""
+    compiled = compile_queries(queries, analyze)
+    t = F.col(tokens_col_name)
+    hits = F.array_compact(
+        F.array(
+            *[
+                F.when(_query_pred(t, bq), F.lit(qid))
+                for qid, bq in sorted(compiled.items())
+            ]
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(hits).alias("query_id"))
+        .select("query_id", id_col)
+    )
