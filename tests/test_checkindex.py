@@ -1,0 +1,80 @@
+"""CheckIndex: clean indexes verify ok; injected corruption (inflated
+df, deflated block_max) is detected and named."""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from uci_searchengine_spark.operators.checkindex import check_index
+
+
+def test_clean_index_ok(spark, index_small):
+    rep = check_index(spark, index_small)
+    assert rep["ok"], rep["issues"][:5]
+    assert rep["stats"]["doc_rows"] > 0 and rep["stats"]["segment_rows"] > 0
+
+
+def test_positional_index_ok(spark, index_positional):
+    rep = check_index(spark, index_positional)
+    assert rep["ok"], rep["issues"][:5]
+
+
+def test_tombstoned_index_ok(spark, index_small, tmp_path):
+    from uci_searchengine_spark.operators.tombstones import delete_docs
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(index_small, idx)
+    delete_docs(idx, [1, 5, 9])
+    rep = check_index(spark, idx)
+    assert rep["ok"], rep["issues"][:5]
+    assert rep["stats"]["tombstones"] == 3
+
+
+def _first_seg_file(idx):
+    files = sorted(
+        glob.glob(os.path.join(idx, "segments", "shard=*", "*.parquet"))
+    )
+    assert files
+    return files[0]
+
+
+def test_detects_deflated_block_max(spark, index_small, tmp_path):
+    import pyarrow as pa
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(index_small, idx)
+    fp = _first_seg_file(idx)
+    t = pq.read_table(fp)
+    bm = t["block_max"].to_pylist()
+    bm[0] = [v * 0.5 for v in bm[0]]  # no longer an upper bound
+    t = t.set_column(
+        t.schema.get_field_index("block_max"),
+        "block_max",
+        pa.array(bm, type=t.schema.field("block_max").type),
+    )
+    pq.write_table(t, fp)
+    rep = check_index(spark, idx)
+    assert not rep["ok"]
+    assert any("NOT admissible" in i["problem"] for i in rep["issues"])
+
+
+def test_detects_df_mismatch(spark, index_small, tmp_path):
+    import pyarrow as pa
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(index_small, idx)
+    fp = _first_seg_file(idx)
+    t = pq.read_table(fp)
+    df = t["df"].to_pylist()
+    df[0] = df[0] + 7
+    t = t.set_column(
+        t.schema.get_field_index("df"),
+        "df",
+        pa.array(df, type=t.schema.field("df").type),
+    )
+    pq.write_table(t, fp)
+    rep = check_index(spark, idx)
+    assert not rep["ok"]
+    assert any("df=" in i["problem"] for i in rep["issues"])

@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("metrics", help="print build metrics from manifests")
     m.add_argument("--index", required=True)
 
+    ck = sub.add_parser(
+        "checkindex",
+        help="structural integrity check (Lucene CheckIndex analog): "
+        "decode every posting list, verify block fences + block-max "
+        "admissibility, doc-store order, df/meta consistency",
+    )
+    ck.add_argument("--index", required=True)
+    ck.add_argument("--master", default=None)
+
     ap = sub.add_parser("append", help="append pages as a new generation (upsert)")
     ap.add_argument("--pages", required=True)
     ap.add_argument("--index", required=True)
@@ -205,6 +214,12 @@ def main(argv: list[str] | None = None) -> int:
 
             meta = compact_index(spark, args.index, args.out)
             print(meta.to_json())
+        elif args.cmd == "checkindex":
+            from uci_searchengine_spark.operators.checkindex import check_index
+
+            rep = check_index(spark, args.index)
+            print(json.dumps(rep))
+            return 0 if rep["ok"] else 1
         elif args.cmd == "merge":
             from uci_searchengine_spark.operators.merge import merge_generations
 
