@@ -106,6 +106,19 @@ class TestHttpApi:
         code, _err = _get_err(base, "/api/terms?k=0")
         assert code == 422
 
+    def test_explain_route(self, spark, index_small, http_server):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        base, _ = http_server
+        env = Searcher(spark, index_small).search("stop0")
+        # take a real hit's doc id via similar route shape: explain top hit
+        code, got = _get(base, "/api/explain?query=stop0&doc_id=0")
+        assert code == 200
+        exp = Searcher(spark, index_small).explain("stop0", 0)
+        assert got == json.loads(json.dumps(exp))
+        code, _err = _get_err(base, "/api/explain?query=stop0")
+        assert code == 422
+
     def test_zero_hits_did_you_mean(self, http_server):
         base, _ = http_server
         code, got = _get(base, "/api/search?query=arbak1")

@@ -83,3 +83,46 @@ def test_searcher_similar_envelope(spark, index_small, oracle_small):
     # unknown doc -> empty envelope
     empty = Searcher(spark, index_small).similar(oracle_small.n_docs + 9)
     assert empty["results"] == [] and empty["terms"] == []
+
+
+def test_searcher_explain(spark, index_small, oracle_small):
+    """Explanation total == oracle score exactly; components match the
+    oracle's postings; non-matching and unknown docs explain as
+    unmatched."""
+    from uci_searchengine_spark.operators.serving import Searcher
+
+    s = Searcher(spark, index_small)
+    q = "stop0 arbak"
+    scores = oracle_small.score(q)
+    doc_id = max(scores, key=lambda d: scores[d])
+    exp = s.explain(q, doc_id)
+    assert exp["matched"] and exp["score"] == scores[doc_id]
+    by_term = {t["term"]: t for t in exp["terms"]}
+    for t in ("stop0", "arbak"):
+        if doc_id in oracle_small.postings.get(t, {}):
+            row = by_term[t]
+            assert row["tf"] == oracle_small.postings[t][doc_id]
+            assert row["df"] == len(oracle_small.postings[t])
+            assert math.isclose(row["idf"], oracle_small.idf(t), rel_tol=1e-15)
+    # ranked score agreement (scorer reassociates the float sum)
+    from uci_searchengine_spark.operators.wand import score_wand
+
+    ranked = {
+        r["doc_id"]: r["score"]
+        for r in score_wand(spark, index_small, q, k=1000).collect()
+    }
+    assert math.isclose(exp["score"], ranked[doc_id], rel_tol=1e-12)
+    # a doc with no query terms (data-derived: any term that is NOT in
+    # every doc)
+    rare = next(
+        t
+        for t, p in oracle_small.postings.items()
+        if 0 < len(p) < oracle_small.n_docs
+    )
+    non = next(
+        d
+        for d in range(oracle_small.n_docs)
+        if d not in oracle_small.postings[rare]
+    )
+    assert s.explain(rare, non)["matched"] is False
+    assert s.explain(q, oracle_small.n_docs + 7)["matched"] is False

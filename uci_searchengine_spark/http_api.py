@@ -123,6 +123,11 @@ class EngineState:
                 "terms": self.searcher.term_stats(prefix, k),
             }
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Score-explanation route (Lucene Explanation analog)."""
+        with self.lock:
+            return self.searcher.explain(query, doc_id)
+
     def similar(self, doc_id: int, k: int) -> dict:
         """More-Like-This route (extension): doc-attached related
         documents + the selected terms."""
@@ -297,6 +302,14 @@ class _Handler(BaseHTTPRequestHandler):
                 if not (1 <= k <= 1000):
                     return self._json({"detail": "invalid parameter"}, 422)
                 return self._json(self.engine.terms(prefix, k))
+            if u.path == "/api/explain":
+                query = qs.get("query", [None])[0]
+                raw = qs.get("doc_id", [None])[0]
+                if query is None or raw is None:
+                    return self._json(
+                        {"detail": "query and doc_id are required"}, 422
+                    )
+                return self._json(self.engine.explain(query, int(raw)))
             if u.path == "/api/similar":
                 raw = qs.get("doc_id", [None])[0]
                 if raw is None:

@@ -278,6 +278,91 @@ class Searcher:
             "results": self._attach(rows, terms),
         }
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Score explanation (Lucene Explanation analog): per-term
+        breakdown of THIS doc's BM25 score for the query — df, idf, tf,
+        doc_len, tf_part, contribution — plus the total, which equals
+        the single-node oracle's score exactly (same float ops in
+        analyzed-term order) and the ranked score within float-sum
+        reassociation (~1e-12; the scorer accumulates upper-bound-first).
+        One co-located doc-store read + the resident/pruned vocab for
+        df — no scoring job."""
+        import math as _math
+
+        from uci_searchengine_spark import BM25_B, BM25_K1
+        from uci_searchengine_spark.operators.bm25 import (
+            analyze_seq,
+            idf as _idf,
+        )
+        from uci_searchengine_spark.operators.mlt import _source_text
+
+        terms = terms_for_index(self.meta, query)
+        out = {
+            "query": query,
+            "doc_id": int(doc_id),
+            "terms": [],
+            "score": 0.0,
+            "matched": False,
+        }
+        if not terms:
+            return out
+        text = _source_text(self.index_dir, self.meta, int(doc_id))
+        if text is None:
+            return out
+        toks = analyze_seq(self.meta, text)
+        doc_len = len(toks)
+        tf_map: dict[str, int] = {}
+        for t in toks:
+            if t in terms:
+                tf_map[t] = tf_map.get(t, 0) + 1
+        dfs = {r["term"]: r["df"] for r in self.term_stats_for(terms)}
+        total = 0.0
+        for t in terms:
+            tf = tf_map.get(t, 0)
+            if tf == 0:
+                continue
+            df = int(dfs.get(t, 0))
+            w = _idf(self.meta.n_docs, df)
+            tf_part = (
+                tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_len / self.meta.avgdl))
+            )
+            contrib = w * tf_part
+            total += contrib
+            out["terms"].append(
+                {
+                    "term": t,
+                    "tf": tf,
+                    "df": df,
+                    "doc_len": doc_len,
+                    "idf": w,
+                    "tf_part": tf_part,
+                    "contribution": contrib,
+                }
+            )
+        out["score"] = total
+        out["matched"] = bool(out["terms"]) and not _math.isnan(total)
+        return out
+
+    def term_stats_for(self, terms: list[str]) -> list[dict]:
+        """(term, df) for an explicit term list — resident frame when it
+        fits, pruned Spark vocab scan otherwise."""
+        if self._vocab_fits_local():
+            v = self._vocab_raw()
+            pdf = v[v["term"].isin(terms)]
+            return [
+                {"term": t, "df": int(d)}
+                for t, d in zip(pdf["term"], pdf["df"])
+            ]
+        from uci_searchengine_spark.operators.suggest import vocab
+
+        rows = (
+            vocab(self.spark, self.index_dir)
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        return [{"term": r["term"], "df": int(r["df"])} for r in rows]
+
     def term_stats(self, prefix: str = "", k: int = 20) -> list[dict]:
         """Terms-enum surface (Lucene TermsEnum / ES _terms_enum):
         top-k (term, df) under an optional prefix, df desc. Job-free on
