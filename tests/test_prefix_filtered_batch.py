@@ -275,6 +275,10 @@ def test_searcher_site_filter(spark, index_small, oracle_small):
         key=lambda kv: (-kv[1], kv[0]),
     )[:10]
     env = s.search(f"{q} site:{host}")
+    assert s.last_plan == "local"  # fits the task-local budget here
+    env_spark = s.search(f"{q} site:{host}", plan="spark")
+    assert s.last_plan == "spark"
+    assert env_spark == env  # plan equality, envelope-for-envelope
     assert env["total_results"] == len(in_host)
     assert [r["url"] for r in env["results"]] == [
         oracle_small.urls[d] for d, _ in want

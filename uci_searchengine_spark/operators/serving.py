@@ -483,6 +483,52 @@ class Searcher:
             )
         return expand_prefix(self.spark, self.index_dir, prefix)
 
+    def _authority_frame(self):
+        """Resident (doc_id, authority) pandas frame off the doc store's
+        two cheapest columns — the task-local site: filter's input.
+        Authority = everything between ``scheme://`` and the next ``/``
+        (port kept — the crawler's own domain rule)."""
+        if getattr(self, "_auth_pdf", None) is None:
+            import os as _os
+
+            import pyarrow.parquet as pq
+
+            from uci_searchengine_spark.operators.index_build import (
+                generation_dirs,
+            )
+
+            parts = []
+            for d in generation_dirs(self.index_dir):
+                root = _os.path.join(d, "docs")
+                if not _os.path.isdir(root):
+                    continue
+                for bd in sorted(_os.listdir(root)):
+                    p = _os.path.join(root, bd)
+                    if not _os.path.isdir(p):
+                        continue
+                    for fn in sorted(_os.listdir(p)):
+                        if fn.endswith(".parquet"):
+                            parts.append(
+                                pq.read_table(
+                                    _os.path.join(p, fn),
+                                    columns=["doc_id", "url"],
+                                )
+                            )
+            import pandas as pd
+            import pyarrow as pa
+
+            pdf = (
+                pa.concat_tables(parts).to_pandas()
+                if parts
+                else pd.DataFrame({"doc_id": [], "url": []})
+            )
+            pdf["authority"] = (
+                pdf["url"].str.extract(r"^[a-zA-Z][\w+.-]*://([^/]+)")[0]
+                .str.lower()
+            )
+            self._auth_pdf = pdf[["doc_id", "authority"]]
+        return self._auth_pdf
+
     def _vocab_raw(self):
         """Resident (term, df) pandas frame — shared input of the
         wildcard expansion and the suggestion VocabIndex."""
@@ -580,19 +626,64 @@ class Searcher:
                 filtered_topk_count,
             )
 
-            allowed = self._docs.filter(
-                F.parse_url(F.col("url"), F.lit("AUTHORITY")).isin(hosts)
-            ).select("doc_id")
-            self.last_plan = "spark"
-            hits, total = filtered_topk_count(
-                self.spark, self.index_dir, rest, allowed,
-                k=page * per_page, mode=mode, terms=terms,
+            import numpy as np
+
+            excl0 = _wand.load_excl(
+                self.index_dir, self.spark, self.meta.bucket_size
             )
             start = (page - 1) * per_page
-            rows = self._attach(
-                [{"doc_id": d, "score": s} for d, s in hits[start : start + per_page]],
-                disp,
-            )
+            if (
+                self._use_local(terms, excl0, plan)
+                and self._docstore_bytes() <= self.local_bytes_limit
+            ):
+                # task-local site: — inclusion == exclusion of the
+                # complement (universe = the resident doc store, which
+                # the local-bytes policy just bounded); the SAME local
+                # envelope closure runs with the combined exclusion set
+                from uci_searchengine_spark.operators.local_search import (
+                    local_topk_count_docs,
+                )
+
+                auth = self._authority_frame()
+                drop = auth["doc_id"][
+                    ~auth["authority"].isin(hosts)
+                ].to_numpy()
+                excl_all = (
+                    np.unique(np.concatenate([excl0, drop]))
+                    if isinstance(excl0, np.ndarray)
+                    else np.unique(drop)
+                )
+                self.last_plan = "local"
+                rows_l, total = local_topk_count_docs(
+                    self.index_dir, self.meta, disp, terms,
+                    k=page * per_page, mode=mode, excl=excl_all,
+                    pf_cache=self._pf_cache,
+                )
+                rows = [
+                    {
+                        "url": r["url"],
+                        "title": r["title"],
+                        "snippet": r["snippet"],
+                        "score": r["score"],
+                    }
+                    for r in rows_l[start : start + per_page]
+                ]
+            else:
+                allowed = self._docs.filter(
+                    F.parse_url(F.col("url"), F.lit("AUTHORITY")).isin(hosts)
+                ).select("doc_id")
+                self.last_plan = "spark"
+                hits, total = filtered_topk_count(
+                    self.spark, self.index_dir, rest, allowed,
+                    k=page * per_page, mode=mode, terms=terms,
+                )
+                rows = self._attach(
+                    [
+                        {"doc_id": d, "score": s}
+                        for d, s in hits[start : start + per_page]
+                    ],
+                    disp,
+                )
             dym = None
             if total == 0:
                 from uci_searchengine_spark.operators.suggest import (
