@@ -38,6 +38,33 @@ print("NAIVE", n)
 print("WAND ", w)
 print("AGREE", n == w)
 
+# probe: round-3 query surfaces on the same index
+from uci_searchengine_spark.operators.serving import Searcher  # noqa: E402
+
+s = Searcher(spark, IDX)
+wc = s.search("arb* stop1", per_page=3)
+print("WILDCARD hits", wc["total_results"])
+host = wc["results"][0]["url"].split("/")[2] if wc["results"] else None
+if host:
+    st = s.search(f"stop0 site:{host}", per_page=3)
+    print(f"SITE({host}) hits", st["total_results"], "plan", s.last_plan)
+sim = s.similar(0, k=3)
+print("SIMILAR(0)", [r["url"] for r in sim["results"]])
+exp = s.explain("stop0 arbak", 0)
+print("EXPLAIN(0)", {"score": round(exp["score"], 6), "terms": len(exp["terms"])})
+print("TERMS", s.term_stats("arb", 3))
+bg = [
+    (r["doc_id"], round(r["score"], 6))
+    for r in __import__(
+        "uci_searchengine_spark.operators.boolean", fromlist=["boolean_search"]
+    ).boolean_search(spark, IDX, "(arbak|arband) +stop0", k=3).collect()
+]
+print("BOOLEAN-GROUP", bg)
+from uci_searchengine_spark.operators.checkindex import check_index  # noqa: E402
+
+rep = check_index(spark, IDX)
+print("CHECKINDEX ok", rep["ok"], rep["stats"])
+
 # probe: resume — rerun build on same dir/snapshot, expect all partitions skipped
 t0 = time.time()
 build_index(spark, pages, IDX, num_shards=4, n_buckets=4,
