@@ -118,3 +118,57 @@ def test_blend_respects_tombstones(spark, dv_index, oracle_small, tmp_path):
     ]
     assert [d for d, _ in got] == [d for d, _ in want]
     assert dead not in [d for d, _ in got]
+
+
+def test_blend_on_appended_index(spark, tmp_path_factory):
+    """Doc-values + blending on a MULTI-GENERATION index with a shared
+    boundary bucket: weight-0 equals the (multi-gen-correct) scorer, and
+    a nonzero blend matches the python recomputation over the scorer's
+    own match set."""
+    from pyspark.sql import functions as F
+
+    from uci_searchengine_spark.operators.index_append import append_index
+    from uci_searchengine_spark.operators.index_build import build_index
+
+    d = str(tmp_path_factory.mktemp("dv_append") / "idx")
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    pages = synth_pages(spark, 300, 1337, partitions=5)
+    urls = sorted(r["url"] for r in pages.select("url").distinct().collect())
+    cut = urls[141]
+    build_index(
+        spark, pages.filter(F.col("url") < cut), d,
+        num_shards=8, n_buckets=4, input_snapshot="dv-gen0",
+    )
+    append_index(
+        spark, pages.filter(F.col("url") >= cut), d, input_snapshot="dv-gen1"
+    )
+    from uci_searchengine_spark.operators.index_build import IndexMeta
+
+    n = IndexMeta.load(d).n_docs
+    vals = spark.range(n).selectExpr(
+        "id AS doc_id", "((id * 37) % 101) / cast(101 AS DOUBLE) AS value"
+    )
+    attach_doc_values(spark, d, vals, "rank")
+    q = "stop0 arbak"
+    plain = [
+        (r["doc_id"], r["score"])
+        for r in score_wand(spark, d, q, k=2000).collect()
+    ]
+    blended0 = [
+        (r["doc_id"], r["score"])
+        for r in blended_topk(spark, d, q, "rank", k=2000, weight=0.0).collect()
+    ]
+    assert blended0 == plain
+    weight = 10.0
+    want = sorted(
+        ((doc, s + weight * _dv(doc)) for doc, s in plain),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in blended_topk(spark, d, q, "rank", k=10, weight=weight).collect()
+    ]
+    assert [x[0] for x in got] == [x[0] for x in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12)
