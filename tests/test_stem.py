@@ -136,3 +136,31 @@ class TestStemmedIndex:
         # verbatim form still matches only its own doc
         got = [r["doc_id"] for r in score_naive(spark, d, "runner", k=10).collect()]
         assert len(got) == 1
+
+
+class TestStemmedRound3Surfaces:
+    def test_wildcard_on_stemmed_index(self, spark, tmp_path, stem_pages):
+        """Wildcards skip analysis: `runn*` matches against the STORED
+        (stemmed) vocabulary — 'running' stems to 'run', so 'runn*'
+        finds nothing while 'run*' expands to the stem."""
+        from uci_searchengine_spark.operators.index_build import build_index
+        from uci_searchengine_spark.operators.prefix import (
+            expand_prefix,
+            prefix_search,
+        )
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        d = str(tmp_path / "stemidx_wc")
+        build_index(
+            spark, stem_pages, d, num_shards=4, n_buckets=2,
+            input_snapshot="stemtest-wc", stem=True,
+        )
+        exp = expand_prefix(spark, d, "run")
+        assert "run" in exp and "running" not in exp  # vocab is stemmed
+        hits = {
+            r["doc_id"] for r in prefix_search(spark, d, "run*", k=10).collect()
+        }
+        assert len(hits) == 2  # both docs holding the stem
+        # the envelope path agrees
+        env = Searcher(spark, d).search("run*")
+        assert env["total_results"] == 2
