@@ -65,20 +65,30 @@ def test_boolean_groups_local_plan_equality(spark, index_small):
 def test_expand_wildcards_rewrite():
     exp = {"arb": ["arbak", "arband"], "zzq": []}
     f = lambda p: exp.get(p, [])
-    assert (
-        expand_wildcards("arb* +stop0", f).split()
-        == ["(arbak|arband)", "+stop0"]
-    )
+    an = lambda s: [w.lower() for w in s.split()]
+    q, gs, ns = expand_wildcards("arb* +stop0", f, an)
+    assert q.split() == ["+stop0"] and gs == [["arbak", "arband"]] and ns == []
     # negated wildcard with no expansion disappears
-    assert expand_wildcards("-zzq* stop0", f).split() == ["stop0"]
+    q, gs, ns = expand_wildcards("-zzq* stop0", f, an)
+    assert q.split() == ["stop0"] and gs == [] and ns == []
+    # negated wildcard WITH expansions -> verbatim NOT terms
+    q, gs, ns = expand_wildcards("-arb* stop0", f, an)
+    assert ns == ["arbak", "arband"] and gs == []
     # required wildcard with no expansion -> unsatisfiable
-    assert expand_wildcards("zzq* stop0", f) is None
-    assert expand_wildcards("+zzq*", f) is None
-    # quoted phrases untouched
-    assert (
-        " ".join(expand_wildcards('"arb* x" arb*', f).split())
-        == '"arb* x" (arbak|arband)'
-    )
+    assert expand_wildcards("zzq* stop0", f, an) is None
+    assert expand_wildcards("+zzq*", f, an) is None
+    # quoted phrases untouched; plain groups left for the parser
+    q, gs, ns = expand_wildcards('"arb* x" (a|b) arb*', f, an)
+    assert " ".join(q.split()) == '"arb* x" (a|b)'
+    assert gs == [["arbak", "arband"]]
+    # wildcard INSIDE a group: expansions merge with analyzed literals
+    q, gs, ns = expand_wildcards("(arb*|ml) +x", f, an)
+    assert gs == [["arbak", "arband", "ml"]] and q.split() == ["+x"]
+    # group whose only member is an unexpandable wildcard -> unsat
+    assert expand_wildcards("(zzq*)", f, an) is None
+    # negated group with a wildcard -> verbatim NOTs
+    q, gs, ns = expand_wildcards("-(arb*|ml) y", f, an)
+    assert ns == ["arbak", "arband", "ml"] and q.split() == ["y"]
 
 
 def test_boolean_wildcard_vs_manual_group(spark, index_small, oracle_small):
@@ -107,3 +117,68 @@ def test_boolean_wildcard_vs_manual_group(spark, index_small, oracle_small):
         f"{pref}* +stop0", k=10, plan="local"
     )
     assert [(r["doc_id"], r["score"]) for r in rows] == got
+
+
+def test_boolean_wildcard_on_stemmed_index(spark, tmp_path):
+    """Regression: wildcard expansions are stored (stemmed) vocab terms
+    and must NOT round-trip the analyzer — Porter is not idempotent
+    ('univers' -> 'univ'), so a textual group rewrite would silently
+    empty the result on a stem=True index."""
+    import datetime
+
+    from uci_searchengine_spark.functions.stem import porter_stem
+    from uci_searchengine_spark.operators.boolean import boolean_search
+    from uci_searchengine_spark.operators.index_build import build_index
+    from uci_searchengine_spark.operators.serving import Searcher
+
+    assert porter_stem("univers") == "univ"  # the non-fixed-point premise
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("https://a.example.com/1", "university data research"),
+        ("https://a.example.com/2", "data tables only"),
+        ("https://a.example.com/3", "universal data coverage"),
+    ]
+    pages = spark.createDataFrame(
+        [
+            (u, ts, f"<html><body>{t}</body></html>".encode())
+            for u, t in rows
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    d = str(tmp_path / "stemidx")
+    build_index(
+        spark, pages, d, num_shards=2, n_buckets=1,
+        input_snapshot="wcstem", stem=True,
+    )
+    got = {
+        r["doc_id"]
+        for r in boolean_search(spark, d, "univers* +data", k=10).collect()
+    }
+    # 'university' and 'universal' both stem to vocab terms starting
+    # with 'univers' ('univers', 'univers...') — both docs must match
+    assert len(got) == 2, got
+    rows2 = Searcher(spark, d).boolean_rows("univers* +data", k=10)
+    assert {r["doc_id"] for r in rows2} == got
+
+
+def test_group_internal_wildcard(spark, index_small, oracle_small):
+    """`(arb*|stop1) +stop0` — the wildcard inside the group expands and
+    merges with the literal member."""
+    from collections import Counter
+
+    vocab = {t: len(p) for t, p in oracle_small.postings.items()}
+    pref = Counter(
+        t[:4] for t in oracle_small.postings if len(t) >= 4
+    ).most_common(1)[0][0]
+    expanded = sorted(
+        (t for t in vocab if t.startswith(pref)), key=lambda t: (-vocab[t], t)
+    )[:50]
+    manual = f"({'|'.join(expanded + ['stop1'])}) +stop0"
+    want = oracle_small.boolean_top_k(manual, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in boolean_search(
+            spark, index_small, f"({pref}*|stop1) +stop0", k=10
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]

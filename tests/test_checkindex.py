@@ -78,3 +78,23 @@ def test_detects_df_mismatch(spark, index_small, tmp_path):
     rep = check_index(spark, idx)
     assert not rep["ok"]
     assert any("df=" in i["problem"] for i in rep["issues"])
+
+
+def test_detects_unsorted_doc_store(spark, index_small, tmp_path):
+    """A doc-store file written out of doc_id order violates the
+    footer-pruned-fetch invariant and must be flagged."""
+    import pyarrow.parquet as pq
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(index_small, idx)
+    files = sorted(
+        glob.glob(os.path.join(idx, "docs", "bucket=*", "*.parquet"))
+    )
+    fp = files[0]
+    t = pq.read_table(fp)
+    perm = list(range(t.num_rows))
+    perm[0], perm[-1] = perm[-1], perm[0]  # break the order
+    pq.write_table(t.take(perm), fp)
+    rep = check_index(spark, idx)
+    assert not rep["ok"]
+    assert any("not doc_id-sorted" in i["problem"] for i in rep["issues"])

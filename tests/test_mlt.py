@@ -126,3 +126,20 @@ def test_searcher_explain(spark, index_small, oracle_small):
     )
     assert s.explain(rare, non)["matched"] is False
     assert s.explain(q, oracle_small.n_docs + 7)["matched"] is False
+
+
+def test_mlt_deleted_source_doc(spark, index_small, tmp_path):
+    """A tombstoned source doc gets no recommendations (documented
+    contract — the doc store still holds the row until compaction)."""
+    import shutil
+
+    from uci_searchengine_spark.operators.serving import Searcher
+    from uci_searchengine_spark.operators.tombstones import delete_docs
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(index_small, idx)
+    assert more_like_this(spark, idx, 42, k=5).count() > 0
+    delete_docs(idx, [42])
+    assert more_like_this(spark, idx, 42, k=5).count() == 0
+    env = Searcher(spark, idx).similar(42, k=5)
+    assert env["results"] == [] and env["terms"] == []

@@ -80,47 +80,86 @@ def _setdiff_sorted(cand: np.ndarray, drop: np.ndarray) -> np.ndarray:
     return cand[drop[p] != cand]
 
 
-_WILDCARD_TOK = __import__("re").compile(r"(?<!\S)([+-]?)(\w+)\*(?!\S)")
+import re as _re2
+
+_WILDCARD_TOK = _re2.compile(r"(?<!\S)([+-]?)(\w+)\*(?!\S)")
+_GROUP_TOK = _re2.compile(r"([+-]?)\(([^)]*)\)")
+_WILD_PIECE = _re2.compile(r"^(\w+)\*$")
+_PHRASE_RE_Q = _re2.compile(r'[+-]?"[^"]*"')
 
 
-def expand_wildcards(query: str, expander) -> "str | None":
-    """Desugar ``stem*`` tokens (outside quoted phrases) into required
-    any-of groups of their vocabulary expansions:
-    ``dat* → (data|database|…)``, ``-dat* → -(…)``; ``+`` is implied —
-    a group is always required. ``expander(prefix) -> list[str]``
-    (operators/prefix.py — Spark vocab scan or the resident frame).
+def expand_wildcards(query: str, expander, analyze) -> (
+    "tuple[str, list[list[str]], list[str]] | None"
+):
+    """Resolve ``stem*`` wildcards (top-level AND inside ``(a|b*)``
+    groups, outside quoted phrases) into VERBATIM term structures that
+    bypass the analyzer — expansions come from the stored vocabulary and
+    must not round-trip a stemmer (Porter is not idempotent:
+    'univers' → 'univ', so a textual ``(univers)`` rewrite would stem
+    into a nonexistent term and silently empty the result).
 
-    Returns the rewritten query, or None when a non-negated wildcard
-    has NO expansion (an unsatisfiable required clause — the caller
-    returns the empty result instead of silently dropping it). A
-    negated wildcard with no expansion just disappears (nothing to
-    exclude)."""
-    import re as _re2
-
+    Returns ``(clean_query, injected_groups, injected_nots)`` where
+    ``clean_query`` has the wildcard clauses removed (the normal parser
+    handles the rest), ``injected_groups`` are required any-of member
+    lists, and ``injected_nots`` are exclusion terms — all already
+    index-vocabulary terms. Literal pieces of a mixed group like
+    ``(dat*|ml)`` ARE analyzed (via ``analyze``, the index's chain).
+    Returns None when a non-negated wildcard clause has no satisfiable
+    expansion (the caller returns the empty result rather than silently
+    dropping the requirement); a negated wildcard with no expansion just
+    disappears (nothing to exclude)."""
+    injected_groups: list[list[str]] = []
+    injected_nots: list[str] = []
     unsat = False
 
-    def _one(m: "_re2.Match") -> str:
+    def handle_group(m: "_re2.Match") -> str:
+        nonlocal unsat
+        sign, body = m.group(1), m.group(2)
+        if "*" not in body:
+            return m.group(0)  # plain group: normal parser handles it
+        members: dict[str, None] = {}
+        for piece in body.split("|"):
+            wm = _WILD_PIECE.match(piece.strip())
+            if wm:
+                for t in expander(wm.group(1).lower()):
+                    members.setdefault(t)
+            else:
+                for t in analyze(piece):
+                    members.setdefault(t)
+        mem = list(members)
+        if sign == "-":
+            injected_nots.extend(mem)
+        elif not mem:
+            unsat = True
+        else:
+            injected_groups.append(mem)
+        return " "
+
+    def handle_tok(m: "_re2.Match") -> str:
         nonlocal unsat
         sign, stem = m.group(1), m.group(2).lower()
         terms = expander(stem)
-        if not terms:
-            if sign != "-":
-                unsat = True
-            return " "
-        return f" {sign if sign == '-' else ''}({'|'.join(terms)}) "
+        if sign == "-":
+            injected_nots.extend(terms)
+        elif not terms:
+            unsat = True
+        else:
+            injected_groups.append(terms)
+        return " "
+
+    def rewrite(segment: str) -> str:
+        return _WILDCARD_TOK.sub(handle_tok, _GROUP_TOK.sub(handle_group, segment))
 
     parts = []
     last = 0
-    # leave quoted phrases untouched
-    for m in _PHRASE_RE_Q.finditer(query):
-        parts.append(_WILDCARD_TOK.sub(_one, query[last : m.start()]))
+    for m in _PHRASE_RE_Q.finditer(query):  # quoted phrases untouched
+        parts.append(rewrite(query[last : m.start()]))
         parts.append(m.group(0))
         last = m.end()
-    parts.append(_WILDCARD_TOK.sub(_one, query[last:]))
-    return None if unsat else "".join(parts)
-
-
-_PHRASE_RE_Q = __import__("re").compile(r'[+-]?"[^"]*"')
+    parts.append(rewrite(query[last:]))
+    if unsat:
+        return None
+    return "".join(parts), injected_groups, injected_nots
 
 
 def boolean_search(
@@ -129,20 +168,26 @@ def boolean_search(
     query: str,
     k: int = 10,
     phrase_method: str = "auto",
+    inject=None,
 ) -> DataFrame:
     """Top-k (doc_id, score) under the boolean syntax. ``stem*``
     wildcards are expanded against the vocabulary first
-    (``expand_wildcards``)."""
-    if "*" in query:
+    (``expand_wildcards`` — verbatim injection, never re-analyzed)."""
+    meta = IndexMeta.load(index_dir)
+    if inject is None and "*" in query:
+        from uci_searchengine_spark.operators.bm25 import analyze_seq
         from uci_searchengine_spark.operators.prefix import expand_prefix
 
-        query = expand_wildcards(
-            query, lambda p: expand_prefix(spark, index_dir, p)
+        res = expand_wildcards(
+            query,
+            lambda p: expand_prefix(spark, index_dir, p),
+            lambda s: analyze_seq(meta, s),
         )
-        if query is None:
+        if res is None:
             return spark.createDataFrame([], _OUT)
-    meta = IndexMeta.load(index_dir)
-    bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method)
+        query, gs, ns = res
+        inject = (gs, ns)
+    bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method, inject)
     empty = spark.createDataFrame([], _OUT)
     if not bq.positive_terms:
         return empty
@@ -156,11 +201,32 @@ def boolean_search(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def boolean_plan(meta: IndexMeta, query: str, phrase_method: str = "auto"):
+def boolean_plan(
+    meta: IndexMeta,
+    query: str,
+    phrase_method: str = "auto",
+    inject=None,
+):
     """Shared prelude of the distributed and task-local boolean plans:
     (parsed query, deduped positive+negative terms, positional-plane
-    decision) — including the validation error."""
+    decision) — including the validation error. ``inject`` =
+    (verbatim_groups, verbatim_nots) from ``expand_wildcards`` — folded
+    in AFTER parsing so expansion terms never round-trip the analyzer."""
     bq: BoolQuery = parse_query(query, lambda s: analyze_seq(meta, s))
+    if inject is not None:
+        gs, ns = inject
+        for g in gs:
+            mem = [t for t in dict.fromkeys(g)]
+            if len(mem) == 1:
+                bq.must_terms.append(mem[0])
+            elif mem:
+                bq.groups.append(mem)
+        if ns:
+            bq.not_terms = list(dict.fromkeys(bq.not_terms + list(ns)))
+            ban = set(bq.not_terms)
+            bq.or_terms = [t for t in bq.or_terms if t not in ban]
+            bq.must_terms = [t for t in bq.must_terms if t not in ban]
+        bq.must_terms = list(dict.fromkeys(bq.must_terms))
     has_pos_plane = bool(getattr(meta, "positions", False))
     use_pos = (
         has_pos_plane if phrase_method == "auto" else phrase_method == "positions"

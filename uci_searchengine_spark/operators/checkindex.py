@@ -190,7 +190,44 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         .collect()
     ]
 
-    issues = seg_issues + doc_issues
+    # per-FILE doc_id order (the DOCS_ROW_GROUP fetch prunes on footer
+    # stats assuming sorted files — a groupBy shuffle can't observe file
+    # order, so files distribute as a task list and each task reads its
+    # file's doc_id column)
+    doc_files: list[str] = []
+    for gdir in generation_dirs(index_dir):
+        root = os.path.join(gdir, "docs")
+        if not os.path.isdir(root):
+            continue
+        for bd in sorted(os.listdir(root)):
+            p = os.path.join(root, bd)
+            if not os.path.isdir(p):
+                continue
+            doc_files.extend(
+                os.path.join(p, fn)
+                for fn in sorted(os.listdir(p))
+                if fn.endswith(".parquet")
+            )
+
+    def _file_order(paths):
+        import pyarrow.parquet as _pq
+
+        for fp in paths:
+            ids = _pq.read_table(fp, columns=["doc_id"])["doc_id"].to_numpy()
+            if ids.size > 1 and not bool((np.diff(ids) > 0).all()):
+                yield (fp, "doc store file not doc_id-sorted")
+
+    order_issues = []
+    if doc_files:
+        order_issues = (
+            spark.sparkContext.parallelize(
+                doc_files, numSlices=min(len(doc_files), 64)
+            )
+            .mapPartitions(lambda it: _file_order(list(it)))
+            .collect()
+        )
+
+    issues = seg_issues + doc_issues + [tuple(x) for x in order_issues]
 
     # global counts: doc store + tombstones vs meta
     n_store = docs.count()

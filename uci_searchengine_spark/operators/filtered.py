@@ -75,19 +75,22 @@ def _bucketed(allowed: DataFrame, bucket_size: int) -> DataFrame:
 
 
 def _prep(spark, index_dir: str, query: str, allowed: DataFrame,
-          terms: "list[str] | None" = None):
+          terms: "list[str] | None" = None, excl="__load__"):
     """Shared prelude: analyze, resolve tombstones (driver array rides
     alongside the inclusion mask; a BucketedExcl relation anti-joins into
     the filter — one cogroup mechanism per bucket either way), pruned
     segment scan. Returns None when the query has no analyzable terms.
     ``terms`` overrides analysis (already-analyzed term lists — e.g.
-    wildcard expansions, which must not round-trip the analyzer)."""
+    wildcard expansions, which must not round-trip the analyzer);
+    ``excl`` passes an already-loaded exclusion set (serving loads it for
+    the plan choice — don't read the tombstone files twice)."""
     meta = IndexMeta.load(index_dir)
     if terms is None:
         terms = terms_for_index(meta, query)
     if not terms:
         return None
-    excl = load_excl(index_dir, spark, meta.bucket_size)
+    if isinstance(excl, str) and excl == "__load__":
+        excl = load_excl(index_dir, spark, meta.bucket_size)
     excl_arr: "np.ndarray | None" = None
     if isinstance(excl, np.ndarray):
         excl_arr = excl
@@ -158,6 +161,7 @@ def filtered_topk_count(
     k: int = 10,
     mode: str = "or",
     terms: "list[str] | None" = None,
+    excl="__load__",
 ) -> "tuple[list[tuple[int, float]], int]":
     """Envelope primitive: filtered global top-k AND the exact
     post-filter match count from ONE Spark job (mirror of
@@ -166,7 +170,7 @@ def filtered_topk_count(
     ``site:`` results page reports as total_results."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    prep = _prep(spark, index_dir, query, allowed, terms=terms)
+    prep = _prep(spark, index_dir, query, allowed, terms=terms, excl=excl)
     if prep is None:
         return [], 0
     meta, terms, excl_arr, allowed, seg = prep

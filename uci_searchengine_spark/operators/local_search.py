@@ -248,17 +248,19 @@ def boolean_topk_local(
     k: int = 10,
     phrase_method: str = "auto",
     excl: "np.ndarray | None" = None,
+    inject=None,
 ) -> list[dict]:
     """In-process twin of ``boolean.boolean_search``: the SAME per-bucket
     closure (``boolean.make_boolean_fn``) over the same pruned files —
     +must/-not/"phrase" semantics, tombstones joining the NOT set, the
-    identical (score desc, doc_id asc) top-k."""
+    identical (score desc, doc_id asc) top-k. ``inject`` = verbatim
+    wildcard expansions from ``boolean.expand_wildcards``."""
     from uci_searchengine_spark.operators.boolean import (
         boolean_plan,
         make_boolean_fn,
     )
 
-    bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method)
+    bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method, inject)
     if not bq.positive_terms:
         return []
     seg = read_pruned_segments_local(

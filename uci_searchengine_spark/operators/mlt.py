@@ -88,21 +88,27 @@ def select_terms(
     max_terms: int = MAX_TERMS,
     min_tf: int = 1,
     min_df: int = 1,
+    df_lookup=None,
 ) -> list[str]:
     """The doc's ``max_terms`` most characteristic terms by tf·idf
     (Lucene MLT selection; idf = the engine's BM25 idf over THIS index's
-    df). Deterministic ties: (score desc, term asc)."""
+    df). Deterministic ties: (score desc, term asc). ``df_lookup(terms)
+    -> [{"term","df"}]`` overrides the Spark vocab scan (the resident
+    Searcher passes its job-free frame lookup)."""
     from collections import Counter
 
     tf = Counter(analyze_seq(meta, text))
     cand = sorted(t for t, c in tf.items() if c >= min_tf)
     if not cand:
         return []
-    rows = (
-        vocab(spark, index_dir)
-        .filter(F.col("term").isin(cand))
-        .collect()
-    )
+    if df_lookup is not None:
+        rows = df_lookup(cand)
+    else:
+        rows = (
+            vocab(spark, index_dir)
+            .filter(F.col("term").isin(cand))
+            .collect()
+        )
     n = meta.n_docs
     scored = [
         (tf[r["term"]] * idf_fn(n, int(r["df"])), r["term"])
@@ -151,6 +157,10 @@ def more_like_this(
     excluded). Empty result if the doc doesn't exist (or is deleted)."""
     meta = IndexMeta.load(index_dir)
     empty = spark.createDataFrame([], "doc_id long, score double")
+    from uci_searchengine_spark.operators.tombstones import is_deleted
+
+    if is_deleted(index_dir, int(doc_id)):
+        return empty  # deleted docs stay in the store until compaction
     text = _source_text(index_dir, meta, int(doc_id))
     if text is None:
         return empty

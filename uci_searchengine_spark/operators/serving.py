@@ -147,11 +147,20 @@ class Searcher:
             boolean_topk_local,
         )
 
+        inject = None
         if "*" in query:
-            query = expand_wildcards(query, self._expand_prefix)
-            if query is None:
+            from uci_searchengine_spark.operators.bm25 import analyze_seq
+
+            res = expand_wildcards(
+                query,
+                self._expand_prefix,
+                lambda s: analyze_seq(self.meta, s),
+            )
+            if res is None:
                 return []
-        bq, all_terms, use_pos = boolean_plan(self.meta, query)
+            query, gs, ns = res
+            inject = (gs, ns)
+        bq, all_terms, use_pos = boolean_plan(self.meta, query, inject=inject)
         if not bq.positive_terms:
             return []
         excl = _wand.load_excl(
@@ -168,10 +177,13 @@ class Searcher:
         if local_ok:
             self.last_plan = "local"
             return boolean_topk_local(
-                self.index_dir, self.meta, query, k, excl=excl
+                self.index_dir, self.meta, query, k, excl=excl,
+                inject=inject,
             )
         self.last_plan = "spark"
-        df = boolean_search(self.spark, self.index_dir, query, k)
+        df = boolean_search(
+            self.spark, self.index_dir, query, k, inject=inject
+        )
         return [r.asDict() for r in df.collect()]
 
     def _docs_for_rows(
@@ -257,12 +269,20 @@ class Searcher:
             mlt_topk_for_terms,
             select_terms,
         )
+        from uci_searchengine_spark.operators.tombstones import is_deleted
 
+        if is_deleted(self.index_dir, int(doc_id)):
+            return {"doc_id": int(doc_id), "terms": [], "results": []}
         text = _source_text(self.index_dir, self.meta, int(doc_id))
         if text is None:
             return {"doc_id": int(doc_id), "terms": [], "results": []}
+        # df lookup is job-free on the resident vocab frame when it fits
+        lookup = (
+            self.term_stats_for if self._vocab_fits_local() else None
+        )
         terms = select_terms(
-            self.spark, self.index_dir, self.meta, text, max_terms
+            self.spark, self.index_dir, self.meta, text, max_terms,
+            df_lookup=lookup,
         )
         if not terms:
             return {"doc_id": int(doc_id), "terms": [], "results": []}
@@ -522,8 +542,10 @@ class Searcher:
                 if parts
                 else pd.DataFrame({"doc_id": [], "url": []})
             )
+            # stop at /, ? or # — 'https://host?q=1' has authority 'host'
+            # (same rule as Spark's parse_url AUTHORITY)
             pdf["authority"] = (
-                pdf["url"].str.extract(r"^[a-zA-Z][\w+.-]*://([^/]+)")[0]
+                pdf["url"].str.extract(r"^[a-zA-Z][\w+.-]*://([^/?#]+)")[0]
                 .str.lower()
             )
             self._auth_pdf = pdf[["doc_id", "authority"]]
@@ -632,9 +654,9 @@ class Searcher:
                 self.index_dir, self.spark, self.meta.bucket_size
             )
             start = (page - 1) * per_page
-            if (
-                self._use_local(terms, excl0, plan)
-                and self._docstore_bytes() <= self.local_bytes_limit
+            if self._use_local(terms, excl0, plan) and (
+                plan == "local"
+                or self._docstore_bytes() <= self.local_bytes_limit
             ):
                 # task-local site: — inclusion == exclusion of the
                 # complement (universe = the resident doc store, which
@@ -669,13 +691,19 @@ class Searcher:
                     for r in rows_l[start : start + per_page]
                 ]
             else:
+                # lowercase BOTH sides (parse_site_filters lowercases the
+                # hosts; an uppercase authority in a stored url must
+                # still match — plan equality with the local path)
                 allowed = self._docs.filter(
-                    F.parse_url(F.col("url"), F.lit("AUTHORITY")).isin(hosts)
+                    F.lower(
+                        F.parse_url(F.col("url"), F.lit("AUTHORITY"))
+                    ).isin(hosts)
                 ).select("doc_id")
                 self.last_plan = "spark"
                 hits, total = filtered_topk_count(
                     self.spark, self.index_dir, rest, allowed,
                     k=page * per_page, mode=mode, terms=terms,
+                    excl=excl0,
                 )
                 rows = self._attach(
                     [

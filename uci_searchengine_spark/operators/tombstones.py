@@ -105,6 +105,29 @@ def load_tombstone_ids(index_dir: str) -> np.ndarray:
     return np.unique(np.concatenate(parts)).astype(np.int64)
 
 
+def is_deleted(index_dir: str, doc_id: int) -> bool:
+    """Membership test for ONE doc id — a filtered single-column read of
+    the tombstone files (row-group stats prune), constant memory at any
+    tombstone count (never materializes the full set)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    d = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(d):
+        return False
+    files = [
+        os.path.join(d, fn)
+        for fn in os.listdir(d)
+        if fn.endswith(".parquet")
+    ]
+    if not files:
+        return False
+    t = ds.dataset(files).to_table(
+        columns=["doc_id"], filter=pc.field("doc_id") == int(doc_id)
+    )
+    return t.num_rows > 0
+
+
 def clear_tombstones(index_dir: str) -> None:
     import shutil
 
