@@ -115,3 +115,63 @@ def test_percolate_streaming_equals_batch(spark, oracle_small, tmp_path):
         for r in percolate(docs, QUERIES).collect()
     }
     assert streamed == batch and batch
+
+
+def test_percolate_http_route(spark, index_small, tmp_path):
+    """GET /api/percolate?text=... matches one doc against the
+    percolator.json registry; 404 without a registry, 422 without text."""
+    import json as _json
+    import shutil
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from uci_searchengine_spark.http_api import make_server
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(index_small, idx)
+    with open(f"{idx}/percolator.json", "w") as f:
+        _json.dump(QUERIES, f)
+    srv = make_server(spark, idx, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        text = "arbak stop1 something arbak stop1"
+        q = urllib.parse.quote(text)
+        with urllib.request.urlopen(f"{base}/api/percolate?text={q}") as r:
+            got = _json.loads(r.read())
+        toks = tokenize_py(text)
+        want = sorted(
+            qid for qid, qq in QUERIES.items() if _matches(toks, qq)
+        )
+        assert got["matches"] == want and "phrase" in want
+        assert got["registered"] == len(QUERIES)
+        # no text -> 422
+        try:
+            urllib.request.urlopen(f"{base}/api/percolate")
+            raise AssertionError("expected 422")
+        except urllib.error.HTTPError as e:
+            assert e.code == 422
+    finally:
+        srv.shutdown()
+
+
+def test_percolate_no_registry_404(spark, index_small):
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from uci_searchengine_spark.http_api import make_server
+
+    srv = make_server(spark, index_small, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        urllib.request.urlopen(f"{base}/api/percolate?text=x")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    finally:
+        srv.shutdown()

@@ -115,6 +115,36 @@ class EngineState:
                 return self.searcher.phrase_envelope(query, k=k)
             return self.searcher.boolean_envelope(query, k=k)
 
+    def percolate(self, text: str) -> dict:
+        """Standing-query alert check for ONE document text: queries are
+        registered in ``<index>/percolator.json`` ({"qid": "query", ...});
+        404-shaped error when no registry file exists. Matching runs the
+        python twin of the batch column predicates
+        (operators/percolate.py — analyzer matched to the index)."""
+        import os as _os
+
+        from uci_searchengine_spark.operators.bm25 import analyze_seq
+        from uci_searchengine_spark.operators.percolate import (
+            compile_queries,
+            percolate_text,
+        )
+
+        p = _os.path.join(self.index_dir, "percolator.json")
+        if not _os.path.exists(p):
+            raise FileNotFoundError("no percolator.json registered")
+        with self.lock:
+            reg = json.loads(open(p).read())
+            compiled = compile_queries(
+                reg, analyze=lambda s: analyze_seq(self.searcher.meta, s)
+            )
+            return {
+                "matches": percolate_text(
+                    compiled, text,
+                    analyze=lambda s: analyze_seq(self.searcher.meta, s),
+                ),
+                "registered": len(reg),
+            }
+
     def terms(self, prefix: str, k: int) -> dict:
         """Terms-enum route (extension): top-k vocabulary terms by df."""
         with self.lock:
@@ -296,6 +326,14 @@ class _Handler(BaseHTTPRequestHandler):
                 if not word:
                     return self._json({"detail": "word is required"}, 422)
                 return self._json(self.engine.suggest(word, _int_param(qs, "k", 5)))
+            if u.path == "/api/percolate":
+                text = qs.get("text", [None])[0]
+                if not text:
+                    return self._json({"detail": "text is required"}, 422)
+                try:
+                    return self._json(self.engine.percolate(text))
+                except FileNotFoundError as e:
+                    return self._json({"detail": str(e)}, 404)
             if u.path == "/api/terms":
                 prefix = qs.get("prefix", [""])[0]
                 k = _int_param(qs, "k", 20)

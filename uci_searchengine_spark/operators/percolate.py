@@ -84,6 +84,37 @@ def compile_queries(queries: "dict[str, str]", analyze=None):
     return {str(qid): parse_query(q, analyze) for qid, q in queries.items()}
 
 
+def match_tokens(bq, toks: list[str]) -> bool:
+    """Single-doc membership test — the python twin of ``_query_pred``
+    (serving-side hook: one incoming doc, e.g. an HTTP alert check; the
+    Spark expression handles the batch/stream direction). Equality with
+    the column form is pinned by the batch tests' oracle."""
+    from uci_searchengine_spark.functions.phrase import count_phrase_py
+
+    ts = set(toks)
+    if not bq.positive_terms:
+        return False
+    if any(t not in ts for t in bq.must_terms):
+        return False
+    if any(not (ts & set(g)) for g in bq.groups):
+        return False
+    if any(count_phrase_py(toks, p) == 0 for p in bq.phrases):
+        return False
+    if bq.or_terms and not (bq.must_terms or bq.groups or bq.phrases):
+        if not (ts & set(bq.or_terms)):
+            return False
+    if ts & set(bq.not_terms):
+        return False
+    return True
+
+
+def percolate_text(compiled: dict, text: str, analyze=None) -> list[str]:
+    """Matching query ids for ONE document text (sorted)."""
+    analyze = analyze or tokenize_py
+    toks = analyze(text)
+    return sorted(qid for qid, bq in compiled.items() if match_tokens(bq, toks))
+
+
 def percolate(
     docs: DataFrame,
     queries: "dict[str, str]",
