@@ -78,6 +78,16 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("metrics", help="print build metrics from manifests")
     m.add_argument("--index", required=True)
 
+    pc = sub.add_parser(
+        "percolate",
+        help="match a pages table against standing queries "
+        "(JSON {qid: query}); prints (query_id, url) matches",
+    )
+    pc.add_argument("--pages", required=True)
+    pc.add_argument("--queries", required=True, help="path to queries JSON")
+    pc.add_argument("--out", default=None, help="optional parquet output dir")
+    pc.add_argument("--master", default=None)
+
     ck = sub.add_parser(
         "checkindex",
         help="structural integrity check (Lucene CheckIndex analog): "
@@ -214,6 +224,25 @@ def main(argv: list[str] | None = None) -> int:
 
             meta = compact_index(spark, args.index, args.out)
             print(meta.to_json())
+        elif args.cmd == "percolate":
+            from uci_searchengine_spark.functions.extract import extract_pages
+            from uci_searchengine_spark.functions.tokenize import tokens_col
+            from uci_searchengine_spark.operators.percolate import percolate
+
+            from pyspark.sql import functions as F
+
+            queries = json.load(open(args.queries))
+            pages = spark.read.parquet(args.pages)
+            docs = extract_pages(pages).select(
+                "url", tokens_col(F.col("extracted_text")).alias("t")
+            )
+            hits = percolate(docs, queries, id_col="url")
+            if args.out:
+                hits.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"out": args.out, "matches": hits.count()}))
+            else:
+                for r in hits.collect():
+                    print(json.dumps({"query_id": r["query_id"], "url": r["url"]}))
         elif args.cmd == "checkindex":
             from uci_searchengine_spark.operators.checkindex import check_index
 
