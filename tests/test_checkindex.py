@@ -98,3 +98,29 @@ def test_detects_unsorted_doc_store(spark, index_small, tmp_path):
     rep = check_index(spark, idx)
     assert not rep["ok"]
     assert any("not doc_id-sorted" in i["problem"] for i in rep["issues"])
+
+
+def test_checkindex_multigen_ok(spark, tmp_path):
+    """Appended (multi-generation) index verifies clean — exercises the
+    per-generation df_global == Σ df loop and gen_avgdl-aware block-max
+    admissibility (stored bounds use each gen's OWN build avgdl)."""
+    from pyspark.sql import functions as F
+
+    from uci_searchengine_spark.operators.index_append import append_index
+    from uci_searchengine_spark.operators.index_build import build_index
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    d = str(tmp_path / "idx")
+    pages = synth_pages(spark, 200, 1337, partitions=4)
+    urls = sorted(r["url"] for r in pages.select("url").distinct().collect())
+    cut = urls[101]
+    build_index(
+        spark, pages.filter(F.col("url") < cut), d,
+        num_shards=4, n_buckets=2, input_snapshot="ck-gen0",
+    )
+    append_index(
+        spark, pages.filter(F.col("url") >= cut), d, input_snapshot="ck-gen1"
+    )
+    rep = check_index(spark, d)
+    assert rep["ok"], rep["issues"][:5]
+    assert rep["stats"]["generations"] == 2
