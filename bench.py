@@ -639,6 +639,23 @@ def main() -> None:
         k=10,
     ).collect()
     out["queries"]["batch_eval_4q"] = round(time.perf_counter() - t0, 3)
+    # term-overlapping 32-query eval sweep, both decode strategies (the
+    # shared-decode trade is measured, not guessed — BENCH/BASELINE.md)
+    import itertools as _it
+
+    _terms = ["stop0", "stop1", "stop2", "arbak", "arband", "arbast"]
+    _qs = {
+        f"q{i}": " ".join(c)
+        for i, c in enumerate(_it.combinations(_terms, 3))
+    }
+    t0 = time.perf_counter()
+    batch_topk(spark, INDEX_DIR, _qs, k=10).collect()
+    out["queries"]["batch_eval_20q"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    batch_topk(spark, INDEX_DIR, _qs, k=10, decode="shared").collect()
+    out["queries"]["batch_eval_20q_shared"] = round(
+        time.perf_counter() - t0, 3
+    )
 
     # 3) headline relational / training-data queries over the sf dir
     for name in HEADLINE:

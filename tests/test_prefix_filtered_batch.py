@@ -324,3 +324,30 @@ def test_searcher_site_plus_wildcard(spark, index_small, oracle_small):
     assert [r["url"] for r in env["results"]] == [
         oracle_small.urls[d] for d, _ in want
     ]
+
+
+def test_batch_topk_shared_decode_equality(spark, index_small):
+    """decode='shared' (one decode per bucket, exhaustive scoring in the
+    same upper-bound float order) == the pruned per-query path, doc for
+    doc and score for score."""
+    queries = {
+        "q1": "stop0 arbak",
+        "q2": "arband arbast stop0",
+        "q3": "stop1 arbak arband",
+    }
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in batch_topk(spark, index_small, queries, k=10).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in batch_topk(
+            spark, index_small, queries, k=10, decode="shared"
+        ).collect()
+    )
+    assert a == b  # bit-equal by shared accumulation order
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shared"):
+        batch_topk(spark, index_small, queries, mode="and", decode="shared")

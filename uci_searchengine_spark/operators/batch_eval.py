@@ -15,9 +15,12 @@ scoring. Here the whole batch becomes one plan:
 3. per scoring bucket, the pandas fn scores EVERY query against the
    bucket's rows — per-query block-max pruning over the shared in-memory
    Arrow batch (the scan and the groupBy(bucket) shuffle are paid once
-   for the whole batch; a cross-query decoded-postings memo inside the
-   fn would additionally dedupe per-term varint decodes and is the next
-   step, not needed at evaluation sizes);
+   for the whole batch). ``decode="shared"`` additionally dedupes the
+   per-term varint decodes: one decode per row per bucket, exhaustive
+   scoring in the same float order (bit-equal results) — measured 2×
+   warm / 5.8× cold faster on a term-overlapping 32-query sweep
+   (BENCH/BASELINE.md); the per-query default keeps block skipping,
+   which wins on disjoint single-rare-term batches;
 4. one global per-query top-k window over ≤ n_queries·n_buckets·k rows.
 
 Scaling: cost grows with the union term set's postings, not with the
@@ -58,19 +61,77 @@ _BATCH_SCHEMA = T.StructType(
 )
 
 
+def _score_shared(
+    decoded: "list[tuple[float, np.ndarray, np.ndarray, np.ndarray]]",
+    avgdl: float,
+    base: int,
+    bucket_size: int,
+    k: int,
+    excl: "np.ndarray | None",
+) -> pd.DataFrame:
+    """Exhaustive OR scoring from PRE-DECODED postings (the shared-decode
+    batch path): rows already (idf, d, tf, dl) and sorted by upper bound
+    desc — the same float-accumulation order as wand._score_bucket, so
+    scores are bit-equal to the pruned path for every returned doc."""
+    from uci_searchengine_spark import BM25_B, BM25_K1
+
+    acc = np.zeros(bucket_size, dtype=np.float64)
+    for w, d, tf, dl in decoded:
+        if excl is not None and excl.size and d.size:
+            p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
+            m = excl[p] != d
+            d, tf, dl = d[m], tf[m], dl[m]
+        if not d.size:
+            continue
+        tf_f = tf.astype(np.float64)
+        contrib = w * (
+            tf_f
+            * (BM25_K1 + 1.0)
+            / (tf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl))
+        )
+        np.add.at(acc, d - base, contrib)
+    nz = np.flatnonzero(acc > 0)
+    if not nz.size:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+        )
+    scores = acc[nz]
+    if nz.size > k:
+        kth = np.partition(scores, nz.size - k)[nz.size - k]
+        keep = scores >= kth
+        nz, scores = nz[keep], scores[keep]
+    order = np.lexsort((nz, -scores))[:k]
+    return pd.DataFrame(
+        {"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]}
+    )
+
+
 def batch_topk(
     spark: SparkSession,
     index_dir: str,
     queries: "dict[str, str] | list[tuple[str, str]]",
     k: int = 10,
     mode: str = "or",
+    decode: str = "per-query",
 ) -> DataFrame:
     """(query_id, doc_id, score): BM25 top-k per query, every query's
     ranking identical to the single-query scorer's (pytest-pinned).
 
-    ``queries``: {query_id: query text} (or (id, text) pairs)."""
+    ``queries``: {query_id: query text} (or (id, text) pairs).
+
+    ``decode``: "per-query" (default — each query runs the block-max
+    pruned scorer; terms shared by queries decode once per query) or
+    "shared" (OR mode only: every pruned row decodes ONCE per bucket and
+    all queries score exhaustively from the shared arrays — wins when
+    the batch's queries overlap heavily on terms, loses the per-query
+    block skipping; equality is pytest-pinned, the trade is measured in
+    BENCH/BASELINE.md)."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if decode not in ("per-query", "shared"):
+        raise ValueError(f"decode must be per-query|shared, got {decode!r}")
+    if decode == "shared" and mode != "or":
+        raise ValueError("decode='shared' supports mode='or' only")
     pairs = list(queries.items()) if isinstance(queries, dict) else list(queries)
     meta = IndexMeta.load(index_dir)
     q_terms = {
@@ -93,6 +154,44 @@ def batch_topk(
                     t: idf_fn(n_docs, int(d))
                     for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
                 }
+                if decode == "shared":
+                    from uci_searchengine_spark.operators.codec import (
+                        unpack_postings,
+                    )
+
+                    base = int(seg_pdf["bucket"].iloc[0]) * bucket_size
+                    by_term: dict[str, list] = {}
+                    for r in seg_pdf.itertuples(index=False):
+                        w = idf_all[r.term]
+                        d, tf, dl = unpack_postings(bytes(r.postings))
+                        # same upper-bound sort key as the pruned scorer
+                        from uci_searchengine_spark import BM25_K1
+
+                        bm = np.asarray(r.block_max, dtype=np.float64)
+                        ub = w * (BM25_K1 + 1.0) * (bm.max() if bm.size else 0.0)
+                        by_term.setdefault(r.term, []).append((ub, w, d, tf, dl))
+                    for qid, ts in q_terms.items():
+                        rows = [x for t in ts for x in by_term.get(t, [])]
+                        if not rows:
+                            continue
+                        rows.sort(key=lambda x: -x[0])
+                        pdf = _score_shared(
+                            [(w, d, tf, dl) for _, w, d, tf, dl in rows],
+                            avgdl, base, bucket_size, k, excl_local,
+                        )
+                        if len(pdf):
+                            pdf = pdf.copy()
+                            pdf.insert(0, "query_id", qid)
+                            out.append(pdf)
+                    if not out:
+                        return pd.DataFrame(
+                            {
+                                "query_id": pd.Series([], dtype="object"),
+                                "doc_id": pd.Series([], dtype="int64"),
+                                "score": pd.Series([], dtype="float64"),
+                            }
+                        )
+                    return pd.concat(out, ignore_index=True)
                 for qid, ts in q_terms.items():
                     mine = [t for t in ts if t in terms_here]
                     if not mine:
