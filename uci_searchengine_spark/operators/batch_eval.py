@@ -160,15 +160,27 @@ def batch_topk(
                     )
 
                     base = int(seg_pdf["bucket"].iloc[0]) * bucket_size
+                    has_gen = "gen_avgdl" in seg_pdf.columns
                     by_term: dict[str, list] = {}
                     for r in seg_pdf.itertuples(index=False):
                         w = idf_all[r.term]
                         d, tf, dl = unpack_postings(bytes(r.postings))
                         # same upper-bound sort key as the pruned scorer
+                        # (incl. the multi-generation avgdl inflation, so
+                        # the accumulation ORDER — and therefore the
+                        # float sum — matches bit for bit)
                         from uci_searchengine_spark import BM25_K1
 
                         bm = np.asarray(r.block_max, dtype=np.float64)
-                        ub = w * (BM25_K1 + 1.0) * (bm.max() if bm.size else 0.0)
+                        infl = (
+                            max(1.0, avgdl / float(r.gen_avgdl))
+                            if has_gen
+                            else 1.0
+                        )
+                        ub = (
+                            w * (BM25_K1 + 1.0)
+                            * (bm.max() if bm.size else 0.0) * infl
+                        )
                         by_term.setdefault(r.term, []).append((ub, w, d, tf, dl))
                     for qid, ts in q_terms.items():
                         rows = [x for t in ts for x in by_term.get(t, [])]
