@@ -119,6 +119,17 @@ class TestHttpApi:
         code, _err = _get_err(base, "/api/explain?query=stop0")
         assert code == 422
 
+    def test_advanced_wildcard_boolean_over_http(self, spark, index_small, http_server):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        base, _ = http_server
+        q = urllib.parse.quote("arb* +stop0")
+        code, got = _get(base, f"/api/advanced?query={q}&mode=boolean&k=5")
+        assert code == 200
+        exp = Searcher(spark, index_small).boolean_envelope("arb* +stop0", k=5)
+        assert got == json.loads(json.dumps(exp))
+        assert len(got["results"]) == 5
+
     def test_zero_hits_did_you_mean(self, http_server):
         base, _ = http_server
         code, got = _get(base, "/api/search?query=arbak1")
