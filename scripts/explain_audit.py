@@ -279,6 +279,27 @@ def main() -> None:
         )
     )
 
+    # sorted terms-dictionary plane: the prefix predicate must reach the
+    # parquet reader (StringStartsWith pushed -> row-group pruning on
+    # the sorted term column)
+    from uci_searchengine_spark.operators.prefix import (
+        vocab_relation,
+        write_vocab_plane,
+    )
+
+    write_vocab_plane(spark, IDX)
+    vp = vocab_relation(spark, IDX).filter(F.col("term").startswith("arb"))
+    plan = vp._sc._jvm.PythonSQLUtils.explainString(
+        vp._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "vocab plane: StringStartsWith pushed to parquet",
+            "StringStartsWith(term,arb)" in plan,
+            plan,
+        )
+    )
+
     # batch eval: ONE pruned scan for the whole query batch (scan count)
     from uci_searchengine_spark.operators.batch_eval import batch_topk
 

@@ -351,3 +351,60 @@ def test_batch_topk_shared_decode_equality(spark, index_small):
 
     with _pytest.raises(ValueError, match="shared"):
         batch_topk(spark, index_small, queries, mode="and", decode="shared")
+
+
+def test_vocab_plane_expansion(spark, index_small, oracle_small, tmp_path):
+    """The sorted terms-dictionary plane serves expansions identically
+    to the live vocab aggregate; an append invalidates it (stale tag ->
+    fallback) until rewritten."""
+    import shutil
+
+    from uci_searchengine_spark.operators.prefix import (
+        _vocab_plane_fresh,
+        vocab_relation,
+        write_vocab_plane,
+    )
+    from uci_searchengine_spark.operators.index_build import IndexMeta
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(index_small, idx)
+    pref = _pick_prefix(oracle_small)
+    live = expand_prefix(spark, idx, pref, max_expansions=30)
+    write_vocab_plane(spark, idx)
+    assert _vocab_plane_fresh(idx, IndexMeta.load(idx))
+    assert expand_prefix(spark, idx, pref, max_expansions=30) == live
+    # the plane relation is the parquet plane (has exactly 2 columns and
+    # a pushed StringStartsWith — plan shape asserted in explain_audit)
+    rel = vocab_relation(spark, idx)
+    assert set(rel.columns) == {"term", "df"}
+
+    # staleness: append a generation -> tag mismatch -> fallback to the
+    # live (multi-gen) vocab, expansions reflect the new docs
+    from uci_searchengine_spark.operators.index_append import append_index
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    extra = synth_pages(spark, 340, 1337, partitions=3).orderBy("url").limit(20)
+    # synth overlap: filter to urls NOT already indexed
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    have = {r["url"] for r in load_docs(spark, idx).select("url").collect()}
+    extra = extra.filter(~extra["url"].isin(list(have))).limit(10)
+    if extra.count() == 0:
+        import pytest as _p
+
+        _p.skip("no fresh urls to append")
+    append_index(spark, extra, idx, input_snapshot="vp-append")
+    meta2 = IndexMeta.load(idx)
+    assert not _vocab_plane_fresh(idx, meta2)
+    live2 = set(
+        r["term"]
+        for r in __import__(
+            "uci_searchengine_spark.operators.suggest", fromlist=["vocab"]
+        ).vocab(spark, idx).filter(f"term like '{pref}%'").collect()
+    )
+    got2 = set(expand_prefix(spark, idx, pref, max_expansions=10**6))
+    assert got2 == live2
+    # rewrite -> fresh again, identical expansions
+    write_vocab_plane(spark, idx)
+    assert _vocab_plane_fresh(idx, meta2)
+    assert set(expand_prefix(spark, idx, pref, max_expansions=10**6)) == live2

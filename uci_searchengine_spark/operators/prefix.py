@@ -12,11 +12,16 @@ relation ``(term, df)`` — the vocabulary of even a web corpus is orders
 of magnitude smaller than its postings, and only two tiny columns are
 read (the postings/positions planes are never touched). Hash term-
 sharding means a prefix cannot partition-prune the way an exact term
-probe does (SURVEY §2.2 S8); a range-sharded term dictionary would buy
-that and is noted as the next step, not needed for correctness. The
-expansion result is bounded (``max_expansions`` rows) before it ever
-reaches the driver, and scoring reuses the block-max machinery with the
-expanded term set — same pruned scan, same per-bucket skipping.
+probe does (SURVEY §2.2 S8) — so the range-sharded dictionary IS
+implemented as an optional plane: ``write_vocab_plane`` materializes
+the term-SORTED (term, df) dictionary, expansion scans push
+``StringStartsWith`` into the parquet reader, and row groups prune on
+tight term min/max stats (plan-audited). The plane is tagged with
+(gens, n_docs); appends invalidate it and readers fall back to the live
+vocab aggregate until it is rewritten. The expansion result is bounded
+(``max_expansions`` rows) before it ever reaches the driver, and
+scoring reuses the block-max machinery with the expanded term set —
+same pruned scan, same per-bucket skipping.
 
 Reference: no wildcard support exists in UCI-SearchEngine (the query
 tokenizer strips ``*`` — backend/app/api/tokenizer.py:5-9); breadth
@@ -25,6 +30,7 @@ extension with Lucene semantics.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +47,63 @@ from uci_searchengine_spark.operators.wand import (
 
 MAX_EXPANSIONS = 50
 _WILDCARD = re.compile(r"^(\w+)\*$", re.UNICODE)
+
+
+# ------------------------------------------------ sorted terms dictionary
+def write_vocab_plane(spark: SparkSession, index_dir: str) -> str:
+    """Materialize the TERM-SORTED dictionary plane
+    ``<index_dir>/vocabplane/`` — (term, df) ordered by term, so a
+    prefix scan prunes parquet ROW GROUPS via the pushed
+    ``StringStartsWith`` filter against tight term min/max stats (the
+    range-sharded-dictionary refinement: hash sharding serves exact
+    probes, this plane serves prefix ranges). Tagged with the index's
+    (gens, n_docs) — a later append/merge invalidates it and readers
+    fall back to the live vocab relation until it is rewritten.
+    Derived data: rewriting is one tiny job, postings never touched."""
+    import json as _json
+
+    meta = IndexMeta.load(index_dir)
+    out = os.path.join(index_dir, "vocabplane")
+    (
+        vocab(spark, index_dir)
+        .orderBy("term")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    tag = {"gens": int(getattr(meta, "gens", 1)), "n_docs": int(meta.n_docs)}
+    tmp = os.path.join(out, "_uss_tag.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(tag, f)
+    os.replace(tmp, os.path.join(out, "_uss_tag.json"))
+    return out
+
+
+def _vocab_plane_fresh(index_dir: str, meta: IndexMeta) -> bool:
+    import json as _json
+
+    p = os.path.join(index_dir, "vocabplane", "_uss_tag.json")
+    if not os.path.exists(p):
+        return False
+    try:
+        tag = _json.load(open(p))
+    except Exception:  # noqa: BLE001 — unreadable tag = stale
+        return False
+    return tag.get("gens") == int(getattr(meta, "gens", 1)) and tag.get(
+        "n_docs"
+    ) == int(meta.n_docs)
+
+
+def vocab_relation(
+    spark: SparkSession, index_dir: str, meta: "IndexMeta | None" = None
+) -> DataFrame:
+    """(term, df) for expansion scans: the sorted dictionary plane when
+    present AND fresh (prefix filters prune row groups), else the live
+    per-segment aggregate."""
+    meta = meta or IndexMeta.load(index_dir)
+    if _vocab_plane_fresh(index_dir, meta):
+        return spark.read.parquet(os.path.join(index_dir, "vocabplane"))
+    return vocab(spark, index_dir)
 
 
 def parse_wildcards(query: str) -> tuple[list[str], list[str]]:
@@ -75,7 +138,7 @@ def expand_prefix(
     applied IN-PLAN (orderBy/limit → TakeOrderedAndProject) so at most
     ``max_expansions`` rows reach the driver."""
     rows = (
-        vocab(spark, index_dir)
+        vocab_relation(spark, index_dir)
         .filter(F.col("term").startswith(prefix))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(max_expansions)
