@@ -383,3 +383,48 @@ class TestDocstoreGuard:
         # boolean WITH a phrase: guard applies
         s.boolean_rows('+arbak "arbak stop1"')
         assert s.last_plan == "spark"
+
+
+class TestQueryCache:
+    def test_cache_hit_and_tombstone_invalidation(self, spark, index_small, tmp_path):
+        """Identical requests hit the envelope cache; a tombstone write
+        flushes it and the next envelope reflects the delete."""
+        import shutil
+
+        from uci_searchengine_spark.operators.serving import Searcher
+        from uci_searchengine_spark.operators.tombstones import delete_docs
+
+        idx = str(tmp_path / "idx")
+        shutil.copytree(index_small, idx)
+        s = Searcher(spark, idx)
+        e1 = s.search("stop0 arbak")
+        assert s.cache_hits == 0
+        e2 = s.search("stop0 arbak")
+        assert s.cache_hits == 1 and e2 == e1
+        # different page -> different key, no false hit
+        s.search("stop0 arbak", page=2)
+        assert s.cache_hits == 1
+        # delete the top hit -> cache flushed, fresh envelope differs
+        import re
+
+        top_url = e1["results"][0]["url"]
+        from uci_searchengine_spark.operators.index_build import load_docs
+
+        top_id = (
+            load_docs(spark, idx)
+            .filter(f"url = '{top_url}'")
+            .collect()[0]["doc_id"]
+        )
+        delete_docs(idx, [top_id])
+        e3 = s.search("stop0 arbak")
+        assert s.cache_hits == 1  # miss (flushed)
+        assert e3["results"][0]["url"] != top_url
+        assert e3["total_results"] == e1["total_results"] - 1
+
+    def test_cache_disabled(self, spark, index_small):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small, query_cache=0)
+        s.search("stop0")
+        s.search("stop0")
+        assert s.cache_hits == 0

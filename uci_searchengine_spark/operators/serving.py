@@ -49,12 +49,22 @@ class Searcher:
         spark: SparkSession,
         index_dir: str,
         local_bytes_limit: int = 64 << 20,
+        query_cache: int = 256,
     ):
         self.spark = spark
         self.index_dir = index_dir
         self.meta = IndexMeta.load(index_dir)
         self.local_bytes_limit = local_bytes_limit
         self.last_plan: str | None = None  # "local" | "spark" (search())
+        # LRU envelope cache (Lucene/ES query-cache analog), invalidated
+        # by the index-state token (tombstone writes; a new generation
+        # reloads the Searcher anyway). 0 disables.
+        from collections import OrderedDict
+
+        self._qcache_max = int(query_cache)
+        self._qcache: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._qcache_token = None
+        self.cache_hits = 0
         # local path's doc-store footer memo (path,size,mtime)-keyed
         self._pf_cache: dict = {}
         self._docs_bytes: int | None = None  # doc-store size, lazy
@@ -571,7 +581,55 @@ class Searcher:
             self._vocab_pdf = VocabIndex(self._vocab_raw())
         return self._vocab_pdf
 
+    def _index_state_token(self):
+        """Cheap token capturing everything that can change a cached
+        envelope while THIS Searcher is alive: the tombstone files (a
+        delete is the only in-place mutation; appends/merges reload the
+        Searcher via the registry swap)."""
+        d = os.path.join(self.index_dir, "tombstones")
+        if not os.path.isdir(d):
+            return ()
+        return tuple(
+            sorted(
+                (fn, os.path.getsize(os.path.join(d, fn)))
+                for fn in os.listdir(d)
+                if fn.endswith(".parquet")
+            )
+        )
+
     def search(
+        self,
+        query: str,
+        page: int = 1,
+        per_page: int = 10,
+        mode: str = "or",
+        plan: str = "auto",
+    ) -> dict:
+        """Cached wrapper over ``_search_impl`` (Lucene/ES query-cache
+        analog): identical (query, page, per_page, mode, plan) requests
+        return the stored envelope with zero work while the index state
+        token is unchanged; a tombstone write flushes the cache, and an
+        append/merge swaps in a fresh Searcher via the registry. LRU,
+        ``query_cache`` entries (0 disables)."""
+        if not self._qcache_max:
+            return self._search_impl(query, page, per_page, mode, plan)
+        tok = self._index_state_token()
+        if tok != self._qcache_token:
+            self._qcache.clear()
+            self._qcache_token = tok
+        key = (query, page, per_page, mode, plan)
+        hit = self._qcache.get(key)
+        if hit is not None:
+            self.cache_hits += 1
+            self._qcache.move_to_end(key)
+            return hit
+        env = self._search_impl(query, page, per_page, mode, plan)
+        self._qcache[key] = env
+        if len(self._qcache) > self._qcache_max:
+            self._qcache.popitem(last=False)
+        return env
+
+    def _search_impl(
         self,
         query: str,
         page: int = 1,
