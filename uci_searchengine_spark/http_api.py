@@ -23,6 +23,14 @@ point their frontend here unchanged:
   boolean (+must/-not/"phrase") and exact-phrase query surface with
   doc-attached results (extension; ``Searcher.boolean_envelope`` /
   ``phrase_envelope``, plan-chosen local/distributed like search).
+* ``GET /api/similar?doc_id=N&k=K`` — More-Like-This envelope
+  (related documents + the tf·idf selection terms; extension).
+* ``GET /api/explain?query=...&doc_id=N`` — per-term score breakdown
+  (Lucene Explanation analog; extension).
+* ``GET /api/terms?prefix=...&k=K`` — terms enum: top-k (term, df)
+  under an optional prefix (extension).
+* ``GET /api/percolate?text=...`` — standing-query alert check against
+  ``<index>/percolator.json`` (404 without a registry; extension).
 * ``GET /api/databases`` / ``POST /api/databases/switch`` /
   ``DELETE /api/databases/<name>`` — multi-index version management
   (routes.py:62-115 shapes, secret-key gated; the SQLite files become
