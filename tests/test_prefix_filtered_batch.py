@@ -408,3 +408,36 @@ def test_vocab_plane_expansion(spark, index_small, oracle_small, tmp_path):
     write_vocab_plane(spark, idx)
     assert _vocab_plane_fresh(idx, meta2)
     assert set(expand_prefix(spark, idx, pref, max_expansions=10**6)) == live2
+
+
+def test_vocab_plane_refreshed_by_ingest(spark, tmp_path):
+    """ingest_round rewrites an existing dictionary plane after the
+    append, so prefix pruning survives the ingest loop."""
+    from pyspark.sql import functions as F
+
+    from uci_searchengine_spark.operators.index_build import IndexMeta
+    from uci_searchengine_spark.operators.lifecycle import ingest_round
+    from uci_searchengine_spark.operators.prefix import (
+        _vocab_plane_fresh,
+        write_vocab_plane,
+    )
+    from uci_searchengine_spark.registry import IndexRegistry
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    reg = IndexRegistry(str(tmp_path / "reg"))
+    pages = synth_pages(spark, 120, 1337, partitions=3)
+    urls = sorted(r["url"] for r in pages.select("url").distinct().collect())
+    cut = urls[80]
+    ingest_round(
+        spark, pages.filter(F.col("url") < cut), reg,
+        num_shards=4, n_buckets=2, input_snapshot="vp-r0",
+    )
+    d = reg.path(reg.current())
+    write_vocab_plane(spark, d)
+    ingest_round(
+        spark, pages.filter(F.col("url") >= cut), reg,
+        num_shards=4, n_buckets=2, input_snapshot="vp-r1", max_gens=99,
+    )
+    d2 = reg.path(reg.current())
+    assert d2 == d  # no merge at max_gens=99 — same version, now gen-2
+    assert _vocab_plane_fresh(d2, IndexMeta.load(d2))

@@ -65,6 +65,13 @@ def ingest_round(
         return base_name
     cur_dir = registry.path(cur)
     append_index(spark, delta_pages, cur_dir, input_snapshot=input_snapshot)
+    if os.path.isdir(os.path.join(cur_dir, "vocabplane")):
+        # the sorted terms-dictionary plane is derived data keyed to
+        # (gens, n_docs) — an append stales it; rewrite so prefix scans
+        # keep their row-group pruning through the ingest loop
+        from uci_searchengine_spark.operators.prefix import write_vocab_plane
+
+        write_vocab_plane(spark, cur_dir)
     if should_merge(cur_dir, max_gens, max_tombstone_frac):
         gens = int(getattr(IndexMeta.load(cur_dir), "gens", 1))
         merged = f"{cur.split('-m')[0]}-m{gens}"
