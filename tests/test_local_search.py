@@ -428,3 +428,14 @@ class TestQueryCache:
         s.search("stop0")
         s.search("stop0")
         assert s.cache_hits == 0
+
+    def test_cache_returns_defensive_copies(self, spark, index_small):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small)
+        e1 = s.search("stop0 arbak")
+        e1["results"].clear()  # caller mutates their copy
+        e1["total_results"] = -1
+        e2 = s.search("stop0 arbak")
+        assert s.cache_hits == 1
+        assert e2["total_results"] > 0 and e2["results"]

@@ -617,14 +617,16 @@ class Searcher:
         if tok != self._qcache_token:
             self._qcache.clear()
             self._qcache_token = tok
+        import copy as _copy
+
         key = (query, page, per_page, mode, plan)
         hit = self._qcache.get(key)
         if hit is not None:
             self.cache_hits += 1
             self._qcache.move_to_end(key)
-            return hit
+            return _copy.deepcopy(hit)  # callers may mutate their copy
         env = self._search_impl(query, page, per_page, mode, plan)
-        self._qcache[key] = env
+        self._qcache[key] = _copy.deepcopy(env)
         if len(self._qcache) > self._qcache_max:
             self._qcache.popitem(last=False)
         return env
