@@ -130,6 +130,13 @@ class TestHttpApi:
         assert got == json.loads(json.dumps(exp))
         assert len(got["results"]) == 5
 
+    def test_health_observability(self, http_server):
+        base, _ = http_server
+        code, got = _get(base, "/api/health")
+        assert code == 200 and got["ok"] is True
+        assert got["n_docs"] > 0 and got["generations"] >= 1
+        assert "query_cache_hits" in got
+
     def test_zero_hits_did_you_mean(self, http_server):
         base, _ = http_server
         code, got = _get(base, "/api/search?query=arbak1")

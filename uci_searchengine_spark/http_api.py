@@ -375,7 +375,17 @@ class _Handler(BaseHTTPRequestHandler):
             if u.path == "/api/databases" and self.engine.registry is not None:
                 return self._json(self.engine.databases())
             if u.path == "/api/health":
-                return self._json({"ok": True})
+                s = self.engine.searcher
+                return self._json(
+                    {
+                        "ok": True,
+                        "index": self.engine.index_dir,
+                        "n_docs": int(s.meta.n_docs),
+                        "generations": int(getattr(s.meta, "gens", 1)),
+                        "query_cache_hits": int(s.cache_hits),
+                        "last_plan": s.last_plan,
+                    }
+                )
             return self._json({"detail": "Not Found"}, 404)
         except ValueError:
             return self._json({"detail": "invalid parameter"}, 422)
