@@ -667,7 +667,46 @@ def main() -> None:
         out["queries"][name] = round(dt, 3)
 
     out["value"] = round(sum(out["queries"].values()), 3)
-    print(json.dumps(out))
+
+    # The driver captures only the TAIL of stdout and parses the last
+    # JSON line; BENCH_r03's line embedded the whole scaling protocol
+    # (multi-KB) and overflowed that window -> parsed:null, no per-query
+    # record for the round. So: full detail goes to a FILE, and the
+    # final stdout line is a compact headline (queries dict + scalar
+    # summaries only).
+    detail_path = os.path.join(REPO, "BENCH", "bench_detail_latest.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1)
+
+    compact = {
+        k: v
+        for k, v in out.items()
+        if k != "scaling" and not k.startswith("build_runs")
+    }
+    sc = out.get("scaling")
+    if sc:
+        compact["scaling"] = {
+            "n_docs": sc["n_docs"],
+            "docs_per_sec_local2": sc["docs_per_sec_local2"],
+            "docs_per_sec_local8": sc["docs_per_sec_local8"],
+            "docs_per_sec_local32": sc["docs_per_sec_local32"],
+            "n_to_4n": {
+                "pair": sc["n_to_4n"]["pair"],
+                "efficiency": sc["n_to_4n"]["efficiency"],
+                "target": 0.8,
+                "met": sc["n_to_4n"]["met"],
+            },
+            "efficiency_8_to_32": sc["efficiency_8_to_32"],
+            "host_ceiling_efficiency_2_to_8": sc[
+                "host_ceiling_efficiency_2_to_8"
+            ],
+            "efficiency_vs_worst_ceiling_2_to_8": sc[
+                "efficiency_vs_worst_ceiling_2_to_8"
+            ],
+            "detail": "BENCH/bench_detail_latest.json",
+        }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -21,12 +21,18 @@ ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
 
 def canon(v):
+    # Must distinguish float 180.0 from int 180: the driver's hash does
+    # (DuckDB HUGEINT -> pandas float64 made pack_sequences hash-mismatch
+    # in rounds 2-3 while this replica's old "%.9g" silently passed it).
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        s = f"{v:.9g}"
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

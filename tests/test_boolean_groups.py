@@ -66,28 +66,35 @@ def test_expand_wildcards_rewrite():
     exp = {"arb": ["arbak", "arband"], "zzq": []}
     f = lambda p: exp.get(p, [])
     an = lambda s: [w.lower() for w in s.split()]
-    q, gs, ns = expand_wildcards("arb* +stop0", f, an)
-    assert q.split() == ["+stop0"] and gs == [["arbak", "arband"]] and ns == []
+    # BARE wildcard is SHOULD (Lucene semantics, matches search())
+    q, gs, ns, ors = expand_wildcards("arb* +stop0", f, an)
+    assert q.split() == ["+stop0"] and gs == [] and ns == []
+    assert ors == ["arbak", "arband"]
+    # '+stem*' is the REQUIRED any-of form
+    q, gs, ns, ors = expand_wildcards("+arb* +stop0", f, an)
+    assert gs == [["arbak", "arband"]] and ors == []
     # negated wildcard with no expansion disappears
-    q, gs, ns = expand_wildcards("-zzq* stop0", f, an)
-    assert q.split() == ["stop0"] and gs == [] and ns == []
+    q, gs, ns, ors = expand_wildcards("-zzq* stop0", f, an)
+    assert q.split() == ["stop0"] and gs == [] and ns == [] and ors == []
     # negated wildcard WITH expansions -> verbatim NOT terms
-    q, gs, ns = expand_wildcards("-arb* stop0", f, an)
+    q, gs, ns, ors = expand_wildcards("-arb* stop0", f, an)
     assert ns == ["arbak", "arband"] and gs == []
+    # bare wildcard with no expansion just drops (scores nothing)
+    q, gs, ns, ors = expand_wildcards("zzq* stop0", f, an)
+    assert q.split() == ["stop0"] and gs == [] and ors == []
     # required wildcard with no expansion -> unsatisfiable
-    assert expand_wildcards("zzq* stop0", f, an) is None
     assert expand_wildcards("+zzq*", f, an) is None
     # quoted phrases untouched; plain groups left for the parser
-    q, gs, ns = expand_wildcards('"arb* x" (a|b) arb*', f, an)
+    q, gs, ns, ors = expand_wildcards('"arb* x" (a|b) arb*', f, an)
     assert " ".join(q.split()) == '"arb* x" (a|b)'
-    assert gs == [["arbak", "arband"]]
+    assert gs == [] and ors == ["arbak", "arband"]
     # wildcard INSIDE a group: expansions merge with analyzed literals
-    q, gs, ns = expand_wildcards("(arb*|ml) +x", f, an)
+    q, gs, ns, ors = expand_wildcards("(arb*|ml) +x", f, an)
     assert gs == [["arbak", "arband", "ml"]] and q.split() == ["+x"]
     # group whose only member is an unexpandable wildcard -> unsat
     assert expand_wildcards("(zzq*)", f, an) is None
     # negated group with a wildcard -> verbatim NOTs
-    q, gs, ns = expand_wildcards("-(arb*|ml) y", f, an)
+    q, gs, ns, ors = expand_wildcards("-(arb*|ml) y", f, an)
     assert ns == ["arbak", "arband", "ml"] and q.split() == ["y"]
 
 
@@ -103,20 +110,33 @@ def test_boolean_wildcard_vs_manual_group(spark, index_small, oracle_small):
     )[:50]
     manual = f"({'|'.join(expanded)}) +stop0"
     want = oracle_small.boolean_top_k(manual, k=10)
+    # '+pref*' is the REQUIRED form equal to the manual any-of group
     got = [
+        (r["doc_id"], r["score"])
+        for r in boolean_search(
+            spark, index_small, f"+{pref}* +stop0", k=10
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # bare 'pref*' is SHOULD: equal to the manual OR form (expansions
+    # scored, not required) — same across surfaces
+    manual_or = f"{' '.join(expanded)} +stop0"
+    want_or = oracle_small.boolean_top_k(manual_or, k=10)
+    got_or = [
         (r["doc_id"], r["score"])
         for r in boolean_search(
             spark, index_small, f"{pref}* +stop0", k=10
         ).collect()
     ]
-    assert [d for d, _ in got] == [d for d, _ in want]
+    assert [d for d, _ in got_or] == [d for d, _ in want_or]
     # and through the resident Searcher (local plan)
     from uci_searchengine_spark.operators.serving import Searcher
 
-    rows = Searcher(spark, index_small).boolean_rows(
-        f"{pref}* +stop0", k=10, plan="local"
-    )
+    s = Searcher(spark, index_small)
+    rows = s.boolean_rows(f"+{pref}* +stop0", k=10, plan="local")
     assert [(r["doc_id"], r["score"]) for r in rows] == got
+    rows_or = s.boolean_rows(f"{pref}* +stop0", k=10, plan="local")
+    assert [(r["doc_id"], r["score"]) for r in rows_or] == got_or
 
 
 def test_boolean_wildcard_on_stemmed_index(spark, tmp_path):
@@ -152,13 +172,43 @@ def test_boolean_wildcard_on_stemmed_index(spark, tmp_path):
     )
     got = {
         r["doc_id"]
-        for r in boolean_search(spark, d, "univers* +data", k=10).collect()
+        for r in boolean_search(spark, d, "+univers* +data", k=10).collect()
     }
     # 'university' and 'universal' both stem to vocab terms starting
     # with 'univers' ('univers', 'univers...') — both docs must match
     assert len(got) == 2, got
-    rows2 = Searcher(spark, d).boolean_rows("univers* +data", k=10)
+    rows2 = Searcher(spark, d).boolean_rows("+univers* +data", k=10)
     assert {r["doc_id"] for r in rows2} == got
+    # bare 'univers*' is SHOULD: the data-only doc is included too,
+    # scored on 'data' alone
+    got_or = {
+        r["doc_id"]
+        for r in boolean_search(spark, d, "univers* +data", k=10).collect()
+    }
+    assert len(got_or) == 3, got_or
+
+
+def test_wildcard_not_vs_explicit_must_contradiction(
+    spark, index_small, oracle_small
+):
+    """`+t ... -pref*` where t ∈ the pref* expansion is an honest
+    contradiction (t required AND banned) and must return NOTHING —
+    regression: the injected-NOT filter used to drop the +must
+    requirement instead, silently widening the result set."""
+    from collections import Counter
+
+    from uci_searchengine_spark.operators.serving import Searcher
+
+    vocab = set(oracle_small.postings)
+    pref = Counter(
+        t[:4] for t in vocab if len(t) >= 5
+    ).most_common(1)[0][0]
+    term = next(t for t in sorted(vocab) if t.startswith(pref))
+    q = f"+{term} stop0 -{pref}*"
+    assert boolean_search(spark, index_small, q, k=10).collect() == []
+    s = Searcher(spark, index_small)
+    assert s.boolean_rows(q, k=10, plan="local") == []
+    assert s.boolean_rows(q, k=10, plan="spark") == []
 
 
 def test_group_internal_wildcard(spark, index_small, oracle_small):

@@ -3,9 +3,11 @@
 Syntax (functions/queryparse.py): bare terms are scored OR; ``+term``
 must appear; ``-term`` must not; ``"a b"`` must appear as an exact token
 sequence; ``(a|b)`` is a required ANY-OF group (≥1 member must appear —
-the synonym/constraint clause). A ``stem*`` wildcard desugars to a
-group of its vocabulary expansions (``expand_wildcards``), which is how
-wildcards work inside conjunctive queries. Score = the same OR-sum BM25
+the synonym/constraint clause). Wildcards desugar via their vocabulary
+expansions (``expand_wildcards``): a bare ``stem*`` is SHOULD (scored
+OR, like a bare term and like ``Searcher.search`` — Lucene treats an
+unsigned wildcard as SHOULD), ``+stem*`` is a required any-of group,
+``-stem*`` bans every expansion. Score = the same OR-sum BM25
 over all positive terms, rank (score desc, doc_id asc) — identical
 contract to score_wand.
 
@@ -89,7 +91,7 @@ _PHRASE_RE_Q = _re2.compile(r'[+-]?"[^"]*"')
 
 
 def expand_wildcards(query: str, expander, analyze) -> (
-    "tuple[str, list[list[str]], list[str]] | None"
+    "tuple[str, list[list[str]], list[str], list[str]] | None"
 ):
     """Resolve ``stem*`` wildcards (top-level AND inside ``(a|b*)``
     groups, outside quoted phrases) into VERBATIM term structures that
@@ -98,18 +100,24 @@ def expand_wildcards(query: str, expander, analyze) -> (
     'univers' → 'univ', so a textual ``(univers)`` rewrite would stem
     into a nonexistent term and silently empty the result).
 
-    Returns ``(clean_query, injected_groups, injected_nots)`` where
-    ``clean_query`` has the wildcard clauses removed (the normal parser
-    handles the rest), ``injected_groups`` are required any-of member
-    lists, and ``injected_nots`` are exclusion terms — all already
-    index-vocabulary terms. Literal pieces of a mixed group like
-    ``(dat*|ml)`` ARE analyzed (via ``analyze``, the index's chain).
-    Returns None when a non-negated wildcard clause has no satisfiable
-    expansion (the caller returns the empty result rather than silently
-    dropping the requirement); a negated wildcard with no expansion just
-    disappears (nothing to exclude)."""
+    Returns ``(clean_query, injected_groups, injected_nots,
+    injected_ors)`` where ``clean_query`` has the wildcard clauses
+    removed (the normal parser handles the rest), ``injected_groups``
+    are required any-of member lists (from ``+stem*`` and groups),
+    ``injected_nots`` are exclusion terms, and ``injected_ors`` are
+    optional scored terms (a BARE ``stem*`` is SHOULD, matching both
+    Lucene and ``Searcher.search``'s treatment of unsigned wildcards —
+    it must not exclude docs that match only the other bare terms) —
+    all already index-vocabulary terms. Literal pieces of a mixed group
+    like ``(dat*|ml)`` ARE analyzed (via ``analyze``, the index's
+    chain). Returns None when a REQUIRED wildcard clause (``+stem*`` or
+    an unsigned group) has no satisfiable expansion (the caller returns
+    the empty result rather than silently dropping the requirement); a
+    bare or negated wildcard with no expansion just disappears (nothing
+    to score / exclude)."""
     injected_groups: list[list[str]] = []
     injected_nots: list[str] = []
+    injected_ors: list[str] = []
     unsat = False
 
     def handle_group(m: "_re2.Match") -> str:
@@ -141,6 +149,8 @@ def expand_wildcards(query: str, expander, analyze) -> (
         terms = expander(stem)
         if sign == "-":
             injected_nots.extend(terms)
+        elif sign == "":
+            injected_ors.extend(terms)  # SHOULD; empty expansion drops
         elif not terms:
             unsat = True
         else:
@@ -159,7 +169,7 @@ def expand_wildcards(query: str, expander, analyze) -> (
     parts.append(rewrite(query[last:]))
     if unsat:
         return None
-    return "".join(parts), injected_groups, injected_nots
+    return "".join(parts), injected_groups, injected_nots, injected_ors
 
 
 def boolean_search(
@@ -185,8 +195,8 @@ def boolean_search(
         )
         if res is None:
             return spark.createDataFrame([], _OUT)
-        query, gs, ns = res
-        inject = (gs, ns)
+        query, gs, ns, ors = res
+        inject = (gs, ns, ors)
     bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method, inject)
     empty = spark.createDataFrame([], _OUT)
     if not bq.positive_terms:
@@ -210,22 +220,31 @@ def boolean_plan(
     """Shared prelude of the distributed and task-local boolean plans:
     (parsed query, deduped positive+negative terms, positional-plane
     decision) — including the validation error. ``inject`` =
-    (verbatim_groups, verbatim_nots) from ``expand_wildcards`` — folded
-    in AFTER parsing so expansion terms never round-trip the analyzer."""
+    (verbatim_groups, verbatim_nots[, verbatim_ors]) from
+    ``expand_wildcards`` — folded in AFTER parsing so expansion terms
+    never round-trip the analyzer."""
     bq: BoolQuery = parse_query(query, lambda s: analyze_seq(meta, s))
     if inject is not None:
-        gs, ns = inject
+        gs, ns, ors = inject if len(inject) == 3 else (*inject, [])
         for g in gs:
             mem = [t for t in dict.fromkeys(g)]
             if len(mem) == 1:
                 bq.must_terms.append(mem[0])
             elif mem:
                 bq.groups.append(mem)
+        if ors:
+            bq.or_terms = list(dict.fromkeys(bq.or_terms + list(ors)))
         if ns:
             bq.not_terms = list(dict.fromkeys(bq.not_terms + list(ns)))
             ban = set(bq.not_terms)
+            # or_terms may drop banned members (pure optimization: a doc
+            # holding the term is excluded anyway, so it never scores).
+            # must_terms must NOT be filtered: '+data -dat*' with 'data'
+            # in the expansion is an honest contradiction and must
+            # return nothing — the NOT subtraction empties the
+            # intersection; dropping the requirement instead silently
+            # widened the result set (queryparse.py's documented rule).
             bq.or_terms = [t for t in bq.or_terms if t not in ban]
-            bq.must_terms = [t for t in bq.must_terms if t not in ban]
         bq.must_terms = list(dict.fromkeys(bq.must_terms))
     has_pos_plane = bool(getattr(meta, "positions", False))
     use_pos = (

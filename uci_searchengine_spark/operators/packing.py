@@ -117,11 +117,14 @@ WITH src AS (
 ),
 c AS (
   SELECT id, shard, tok,
-         SUM(tok) OVER (PARTITION BY shard ORDER BY u, id
-                        ROWS UNBOUNDED PRECEDING) AS end_off
+         -- CAST: DuckDB's windowed SUM(BIGINT) yields HUGEINT, which
+         -- pandas widens to float64 (180.0 vs Spark's 180) and the
+         -- driver's value hash then mismatches on every row.
+         CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY u, id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
   FROM src
 )
-SELECT id, shard, end_off - tok AS start_off, end_off,
+SELECT id, shard, CAST(end_off - tok AS BIGINT) AS start_off, end_off,
        CAST(floor((end_off - tok) / {seq_len}.0) AS BIGINT) AS first_seq,
        CAST(floor((end_off - 1) / {seq_len}.0) AS BIGINT) AS last_seq
 FROM c

@@ -168,8 +168,8 @@ class Searcher:
             )
             if res is None:
                 return []
-            query, gs, ns = res
-            inject = (gs, ns)
+            query, gs, ns, ors = res
+            inject = (gs, ns, ors)
         bq, all_terms, use_pos = boolean_plan(self.meta, query, inject=inject)
         if not bq.positive_terms:
             return []
