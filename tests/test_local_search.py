@@ -421,6 +421,24 @@ class TestQueryCache:
         assert e3["results"][0]["url"] != top_url
         assert e3["total_results"] == e1["total_results"] - 1
 
+    def test_cache_hit_restores_last_plan(self, spark, index_small):
+        """A cache hit restores the plan that produced the stored
+        envelope, so /api/health's last_plan describes the request just
+        served — regression: hits used to leave last_plan at whatever
+        the last UNCACHED query set it to."""
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        s = Searcher(spark, index_small)
+        s.search("stop0 arbak", plan="local")
+        assert s.last_plan == "local"
+        # different query on the spark plan moves last_plan
+        s.search("stop1", plan="spark")
+        assert s.last_plan == "spark"
+        # cache hit on the first query restores its recorded plan
+        s.search("stop0 arbak", plan="local")
+        assert s.cache_hits == 1
+        assert s.last_plan == "local"
+
     def test_cache_disabled(self, spark, index_small):
         from uci_searchengine_spark.operators.serving import Searcher
 

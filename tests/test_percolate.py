@@ -64,6 +64,21 @@ def test_percolate_vs_oracle(spark, oracle_small):
     assert not [p for p in got if p[0] in ("contra", "empty")]
 
 
+def test_percolate_rejects_wildcards():
+    """Registered queries with wildcards fail at compile time: there is
+    no index vocabulary to expand against, so the analyzer would
+    silently reduce 'dat*' to the literal 'dat' and diverge from
+    boolean_search's expansion semantics."""
+    import pytest as _pytest
+
+    from uci_searchengine_spark.operators.percolate import compile_queries
+
+    with _pytest.raises(ValueError, match="wildcard"):
+        compile_queries({"w": "dat* +spark"})
+    # wildcard-free registries still compile
+    assert "ok" in compile_queries({"ok": "+spark data"})
+
+
 def test_percolate_matches_boolean_search(spark, index_small, oracle_small):
     """Percolation's match set == boolean_search's result set (score
     dropped) for every non-degenerate registered query."""

@@ -375,11 +375,17 @@ class _Handler(BaseHTTPRequestHandler):
             if u.path == "/api/databases" and self.engine.registry is not None:
                 return self._json(self.engine.databases())
             if u.path == "/api/health":
-                s = self.engine.searcher
+                # snapshot under the engine lock: a concurrent
+                # /api/databases/switch swaps searcher + index_dir, and
+                # reading them racily could pair the old searcher with
+                # the new dir
+                with self.engine.lock:
+                    s = self.engine.searcher
+                    index_dir = self.engine.index_dir
                 return self._json(
                     {
                         "ok": True,
-                        "index": self.engine.index_dir,
+                        "index": index_dir,
                         "n_docs": int(s.meta.n_docs),
                         "generations": int(getattr(s.meta, "gens", 1)),
                         "query_cache_hits": int(s.cache_hits),

@@ -79,9 +79,25 @@ def _query_pred(tcol: Column, bq) -> Column:
 def compile_queries(queries: "dict[str, str]", analyze=None):
     """Parse the registry once (driver-side; the registry is tiny by
     definition). ``analyze`` defaults to the pinned tokenizer — pass the
-    index's analyzer chain for stemmed deployments."""
+    index's analyzer chain for stemmed deployments.
+
+    Wildcards are REJECTED here: percolation has no index vocabulary to
+    expand ``stem*`` against (the matching direction is doc→queries),
+    so the analyzer would silently reduce 'dat*' to the literal 'dat'
+    and diverge from boolean_search's expansion semantics. Failing at
+    registration time keeps the mirror-of-boolean_search contract
+    honest."""
     analyze = analyze or tokenize_py
-    return {str(qid): parse_query(q, analyze) for qid, q in queries.items()}
+    compiled = {}
+    for qid, q in queries.items():
+        if "*" in q:
+            raise ValueError(
+                f"percolator query {qid!r} contains a wildcard: {q!r} — "
+                "wildcards need an index vocabulary to expand against "
+                "and are not supported in registered queries"
+            )
+        compiled[str(qid)] = parse_query(q, analyze)
+    return compiled
 
 
 def match_tokens(bq, toks: list[str]) -> bool:

@@ -62,7 +62,9 @@ class Searcher:
         from collections import OrderedDict
 
         self._qcache_max = int(query_cache)
-        self._qcache: "OrderedDict[tuple, dict]" = OrderedDict()
+        # value = (envelope, plan that produced it) so a cache hit can
+        # restore last_plan for health observability
+        self._qcache: "OrderedDict[tuple, tuple[dict, str]]" = OrderedDict()
         self._qcache_token = None
         self.cache_hits = 0
         # local path's doc-store footer memo (path,size,mtime)-keyed
@@ -624,9 +626,14 @@ class Searcher:
         if hit is not None:
             self.cache_hits += 1
             self._qcache.move_to_end(key)
-            return _copy.deepcopy(hit)  # callers may mutate their copy
+            env, cached_plan = hit
+            # restore the plan that produced the cached envelope so
+            # /api/health's last_plan reports this request, not the
+            # last uncached one
+            self.last_plan = cached_plan
+            return _copy.deepcopy(env)  # callers may mutate their copy
         env = self._search_impl(query, page, per_page, mode, plan)
-        self._qcache[key] = _copy.deepcopy(env)
+        self._qcache[key] = (_copy.deepcopy(env), self.last_plan)
         if len(self._qcache) > self._qcache_max:
             self._qcache.popitem(last=False)
         return env
