@@ -65,6 +65,47 @@ class TestDedup:
         assert (0, 2) in pairs  # near dup: some band should collide
         assert (0, 3) not in pairs and (3, 4) not in pairs
 
+    def test_lsh_bucket_cap_bounds_pairs_same_components(self, spark):
+        """Pathological 90%-duplicate corpus (the boilerplate-cluster
+        web case): one LSH bucket holds ~45 near-identical docs. With
+        bucket_cap the pair volume is LINEAR in the cluster (star
+        around the min-id rep), not quadratic — and connected
+        components (the dedup consumer) are identical to all-pairs
+        mode, so keep/drop decisions don't change."""
+        from uci_searchengine_spark.operators.dedup import (
+            connected_components,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingles,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(i, base) for i in range(45)]  # exact-dup cluster
+        rows += [
+            (100 + i, f"unique{i} " + " ".join(f"w{i}{j}" for j in range(10)))
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = shingles(df, "doc_id", "text", n=3)
+        sigs = minhash_signatures(sh, n_perm=32).cache()
+        exact = lsh_candidate_pairs(sigs, 8, 4).cache()
+        capped = lsh_candidate_pairs(sigs, 8, 4, bucket_cap=10).cache()
+        n_exact, n_capped = exact.count(), capped.count()
+        # all-pairs: 45*44/2 = 990; star: 44
+        assert n_exact == 990 and n_capped == 44
+        comp_e = {
+            (r["id"], r["comp"])
+            for r in connected_components(exact).collect()
+        }
+        comp_c = {
+            (r["id"], r["comp"])
+            for r in connected_components(capped).collect()
+        }
+        assert comp_e == comp_c
+        # sub-cap buckets keep exact all-pairs behavior
+        tiny = lsh_candidate_pairs(sigs, 8, 4, bucket_cap=1000)
+        assert tiny.count() == n_exact
+
     def test_minhash_estimates_jaccard(self, spark, docs_df):
         """Signature agreement rate ≈ true Jaccard (property of minhash)."""
         from uci_searchengine_spark.operators.dedup import (

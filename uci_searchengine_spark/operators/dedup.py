@@ -156,13 +156,34 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: equal signature slice in ≥1 band.
 
     Self-equi-join on (band, band_key) — never a cross join. id_a < id_b.
     Band key = md5 of the comma-joined signature slice (portable across
     engines, unlike xxhash64).
+
+    ``bucket_cap`` is the hot-bucket skew guard for corpus scale: an
+    m-member bucket emits m(m-1)/2 pairs, and the common web failure
+    mode — a boilerplate cluster of thousands of near-identical pages —
+    lands them all in ONE bucket, making that join task quadratic.
+    Buckets larger than ``bucket_cap`` switch to STAR emission: every
+    member pairs with the bucket's min-id representative only (m-1
+    pairs). For the dedup pipeline's consumer (connected components →
+    canonical per cluster) this is LOSSLESS — a star spans exactly the
+    same vertex set as the clique, so the components (and therefore the
+    keep/drop decisions) are identical to all-pairs mode. What it does
+    cost: the pair LIST within a hot bucket is no longer all-pairs, so
+    a pipeline that pairwise-verifies candidates (e.g. exact-Jaccard
+    confirmation) only verifies the star edges there — members similar
+    to each other but not to the representative can drop out of the
+    verified set (they remain CC-connected through the rep if the rep
+    matches either). ``None`` (default) = exact all-pairs, the
+    small-corpus / gate-verification mode.
     """
     assert n_bands * rows_per_band <= 256
     bands = sigs.select(
@@ -187,14 +208,38 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
+    if bucket_cap is None:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    # one extra groupBy on the SAME (band, bh) keys classifies buckets;
+    # both joins below are equi-joins co-partitioned with it (no new
+    # shuffle key anywhere)
+    counts = bands.groupBy("band", "bh").agg(
+        F.count("*").alias("_m"), F.min("id").alias("_rep")
+    )
+    tagged = bands.join(counts, ["band", "bh"])
+    small = tagged.filter(F.col("_m") <= bucket_cap)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    pairs_hot = (
+        tagged.filter((F.col("_m") > bucket_cap) & (F.col("id") != F.col("_rep")))
+        .select(
+            F.least("_rep", "id").alias("id_a"),
+            F.greatest("_rep", "id").alias("id_b"),
+        )
+    )
+    return pairs_small.unionByName(pairs_hot).distinct()
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
