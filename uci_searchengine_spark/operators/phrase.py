@@ -247,16 +247,39 @@ def make_phrase_fn(
                 return out_empty
             bucket = int(seg_pdf["bucket"].iloc[0])
             ids = cand["doc_id"].to_numpy()
-            if use_pos:
-                occ = _positional_counts(
-                    seg_pdf, ids, bucket * bucket_size, seq
-                )
-            else:
-                occ = _verify_bucket(docs_dirs, bucket, ids, seq, stem)
+            # LAZY verification: candidates are already in final rank
+            # order (score desc, doc asc — _score_bucket_and), and
+            # verification only FILTERS, so this bucket's phrase top-k
+            # is exactly the first k candidates that verify. Verify in
+            # growing chunks and stop at k hits — for a common phrase
+            # this touches ~k docs instead of the whole AND
+            # intersection (which for stopword-ish terms is most of the
+            # bucket: measured 13.8k doc tokenizations for one 20k-doc
+            # query, 2.0 s of a 2.2 s envelope, now ~64).
+            occ_all: dict[int, int] = {}
+            hits = 0
+            pos0 = 0
+            n_cand = len(ids)
+            chunk = max(64, 4 * k)
+            while pos0 < n_cand and hits < k:
+                part = ids[pos0 : pos0 + chunk]
+                if use_pos:
+                    occ = _positional_counts(
+                        seg_pdf, part, bucket * bucket_size, seq
+                    )
+                else:
+                    occ = _verify_bucket(docs_dirs, bucket, part, seq, stem)
+                for d in part:
+                    o = occ.get(int(d), 0)
+                    if o > 0:
+                        occ_all[int(d)] = o
+                        hits += 1
+                pos0 += chunk
+                chunk *= 2  # exponential: low hit rates cost O(log) passes
+            cand = cand[cand["doc_id"].isin(occ_all)]
             cand = cand.assign(
-                n_occ=cand["doc_id"].map(lambda d: occ.get(int(d), 0)).astype("int32")
+                n_occ=cand["doc_id"].map(occ_all).astype("int32")
             )
-            cand = cand[cand["n_occ"] > 0]
             # NOW per-bucket truncation is safe (scores already sorted desc,
             # doc asc by _score_bucket_and — stable head keeps the contract)
             return cand.head(k)
