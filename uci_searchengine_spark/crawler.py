@@ -189,6 +189,33 @@ class CrawlState:
             "urls_in_queue": ms[-1]["frontier_after"] if ms else 0,
         }
 
+    def failed_urls(self, limit: int = 1000) -> list[dict]:
+        """Failed fetches, newest first, capped (routes.py:406-431's
+        ``ORDER BY last_crawled_at DESC LIMIT 1000`` projection). Reads
+        the per-round failed parquet driver-side (pyarrow — the failed
+        set is bounded by the crawl budget, no Spark job needed for a
+        debugging endpoint)."""
+        import pyarrow.dataset as pads
+
+        d = os.path.join(self.state_dir, "failed")
+        if not os.path.isdir(d):
+            return []
+        pdf = (
+            pads.dataset(d, format="parquet", partitioning="hive")
+            .to_table(columns=["url", "warc_ts", "status", "error"])
+            .to_pandas()
+            .sort_values("warc_ts", ascending=False)
+            .head(limit)
+        )
+        return [
+            {
+                "url": r.url,
+                "error": r.error if r.error else f"HTTP {r.status}",
+                "failed_at": r.warc_ts.isoformat(),
+            }
+            for r in pdf.itertuples(index=False)
+        ]
+
 
 def crawl(
     spark: SparkSession,
@@ -204,10 +231,15 @@ def crawl(
     fetcher=None,
     respect_robots: bool = True,
     fetch_partitions: int | None = None,
+    stop_check=None,
 ) -> CrawlState:
     """Run BFS crawl rounds from ``seeds``; returns the state handle.
     Resumable: rerunning with the same ``out_dir`` continues from the
-    persisted frontier and skips crawled/failed urls."""
+    persisted frontier and skips crawled/failed urls. ``stop_check``:
+    zero-arg callable polled at each round boundary — returning True
+    ends the crawl cleanly after the committed round (the HTTP
+    ``POST /api/crawler/stop`` hook; rounds are atomic, so a stopped
+    crawl resumes exactly where it left off in ``continue`` mode)."""
     st = CrawlState(out_dir)
     os.makedirs(st.state_dir, exist_ok=True)
     fetch_partitions = fetch_partitions or spark.sparkContext.defaultParallelism
@@ -218,7 +250,9 @@ def crawl(
 
     frontier_path = os.path.join(st.state_dir, "frontier.parquet")
     seen_path = os.path.join(st.state_dir, "seen.parquet")  # crawled+failed
-    if start_round == 0:
+    if start_round == 0 and (seeds or not os.path.isdir(frontier_path)):
+        # don't clobber a persisted frontier with an empty seed list —
+        # a 'continue' before the first round commit resumes it as-is
         seed_urls = sorted({normalize_url(u) for u in seeds})
         spark.createDataFrame(
             [(u,) for u in seed_urls], "url string"
@@ -226,6 +260,8 @@ def crawl(
 
     for rnd in range(start_round, max_rounds):
         if total_ok >= max_pages:
+            break
+        if stop_check is not None and stop_check():
             break
         frontier = spark.read.parquet(frontier_path)
         if os.path.isdir(seen_path):
@@ -285,6 +321,15 @@ def crawl(
         )
         n_ok = enriched.count()
         n_failed = failed.count()
+        if n_failed:
+            # persist failed rows (url, status, error, timestamp) per
+            # round — the reference's main debugging surface
+            # (GET /api/crawler/failed-urls, routes.py:406-431)
+            failed.select("url", "warc_ts", "status", "error").coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(st.state_dir, "failed", f"round={rnd}")
+            )
 
         # next frontier = discovered − itself − everything seen
         discovered = (

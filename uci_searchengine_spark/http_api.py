@@ -35,10 +35,25 @@ point their frontend here unchanged:
   ``DELETE /api/databases/<name>`` — multi-index version management
   (routes.py:62-115 shapes, secret-key gated; the SQLite files become
   named index directories — registry.IndexRegistry). Enabled when the
-  server is constructed with a registry. The reference's
-  ``POST /databases/upload`` (receiving a .sqlite file) has no HTTP
-  analog — a cluster-scale index is a directory on shared storage;
-  ``IndexRegistry.add`` is the registration API.
+  server is constructed with a registry.
+* ``POST /api/databases/upload?name=N`` / ``GET
+  /api/databases/<name>/download`` — index import/export as gzipped
+  tar artifacts (routes.py:117-130, 440-460; a .sqlite file there, a
+  directory tree here; X-Secret-Key gated). At cluster scale an index
+  moves via shared storage + ``IndexRegistry.add``; the artifact
+  routes are the small/medium-index convenience.
+* ``POST /api/crawler/start?mode=fresh|continue|recrawl`` / ``POST
+  /api/crawler/stop`` — crawl control (routes.py:133-240): a
+  background thread runs crawler.crawl round-by-round and ingests each
+  round into the registry (build/append + merge policy + CURRENT
+  switch — operators/lifecycle.ingest_round), hot-swapping the
+  resident Searcher. Secret-key gated; stop lands at the next round
+  boundary (rounds are atomic, continue resumes exactly there).
+* ``GET /api/crawler/failed-urls`` — failed fetches with error +
+  timestamp, newest first, capped 1000 (routes.py:406-431).
+* ``GET /api/seed-urls`` / ``POST /api/seed-urls`` — persisted,
+  API-editable seed list (routes.py:390-403); crawler/start without
+  explicit seeds uses it.
 
 Implementation: stdlib ThreadingHTTPServer (FastAPI/uvicorn aren't in
 this environment — the handler layer is ~100 lines and the envelope
@@ -77,7 +92,10 @@ class EngineState:
     ``switch`` hot-swaps the resident Searcher (the reference's
     setup_connections reload, connection.py:36-135)."""
 
-    def __init__(self, spark, index_dir: str | None, registry=None):
+    def __init__(
+        self, spark, index_dir: str | None, registry=None,
+        crawl_root: str | None = None,
+    ):
         from uci_searchengine_spark.operators.serving import Searcher
 
         self.spark = spark
@@ -86,6 +104,183 @@ class EngineState:
         self.searcher = Searcher(spark, self.index_dir)
         self.lock = threading.Lock()
         self._stats_cache: dict | None = None
+        # crawl workspace (HTTP crawl control requires a registry: the
+        # ingest loop appends/builds registry versions)
+        self.crawl_root = crawl_root or (
+            os.path.join(registry.root, "_crawl")
+            if registry is not None
+            else os.path.join(
+                os.path.dirname(os.path.abspath(self.index_dir)), "_crawl"
+            )
+        )
+        self._crawl_thread: threading.Thread | None = None
+        self._crawl_stop = threading.Event()
+        self._crawl_error: str | None = None
+
+    # ------------------------------------------------------ crawl control
+    @property
+    def crawler_running(self) -> bool:
+        t = self._crawl_thread
+        return t is not None and t.is_alive()
+
+    def seed_urls_get(self) -> dict:
+        p = os.path.join(self.crawl_root, "seeds.json")
+        try:
+            with open(p) as f:
+                return {"seed_urls": json.load(f)}
+        except OSError:
+            return {"seed_urls": []}
+
+    def seed_urls_set(self, urls: list[str]) -> dict:
+        os.makedirs(self.crawl_root, exist_ok=True)
+        p = os.path.join(self.crawl_root, "seeds.json")
+        with open(p + ".tmp", "w") as f:
+            json.dump([str(u) for u in urls], f)
+        os.replace(p + ".tmp", p)
+        return {"message": "Seed URLs updated"}
+
+    def crawler_start(self, mode: str, seeds: list[str], params: dict) -> dict:
+        """``POST /api/crawler/start`` (reference routes.py:133-219):
+        fresh wipes the crawl workspace and builds a brand-NEW registry
+        version from the seeds (the reference clears the database
+        content — here old versions stay listed for retention, but the
+        CURRENT index holds only the new crawl); continue resumes the
+        persisted frontier (400 when there is no state or no frontier
+        left), appending to the current version; recrawl resets crawl
+        status (frontier/seen/manifests) but keeps the index —
+        re-fetched urls upsert, auto-tombstoning the old generations.
+        Crawled rounds are ingested round-by-round
+        (operators/lifecycle.ingest_round: build/append + merge policy
+        + CURRENT switch) and the resident Searcher reloads."""
+        import shutil
+
+        from uci_searchengine_spark.crawler import CrawlState
+
+        if self.crawler_running:
+            raise ValueError("Crawler is already running")
+        job_dir = os.path.join(self.crawl_root, "job")
+        st = CrawlState(job_dir)
+        if mode == "fresh":
+            shutil.rmtree(job_dir, ignore_errors=True)
+        elif mode == "recrawl":
+            shutil.rmtree(st.state_dir, ignore_errors=True)
+            shutil.rmtree(st.pages_dir, ignore_errors=True)
+            for fn in ("_ingested.json", "_target.json"):
+                try:
+                    os.remove(os.path.join(job_dir, fn))
+                except OSError:
+                    pass
+        elif mode == "continue":
+            if not os.path.isdir(
+                os.path.join(st.state_dir, "frontier.parquet")
+            ):
+                raise ValueError(
+                    "No previous crawler state found to continue from"
+                )
+            ms = st.round_manifests()
+            if ms and ms[-1]["frontier_after"] == 0:
+                raise ValueError("No URLs found to continue crawling from")
+        else:
+            raise ValueError(
+                "Invalid mode. Must be one of: fresh, continue, recrawl"
+            )
+        if mode in ("fresh", "recrawl") and not seeds:
+            seeds = self.seed_urls_get()["seed_urls"]
+            if not seeds:
+                raise ValueError("seed_urls required (none persisted)")
+        if mode == "fresh":
+            # fresh builds a brand-new registry version; persist the
+            # chosen name so a stop + continue keeps targeting it
+            base = "crawl"
+            name, n = base, 0
+            while name in self.registry.available():
+                n += 1
+                name = f"{base}.{n}"
+            os.makedirs(job_dir, exist_ok=True)
+            with open(os.path.join(job_dir, "_target.json"), "w") as f:
+                json.dump({"fresh_version": name}, f)
+        self._crawl_stop.clear()
+        self._crawl_error = None
+        self._crawl_thread = threading.Thread(
+            target=self._crawl_job, args=(seeds, params), daemon=True
+        )
+        self._crawl_thread.start()
+        return {"message": f"Crawler started successfully in {mode} mode"}
+
+    def _crawl_job(self, seeds: list[str], params: dict) -> None:
+        from uci_searchengine_spark.crawler import CrawlState, crawl
+        from uci_searchengine_spark.operators.lifecycle import ingest_round
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        job_dir = os.path.join(self.crawl_root, "job")
+        try:
+            st = crawl(
+                self.spark, seeds, job_dir,
+                max_rounds=int(params.get("max_rounds", 5)),
+                max_pages=int(params.get("max_pages", 10_000)),
+                requests_per_second=float(
+                    params.get("requests_per_second", 1.0)
+                ),
+                allow_pattern=params.get("allow_pattern"),
+                respect_robots=bool(params.get("respect_robots", True)),
+                stop_check=self._crawl_stop.is_set,
+            )
+            # ingest every round not yet applied to the registry
+            ing_path = os.path.join(job_dir, "_ingested.json")
+            try:
+                with open(ing_path) as f:
+                    done = int(json.load(f)["rounds"])
+            except OSError:
+                done = 0
+            fresh_version = None
+            try:
+                with open(os.path.join(job_dir, "_target.json")) as f:
+                    fresh_version = json.load(f).get("fresh_version")
+            except OSError:
+                pass
+            n_rounds = len(st.round_manifests())
+            for rnd in range(done, n_rounds):
+                pages = self.spark.read.parquet(st.round_pages_dir(rnd))
+                if fresh_version and fresh_version not in self.registry.available():
+                    # first fresh round: build the new version, switch
+                    from uci_searchengine_spark.operators.index_build import (
+                        build_index,
+                    )
+
+                    build_index(
+                        self.spark, pages,
+                        os.path.join(self.registry.root, fresh_version),
+                        num_shards=int(params.get("num_shards", 8)),
+                        input_snapshot=f"crawl-round-{rnd}",
+                    )
+                    self.registry.switch(fresh_version)
+                else:
+                    ingest_round(
+                        self.spark, pages, self.registry,
+                        num_shards=int(params.get("num_shards", 8)),
+                        input_snapshot=f"crawl-round-{rnd}",
+                    )
+                with open(ing_path + ".tmp", "w") as f:
+                    json.dump({"rounds": rnd + 1}, f)
+                os.replace(ing_path + ".tmp", ing_path)
+                with self.lock:
+                    self.index_dir = self.registry.path()
+                    self.searcher = Searcher(self.spark, self.index_dir)
+                    self._stats_cache = None
+        except Exception as e:  # surfaced via /api/crawler/status
+            self._crawl_error = f"{type(e).__name__}: {e}"
+
+    def crawler_stop(self) -> dict:
+        if not self.crawler_running:
+            raise ValueError("Crawler is not running")
+        self._crawl_stop.set()
+        return {"message": "Crawler stopped successfully"}
+
+    def failed_urls(self) -> dict:
+        from uci_searchengine_spark.crawler import CrawlState
+
+        st = CrawlState(os.path.join(self.crawl_root, "job"))
+        return {"failed_urls": st.failed_urls(limit=1000)}
 
     # ------------------------------------------------- index management
     def databases(self) -> dict:
@@ -107,6 +302,55 @@ class EngineState:
         with self.lock:
             self.registry.delete(name)
         return {"message": f"Deleted database: {name}"}
+
+    def export_index(self, name: str) -> bytes:
+        """Index version → gzipped tar artifact (the reference's
+        ``GET /databases/{name}/download``, routes.py:440-460 — a
+        .sqlite file there, a directory tree here). For cluster-scale
+        indexes the move is a shared-storage path + ``registry.add``;
+        this artifact route is the small/medium-index convenience."""
+        import io
+        import tarfile
+
+        src = self.registry.path(name)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            tf.add(src, arcname=name)
+        return buf.getvalue()
+
+    def import_index(self, name: str, payload: bytes) -> dict:
+        """Gzipped tar artifact → registered index version (the
+        reference's ``POST /databases/upload``, routes.py:117-130).
+        Validates member paths (no absolute / parent-escape), requires
+        a committed index (meta.json) at the archive root, rejects name
+        collisions via ``registry.add``."""
+        import io
+        import shutil
+        import tarfile
+        import tempfile
+
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid index name: {name!r}")
+        tmp = tempfile.mkdtemp(prefix="_upload_", dir=self.registry.root)
+        try:
+            with tarfile.open(fileobj=io.BytesIO(payload), mode="r:gz") as tf:
+                for m in tf.getmembers():
+                    p = os.path.normpath(m.name)
+                    if p.startswith(("/", "..")) or m.islnk() or m.issym():
+                        raise ValueError(f"unsafe archive member: {m.name}")
+                tf.extractall(tmp)
+            # accept either a bare index tree or one top-level dir
+            src = tmp
+            if not os.path.isfile(os.path.join(src, "meta.json")):
+                entries = [
+                    e for e in os.listdir(src) if not e.startswith(".")
+                ]
+                if len(entries) == 1:
+                    src = os.path.join(src, entries[0])
+            self.registry.add(name, src, move=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return {"message": f"Uploaded database: {name}"}
 
     # ------------------------------------------------------------- endpoints
     def search(self, query: str, page: int, per_page: int, mode: str) -> dict:
@@ -183,16 +427,27 @@ class EngineState:
         }
 
     def status(self) -> dict:
-        """routes.py:268-291 shape; the 'crawl' is the index build."""
-        m = self._metrics()
-        return {
-            "status": "stopped",
-            "statistics": {
+        """routes.py:268-291 shape. With a live crawl workspace the
+        counts come from the round manifests; otherwise the 'crawl' is
+        the index build."""
+        from uci_searchengine_spark.crawler import CrawlState
+
+        st = CrawlState(os.path.join(self.crawl_root, "job"))
+        out: dict = {
+            "status": "running" if self.crawler_running else "stopped",
+        }
+        if os.path.isdir(st.state_dir):
+            out["statistics"] = st.statistics()
+        else:
+            m = self._metrics()
+            out["statistics"] = {
                 "urls_crawled": m["docs"],
                 "urls_failed": 0,
                 "urls_in_queue": 0,
-            },
-        }
+            }
+        if self._crawl_error:
+            out["error"] = self._crawl_error
+        return out
 
     def statistics(self) -> dict:
         """routes.py:294-307 shape from index metadata (one Spark job on
@@ -306,6 +561,20 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _bytes(self, body: bytes, filename: str):
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header(
+            "Content-Disposition", f'attachment; filename="{filename}"'
+        )
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(n) if n else b""
+
     def do_GET(self):  # noqa: N802 (stdlib API name)
         u = urlparse(self.path)
         qs = parse_qs(u.query)
@@ -370,6 +639,23 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if u.path == "/api/crawler/status":
                 return self._json(self.engine.status())
+            if u.path == "/api/crawler/failed-urls":
+                return self._json(self.engine.failed_urls())
+            if u.path == "/api/seed-urls":
+                return self._json(self.engine.seed_urls_get())
+            if (
+                u.path.startswith("/api/databases/")
+                and u.path.endswith("/download")
+                and self.engine.registry is not None
+            ):
+                if self.headers.get("X-Secret-Key") != SECRET_KEY:
+                    return self._json({"detail": "Invalid secret key"}, 401)
+                name = u.path[len("/api/databases/") : -len("/download")]
+                if name not in self.engine.registry.available():
+                    return self._json({"detail": "Database not found"}, 404)
+                return self._bytes(
+                    self.engine.export_index(name), f"{name}.tar.gz"
+                )
             if u.path == "/api/crawler/statistics":
                 return self._json(self.engine.statistics())
             if u.path == "/api/databases" and self.engine.registry is not None:
@@ -400,16 +686,61 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         u = urlparse(self.path)
+        qs = parse_qs(u.query)
         try:
             if u.path == "/api/databases/switch" and self.engine.registry is not None:
-                n = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(n) or b"{}")
+                body = json.loads(self._body() or b"{}")
                 if body.get("secret_key") != SECRET_KEY:
                     return self._json({"detail": "Invalid secret key"}, 401)
                 name = body.get("db_name")
                 if name not in self.engine.registry.available():
                     return self._json({"detail": "Database not found"}, 404)
                 return self._json(self.engine.switch(name))
+            if u.path == "/api/databases/upload" and self.engine.registry is not None:
+                if self.headers.get("X-Secret-Key") != SECRET_KEY:
+                    return self._json({"detail": "Invalid secret key"}, 401)
+                name = qs.get("name", [None])[0]
+                if not name:
+                    return self._json({"detail": "name is required"}, 422)
+                try:
+                    return self._json(self.engine.import_index(name, self._body()))
+                except FileExistsError as e:
+                    return self._json({"detail": str(e)}, 409)
+                except ValueError as e:
+                    return self._json({"detail": str(e)}, 400)
+            if u.path == "/api/crawler/start" and self.engine.registry is not None:
+                body = json.loads(self._body() or b"{}")
+                if body.get("secret_key") != SECRET_KEY:
+                    return self._json({"detail": "Invalid secret key"}, 401)
+                mode = qs.get("mode", [body.get("mode")])[0]
+                if not mode:
+                    return self._json({"detail": "mode is required"}, 422)
+                try:
+                    return self._json(
+                        self.engine.crawler_start(
+                            mode,
+                            list(body.get("seed_urls") or []),
+                            dict(body.get("params") or {}),
+                        )
+                    )
+                except ValueError as e:
+                    return self._json({"detail": str(e)}, 400)
+            if u.path == "/api/crawler/stop" and self.engine.registry is not None:
+                body = json.loads(self._body() or b"{}")
+                if body.get("secret_key") != SECRET_KEY:
+                    return self._json({"detail": "Invalid secret key"}, 401)
+                try:
+                    return self._json(self.engine.crawler_stop())
+                except ValueError as e:
+                    return self._json({"detail": str(e)}, 400)
+            if u.path == "/api/seed-urls":
+                body = json.loads(self._body() or b"{}")
+                if body.get("secret_key") != SECRET_KEY:
+                    return self._json({"detail": "Invalid secret key"}, 401)
+                urls = body.get("seed_urls")
+                if not isinstance(urls, list):
+                    return self._json({"detail": "seed_urls list required"}, 422)
+                return self._json(self.engine.seed_urls_set(urls))
             return self._json({"detail": "Not Found"}, 404)
         except Exception as e:
             return self._json({"detail": str(e)}, 500)
@@ -443,13 +774,15 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(
     spark, index_dir: str | None, host: str = "127.0.0.1", port: int = 8080,
-    registry=None,
+    registry=None, crawl_root: str | None = None,
 ):
     """Build (don't start) the HTTP server — ``.serve_forever()`` to run,
     ``.shutdown()`` to stop. Port 0 picks an ephemeral port (tests).
-    ``registry``: an IndexRegistry enabling the /api/databases routes;
-    the active index then follows the registry's CURRENT pointer."""
-    engine = EngineState(spark, index_dir, registry=registry)
+    ``registry``: an IndexRegistry enabling the /api/databases and
+    crawl-control routes; the active index then follows the registry's
+    CURRENT pointer. ``crawl_root``: crawl workspace directory (default
+    ``<registry.root>/_crawl``)."""
+    engine = EngineState(spark, index_dir, registry=registry, crawl_root=crawl_root)
     handler = type("BoundHandler", (_Handler,), {"engine": engine})
     return ThreadingHTTPServer((host, port), handler)
 
