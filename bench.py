@@ -656,6 +656,11 @@ def main() -> None:
     out["queries"]["batch_eval_20q_shared"] = round(
         time.perf_counter() - t0, 3
     )
+    t0 = time.perf_counter()
+    batch_topk(spark, INDEX_DIR, _qs, k=10, decode="auto").collect()
+    out["queries"]["batch_eval_20q_auto"] = round(
+        time.perf_counter() - t0, 3
+    )
 
     # 3) headline relational / training-data queries over the sf dir
     for name in HEADLINE:

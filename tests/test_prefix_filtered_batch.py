@@ -353,6 +353,63 @@ def test_batch_topk_shared_decode_equality(spark, index_small):
         batch_topk(spark, index_small, queries, mode="and", decode="shared")
 
 
+def test_batch_topk_auto_decode(spark, index_small, oracle_small):
+    """decode='auto' measures the batch's df-weighted term overlap per
+    bucket and picks the winning strategy itself: the overlapping bench
+    sweep lands in the shared regime, a disjoint batch stays per-query
+    — and because both strategies are bit-equal, auto equals both on
+    ANY batch (pinned here on both shapes)."""
+    import itertools
+
+    from uci_searchengine_spark.operators.batch_eval import (
+        DECODE_AUTO_THRESHOLD,
+        decode_multiplicity,
+    )
+
+    df = {t: len(p) for t, p in oracle_small.postings.items()}
+    # bench shape 1: 20 combinations over 6 terms — heavy overlap
+    terms6 = ["stop0", "stop1", "stop2", "arbak", "arband", "arbast"]
+    overlapping = {
+        f"q{i}": " ".join(c)
+        for i, c in enumerate(itertools.combinations(terms6, 3))
+    }
+    qt_overlap = {q: s.split() for q, s in overlapping.items()}
+    assert decode_multiplicity(qt_overlap, df) >= DECODE_AUTO_THRESHOLD
+    # bench shape 2: few queries, disjoint terms — per-query regime
+    disjoint = {"q1": "arbak", "q2": "arband", "q3": "stop0"}
+    qt_disjoint = {q: s.split() for q, s in disjoint.items()}
+    assert decode_multiplicity(qt_disjoint, df) < DECODE_AUTO_THRESHOLD
+    # empty/unknown-term batches degrade to 1.0 (per-query)
+    assert decode_multiplicity({"q": ["zzznotaterm"]}, df) == 1.0
+
+    for queries in (overlapping, disjoint):
+        want = sorted(
+            (r["query_id"], r["doc_id"], r["score"])
+            for r in batch_topk(spark, index_small, queries, k=10).collect()
+        )
+        got = sorted(
+            (r["query_id"], r["doc_id"], r["score"])
+            for r in batch_topk(
+                spark, index_small, queries, k=10, decode="auto"
+            ).collect()
+        )
+        assert got == want
+    # auto under AND resolves to per-query instead of erroring
+    a = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in batch_topk(
+            spark, index_small, disjoint, k=10, mode="and", decode="auto"
+        ).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in batch_topk(
+            spark, index_small, disjoint, k=10, mode="and"
+        ).collect()
+    )
+    assert a == b
+
+
 def test_vocab_plane_expansion(spark, index_small, oracle_small, tmp_path):
     """The sorted terms-dictionary plane serves expansions identically
     to the live vocab aggregate; an append invalidates it (stale tag ->

@@ -52,6 +52,32 @@ from uci_searchengine_spark.operators.wand import (
     pruned_segments,
 )
 
+# decode="auto" switches to shared when the batch's df-weighted term
+# reuse crosses this: at multiplicity R the per-query path decodes each
+# posting ~R times, the shared path once (paid for with exhaustive
+# scoring instead of block skipping). Measured on the bench shapes:
+# shared won 2x warm / 5.8x cold at R~10 (32 overlapping queries) and
+# lost on disjoint batches (R~1); 3.0 splits those regimes with margin.
+DECODE_AUTO_THRESHOLD = 3.0
+
+
+def decode_multiplicity(
+    q_terms: "dict[str, list[str]]", df: "dict[str, int]"
+) -> float:
+    """df-weighted average number of queries each posting is decoded
+    for: Σ_q Σ_{t∈q} df(t) ÷ Σ_{t∈union} df(t). 1.0 = fully disjoint
+    batch; large = heavy term overlap (the shared-decode regime).
+    Terms absent from ``df`` (not in this bucket / index) contribute 0."""
+    union = {t for ts in q_terms.values() for t in ts if t in df}
+    denom = float(sum(df[t] for t in union))
+    if denom <= 0:
+        return 1.0
+    num = float(
+        sum(df.get(t, 0) for ts in q_terms.values() for t in ts)
+    )
+    return num / denom
+
+
 _BATCH_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.StringType(), False),
@@ -119,17 +145,25 @@ def batch_topk(
 
     ``queries``: {query_id: query text} (or (id, text) pairs).
 
-    ``decode``: "per-query" (default — each query runs the block-max
+    ``decode``: "auto" (recommended — per scoring bucket, pick "shared"
+    when the batch's measured df-weighted term overlap
+    (``decode_multiplicity`` over the bucket's own df_global column)
+    crosses ``DECODE_AUTO_THRESHOLD``, else "per-query"; zero extra
+    I/O, and both strategies are bit-equal so the choice is pure
+    performance), "per-query" (default — each query runs the block-max
     pruned scorer; terms shared by queries decode once per query) or
     "shared" (OR mode only: every pruned row decodes ONCE per bucket and
     all queries score exhaustively from the shared arrays — wins when
     the batch's queries overlap heavily on terms, loses the per-query
     block skipping; equality is pytest-pinned, the trade is measured in
-    BENCH/BASELINE.md)."""
+    BENCH/BASELINE.md). "auto" under mode="and" always resolves to
+    "per-query" (shared is OR-only)."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    if decode not in ("per-query", "shared"):
-        raise ValueError(f"decode must be per-query|shared, got {decode!r}")
+    if decode not in ("per-query", "shared", "auto"):
+        raise ValueError(
+            f"decode must be per-query|shared|auto, got {decode!r}"
+        )
     if decode == "shared" and mode != "or":
         raise ValueError("decode='shared' supports mode='or' only")
     pairs = list(queries.items()) if isinstance(queries, dict) else list(queries)
@@ -154,7 +188,22 @@ def batch_topk(
                     t: idf_fn(n_docs, int(d))
                     for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
                 }
-                if decode == "shared":
+                decode_eff = decode
+                if decode == "auto":
+                    dfm = {
+                        t: int(d)
+                        for t, d in zip(
+                            seg_pdf["term"], seg_pdf["df_global"]
+                        )
+                    }
+                    decode_eff = (
+                        "shared"
+                        if mode == "or"
+                        and decode_multiplicity(q_terms, dfm)
+                        >= DECODE_AUTO_THRESHOLD
+                        else "per-query"
+                    )
+                if decode_eff == "shared":
                     from uci_searchengine_spark.operators.codec import (
                         unpack_postings,
                     )
