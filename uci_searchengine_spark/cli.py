@@ -142,7 +142,14 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--master", default=None)
 
     sv = sub.add_parser("serve", help="HTTP API over a built index (/api/search ...)")
-    sv.add_argument("--index", required=True)
+    g = sv.add_mutually_exclusive_group(required=True)
+    g.add_argument("--index", help="serve ONE immutable index directory")
+    g.add_argument(
+        "--registry",
+        help="serve a version registry root: enables /api/databases "
+        "switch/upload/download AND the crawl-control routes "
+        "(/api/crawler/start|stop, /api/seed-urls)",
+    )
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--master", default=None)
@@ -182,7 +189,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "serve":
             from uci_searchengine_spark.http_api import make_server
 
-            srv = make_server(spark, args.index, args.host, args.port)
+            reg = None
+            if args.registry:
+                from uci_searchengine_spark.registry import IndexRegistry
+
+                reg = IndexRegistry(args.registry)
+            srv = make_server(
+                spark, args.index, args.host, args.port, registry=reg
+            )
             print(f"http://{args.host}:{srv.server_address[1]}/api/search", flush=True)
             srv.serve_forever()
         elif args.cmd == "synth":

@@ -503,8 +503,16 @@ class EngineState:
 
         events = []
         new_cursor = cursor
-        for d in generation_dirs(self.index_dir):
-            mdir = os.path.join(d, "_manifest")
+        mdirs = [
+            os.path.join(d, "_manifest")
+            for d in generation_dirs(self.index_dir)
+        ]
+        # live-crawl round commits are manifests too — the reference
+        # tails crawler logs over its WebSocket; this is that feed
+        mdirs.append(
+            os.path.join(self.crawl_root, "job", "_crawl_state")
+        )
+        for mdir in mdirs:
             if not os.path.isdir(mdir):
                 continue
             for fn in os.listdir(mdir):
@@ -521,11 +529,15 @@ class EngineState:
                     continue
                 bits = [
                     f"{k}={m[k]}"
-                    for k in ("docs", "postings", "bytes", "rows", "n_docs")
+                    for k in (
+                        "docs", "postings", "bytes", "rows", "n_docs",
+                        "batch", "fetched_ok", "fetched_failed",
+                        "frontier_after",
+                    )
                     if m.get(k)
                 ]
                 events.append((st.st_mtime_ns, {
-                    "message": f"{fn[:-5]} {m.get('status', '?')}"
+                    "message": f"{fn[:-5]} {m.get('status', 'committed')}"
                     + (f" ({', '.join(bits)})" if bits else ""),
                     "timestamp": _dt.datetime.fromtimestamp(
                         st.st_mtime_ns / 1e9, _dt.timezone.utc
