@@ -116,6 +116,10 @@ class EngineState:
         self._crawl_thread: threading.Thread | None = None
         self._crawl_stop = threading.Event()
         self._crawl_error: str | None = None
+        # crawl-control mutations get their own lock: self.lock is held
+        # across Spark query jobs, and a start/stop request must not
+        # queue behind a long-running search
+        self._crawl_lock = threading.Lock()
 
     # ------------------------------------------------------ crawl control
     @property
@@ -156,6 +160,14 @@ class EngineState:
 
         from uci_searchengine_spark.crawler import CrawlState
 
+        with self._crawl_lock:
+            return self._crawler_start_locked(
+                mode, seeds, params, shutil, CrawlState
+            )
+
+    def _crawler_start_locked(
+        self, mode, seeds, params, shutil, CrawlState
+    ) -> dict:
         if self.crawler_running:
             raise ValueError("Crawler is already running")
         job_dir = os.path.join(self.crawl_root, "job")
@@ -271,9 +283,10 @@ class EngineState:
             self._crawl_error = f"{type(e).__name__}: {e}"
 
     def crawler_stop(self) -> dict:
-        if not self.crawler_running:
-            raise ValueError("Crawler is not running")
-        self._crawl_stop.set()
+        with self._crawl_lock:
+            if not self.crawler_running:
+                raise ValueError("Crawler is not running")
+            self._crawl_stop.set()
         return {"message": "Crawler stopped successfully"}
 
     def failed_urls(self) -> dict:
