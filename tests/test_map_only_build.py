@@ -105,13 +105,23 @@ class TestMapOnlyBuild:
             plan_ranged_file_groups,
         )
 
+        from uci_searchengine_spark.plans.partitioning import (
+            exact_repartition,
+        )
+
         _, tbl, _ = sorted_corpus
         stats_dir = os.path.join(tbl, "_uss_stats")
-        assert os.path.isdir(stats_dir) and os.listdir(stats_dir)  # built already
-        cache_file = os.path.join(stats_dir, sorted(os.listdir(stats_dir))[0])
-        cached = {int(k): v for k, v in json.load(open(cache_file)).items()}
         groups = plan_ranged_file_groups(tbl, 4)
         gf = {g["pid"]: g["files"] for g in groups}
+        # populate the cache for THIS layout (self-sufficient: don't
+        # depend on a sibling test having built it — test selection
+        # used to break that ordering)
+        dr = exact_repartition(
+            spark.createDataFrame([(g["pid"],) for g in groups], "pid int"),
+            len(groups), "pid",
+        )
+        cached = _cached_group_counts(spark, tbl, groups, gf, dr)
+        assert os.path.isdir(stats_dir) and os.listdir(stats_dir)
         # cache hit: no Spark job needed (driver_r=None would blow up on miss)
         got = _cached_group_counts(spark, tbl, groups, gf, driver_r=None)
         assert got == cached
