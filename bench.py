@@ -326,14 +326,29 @@ def main() -> None:
                 break  # target met with ≥2 phase samples: evidence secured
             # extend the wall budget ONLY while the phase — not the
             # engine — is the open question: no round has met the target
-            # yet AND the host's own CPU ceiling was degraded (<0.8
-            # same-round) in every completed round; extra rounds then
-            # hunt for a healthy phase. If the host scaled fine and the
-            # engine still missed, that is a real miss: stop at the base
-            # budget and report it.
+            # yet AND the host's own delivered scaling was degraded
+            # (<0.8 same-round) in every completed round; extra rounds
+            # then hunt for a healthy phase. "Delivered" = the WORST of
+            # the two paired controls per round — the build is
+            # memory-bandwidth-heavy (Arrow parse + varint pack), and
+            # this box has phases where raw memcpy scales 2→8 at 0.4
+            # while pure-CPU scales at 1.0+; keying the hunt on the CPU
+            # control alone stopped the sampling exactly when the
+            # binding resource was the degraded one.
+            def _round_ctrl_eff(i: int) -> float:
+                effs = []
+                if i < len(ceil_by_cores[2]) and i < len(ceil_by_cores[8]):
+                    effs.append(
+                        (ceil_by_cores[2][i] / ceil_by_cores[8][i]) / 4
+                    )
+                if i < len(memceil_by_cores[2]) and i < len(memceil_by_cores[8]):
+                    m2, m8 = memceil_by_cores[2][i], memceil_by_cores[8][i]
+                    if m8 > 0:
+                        effs.append((m2 / m8) / 4)
+                return min(effs) if effs else 1.0
+
             host_degraded_all = rounds_done > 0 and all(
-                (c2r / c8r) / 4 < 0.8
-                for c2r, c8r in zip(ceil_by_cores[2], ceil_by_cores[8])
+                _round_ctrl_eff(i) < 0.8 for i in range(rounds_done)
             )
             eff_budget = (
                 budget_max_s if (not met and host_degraded_all) else budget_s
