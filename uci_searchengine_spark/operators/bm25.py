@@ -83,6 +83,21 @@ def score_naive(
     ``mode="and"`` keeps only docs holding EVERY query term — expressed
     as a HAVING count(distinct term) = n over the same aggregate (one
     extra map-side counter, no second shuffle)."""
+    return (
+        score_all(spark, index_dir, query, mode=mode)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def score_all(
+    spark: SparkSession, index_dir: str, query: str, mode: str = "or"
+) -> DataFrame:
+    """FULL match-set scores (doc_id, score), unordered and unlimited —
+    the relational scoring dataflow shared by ``score_naive`` (top-k)
+    and analytic consumers that need every match (field collapsing,
+    facets, significant-terms feeders). Bounded by the MATCH SET, not
+    the corpus."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     meta = IndexMeta.load(index_dir)
@@ -119,12 +134,7 @@ def score_naive(
     # deleted docs until rebuild (Lucene-shaped delete semantics,
     # operators/tombstones.py), so the subtraction sits after the stats
     agg = _minus_tombstones(spark, agg, index_dir)
-    return (
-        agg.drop("_nt")
-        .filter(F.col("score") > 0)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return agg.drop("_nt").filter(F.col("score") > 0)
 
 
 def _minus_tombstones(spark: SparkSession, df: DataFrame, index_dir: str) -> DataFrame:
