@@ -67,3 +67,38 @@ class TestCollapse:
     def test_validation(self, spark, index_small):
         with pytest.raises(ValueError, match="per_group"):
             collapsed_topk(spark, index_small, "stop0", per_group=0)
+
+
+@pytest.mark.spark
+class TestSearchAfter:
+    def test_cursor_pages_tile_the_ranking(
+        self, spark, index_small, oracle_small
+    ):
+        """Walking pages of 7 via the (score, doc_id) cursor reproduces
+        the oracle's global ranking exactly — no gaps, no repeats —
+        and page 1 (after=None) equals plain top-k."""
+        from uci_searchengine_spark.operators.bm25 import search_after
+
+        q = "stop0 arbak"
+        want = [
+            (d, round(s, 9)) for d, s in oracle_small.top_k(q, k=28)
+        ]
+        got = []
+        cursor = None
+        for _ in range(4):
+            rows = search_after(
+                spark, index_small, q, after=cursor, k=7
+            ).collect()
+            assert len(rows) == 7
+            got += [(r["doc_id"], round(r["score"], 9)) for r in rows]
+            cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+        assert got == want
+        assert len({d for d, _ in got}) == len(got)  # no repeats
+
+    def test_exhausted_cursor_returns_empty(self, spark, index_small):
+        from uci_searchengine_spark.operators.bm25 import search_after
+
+        rows = search_after(
+            spark, index_small, "stop0", after=(-1.0, 10**9), k=5
+        ).collect()
+        assert rows == []

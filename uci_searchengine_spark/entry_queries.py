@@ -134,15 +134,10 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
-def q_collapsed_search(spark, sf_dir):
-    """Field collapsing (Lucene grouping / ES collapse — host-crowding
-    dedupe): the SAME relational BM25 dataflow as q_bm25_topk scoring
-    the FULL match set, one window partitioned by the group key
-    (``source``) keeping each group's best (score desc, doc_id asc)
-    doc, then the global bounded top-k. The one shuffle beyond scoring
-    hashes MATCH-SET rows by group — never the corpus. Product path:
-    operators/collapse.collapsed_topk (url-host grouping, pytest vs
-    python oracle)."""
+def _relational_bm25_scored(spark, sf_dir):
+    """The q_bm25_topk scoring dataflow WITHOUT the final top-k: full
+    match-set (doc_id, score rounded 6) — shared by the analytic gates
+    that consume every match (collapse, search_after)."""
     toks = _doc_tokens(spark, sf_dir)
     dl = toks.select("doc_id", F.size("t").alias("doc_len"))
     stats = dl.agg(
@@ -183,6 +178,19 @@ def q_collapsed_search(spark, sf_dir):
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
         .filter(F.col("score") > 0)
     )
+    return scored
+
+
+def q_collapsed_search(spark, sf_dir):
+    """Field collapsing (Lucene grouping / ES collapse — host-crowding
+    dedupe): the SAME relational BM25 dataflow as q_bm25_topk scoring
+    the FULL match set, one window partitioned by the group key
+    (``source``) keeping each group's best (score desc, doc_id asc)
+    doc, then the global bounded top-k. The one shuffle beyond scoring
+    hashes MATCH-SET rows by group — never the corpus. Product path:
+    operators/collapse.collapsed_topk (url-host grouping, pytest vs
+    python oracle)."""
+    scored = _relational_bm25_scored(spark, sf_dir)
     src = _t(spark, sf_dir, "documents").select("doc_id", "source")
     w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -193,6 +201,62 @@ def q_collapsed_search(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+def q_search_after(spark, sf_dir):
+    """search_after deep pagination (ES parity): page 2 fetched via the
+    (score, doc_id) CURSOR predicate — cursor = page 1's last row,
+    derived IN-PLAN as min(struct(score, -doc_id)) over the bounded
+    page-1 rows and broadcast back — not via OFFSET. The oracle IS the
+    OFFSET formulation, so the gate proves cursor ≡ offset on the
+    strict total order (the property that makes cursors stable). At
+    depth N the cursor plan stays one bounded top-k over the match
+    set; from+size re-materializes N·k rows."""
+    scored = _relational_bm25_scored(spark, sf_dir)
+    page1 = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    cur = page1.agg(
+        F.min(
+            F.struct(
+                F.col("score").alias("s"),
+                (-F.col("doc_id")).alias("nd"),
+            )
+        ).alias("c")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cur))
+        .filter(
+            (F.col("score") < F.col("c.s"))
+            | (
+                (F.col("score") == F.col("c.s"))
+                & (F.col("doc_id") > -F.col("c.nd"))
+            )
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_SEARCH_AFTER = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
 
 
 SQL_COLLAPSED_SEARCH = f"""
@@ -3422,7 +3486,7 @@ QUERIES = {
     # -- wildcard rejection) --
     "phrase_match": (q_phrase_match, _sql_phrase_match()),
     "phrase_segments_topk": (q_phrase_segments_topk, _sql_phrase_segments_topk()),
-    "phrase_positional_topk": (q_phrase_positional_topk, _sql_phrase_segments_topk()),
+    "search_after": (q_search_after, SQL_SEARCH_AFTER),
     "boolean_search": (q_boolean_search, _sql_boolean_search()),
     "boolean_groups": (q_boolean_groups, SQL_BOOLEAN_GROUPS),
     "batch_bm25_topk": (q_batch_bm25, _sql_batch_bm25()),
@@ -3474,6 +3538,10 @@ QUERIES = {
     # ---- driver-verified GREEN in round 3 and stays covered by the local
     # ---- replica (scripts/check_oracles.py) + pytest until its next turn
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    # phrase_positional_topk rotated out for search_after: it shares its
+    # oracle AND closure with phrase_segments_topk (still in the window),
+    # so window coverage of the lazy-verify change is unchanged
+    "phrase_positional_topk": (q_phrase_positional_topk, _sql_phrase_segments_topk()),
     "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "pii_redact": (q_pii_redact, _sql_pii_redact()),

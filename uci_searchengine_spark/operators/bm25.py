@@ -90,6 +90,34 @@ def score_naive(
     )
 
 
+def search_after(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    after: "tuple[float, int] | None" = None,
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """(doc_id, score): the next ``k`` results strictly AFTER the
+    ``(score, doc_id)`` cursor in the global rank order (score desc,
+    doc_id asc) — Elasticsearch's ``search_after`` deep-pagination
+    shape. Page N of from+size paging re-materializes N·k rows; the
+    cursor filter keeps every page the same bounded top-k over the
+    match set, with the predicate ((s < s0) OR (s == s0 AND d > d0))
+    below the TakeOrderedAndProject. ``after=None`` = first page
+    (≡ score_naive). Cursor = the last row of the previous page,
+    verbatim — stable across pages because the rank order is a strict
+    total order."""
+    scored = score_all(spark, index_dir, query, mode=mode)
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        scored = scored.filter(
+            (F.col("score") < s0)
+            | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def score_all(
     spark: SparkSession, index_dir: str, query: str, mode: str = "or"
 ) -> DataFrame:
