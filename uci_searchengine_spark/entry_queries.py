@@ -552,6 +552,104 @@ def q_phrase_positional_topk(spark, sf_dir):
     )
 
 
+NEAR_SLOP = 2
+
+
+def q_near_match(spark, sf_dir):
+    """Ordered proximity ("sloppy phrase" / ordered span_near) match,
+    relational form: the pure-JVM greedy-chain HOF over the token array
+    — scan-side, zero shuffle (functions/phrase.near_count_col; pinned
+    semantics in that module's docstring). n_occ = matching start
+    positions within a total gap budget of NEAR_SLOP."""
+    from uci_searchengine_spark.functions.phrase import near_count_col
+
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select(
+            "doc_id",
+            near_count_col(F.col("t"), PHRASE_TERMS, NEAR_SLOP).alias(
+                "n_occ"
+            ),
+        )
+        .filter(F.col("n_occ") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_near_match() -> str:
+    from uci_searchengine_spark.functions.phrase import near_count_sql
+
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, n_occ FROM (
+  SELECT doc_id, {near_count_sql(PHRASE_TERMS, NEAR_SLOP)}::INT AS n_occ
+  FROM toks
+) WHERE n_occ > 0 ORDER BY doc_id
+"""
+
+
+def q_phrase_near_topk(spark, sf_dir):
+    """Proximity top-k through the PRODUCT path: positional index →
+    rarest-first conjunctive intersection → vectorized greedy
+    earliest-next chaining over the delta-varint position planes
+    (operators/phrase._near_counts) — no doc-store read. Oracle scores
+    the pair and filters on the nested-comprehension proximity count."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.phrase import phrase_search
+
+    idx = _segments_index_dir(spark, sf_dir, positions=True)
+    topk = phrase_search(
+        spark,
+        idx,
+        " ".join(PHRASE_TERMS),
+        k=10,
+        method="positions",
+        slop=NEAR_SLOP,
+    )
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            "n_occ",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _sql_phrase_near_topk() -> str:
+    from uci_searchengine_spark.functions.phrase import near_count_sql
+
+    terms_in = ", ".join(f"'{t}'" for t in PHRASE_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+phr AS (
+  SELECT doc_id, {near_count_sql(PHRASE_TERMS, NEAR_SLOP)}::INT AS n_occ
+  FROM toks
+)
+SELECT s.doc_id, s.score, p.n_occ
+FROM scored s JOIN phr p USING(doc_id)
+WHERE p.n_occ > 0 AND s.score > 0
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 BOOL_QUERY = 'customer +join -window "merge group"'
 
 
@@ -3042,6 +3140,65 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+FUZZY_WORD, FUZZY_EDITS = "dat", 1
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Fuzzy query ``dat~1 join`` over the compressed-segment index
+    (Lucene FuzzyQuery rewrite): the word expands against the term
+    dictionary (one column-pruned vocab scan — length window +
+    threshold levenshtein, ordered dist asc / df desc / term asc,
+    capped at 50), then the expanded disjunction scores through the
+    block-max pruned scorer with per-term idf. Oracle mirrors the
+    expansion rule exactly (operators/fuzzy.py)."""
+    from uci_searchengine_spark.operators.fuzzy import fuzzy_search
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = fuzzy_search(spark, idx, f"{FUZZY_WORD}~{FUZZY_EDITS} join", k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_FUZZY_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+allterms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM allterms
+  WHERE abs(length(term) - {len(FUZZY_WORD)}) <= {FUZZY_EDITS}
+  GROUP BY term
+),
+exp AS (
+  SELECT term FROM vocab WHERE levenshtein(term, '{FUZZY_WORD}') <= {FUZZY_EDITS}
+  ORDER BY levenshtein(term, '{FUZZY_WORD}') ASC, df DESC, term ASC LIMIT 50
+),
+qterms AS (SELECT term FROM exp UNION SELECT 'join' AS term),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM allterms
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_filtered_search(spark, sf_dir):
     """Filter-context search (Lucene bool.filter): BM25 top-10 among
     English docs ONLY — the allowed set is a relational predicate
@@ -3582,4 +3739,9 @@ QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "training_prep_v2": (q_training_prep_v2, _sql_training_prep_v2()),
+    # -- new in round 4 (post-rotation): proximity search; enters the
+    # -- driver window in round 5 as "touched this round" --
+    "near_match": (q_near_match, _sql_near_match()),
+    "phrase_near_topk": (q_phrase_near_topk, _sql_phrase_near_topk()),
+    "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
 }

@@ -64,3 +64,107 @@ def phrase_count_sql(seq: list[str], toks: str = "t") -> str:
     return (
         f"len([i for i in generate_series(1, len({toks})-{n - 1}) if {conds}])"
     )
+
+
+# --------------------------------------------------------- proximity (slop)
+# Ordered proximity ("sloppy phrase", Lucene PhraseQuery(slop) for
+# in-order matches / ordered span_near): the sequence w_1..w_n matches at
+# start position p iff positions p = p_1 < p_2 < ... < p_n exist with
+# toks[p_j] = w_j and total gap (p_n - p_1) - (n-1) <= slop. n_occ = the
+# number of distinct start positions that admit a match. The greedy
+# earliest-next chain is optimal (it minimizes every p_j for a fixed
+# p_1, hence the total gap), so existence = greedy success. slop=0 is
+# exactly the phrase semantics above.
+
+
+def count_near_py(toks: list[str], seq: list[str], slop: int) -> int:
+    """Reference implementation: # of start positions from which `seq`
+    matches in order within a total gap budget of `slop`."""
+    n = len(seq)
+    if n == 0 or len(toks) < n:
+        return 0
+    if n == 1:
+        return sum(1 for t in toks if t == seq[0])
+    win = n - 1 + slop  # max offset of the last term from the start
+    hits = 0
+    for i, t in enumerate(toks):
+        if t != seq[0]:
+            continue
+        cur = i
+        ok = True
+        for w in seq[1:]:
+            nxt = next(
+                (
+                    j
+                    for j in range(cur + 1, min(i + win, len(toks) - 1) + 1)
+                    if toks[j] == w
+                ),
+                None,
+            )
+            if nxt is None:
+                ok = False
+                break
+            cur = nxt
+        if ok:
+            hits += 1
+    return hits
+
+
+def near_count_col(toks: Column, seq: list[str], slop: int) -> Column:
+    """JVM expression mirror of ``count_near_py``: scan-side, zero
+    shuffle, whole-stage codegen. Starts = positions of the first term;
+    per start, a bounded greedy fold (``aggregate`` over the remaining
+    terms) finds the earliest in-order chain inside the slop window."""
+    n = len(seq)
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if n == 0:
+        return F.lit(0)
+    if n == 1:
+        return F.size(
+            F.filter(toks, lambda x: x == F.lit(seq[0]))
+        ).cast("int")
+    win = n - 1 + slop
+    last = F.size(toks) - F.lit(1)
+
+    def chain_ok(i: Column) -> Column:
+        rest = F.array(*[F.lit(w) for w in seq[1:]])
+
+        def step(acc: Column, w: Column) -> Column:
+            lo = acc + F.lit(1)
+            hi = F.least(i + F.lit(win), last)
+            nxt = F.when(
+                (acc >= 0) & (lo <= hi),
+                F.array_min(
+                    F.filter(
+                        F.sequence(lo, hi),
+                        lambda j: F.get(toks, j.cast("int")) == w,
+                    )
+                ),
+            )
+            return F.coalesce(nxt, F.lit(-1)).cast("long")
+
+        return F.aggregate(rest, i.cast("long"), step) >= 0
+
+    starts = F.filter(
+        F.sequence(F.lit(0), last),
+        lambda i: F.get(toks, i.cast("int")) == F.lit(seq[0]),
+    )
+    cnt = F.size(F.filter(starts, chain_ok))
+    return (
+        F.when(F.size(toks) >= n, cnt).otherwise(F.lit(0)).cast("int")
+    )
+
+
+def near_count_sql(seq: list[str], slop: int, toks: str = "t") -> str:
+    """DuckDB mirror of ``near_count_col`` for two-term sequences
+    (nested list comprehension, 1-based): the driver-gate oracle shape.
+    Longer sequences are pinned in pytest against ``count_near_py``."""
+    if len(seq) != 2:
+        raise ValueError("near_count_sql covers the 2-term oracle shape")
+    a, b = seq
+    return (
+        f"len([i for i in generate_series(1, len({toks})) if {toks}[i] = '{a}'"
+        f" and len([j for j in generate_series(i+1, least(i+1+{slop},"
+        f" len({toks}))) if {toks}[j] = '{b}']) > 0])"
+    )

@@ -372,12 +372,13 @@ class EngineState:
                 query, page=page, per_page=per_page, mode=mode
             )
 
-    def advanced(self, query: str, mode: str, k: int) -> dict:
+    def advanced(self, query: str, mode: str, k: int, slop: int = 0) -> dict:
         """Boolean / phrase query surface (extension route): doc-attached
-        top-k from the plan-chosen Searcher envelope."""
+        top-k from the plan-chosen Searcher envelope. ``slop`` applies
+        to mode=phrase only (ordered proximity)."""
         with self.lock:
             if mode == "phrase":
-                return self.searcher.phrase_envelope(query, k=k)
+                return self.searcher.phrase_envelope(query, k=k, slop=slop)
             return self.searcher.boolean_envelope(query, k=k)
 
     def percolate(self, text: str) -> dict:
@@ -620,9 +621,14 @@ class _Handler(BaseHTTPRequestHandler):
                 k = _int_param(qs, "k", 10)
                 if query is None:
                     return self._json({"detail": "query is required"}, 422)
-                if mode not in ("boolean", "phrase") or not (1 <= k <= 50):
+                slop = _int_param(qs, "slop", 0)
+                if (
+                    mode not in ("boolean", "phrase")
+                    or not (1 <= k <= 50)
+                    or not (0 <= slop <= 50)
+                ):
                     return self._json({"detail": "invalid parameter"}, 422)
-                return self._json(self.engine.advanced(query, mode, k))
+                return self._json(self.engine.advanced(query, mode, k, slop))
             if u.path == "/api/suggest":
                 word = qs.get("word", [None])[0]
                 if not word:

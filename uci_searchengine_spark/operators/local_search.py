@@ -218,18 +218,20 @@ def phrase_topk_local(
     k: int = 10,
     method: str = "auto",
     excl: "np.ndarray | None" = None,
+    slop: int = 0,
 ) -> list[dict]:
     """In-process twin of ``phrase.phrase_search``: the SAME per-bucket
     closure (``phrase.make_phrase_fn`` — shared, not copied) over the
     same pruned files, positional plane included when the strategy uses
     it. Returns [(doc_id, score, n_occ)] rows in the identical
-    (score desc, doc_id asc) top-k order."""
+    (score desc, doc_id asc) top-k order. ``slop`` relaxes adjacency to
+    ordered proximity (functions/phrase.py semantics)."""
     from uci_searchengine_spark.operators.phrase import (
         make_phrase_fn,
         phrase_plan,
     )
 
-    seq, terms, use_pos = phrase_plan(meta, phrase, method)
+    seq, terms, use_pos = phrase_plan(meta, phrase, method, slop)
     if not seq:
         return []
     seg = read_pruned_segments_local(
@@ -237,7 +239,7 @@ def phrase_topk_local(
     )
     if not len(seg):
         return []
-    fn = make_phrase_fn(meta, index_dir, seq, terms, k, use_pos)(excl)
+    fn = make_phrase_fn(meta, index_dir, seq, terms, k, use_pos, slop)(excl)
     return _merge_bucket_outputs(_run_buckets_local(seg, fn), k)
 
 

@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from uci_searchengine_spark import BLOCK_SIZE
-from uci_searchengine_spark.functions.phrase import count_phrase_py
+from uci_searchengine_spark.functions.phrase import (
+    count_near_py,
+    count_phrase_py,
+)
 from uci_searchengine_spark.operators.bm25 import analyze_seq
 from uci_searchengine_spark.operators.bm25 import idf as idf_fn
 from uci_searchengine_spark.operators.codec import (
@@ -60,6 +63,7 @@ def _verify_bucket(
     ids: np.ndarray,
     seq: list[str],
     stem: bool,
+    slop: int = 0,
 ) -> dict[int, int]:
     """Doc-store strategy: read this bucket's files pruned to the
     candidate ids (pyarrow predicate → row-group skip; docs are written
@@ -93,8 +97,13 @@ def _verify_bucket(
         from uci_searchengine_spark.functions.stem import stem_tokens
 
         toks = toks.map(stem_tokens)
+    if slop == 0:
+        return {
+            int(d): count_phrase_py(t, seq)
+            for d, t in zip(pdf["doc_id"], toks)
+        }
     return {
-        int(d): count_phrase_py(t, seq)
+        int(d): count_near_py(t, seq, slop)
         for d, t in zip(pdf["doc_id"], toks)
     }
 
@@ -163,37 +172,89 @@ def _positional_counts(
     return out
 
 
+def _near_counts(
+    seg_pdf: pd.DataFrame,
+    cand: np.ndarray,
+    base: int,
+    seq: list[str],
+    slop: int,
+) -> dict[int, int]:
+    """Index-only ordered proximity (functions/phrase.py semantics):
+    starts = positions of seq[0]; per remaining term a vectorized
+    greedy earliest-next step (searchsorted) over ALL starts at once;
+    a start matches iff the chain lands within the slop window. At
+    slop=0 this equals ``_positional_counts`` (greedy earliest is
+    adjacency); the separate set-intersection path stays because it is
+    cheaper for exact phrases."""
+    cand_sorted = np.sort(cand)
+    by_term: dict[str, dict[int, np.ndarray]] = {}
+    for row in seg_pdf.itertuples(index=False):
+        by_term.setdefault(row.term, {}).update(
+            _candidate_positions(row, cand_sorted, base)
+        )
+    win = len(seq) - 1 + slop
+    out: dict[int, int] = {}
+    for d in cand_sorted:
+        di = int(d)
+        starts = by_term[seq[0]].get(di)
+        if starts is None or not starts.size:
+            out[di] = 0
+            continue
+        cur = starts.astype(np.int64)
+        ok = np.ones(cur.shape, dtype=bool)
+        for t in seq[1:]:
+            pos = by_term[t].get(di)
+            if pos is None or not pos.size:
+                ok[:] = False
+                break
+            idx = np.searchsorted(pos, cur + 1)
+            valid = idx < pos.size
+            cur = np.where(valid, pos[np.minimum(idx, pos.size - 1)], cur)
+            ok &= valid
+        ok &= (cur - starts.astype(np.int64)) <= win
+        out[di] = int(ok.sum())
+    return out
+
+
 def phrase_search(
     spark: SparkSession,
     index_dir: str,
     phrase: str,
     k: int = 10,
     method: str = "auto",
+    slop: int = 0,
 ) -> DataFrame:
     """Top-k (doc_id, score, n_occ) among docs containing the exact
     analyzed token sequence; score = the same OR-sum BM25 as score_wand,
     rank (score desc, doc_id asc).
 
     ``method``: "auto" uses the positional plane when the index has one,
-    else the doc store; "positions" / "docstore" force a strategy."""
+    else the doc store; "positions" / "docstore" force a strategy.
+
+    ``slop`` > 0 relaxes exact adjacency to ordered proximity with a
+    total gap budget (Lucene sloppy-phrase / ordered span_near — see
+    functions/phrase.py for the pinned semantics); n_occ becomes the
+    number of matching start positions."""
     meta = IndexMeta.load(index_dir)
-    seq, terms, use_pos = phrase_plan(meta, phrase, method)
+    seq, terms, use_pos = phrase_plan(meta, phrase, method, slop)
     empty = spark.createDataFrame([], _OUT_SCHEMA)
     if not seq:
         return empty
     seg = pruned_segments(spark, index_dir, meta, terms, with_positions=use_pos)
     excl = load_excl(index_dir, spark, meta.bucket_size)
-    make_fn = make_phrase_fn(meta, index_dir, seq, terms, k, use_pos)
+    make_fn = make_phrase_fn(meta, index_dir, seq, terms, k, use_pos, slop)
     per_bucket = apply_per_bucket(seg, excl, make_fn, _OUT_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def phrase_plan(meta: IndexMeta, phrase: str, method: str):
+def phrase_plan(meta: IndexMeta, phrase: str, method: str, slop: int = 0):
     """Shared prelude of the distributed and task-local phrase plans:
     (analyzed sequence, deduped terms, positional-plane decision) —
     including the method validation errors."""
     if method not in ("auto", "positions", "docstore"):
         raise ValueError(f"unknown method {method!r}")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     has_pos = bool(getattr(meta, "positions", False))
     if method == "positions" and not has_pos:
         raise ValueError("index has no positional plane (build with positions=True)")
@@ -209,6 +270,7 @@ def make_phrase_fn(
     terms: list[str],
     k: int,
     use_pos: bool,
+    slop: int = 0,
 ):
     """Per-bucket phrase closure builder SHARED by the Spark path
     (``phrase_search``) and the task-local path
@@ -263,12 +325,18 @@ def make_phrase_fn(
             chunk = max(64, 4 * k)
             while pos0 < n_cand and hits < k:
                 part = ids[pos0 : pos0 + chunk]
-                if use_pos:
+                if use_pos and slop == 0:
                     occ = _positional_counts(
                         seg_pdf, part, bucket * bucket_size, seq
                     )
+                elif use_pos:
+                    occ = _near_counts(
+                        seg_pdf, part, bucket * bucket_size, seq, slop
+                    )
                 else:
-                    occ = _verify_bucket(docs_dirs, bucket, part, seq, stem)
+                    occ = _verify_bucket(
+                        docs_dirs, bucket, part, seq, stem, slop
+                    )
                 for d in part:
                     o = occ.get(int(d), 0)
                     if o > 0:
@@ -295,13 +363,14 @@ def phrase_results(
     phrase: str,
     k: int = 10,
     method: str = "auto",
+    slop: int = 0,
 ) -> DataFrame:
     """Phrase top-k joined to the doc store: (doc_id, url, title,
     snippet, score) — the serving envelope shape. Snippets highlight the
     raw phrase tokens (display rule, bm25.search)."""
     from uci_searchengine_spark.operators.bm25 import attach_docs, query_terms
 
-    topk = phrase_search(spark, index_dir, phrase, k, method=method).select(
-        "doc_id", "score"
-    )
+    topk = phrase_search(
+        spark, index_dir, phrase, k, method=method, slop=slop
+    ).select("doc_id", "score")
     return attach_docs(spark, index_dir, topk, query_terms(phrase))

@@ -107,12 +107,13 @@ class Searcher:
 
     def phrase_rows(
         self, phrase: str, k: int = 10, method: str = "auto",
-        plan: str = "auto",
+        plan: str = "auto", slop: int = 0,
     ) -> list[dict]:
         """Phrase top-k as rows [(doc_id, score, n_occ)], plan-chosen
         like ``search()``: in-process when the pruned scan fits
         ``local_bytes_limit`` (same closure as the Spark plan —
-        operators/local_search.py), else the distributed job."""
+        operators/local_search.py), else the distributed job. ``slop``
+        relaxes adjacency to ordered proximity (functions/phrase.py)."""
         from uci_searchengine_spark.operators.local_search import (
             phrase_topk_local,
         )
@@ -121,7 +122,7 @@ class Searcher:
             phrase_search,
         )
 
-        seq, terms, use_pos = phrase_plan(self.meta, phrase, method)
+        seq, terms, use_pos = phrase_plan(self.meta, phrase, method, slop)
         if not seq:
             return []
         excl = _wand.load_excl(
@@ -139,10 +140,13 @@ class Searcher:
         if local_ok:
             self.last_plan = "local"
             return phrase_topk_local(
-                self.index_dir, self.meta, phrase, k, method, excl=excl
+                self.index_dir, self.meta, phrase, k, method, excl=excl,
+                slop=slop,
             )
         self.last_plan = "spark"
-        df = phrase_search(self.spark, self.index_dir, phrase, k, method=method)
+        df = phrase_search(
+            self.spark, self.index_dir, phrase, k, method=method, slop=slop
+        )
         return [r.asDict() for r in df.collect()]
 
     def boolean_rows(
@@ -241,17 +245,21 @@ class Searcher:
 
     def phrase_envelope(
         self, phrase: str, k: int = 10, method: str = "auto",
-        plan: str = "auto",
+        plan: str = "auto", slop: int = 0,
     ) -> dict:
         """Doc-attached phrase results (url/title/snippet/score/n_occ),
         plan-chosen; snippets highlight the raw phrase tokens (display
-        rule — phrase_results parity)."""
-        rows = self.phrase_rows(phrase, k, method, plan)
-        return {
+        rule — phrase_results parity). ``slop`` > 0 = ordered
+        proximity."""
+        rows = self.phrase_rows(phrase, k, method, plan, slop)
+        env = {
             "query": phrase,
             "mode": "phrase",
             "results": self._attach(rows, query_terms(phrase)),
         }
+        if slop:
+            env["slop"] = slop
+        return env
 
     def boolean_envelope(
         self, query: str, k: int = 10, plan: str = "auto"
@@ -515,6 +523,23 @@ class Searcher:
             )
         return expand_prefix(self.spark, self.index_dir, prefix)
 
+    def _expand_fuzzy(self, word: str, max_edits: int) -> list[str]:
+        """Fuzzy expansion for ``search()``: the same local-vs-Spark
+        policy as ``_expand_prefix`` — resident job-free banded-DP scan
+        when the vocab fits the local budget, else one Spark vocab scan
+        (both capped + ordered identically — operators/fuzzy.py)."""
+        from uci_searchengine_spark.operators.fuzzy import (
+            expand_fuzzy,
+            expand_fuzzy_local,
+        )
+
+        if self._vocab_fits_local():
+            v = self._vocab_raw()
+            return expand_fuzzy_local(
+                v["term"].to_numpy(), v["df"].to_numpy(), word, max_edits
+            )
+        return expand_fuzzy(self.spark, self.index_dir, word, max_edits)
+
     def _authority_frame(self):
         """Resident (doc_id, authority) pandas frame off the doc store's
         two cheapest columns — the task-local site: filter's input.
@@ -676,26 +701,32 @@ class Searcher:
         from uci_searchengine_spark.operators.filtered import (
             parse_site_filters,
         )
+        from uci_searchengine_spark.operators.fuzzy import parse_fuzzy
         from uci_searchengine_spark.operators.prefix import parse_wildcards
 
         rest, hosts = parse_site_filters(query)
         literals, prefixes = parse_wildcards(rest)
-        if prefixes:
+        literals_s = " ".join(literals)
+        literals2, fuzzies = parse_fuzzy(literals_s)
+        if prefixes or fuzzies:
             if mode != "or":
-                raise ValueError("wildcard queries support mode='or' only")
+                raise ValueError(
+                    "wildcard/fuzzy queries support mode='or' only"
+                )
+            literals_s = " ".join(literals2)
             terms = (
-                terms_for_index(self.meta, " ".join(literals))
-                if literals
-                else []
+                terms_for_index(self.meta, literals_s) if literals2 else []
             )
             expanded: list[str] = []
             for p in prefixes:
                 expanded.extend(self._expand_prefix(p))
+            for w, e in fuzzies:
+                expanded.extend(self._expand_fuzzy(w, e))
             terms = list(dict.fromkeys(terms + expanded))
             # display rule: highlight literal raw forms AND the concrete
             # expansions (the match the user actually got)
             disp = list(
-                dict.fromkeys(query_terms(" ".join(literals)) + expanded)
+                dict.fromkeys(query_terms(literals_s) + expanded)
             )
         else:
             terms = terms_for_index(self.meta, rest)

@@ -132,6 +132,27 @@ class OracleIndex:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
+    def top_k_near(
+        self, phrase: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float, int]]:
+        """Ordered proximity match (functions/phrase.py semantics):
+        (doc_id, score, n_occ) for docs where the sequence matches in
+        order within a total gap budget of ``slop``; n_occ = matching
+        start positions. slop=0 coincides with top_k_phrase's set."""
+        from uci_searchengine_spark.functions.phrase import count_near_py
+
+        seq = tokenize_py(phrase)
+        if not seq:
+            return []
+        scores = self.score(phrase)
+        out = []
+        for d, s in scores.items():
+            n = count_near_py(tokenize_py(self.texts[d]), seq, slop)
+            if n > 0:
+                out.append((d, s, n))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
+
     def boolean_top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Boolean syntax (functions/queryparse.py): OR terms scored,
         +must all present, -not none present, "phrases" required as exact
