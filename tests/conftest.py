@@ -62,6 +62,18 @@ def index_small(spark, tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def vocab_rows(spark, index_small):
+    """Resident (term, df) vocabulary of index_small — the reference
+    input for the multi-term rewrite tests (fuzzy/regex expansions)."""
+    from uci_searchengine_spark.operators.suggest import vocab
+
+    return [
+        (r["term"], int(r["df"]))
+        for r in vocab(spark, index_small).collect()
+    ]
+
+
+@pytest.fixture(scope="session")
 def index_positional(spark, tmp_path_factory):
     """Index over the SAME small corpus, built with the positional plane."""
     from uci_searchengine_spark.operators.index_build import build_index

@@ -58,16 +58,6 @@ def _expand_ref(vocab_df, word, max_edits, prefix_length=0, cap=MAX_EXPANSIONS):
     return [t for _, _, t in cand[:cap]]
 
 
-@pytest.fixture(scope="module")
-def vocab_rows(spark, index_small):
-    from uci_searchengine_spark.operators.suggest import vocab
-
-    return [
-        (r["term"], int(r["df"]))
-        for r in vocab(spark, index_small).collect()
-    ]
-
-
 @pytest.mark.spark
 class TestFuzzy:
     @pytest.mark.parametrize(

@@ -69,10 +69,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--scorer", choices=["wand", "naive"], default="wand")
     q.add_argument(
         "--mode",
-        choices=["or", "and", "phrase", "bool"],
+        choices=["or", "and", "phrase", "bool", "fuzzy", "regexp"],
         default="or",
-        help="or/and = BM25 envelope; phrase = exact sequence; "
-        "bool = +must/-not/\"phrase\" syntax",
+        help="or/and = BM25 envelope; phrase = exact sequence (or "
+        "--slop proximity); bool = +must/-not/\"phrase\" syntax; "
+        "fuzzy/regexp = word~N / /pat/ multi-term rewrites",
+    )
+    q.add_argument(
+        "--slop", type=int, default=0,
+        help="phrase mode: ordered-proximity gap budget (0 = exact)",
+    )
+    q.add_argument(
+        "--msm", default=None,
+        help="minimum_should_match for or mode: int, negative int, "
+        "or 'P%%' (ES rules)",
     )
 
     m = sub.add_parser("metrics", help="print build metrics from manifests")
@@ -290,12 +300,34 @@ def main(argv: list[str] | None = None) -> int:
             if args.mode == "phrase":
                 from uci_searchengine_spark.operators.phrase import phrase_search
 
-                rows = phrase_search(spark, args.index, args.q, args.k).collect()
+                rows = phrase_search(
+                    spark, args.index, args.q, args.k, slop=args.slop
+                ).collect()
                 print(json.dumps([r.asDict() for r in rows], indent=2))
             elif args.mode == "bool":
                 from uci_searchengine_spark.operators.boolean import boolean_search
 
                 rows = boolean_search(spark, args.index, args.q, args.k).collect()
+                print(json.dumps([r.asDict() for r in rows], indent=2))
+            elif args.mode == "fuzzy":
+                from uci_searchengine_spark.operators.fuzzy import fuzzy_search
+
+                rows = fuzzy_search(spark, args.index, args.q, args.k).collect()
+                print(json.dumps([r.asDict() for r in rows], indent=2))
+            elif args.mode == "regexp":
+                from uci_searchengine_spark.operators.regexp import regexp_search
+
+                rows = regexp_search(spark, args.index, args.q, args.k).collect()
+                print(json.dumps([r.asDict() for r in rows], indent=2))
+            elif args.msm is not None:
+                from uci_searchengine_spark.operators.wand import score_msm
+
+                spec = (
+                    args.msm if args.msm.endswith("%") else int(args.msm)
+                )
+                rows = score_msm(
+                    spark, args.index, args.q, args.k, min_should_match=spec
+                ).collect()
                 print(json.dumps([r.asDict() for r in rows], indent=2))
             else:
                 scorer = score_wand if args.scorer == "wand" else score_naive

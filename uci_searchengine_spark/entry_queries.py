@@ -3199,6 +3199,114 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+MSM = 2
+
+
+def q_msm_search(spark, sf_dir):
+    """minimum_should_match (ES/Lucene bag-of-SHOULD threshold): top-10
+    among docs matching at least 2 of the 3 query terms, scored by the
+    SAME OR-sum BM25 — eligibility changes, scores never do. Strictly
+    intermediate m runs the full-decode two-accumulator bucket pass
+    (wand._score_bucket_msm — no admissible block-max bound exists on
+    eligibility between OR and AND; docstring there)."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.wand import score_msm
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = score_msm(
+        spark, idx, " ".join(BM25_QUERY_TERMS), k=10, min_should_match=MSM
+    )
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_MSM_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+matched AS (SELECT doc_id, count(*) AS n_terms FROM posts GROUP BY doc_id),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id, s.score
+FROM scored s JOIN matched m USING(doc_id)
+WHERE m.n_terms >= {MSM}
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
+REGEXP_PATTERN = "dat[a-z]*"
+
+
+def q_regexp_search(spark, sf_dir):
+    """Regex query ``/dat[a-z]*/ join`` over the compressed-segment
+    index (Lucene RegexpQuery rewrite): the pattern expands against the
+    term dictionary with FULL-match semantics (literal prefix pushed as
+    StringStartsWith ahead of the anchored rlike, df desc / term asc,
+    capped at 50), then the expanded disjunction scores through the
+    block-max pruned scorer. Oracle mirrors the rule with DuckDB
+    regexp_full_match (operators/regexp.py)."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.regexp import regexp_search
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = regexp_search(spark, idx, f"/{REGEXP_PATTERN}/ join", k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_REGEXP_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+allterms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM allterms
+  WHERE regexp_full_match(term, '{REGEXP_PATTERN}') GROUP BY term
+),
+exp AS (SELECT term FROM vocab ORDER BY df DESC, term ASC LIMIT 50),
+qterms AS (SELECT term FROM exp UNION SELECT 'join' AS term),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM allterms
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_filtered_search(spark, sf_dir):
     """Filter-context search (Lucene bool.filter): BM25 top-10 among
     English docs ONLY — the allowed set is a relational predicate
@@ -3744,4 +3852,6 @@ QUERIES = {
     "near_match": (q_near_match, _sql_near_match()),
     "phrase_near_topk": (q_phrase_near_topk, _sql_phrase_near_topk()),
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
+    "regexp_search": (q_regexp_search, SQL_REGEXP_SEARCH),
+    "msm_search": (q_msm_search, SQL_MSM_SEARCH),
 }

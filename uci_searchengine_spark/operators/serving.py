@@ -540,6 +540,21 @@ class Searcher:
             )
         return expand_fuzzy(self.spark, self.index_dir, word, max_edits)
 
+    def _expand_regexp(self, pattern: str) -> list[str]:
+        """Regex expansion for ``search()``: same local-vs-Spark policy
+        as the other rewrites (operators/regexp.py)."""
+        from uci_searchengine_spark.operators.regexp import (
+            expand_regexp,
+            expand_regexp_local,
+        )
+
+        if self._vocab_fits_local():
+            v = self._vocab_raw()
+            return expand_regexp_local(
+                v["term"].to_numpy(), v["df"].to_numpy(), pattern
+            )
+        return expand_regexp(self.spark, self.index_dir, pattern)
+
     def _authority_frame(self):
         """Resident (doc_id, authority) pandas frame off the doc store's
         two cheapest columns — the task-local site: filter's input.
@@ -703,25 +718,28 @@ class Searcher:
         )
         from uci_searchengine_spark.operators.fuzzy import parse_fuzzy
         from uci_searchengine_spark.operators.prefix import parse_wildcards
+        from uci_searchengine_spark.operators.regexp import parse_regexps
 
         rest, hosts = parse_site_filters(query)
         literals, prefixes = parse_wildcards(rest)
-        literals_s = " ".join(literals)
-        literals2, fuzzies = parse_fuzzy(literals_s)
-        if prefixes or fuzzies:
+        literals2, fuzzies = parse_fuzzy(" ".join(literals))
+        literals3, patterns = parse_regexps(" ".join(literals2))
+        if prefixes or fuzzies or patterns:
             if mode != "or":
                 raise ValueError(
-                    "wildcard/fuzzy queries support mode='or' only"
+                    "wildcard/fuzzy/regex queries support mode='or' only"
                 )
-            literals_s = " ".join(literals2)
+            literals_s = " ".join(literals3)
             terms = (
-                terms_for_index(self.meta, literals_s) if literals2 else []
+                terms_for_index(self.meta, literals_s) if literals3 else []
             )
             expanded: list[str] = []
             for p in prefixes:
                 expanded.extend(self._expand_prefix(p))
             for w, e in fuzzies:
                 expanded.extend(self._expand_fuzzy(w, e))
+            for p in patterns:
+                expanded.extend(self._expand_regexp(p))
             terms = list(dict.fromkeys(terms + expanded))
             # display rule: highlight literal raw forms AND the concrete
             # expansions (the match the user actually got)

@@ -409,6 +409,154 @@ def _score_bucket_and(
     return (out, n_matched) if count_matches else out
 
 
+def _score_bucket_msm(
+    seg: pd.DataFrame,
+    idf_map: dict[str, float],
+    avgdl: float,
+    bucket_size: int,
+    m: int,
+    k: int | None,
+    excl: "np.ndarray | None" = None,
+    incl: "np.ndarray | None" = None,
+) -> pd.DataFrame:
+    """minimum_should_match top-k for one bucket: docs matching at
+    least ``m`` DISTINCT query terms, scored by the same OR-sum BM25.
+
+    Between OR (m=1, θ-pruned) and AND (m=n, rarest-first skips) no
+    admissible block-max bound exists on the per-doc ELIGIBILITY —
+    a θ computed over all accumulated docs could out-tighten the true
+    k-th eligible score when high scorers are ineligible — so this path
+    decodes every term's list in full (exactly what the envelope's
+    count_matches mode already does) and accumulates (score, distinct
+    match count) in two dense bucket arrays. Multi-generation rows of
+    one term hold disjoint doc ranges, so counting once per term GROUP
+    is exact."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+    )
+    if not len(seg) or seg["term"].nunique() < m:
+        # fewer distinct query terms present in this bucket than m ⇒ no
+        # doc here can reach the threshold
+        return empty
+    bucket = int(seg["bucket"].iloc[0])
+    base = bucket * bucket_size
+    by_term: dict[str, list] = {}
+    for r in seg.itertuples(index=False):
+        by_term.setdefault(r.term, []).append(r)
+    acc = np.zeros(bucket_size, dtype=np.float64)
+    cnt = np.zeros(bucket_size, dtype=np.int32)
+    for term, trows in by_term.items():
+        w = idf_map[term]
+        for r in trows:
+            d, tf, dl = unpack_postings(bytes(r.postings))
+            if excl is not None and excl.size and d.size:
+                p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
+                mk = excl[p] != d
+                d, tf, dl = d[mk], tf[mk], dl[mk]
+            if incl is not None and d.size:
+                if incl.size == 0:
+                    continue
+                p = np.clip(np.searchsorted(incl, d), 0, incl.size - 1)
+                mk = incl[p] == d
+                d, tf, dl = d[mk], tf[mk], dl[mk]
+            if not d.size:
+                continue
+            local = d - base
+            tf_f = tf.astype(np.float64)
+            contrib = w * (
+                tf_f
+                * (BM25_K1 + 1.0)
+                / (tf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl))
+            )
+            np.add.at(acc, local, contrib)
+            cnt[local] += 1  # once per term GROUP: gen doc ranges disjoint
+    nz = np.flatnonzero(cnt >= m)
+    if nz.size == 0:
+        return empty
+    scores = acc[nz]
+    if k is not None and nz.size > k:
+        kth = np.partition(scores, nz.size - k)[nz.size - k]
+        keep = scores >= kth
+        nz, scores = nz[keep], scores[keep]
+    order = np.lexsort((nz, -scores))
+    if k is not None:
+        order = order[:k]
+    return pd.DataFrame(
+        {"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]}
+    )
+
+
+def resolve_msm(spec: "int | str", n_terms: int) -> int:
+    """ES minimum_should_match value resolution (the int/percentage
+    subset): positive int = itself; negative int = n_terms + spec
+    ("all but |spec|"); ``"P%"`` = trunc(P/100 · n_terms), negative
+    percentage likewise relative to n_terms. The resolved value is
+    clamped to ≥ 1 (ES rule: a calculated 0-or-less leaves clauses
+    optional — i.e. plain OR); a value > n_terms is unsatisfiable and
+    the query returns nothing (also the ES behavior)."""
+    if isinstance(spec, str):
+        s = spec.strip()
+        if not s.endswith("%"):
+            raise ValueError(f"bad minimum_should_match {spec!r}")
+        pct = int(s[:-1])
+        val = int(pct * n_terms / 100.0)  # trunc toward zero, ES rule
+        if pct < 0:
+            val = n_terms + val
+    else:
+        val = spec if spec >= 0 else n_terms + spec
+    return max(1, val)
+
+
+def score_msm(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    min_should_match: "int | str" = 1,
+) -> DataFrame:
+    """Top-k (doc_id, score) among docs matching at least
+    ``min_should_match`` distinct query terms (ES/Lucene
+    minimum_should_match over a bag of SHOULD clauses); scores are the
+    same OR-sum BM25 as score_wand — eligibility changes, scores never
+    do. m=1 routes to the θ-pruned OR scorer and m=n(terms) to the
+    rarest-first AND scorer (both strictly faster); only the strictly
+    intermediate m pays the full-decode accumulation pass."""
+    meta = IndexMeta.load(index_dir)
+    terms = terms_for_index(meta, query)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return empty
+    m = resolve_msm(min_should_match, len(terms))
+    if m > len(terms):
+        return empty
+    if m <= 1:
+        return score_wand(spark, index_dir, query, k, mode="or")
+    if m == len(terms):
+        return score_wand(spark, index_dir, query, k, mode="and")
+    seg = pruned_segments(spark, index_dir, meta, terms)
+    excl = load_excl(index_dir, spark, meta.bucket_size)
+    n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
+
+    def make_fn(excl_local):
+        def score_fn(key, seg_pdf):
+            if not len(seg_pdf):
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+                )
+            idf_map = {
+                t: idf_fn(n_docs, int(d))
+                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+            }
+            return _score_bucket_msm(
+                seg_pdf, idf_map, avgdl, bucket_size, m, k, excl=excl_local
+            )
+
+        return score_fn
+
+    per_bucket = apply_per_bucket(seg, excl, make_fn, _TOPK_SCHEMA)
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def score_wand(
     spark: SparkSession, index_dir: str, query: str, k: int = 10, mode: str = "or"
 ) -> DataFrame:

@@ -153,6 +153,23 @@ class OracleIndex:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out[:k]
 
+    def top_k_msm(
+        self, query: str, k: int = 10, m: int = 1
+    ) -> list[tuple[int, float]]:
+        """minimum_should_match: only docs containing at least ``m``
+        DISTINCT query terms are eligible; scores are the same OR-sum
+        BM25 (eligibility changes, scores never do)."""
+        terms = list(dict.fromkeys(tokenize_py(query)))
+        if not terms or m > len(terms):
+            return []
+        counts: dict[int, int] = {}
+        for t in terms:
+            for d in set(self.postings.get(t, ())):
+                counts[d] = counts.get(d, 0) + 1
+        scores = self.score(query)
+        kept = [(d, s) for d, s in scores.items() if counts.get(d, 0) >= m]
+        return sorted(kept, key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def boolean_top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Boolean syntax (functions/queryparse.py): OR terms scored,
         +must all present, -not none present, "phrases" required as exact
