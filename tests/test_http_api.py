@@ -270,6 +270,55 @@ def _delete(base, path, key=None):
 
 
 @pytest.mark.spark
+class TestAliasesHttp:
+    """Runs BEFORE TestIndexManagement (definition order): leaves the
+    registry exactly as it found it (current=main, no aliases)."""
+
+    def test_alias_lifecycle(self, registry_server):
+        from uci_searchengine_spark.http_api import SECRET_KEY
+
+        base, reg = registry_server
+        # auth + validation
+        assert _post(base, "/api/databases/aliases",
+                     {"alias": "serving", "db_name": "main",
+                      "secret_key": "wrong"})[0] == 401
+        assert _post(base, "/api/databases/aliases",
+                     {"alias": "serving", "secret_key": SECRET_KEY})[0] == 422
+        assert _post(base, "/api/databases/aliases",
+                     {"alias": "serving", "db_name": "nope",
+                      "secret_key": SECRET_KEY})[0] == 404
+        assert _post(base, "/api/databases/aliases",
+                     {"alias": "alt", "db_name": "main",
+                      "secret_key": SECRET_KEY})[0] == 400  # shadows
+        # create + list
+        code, _ = _post(base, "/api/databases/aliases",
+                        {"alias": "serving", "db_name": "alt",
+                         "secret_key": SECRET_KEY})
+        assert code == 200
+        assert _get(base, "/api/databases")[1]["aliases"] == {
+            "serving": "alt"
+        }
+        # switch BY alias serves the aliased corpus
+        code, msg = _post(base, "/api/databases/switch",
+                          {"db_name": "serving", "secret_key": SECRET_KEY})
+        assert code == 200
+        env = _get(base, "/api/search?query=zzzaltonly")[1]
+        assert env["total_results"] == 1
+        assert _get(base, "/api/databases")[1]["current"] == "alt"
+        # aliased version cannot be deleted (repoint/drop first)
+        _post(base, "/api/databases/switch",
+              {"db_name": "main", "secret_key": SECRET_KEY})
+        assert _delete(base, "/api/databases/alt", SECRET_KEY)[0] == 400
+        # alias delete: auth, 404, then success restores clean state
+        assert _delete(base, "/api/databases/aliases/serving")[0] == 401
+        assert _delete(base, "/api/databases/aliases/nope",
+                       SECRET_KEY)[0] == 404
+        assert _delete(base, "/api/databases/aliases/serving",
+                       SECRET_KEY)[0] == 200
+        assert _get(base, "/api/databases")[1]["aliases"] == {}
+
+
+@pytest.mark.spark
 class TestIndexManagement:
     def test_list_switch_serves_new_index(self, registry_server):
         from uci_searchengine_spark.http_api import SECRET_KEY

@@ -3199,6 +3199,93 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_match_stats(spark, sf_dir):
+    """ES stats + percentiles aggregation over the MATCH SET: one tiny
+    aggregate over the shared relational BM25 dataflow — count, min/
+    max/mean score, exact interpolated p50/p90 (Spark `percentile` ==
+    DuckDB `quantile_cont`). The agg consumes the match set, never the
+    corpus; at 100 TB this is the same partial-aggregate reduce as any
+    scalar agg."""
+    scored = _relational_bm25_scored(spark, sf_dir)
+    return scored.agg(
+        F.count("*").alias("n_hits"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.percentile("score", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("score", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+_SQL_SCORED_CTE = """
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+  HAVING round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) > 0
+)
+"""
+
+SQL_MATCH_STATS = f"""
+WITH {_TOKS_CTE},
+{_SQL_SCORED_CTE}
+SELECT count(*) AS n_hits,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score,
+       round(avg(score), 6) AS avg_score,
+       round(quantile_cont(score, 0.5), 6) AS p50,
+       round(quantile_cont(score, 0.9), 6) AS p90
+FROM scored
+"""
+
+
+HIST_INTERVAL = 500
+
+
+def q_match_histogram(spark, sf_dir):
+    """ES histogram aggregation over the match set: fixed-interval
+    buckets of a numeric doc field (n_chars, interval 500) with hit
+    count and mean score per bucket — the search-UI length facet. One
+    broadcast-joinable field fetch + one groupBy of MATCH-SET rows."""
+    scored = _relational_bm25_scored(spark, sf_dir)
+    chars = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        scored.join(chars, "doc_id")
+        .groupBy(
+            (
+                F.floor(F.col("n_chars") / HIST_INTERVAL) * HIST_INTERVAL
+            ).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_MATCH_HISTOGRAM = f"""
+WITH {_TOKS_CTE},
+{_SQL_SCORED_CTE}
+SELECT (d.n_chars // {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+       count(*) AS n_hits,
+       round(avg(s.score), 6) AS avg_score
+FROM scored s JOIN documents d USING(doc_id)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 MSM = 2
 
 
@@ -3854,4 +3941,6 @@ QUERIES = {
     "fuzzy_search": (q_fuzzy_search, SQL_FUZZY_SEARCH),
     "regexp_search": (q_regexp_search, SQL_REGEXP_SEARCH),
     "msm_search": (q_msm_search, SQL_MSM_SEARCH),
+    "match_stats": (q_match_stats, SQL_MATCH_STATS),
+    "match_histogram": (q_match_histogram, SQL_MATCH_HISTOGRAM),
 }

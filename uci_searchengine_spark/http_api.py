@@ -298,7 +298,11 @@ class EngineState:
     # ------------------------------------------------- index management
     def databases(self) -> dict:
         r = self.registry
-        return {"current": r.current(), "available": r.available()}
+        return {
+            "current": r.current(),
+            "available": r.available(),
+            "aliases": r.aliases(),
+        }
 
     def switch(self, name: str) -> dict:
         from uci_searchengine_spark.operators.serving import Searcher
@@ -310,6 +314,20 @@ class EngineState:
             self.searcher = Searcher(self.spark, self.index_dir)
             self._stats_cache = None
         return {"message": f"Switched to database: {name}"}
+
+    def alias_set(self, alias: str, name: str) -> dict:
+        """Create/repoint an alias (ES zero-downtime cutover): when the
+        CURRENT pointer rode the alias's old target... the pointer
+        tracks version names, so serving only changes if a client
+        switches BY alias afterwards — the swap itself is metadata."""
+        with self.lock:
+            self.registry.alias_set(alias, name)
+        return {"message": f"Alias {alias} -> {name}"}
+
+    def alias_delete(self, alias: str) -> dict:
+        with self.lock:
+            self.registry.alias_delete(alias)
+        return {"message": f"Deleted alias: {alias}"}
 
     def delete_index(self, name: str) -> dict:
         with self.lock:
@@ -370,6 +388,16 @@ class EngineState:
         with self.lock:
             return self.searcher.search(
                 query, page=page, per_page=per_page, mode=mode
+            )
+
+    def search_after(
+        self, query: str, after, per_page: int, mode: str
+    ) -> dict:
+        """Cursor deep-pagination surface (ES search_after): ``after``
+        is None (first page) or the previous envelope's next_cursor."""
+        with self.lock:
+            return self.searcher.search_after_envelope(
+                query, after, per_page, mode
             )
 
     def advanced(self, query: str, mode: str, k: int, slop: int = 0) -> dict:
@@ -614,6 +642,24 @@ class _Handler(BaseHTTPRequestHandler):
                 mode = qs.get("mode", ["or"])[0]
                 if page < 1 or not (1 <= per_page <= 50) or mode not in ("or", "and"):
                     return self._json({"detail": "invalid parameter"}, 422)
+                cursor = qs.get("search_after", [None])[0]
+                if cursor is not None:
+                    # cursor paging excludes page= (ES rule: from/size
+                    # and search_after are mutually exclusive)
+                    if "page" in qs:
+                        return self._json(
+                            {"detail": "page and search_after are "
+                             "mutually exclusive"}, 422)
+                    try:
+                        s, d = cursor.split(",")
+                        after = (float(s), int(d))
+                    except ValueError:
+                        return self._json(
+                            {"detail": "search_after must be "
+                             "'score,doc_id'"}, 422)
+                    return self._json(
+                        self.engine.search_after(query, after, per_page, mode)
+                    )
                 return self._json(self.engine.search(query, page, per_page, mode))
             if u.path == "/api/advanced":
                 query = qs.get("query", [None])[0]
@@ -723,10 +769,28 @@ class _Handler(BaseHTTPRequestHandler):
                 body = json.loads(self._body() or b"{}")
                 if body.get("secret_key") != SECRET_KEY:
                     return self._json({"detail": "Invalid secret key"}, 401)
-                name = body.get("db_name")
+                name = self.engine.registry.resolve(body.get("db_name"))
                 if name not in self.engine.registry.available():
                     return self._json({"detail": "Database not found"}, 404)
                 return self._json(self.engine.switch(name))
+            if (
+                u.path == "/api/databases/aliases"
+                and self.engine.registry is not None
+            ):
+                body = json.loads(self._body() or b"{}")
+                if body.get("secret_key") != SECRET_KEY:
+                    return self._json({"detail": "Invalid secret key"}, 401)
+                alias, name = body.get("alias"), body.get("db_name")
+                if not alias or not name:
+                    return self._json(
+                        {"detail": "alias and db_name are required"}, 422
+                    )
+                try:
+                    return self._json(self.engine.alias_set(alias, name))
+                except LookupError:
+                    return self._json({"detail": "Database not found"}, 404)
+                except ValueError as e:
+                    return self._json({"detail": str(e)}, 400)
             if u.path == "/api/databases/upload" and self.engine.registry is not None:
                 if self.headers.get("X-Secret-Key") != SECRET_KEY:
                     return self._json({"detail": "Invalid secret key"}, 401)
@@ -780,6 +844,17 @@ class _Handler(BaseHTTPRequestHandler):
         u = urlparse(self.path)
         try:
             if (
+                u.path.startswith("/api/databases/aliases/")
+                and self.engine.registry is not None
+            ):
+                if self.headers.get("X-Secret-Key") != SECRET_KEY:
+                    return self._json({"detail": "Invalid secret key"}, 401)
+                alias = u.path.rsplit("/", 1)[-1]
+                try:
+                    return self._json(self.engine.alias_delete(alias))
+                except LookupError:
+                    return self._json({"detail": "Alias not found"}, 404)
+            if (
                 u.path.startswith("/api/databases/")
                 and self.engine.registry is not None
             ):
@@ -797,7 +872,12 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._json(
                         {"detail": "Cannot delete default database"}, 400
                     )
-                return self._json(self.engine.delete_index(name))
+                try:
+                    return self._json(self.engine.delete_index(name))
+                except PermissionError as e:
+                    # an alias still points here (ES parity: repoint or
+                    # drop the alias first)
+                    return self._json({"detail": str(e)}, 400)
             return self._json({"detail": "Not Found"}, 404)
         except Exception as e:
             return self._json({"detail": str(e)}, 500)

@@ -261,6 +261,49 @@ class Searcher:
             env["slop"] = slop
         return env
 
+    def search_after_envelope(
+        self,
+        query: str,
+        after: "tuple[float, int] | None" = None,
+        per_page: int = 10,
+        mode: str = "or",
+    ) -> dict:
+        """Cursor deep-pagination envelope (ES search_after): the next
+        ``per_page`` doc-attached results strictly after the
+        ``(score, doc_id)`` cursor, plus ``next_cursor`` (the last
+        row's sort key, verbatim — feed it back for the next page; null
+        when the ranking is exhausted). Delegates to the relational
+        cursor plan (bm25.search_after): under a cursor predicate the
+        block-max θ-pruning is NOT admissible (eligible docs are
+        exactly the low-scored ones θ would discard), so the pruned
+        serving scorer is the wrong engine for deep pages — the
+        flat-plane filter keeps page N the same bounded top-k as
+        page 1."""
+        from uci_searchengine_spark.operators.bm25 import search_after
+
+        df = search_after(
+            self.spark, self.index_dir, query, after, per_page, mode
+        )
+        # tombstones are already subtracted in-plan (score_all anti-joins
+        # the tombstone parquet before the cursor filter)
+        rows = [r.asDict() for r in df.collect()]
+        nxt = (
+            [rows[-1]["score"], rows[-1]["doc_id"]]
+            if len(rows) == per_page
+            else None
+        )
+        disp = query_terms(query)
+        attached = self._attach(rows, disp)
+        for a, r in zip(attached, rows):
+            a["doc_id"] = int(r["doc_id"])  # cursor clients sort by it
+        return {
+            "query": query,
+            "mode": mode,
+            "search_after": list(after) if after else None,
+            "results": attached,
+            "next_cursor": nxt,
+        }
+
     def boolean_envelope(
         self, query: str, k: int = 10, plan: str = "auto"
     ) -> dict:

@@ -19,6 +19,7 @@ file you POST.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -53,7 +54,7 @@ class IndexRegistry:
         return avail[0] if avail else None
 
     def path(self, name: str | None = None) -> str:
-        name = name or self.current()
+        name = self.resolve(name)
         if name is None:
             raise LookupError("registry has no indexes")
         p = os.path.join(self.root, name)
@@ -63,6 +64,7 @@ class IndexRegistry:
 
     # ------------------------------------------------------------ mutation
     def switch(self, name: str) -> None:
+        name = self.resolve(name)
         if name not in self.available():
             raise LookupError(f"no such index: {name}")
         tmp = os.path.join(self.root, "CURRENT.tmp")
@@ -85,11 +87,70 @@ class IndexRegistry:
             shutil.copytree(src_dir, dst)
 
     def delete(self, name: str) -> None:
-        """Refuses the current and the default index (routes.py:106-110)."""
+        """Refuses the current and the default index (routes.py:106-110),
+        and any version an alias still points to (ES parity: you must
+        repoint or drop the alias first)."""
         if name not in self.available():
             raise LookupError(f"no such index: {name}")
         if name == self.current():
             raise PermissionError("cannot delete current index")
         if self.default and name == self.default:
             raise PermissionError("cannot delete default index")
+        holders = [a for a, v in self.aliases().items() if v == name]
+        if holders:
+            raise PermissionError(
+                f"aliases still point at {name}: {sorted(holders)}"
+            )
         shutil.rmtree(os.path.join(self.root, name))
+
+    # ------------------------------------------------------------- aliases
+    # ES index-alias analog: a stable public name over rotating versions.
+    # Stored in one aliases.json committed by rename (same atomicity as
+    # CURRENT); alias writes are O(aliases), never touch index bytes, and
+    # a reader that resolved the old target keeps serving it (immutable
+    # dirs) — alias swap IS the zero-downtime reindex cutover.
+    def _aliases_path(self) -> str:
+        return os.path.join(self.root, "aliases.json")
+
+    def aliases(self) -> dict[str, str]:
+        """{alias: version-name}; silently drops entries whose target
+        no longer exists (deleted out-of-band)."""
+        try:
+            with open(self._aliases_path()) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            return {}
+        avail = set(self.available())
+        return {a: v for a, v in raw.items() if v in avail}
+
+    def alias_set(self, alias: str, name: str) -> None:
+        """Create or REPOINT ``alias`` → ``name`` atomically (the ES
+        actions=[remove+add] swap is a single committed write here).
+        An alias may not shadow a real version name."""
+        if name not in self.available():
+            raise LookupError(f"no such index: {name}")
+        if alias in self.available():
+            raise ValueError(f"alias would shadow a version: {alias}")
+        cur = self.aliases()
+        cur[alias] = name
+        tmp = self._aliases_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._aliases_path())
+
+    def alias_delete(self, alias: str) -> None:
+        cur = self.aliases()
+        if alias not in cur:
+            raise LookupError(f"no such alias: {alias}")
+        del cur[alias]
+        tmp = self._aliases_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._aliases_path())
+
+    def resolve(self, name: str | None = None) -> str | None:
+        """Alias-aware name resolution: an alias resolves to its target
+        version; a version name (or None = CURRENT) passes through."""
+        if name is None:
+            return self.current()
+        return self.aliases().get(name, name)
