@@ -229,3 +229,123 @@ class TestNearServing:
             assert s.last_plan == plan
         env = s.phrase_envelope(phrase, k=5, slop=slop)
         assert env["slop"] == slop and len(env["results"]) == 5
+
+
+def test_parse_phrase_slop_syntax():
+    from uci_searchengine_spark.functions.queryparse import parse_query
+    from uci_searchengine_spark.functions.tokenize import tokenize_py
+
+    bq = parse_query('"stop0 stop1"~2 arbak -"a b"~3 "c d"', tokenize_py)
+    assert bq.phrases == [["stop0", "stop1"], ["c", "d"]]
+    assert bq.slops() == [2, 0]
+    assert bq.not_terms == ["a", "b"]  # negated phrase ignores slop
+    # hand-built BoolQuery without phrase_slops stays valid
+    from uci_searchengine_spark.functions.queryparse import BoolQuery
+
+    hand = BoolQuery(phrases=[["x", "y"]])
+    assert hand.slops() == [0]
+
+
+@pytest.mark.spark
+class TestBooleanSlop:
+    BQUERIES = [
+        '"stop0 stop1"~3 arbak',
+        '+arbak "stop0 stop1"~2',
+        '"arband arbast"~4 -stop3',
+        '"stop0 stop1"~2 "arbak stop2"~3',
+    ]
+
+    @pytest.mark.parametrize("query", BQUERIES)
+    def test_boolean_slop_matches_oracle_both_strategies(
+        self, spark, index_small, index_positional, oracle_small, query
+    ):
+        from uci_searchengine_spark.operators.boolean import boolean_search
+
+        exp = oracle_small.boolean_top_k(query, 10)
+        for idx in (index_small, index_positional):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in boolean_search(spark, idx, query, 10).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in exp], (query, idx)
+            for (_, gs), (_, es) in zip(got, exp):
+                assert math.isclose(gs, es, rel_tol=1e-9)
+
+    def test_boolean_slop_local_plan(
+        self, spark, index_positional, oracle_small
+    ):
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.local_search import (
+            boolean_topk_local,
+        )
+
+        query = '"stop0 stop1"~3 arbak'
+        exp = oracle_small.boolean_top_k(query, 10)
+        meta = IndexMeta.load(index_positional)
+        got = boolean_topk_local(index_positional, meta, query, 10)
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+
+    def test_slop_widens_boolean_matches(
+        self, spark, index_positional, oracle_small
+    ):
+        from uci_searchengine_spark.operators.boolean import boolean_search
+
+        exact = {
+            r["doc_id"]
+            for r in boolean_search(
+                spark, index_positional, '"stop0 stop1"', 1000
+            ).collect()
+        }
+        near = {
+            r["doc_id"]
+            for r in boolean_search(
+                spark, index_positional, '"stop0 stop1"~3', 1000
+            ).collect()
+        }
+        assert exact <= near and exact != near
+
+
+@pytest.mark.spark
+class TestPercolateSlop:
+    def test_slopped_registered_query(self, spark):
+        from uci_searchengine_spark.functions.phrase import count_near_py
+        from uci_searchengine_spark.functions.tokenize import tokenize_py
+        from uci_searchengine_spark.operators.percolate import (
+            compile_queries,
+            match_tokens,
+            percolate,
+        )
+
+        texts = [
+            "alpha beta gamma",          # adjacent
+            "alpha xx beta",             # gap 1
+            "alpha xx yy zz beta",       # gap 3 — outside ~2
+            "beta alpha",                # wrong order
+            "alpha beta alpha beta",
+        ]
+        docs = spark.createDataFrame(
+            [(i, tokenize_py(t)) for i, t in enumerate(texts)],
+            "doc_id long, t array<string>",
+        )
+        qmap = {"q_near": '"alpha beta"~2', "q_exact": '"alpha beta"'}
+        got = {
+            (r["query_id"], r["doc_id"])
+            for r in percolate(docs, qmap).collect()
+        }
+        exp = set()
+        for i, tx in enumerate(texts):
+            toks = tokenize_py(tx)
+            if count_near_py(toks, ["alpha", "beta"], 2) > 0:
+                exp.add(("q_near", i))
+            if count_near_py(toks, ["alpha", "beta"], 0) > 0:
+                exp.add(("q_exact", i))
+        assert got == exp
+        assert ("q_near", 1) in exp and ("q_exact", 1) not in exp
+        assert ("q_near", 2) not in exp  # gap 3 outside ~2
+        # python twin agrees
+        compiled = compile_queries(qmap)
+        for qid, bq in compiled.items():
+            for i, tx in enumerate(texts):
+                assert match_tokens(bq, tokenize_py(tx)) == (
+                    (qid, i) in exp
+                )

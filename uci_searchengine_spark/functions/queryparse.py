@@ -1,7 +1,9 @@
 """Boolean query syntax: bare terms (OR), ``+term`` (MUST), ``-term``
-(MUST NOT), ``"quoted phrase"`` (exact token sequence required),
-``(a|b)`` (required ANY-OF group — the synonym/constraint clause; a
-wildcard inside a boolean query desugars to one, operators/boolean.py).
+(MUST NOT), ``"quoted phrase"`` (exact token sequence required;
+``"a b"~N`` relaxes it to ordered proximity with total gap ≤ N —
+functions/phrase.py semantics), ``(a|b)`` (required ANY-OF group — the
+synonym/constraint clause; a wildcard inside a boolean query desugars
+to one, operators/boolean.py).
 
 Group semantics: every result must contain ≥1 member of each group;
 members score like ordinary positive terms (their own idf — Lucene's
@@ -23,7 +25,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"')
+_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?')
 _GROUP_RE = re.compile(r"([+-]?)\(([^)]*)\)")
 
 
@@ -34,6 +36,16 @@ class BoolQuery:
     not_terms: list[str] = field(default_factory=list)     # none allowed
     phrases: list[list[str]] = field(default_factory=list)  # required seqs
     groups: list[list[str]] = field(default_factory=list)   # req any-of sets
+    # per-phrase ordered-proximity budgets ('"a b"~N'; 0 = exact). Kept
+    # parallel to ``phrases``; read through ``slops()`` so BoolQuery
+    # values built by hand (tests, injection) stay valid.
+    phrase_slops: list[int] = field(default_factory=list)
+
+    def slops(self) -> list[int]:
+        """phrase_slops padded with 0 to len(phrases)."""
+        return (self.phrase_slops + [0] * len(self.phrases))[
+            : len(self.phrases)
+        ]
 
     @property
     def positive_terms(self) -> list[str]:
@@ -79,11 +91,14 @@ def parse_query(q: str, analyze) -> BoolQuery:
         if not toks:
             return " "
         if m.group(1) == "-":
+            # negated phrase desugars to NOT over its tokens (stricter,
+            # documented) — a slop suffix changes nothing there
             bq.not_terms.extend(toks)
         elif len(toks) == 1:
             (bq.must_terms if m.group(1) == "+" else bq.or_terms).append(toks[0])
         else:
             bq.phrases.append(toks)
+            bq.phrase_slops.append(int(m.group(3) or 0))
             if m.group(1) == "+":
                 pass  # phrases are always required
         return " "

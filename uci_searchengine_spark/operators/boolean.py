@@ -75,6 +75,30 @@ def _row_decode(row, cand: np.ndarray | None, base: int):
     )
 
 
+def _near_ok(
+    by_term: dict, di: int, p: list[str], slop: int
+) -> bool:
+    """Ordered-proximity check for one candidate doc (the boolean
+    surface's ``"a b"~N`` clause): greedy earliest-next chain over the
+    decoded position arrays — same pinned semantics as
+    phrase._near_counts, existence-only."""
+    starts = by_term.get(p[0], {}).get(di)
+    if starts is None or not starts.size:
+        return False
+    cur = starts.astype(np.int64)
+    okv = np.ones(cur.shape, dtype=bool)
+    for t in p[1:]:
+        pos = by_term.get(t, {}).get(di)
+        if pos is None or not pos.size:
+            return False
+        idx = np.searchsorted(pos, cur + 1)
+        valid = idx < pos.size
+        cur = np.where(valid, pos[np.minimum(idx, pos.size - 1)], cur)
+        okv &= valid
+    okv &= (cur - starts.astype(np.int64)) <= (len(p) - 1 + slop)
+    return bool(okv.any())
+
+
 def _setdiff_sorted(cand: np.ndarray, drop: np.ndarray) -> np.ndarray:
     if not cand.size or not drop.size:
         return cand
@@ -274,6 +298,7 @@ def make_boolean_fn(
     stem = bool(getattr(meta, "stem", False))
     pos_set, req_set, neg_set = set(pos), set(req), set(neg)
     phrases = bq.phrases
+    slops = bq.slops() if hasattr(bq, "slops") else [0] * len(phrases)
 
     def make_fn(tomb):
         def score_fn(key, seg_pdf):
@@ -374,7 +399,12 @@ def make_boolean_fn(
                     for di in cand:
                         di = int(di)
                         ok = True
-                        for p in phrases:
+                        for p, sl in zip(phrases, slops):
+                            if sl > 0:
+                                if not _near_ok(by_term, di, p, sl):
+                                    ok = False
+                                    break
+                                continue
                             s = by_term[p[0]].get(di)
                             if s is None:
                                 ok = False
@@ -393,9 +423,11 @@ def make_boolean_fn(
                     cand = np.asarray(keep, dtype=np.int64)
                 else:
                     survivors = set(cand.tolist())
-                    for p in phrases:
+                    for p, sl in zip(phrases, slops):
                         occ = _verify_bucket(
-                            docs_dirs, bucket, np.fromiter(survivors, dtype=np.int64), p, stem
+                            docs_dirs, bucket,
+                            np.fromiter(survivors, dtype=np.int64), p, stem,
+                            slop=sl,
                         )
                         survivors = {d for d in survivors if occ.get(d, 0) > 0}
                         if not survivors:

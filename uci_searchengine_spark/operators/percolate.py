@@ -11,7 +11,8 @@ predicate over the document's token array —
 * NOT terms:    ``NOT arrays_overlap(t, nots)``
 * OR terms (no other positive clause): ``arrays_overlap(t, ors)``
 * phrases:      ``phrase_count_col(t, seq) > 0`` (the engine's existing
-  JVM HOF adjacency counter — functions/phrase.py)
+  JVM HOF adjacency counter — functions/phrase.py); ``"a b"~N``
+  registers as the proximity counter ``near_count_col`` instead
 
 All Q predicates evaluate in ONE scan projection
 (``array_compact(array(when(cond_q, qid)...))`` → explode), inside
@@ -37,7 +38,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from uci_searchengine_spark.functions.phrase import phrase_count_col
+from uci_searchengine_spark.functions.phrase import (
+    near_count_col,
+    phrase_count_col,
+)
 from uci_searchengine_spark.functions.queryparse import parse_query
 from uci_searchengine_spark.functions.tokenize import tokenize_py
 
@@ -55,8 +59,11 @@ def _query_pred(tcol: Column, bq) -> Column:
         )
     for g in bq.groups:
         conds.append(F.arrays_overlap(tcol, F.array(*[F.lit(t) for t in g])))
-    for p in bq.phrases:
-        conds.append(phrase_count_col(tcol, p) > 0)
+    for p, sl in zip(bq.phrases, bq.slops()):
+        if sl > 0:  # '"a b"~N' registered query: ordered proximity
+            conds.append(near_count_col(tcol, p, sl) > 0)
+        else:
+            conds.append(phrase_count_col(tcol, p) > 0)
     has_positive_clause = bool(bq.must_terms or bq.groups or bq.phrases)
     if bq.or_terms and not has_positive_clause:
         # pure-OR query: ≥1 scored term must appear (boolean_search's
@@ -105,7 +112,7 @@ def match_tokens(bq, toks: list[str]) -> bool:
     (serving-side hook: one incoming doc, e.g. an HTTP alert check; the
     Spark expression handles the batch/stream direction). Equality with
     the column form is pinned by the batch tests' oracle."""
-    from uci_searchengine_spark.functions.phrase import count_phrase_py
+    from uci_searchengine_spark.functions.phrase import count_near_py
 
     ts = set(toks)
     if not bq.positive_terms:
@@ -114,7 +121,10 @@ def match_tokens(bq, toks: list[str]) -> bool:
         return False
     if any(not (ts & set(g)) for g in bq.groups):
         return False
-    if any(count_phrase_py(toks, p) == 0 for p in bq.phrases):
+    if any(
+        count_near_py(toks, p, sl) == 0
+        for p, sl in zip(bq.phrases, bq.slops())
+    ):
         return False
     if bq.or_terms and not (bq.must_terms or bq.groups or bq.phrases):
         if not (ts & set(bq.or_terms)):

@@ -173,8 +173,9 @@ class OracleIndex:
     def boolean_top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Boolean syntax (functions/queryparse.py): OR terms scored,
         +must all present, -not none present, "phrases" required as exact
-        sequences. Score = OR-sum BM25 over the positive terms."""
-        from uci_searchengine_spark.functions.phrase import count_phrase_py
+        sequences ('"a b"~N' = ordered proximity). Score = OR-sum BM25
+        over the positive terms."""
+        from uci_searchengine_spark.functions.phrase import count_near_py
         from uci_searchengine_spark.functions.queryparse import parse_query
 
         bq = parse_query(query, tokenize_py)
@@ -196,9 +197,9 @@ class OracleIndex:
                 continue
             toks = None
             ok = True
-            for p in bq.phrases:
+            for p, sl in zip(bq.phrases, bq.slops()):
                 toks = tokenize_py(self.texts[d]) if toks is None else toks
-                if count_phrase_py(toks, p) == 0:
+                if count_near_py(toks, p, sl) == 0:
                     ok = False
                     break
             if ok:
