@@ -3199,6 +3199,59 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+SYNONYMS = {"customer": ["supplier"], "join": ["merge"]}
+
+
+def q_synonym_search(spark, sf_dir):
+    """Query-time synonym expansion (ES synonym filter analog,
+    functions/synonyms.py): '+customer join' under
+    {customer≈supplier, join≈merge} — the MUST clause becomes the
+    required any-of group (customer|supplier) and the SHOULD clause
+    admits merge; all four terms score with their own idf (the
+    documented scoring-boolean divergence). Runs the compressed-segment
+    boolean path; the oracle mirrors the clause rewrite exactly."""
+    from uci_searchengine_spark.operators.boolean import boolean_search
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = boolean_search(
+        spark, idx, "+customer join", k=10, synonyms=SYNONYMS
+    )
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_SYNONYM_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('customer','supplier','join','merge') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score,
+         max(CASE WHEN p.term IN ('customer','supplier') THEN 1 ELSE 0 END) AS has_group
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored
+WHERE has_group = 1 AND score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_match_stats(spark, sf_dir):
     """ES stats + percentiles aggregation over the MATCH SET: one tiny
     aggregate over the shared relational BM25 dataflow — count, min/
@@ -3943,4 +3996,5 @@ QUERIES = {
     "msm_search": (q_msm_search, SQL_MSM_SEARCH),
     "match_stats": (q_match_stats, SQL_MATCH_STATS),
     "match_histogram": (q_match_histogram, SQL_MATCH_HISTOGRAM),
+    "synonym_search": (q_synonym_search, SQL_SYNONYM_SEARCH),
 }

@@ -203,10 +203,15 @@ def boolean_search(
     k: int = 10,
     phrase_method: str = "auto",
     inject=None,
+    synonyms: "dict[str, list[str]] | None" = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) under the boolean syntax. ``stem*``
     wildcards are expanded against the vocabulary first
-    (``expand_wildcards`` — verbatim injection, never re-analyzed)."""
+    (``expand_wildcards`` — verbatim injection, never re-analyzed).
+    ``synonyms`` = a RAW query-time synonym map, analyzer-normalized
+    here and applied per-clause (functions/synonyms.py: SHOULD joins,
+    +must becomes a required any-of group, NOT bans the class,
+    phrases untouched)."""
     meta = IndexMeta.load(index_dir)
     if inject is None and "*" in query:
         from uci_searchengine_spark.operators.bm25 import analyze_seq
@@ -221,7 +226,9 @@ def boolean_search(
             return spark.createDataFrame([], _OUT)
         query, gs, ns, ors = res
         inject = (gs, ns, ors)
-    bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method, inject)
+    bq, all_terms, use_pos = boolean_plan(
+        meta, query, phrase_method, inject, synonyms
+    )
     empty = spark.createDataFrame([], _OUT)
     if not bq.positive_terms:
         return empty
@@ -240,14 +247,30 @@ def boolean_plan(
     query: str,
     phrase_method: str = "auto",
     inject=None,
+    synonyms: "dict[str, list[str]] | None" = None,
 ):
     """Shared prelude of the distributed and task-local boolean plans:
     (parsed query, deduped positive+negative terms, positional-plane
     decision) — including the validation error. ``inject`` =
     (verbatim_groups, verbatim_nots[, verbatim_ors]) from
     ``expand_wildcards`` — folded in AFTER parsing so expansion terms
-    never round-trip the analyzer."""
+    never round-trip the analyzer. ``synonyms`` (raw map) is
+    normalized against THIS index's analysis chain and applied before
+    the wildcard injection (expansions are concrete index terms — the
+    Lucene rule: rewrites are not synonym-expanded)."""
     bq: BoolQuery = parse_query(query, lambda s: analyze_seq(meta, s))
+    if synonyms:
+        from uci_searchengine_spark.functions.synonyms import (
+            apply_synonyms,
+            normalize_synonyms,
+        )
+
+        bq = apply_synonyms(
+            bq,
+            normalize_synonyms(
+                synonyms, lambda s: analyze_seq(meta, s)
+            ),
+        )
     if inject is not None:
         gs, ns, ors = inject if len(inject) == 3 else (*inject, [])
         for g in gs:

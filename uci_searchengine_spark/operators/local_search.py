@@ -251,18 +251,22 @@ def boolean_topk_local(
     phrase_method: str = "auto",
     excl: "np.ndarray | None" = None,
     inject=None,
+    synonyms: "dict[str, list[str]] | None" = None,
 ) -> list[dict]:
     """In-process twin of ``boolean.boolean_search``: the SAME per-bucket
     closure (``boolean.make_boolean_fn``) over the same pruned files —
     +must/-not/"phrase" semantics, tombstones joining the NOT set, the
     identical (score desc, doc_id asc) top-k. ``inject`` = verbatim
-    wildcard expansions from ``boolean.expand_wildcards``."""
+    wildcard expansions from ``boolean.expand_wildcards``; ``synonyms``
+    = the raw query-time map (functions/synonyms.py)."""
     from uci_searchengine_spark.operators.boolean import (
         boolean_plan,
         make_boolean_fn,
     )
 
-    bq, all_terms, use_pos = boolean_plan(meta, query, phrase_method, inject)
+    bq, all_terms, use_pos = boolean_plan(
+        meta, query, phrase_method, inject, synonyms
+    )
     if not bq.positive_terms:
         return []
     seg = read_pruned_segments_local(

@@ -150,10 +150,13 @@ class Searcher:
         return [r.asDict() for r in df.collect()]
 
     def boolean_rows(
-        self, query: str, k: int = 10, plan: str = "auto"
+        self, query: str, k: int = 10, plan: str = "auto",
+        synonyms: "dict[str, list[str]] | None" = None,
     ) -> list[dict]:
         """Boolean (+must/-not/"phrase") top-k as rows
-        [(doc_id, score)], plan-chosen like ``search()``."""
+        [(doc_id, score)], plan-chosen like ``search()``. ``synonyms``
+        = raw query-time map (functions/synonyms.py clause rules),
+        applied identically on both plans."""
         from uci_searchengine_spark.operators.boolean import (
             boolean_plan,
             boolean_search,
@@ -176,7 +179,9 @@ class Searcher:
                 return []
             query, gs, ns, ors = res
             inject = (gs, ns, ors)
-        bq, all_terms, use_pos = boolean_plan(self.meta, query, inject=inject)
+        bq, all_terms, use_pos = boolean_plan(
+            self.meta, query, inject=inject, synonyms=synonyms
+        )
         if not bq.positive_terms:
             return []
         excl = _wand.load_excl(
@@ -194,11 +199,12 @@ class Searcher:
             self.last_plan = "local"
             return boolean_topk_local(
                 self.index_dir, self.meta, query, k, excl=excl,
-                inject=inject,
+                inject=inject, synonyms=synonyms,
             )
         self.last_plan = "spark"
         df = boolean_search(
-            self.spark, self.index_dir, query, k, inject=inject
+            self.spark, self.index_dir, query, k, inject=inject,
+            synonyms=synonyms,
         )
         return [r.asDict() for r in df.collect()]
 

@@ -170,15 +170,27 @@ class OracleIndex:
         kept = [(d, s) for d, s in scores.items() if counts.get(d, 0) >= m]
         return sorted(kept, key=lambda kv: (-kv[1], kv[0]))[:k]
 
-    def boolean_top_k(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def boolean_top_k(
+        self, query: str, k: int = 10, synonyms=None
+    ) -> list[tuple[int, float]]:
         """Boolean syntax (functions/queryparse.py): OR terms scored,
         +must all present, -not none present, "phrases" required as exact
         sequences ('"a b"~N' = ordered proximity). Score = OR-sum BM25
-        over the positive terms."""
+        over the positive terms. ``synonyms`` = raw query-time map
+        (functions/synonyms.py clause rules)."""
         from uci_searchengine_spark.functions.phrase import count_near_py
         from uci_searchengine_spark.functions.queryparse import parse_query
 
         bq = parse_query(query, tokenize_py)
+        if synonyms:
+            from uci_searchengine_spark.functions.synonyms import (
+                apply_synonyms,
+                normalize_synonyms,
+            )
+
+            bq = apply_synonyms(
+                bq, normalize_synonyms(synonyms, tokenize_py)
+            )
         pos = bq.positive_terms
         if not pos:
             return []
