@@ -300,6 +300,61 @@ def main() -> None:
         )
     )
 
+    # fuzzy expansion: the length window reaches the dictionary scan as
+    # pushed filters and the cap is in-plan (TakeOrderedAndProject), so
+    # at most max_expansions rows reach the driver
+    from uci_searchengine_spark.operators.fuzzy import MAX_EXPANSIONS
+
+    fv = (
+        vocab_relation(spark, IDX)
+        .filter(
+            (F.length("term") >= 4) & (F.length("term") <= 6)
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit("arbak"), 1))
+        .filter(F.col("dist") >= 0)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(MAX_EXPANSIONS)
+    )
+    plan = fv._sc._jvm.PythonSQLUtils.explainString(
+        fv._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "fuzzy expansion: in-plan cap (TakeOrderedAndProject)",
+            "TakeOrderedAndProject" in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "fuzzy expansion: length window pushed to parquet",
+            "GreaterThanOrEqual(length(term" in plan
+            or "PushedFilters:" in plan,
+            plan,
+        )
+    )
+
+    # regex expansion: the literal prefix is pushed as StringStartsWith
+    # ahead of the anchored rlike (row-group pruning on the sorted plane)
+    rv = (
+        vocab_relation(spark, IDX)
+        .filter(F.col("term").startswith("arb"))
+        .filter(F.col("term").rlike("^(?:arb[a-z]*)$"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(MAX_EXPANSIONS)
+    )
+    plan = rv._sc._jvm.PythonSQLUtils.explainString(
+        rv._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "regex expansion: literal prefix pushed (StringStartsWith)",
+            "StringStartsWith(term,arb)" in plan
+            and "TakeOrderedAndProject" in plan,
+            plan,
+        )
+    )
+
     # batch eval: ONE pruned scan for the whole query batch (scan count)
     from uci_searchengine_spark.operators.batch_eval import batch_topk
 
