@@ -3199,6 +3199,70 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+RESCORE_WINDOW = 50
+RESCORE_PHRASE = ["data", "spark"]
+
+
+def q_rescore_phrase(spark, sf_dir):
+    """Two-phase rescore (ES rescore API): the top-RESCORE_WINDOW docs
+    by the shared relational BM25, re-ranked by
+    primary + ln(1 + phrase n_occ) — the expensive signal (adjacency
+    count) is evaluated ONLY inside the window. Relational mirror of
+    operators/rescore.rescore_phrase (the segments path is pinned in
+    pytest vs a python oracle); ranking here is on the rounded primary
+    so the in-window set is deterministic on both sides."""
+    from uci_searchengine_spark.functions.phrase import phrase_count_col
+
+    scored = _relational_bm25_scored(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    win = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESCORE_WINDOW)
+        .drop("rn")
+    )
+    occ = _doc_tokens(spark, sf_dir).select(
+        "doc_id",
+        phrase_count_col(F.col("t"), RESCORE_PHRASE).alias("n_occ"),
+    )
+    return (
+        win.join(occ, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score") + F.log1p(F.coalesce("n_occ", F.lit(0))), 6
+            ).alias("final"),
+            F.col("score").alias("primary"),
+            F.coalesce("n_occ", F.lit(0)).cast("int").alias("n_occ"),
+        )
+        .orderBy(F.desc("final"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_rescore_phrase() -> str:
+    from uci_searchengine_spark.functions.phrase import phrase_count_sql
+
+    return f"""
+WITH {_TOKS_CTE},
+{_SQL_SCORED_CTE},
+win AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+),
+phr AS (
+  SELECT doc_id, {phrase_count_sql(RESCORE_PHRASE)}::INT AS n_occ FROM toks
+)
+SELECT w.doc_id,
+       round(w.score + ln(1 + coalesce(p.n_occ, 0)), 6) AS final,
+       w.score AS "primary",
+       coalesce(p.n_occ, 0)::INT AS n_occ
+FROM win w LEFT JOIN phr p USING(doc_id)
+WHERE w.rn <= {RESCORE_WINDOW}
+ORDER BY final DESC, w.doc_id ASC LIMIT 10
+"""
+
+
 SYNONYMS = {"customer": ["supplier"], "join": ["merge"]}
 
 
@@ -3997,4 +4061,5 @@ QUERIES = {
     "match_stats": (q_match_stats, SQL_MATCH_STATS),
     "match_histogram": (q_match_histogram, SQL_MATCH_HISTOGRAM),
     "synonym_search": (q_synonym_search, SQL_SYNONYM_SEARCH),
+    "rescore_phrase": (q_rescore_phrase, _sql_rescore_phrase()),
 }
