@@ -29,6 +29,10 @@ point their frontend here unchanged:
   (Lucene Explanation analog; extension).
 * ``GET /api/terms?prefix=...&k=K`` — terms enum: top-k (term, df)
   under an optional prefix (extension).
+* ``GET /api/count?query=...&mode=or|and`` — exact match-set count
+  under the full query surface (ES _count analog; extension).
+* ``GET /api/termvectors?doc_id=N[&positions=false]`` — per-doc term
+  vector: tf, df, token positions (ES _termvectors analog; extension).
 * ``GET /api/percolate?text=...`` — standing-query alert check against
   ``<index>/percolator.json`` (404 without a registry; extension).
 * ``GET /api/databases`` / ``POST /api/databases/switch`` /
@@ -452,6 +456,16 @@ class EngineState:
         with self.lock:
             return self.searcher.explain(query, doc_id)
 
+    def count(self, query: str, mode: str) -> dict:
+        """Count-only route (ES _count analog)."""
+        with self.lock:
+            return self.searcher.count(query, mode)
+
+    def termvectors(self, doc_id: int, positions: bool) -> dict:
+        """Per-doc term vector route (ES _termvectors analog)."""
+        with self.lock:
+            return self.searcher.term_vectors(doc_id, positions)
+
     def similar(self, doc_id: int, k: int) -> dict:
         """More-Like-This route (extension): doc-attached related
         documents + the selected terms."""
@@ -702,6 +716,20 @@ class _Handler(BaseHTTPRequestHandler):
                         {"detail": "query and doc_id are required"}, 422
                     )
                 return self._json(self.engine.explain(query, int(raw)))
+            if u.path == "/api/count":
+                query = qs.get("query", [None])[0]
+                mode = qs.get("mode", ["or"])[0]
+                if query is None or mode not in ("or", "and"):
+                    return self._json({"detail": "invalid parameter"}, 422)
+                return self._json(self.engine.count(query, mode))
+            if u.path == "/api/termvectors":
+                raw = qs.get("doc_id", [None])[0]
+                if raw is None:
+                    return self._json({"detail": "doc_id is required"}, 422)
+                positions = qs.get("positions", ["true"])[0] != "false"
+                return self._json(
+                    self.engine.termvectors(int(raw), positions)
+                )
             if u.path == "/api/similar":
                 raw = qs.get("doc_id", [None])[0]
                 if raw is None:

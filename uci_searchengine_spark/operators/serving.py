@@ -433,6 +433,55 @@ class Searcher:
         out["matched"] = bool(out["terms"]) and not _math.isnan(total)
         return out
 
+    def count(self, query: str, mode: str = "or") -> dict:
+        """Count-only surface (ES _count analog): the exact match-set
+        cardinality under the FULL query surface — wildcards, fuzzy,
+        regex, site: filters, tombstones — by running the envelope plan
+        with a 1-row page (the count already folds into that single
+        job/local pass; the one winner's doc fetch is noise). Cached
+        like any envelope request."""
+        env = self.search(query, page=1, per_page=1, mode=mode)
+        return {"query": query, "mode": mode, "count": env["total_results"]}
+
+    def term_vectors(
+        self, doc_id: int, positions: bool = True
+    ) -> dict:
+        """Per-doc term vector (ES _termvectors analog): every term of
+        THIS doc with tf, df (term_statistics), and optionally the
+        token positions — one bounded co-located doc-store read + one
+        vocab probe for the dfs; no scoring job. Terms sorted asc;
+        doc_len = analyzed token count (the BM25 length)."""
+        from uci_searchengine_spark.operators.bm25 import analyze_seq
+        from uci_searchengine_spark.operators.mlt import _source_text
+
+        out = {
+            "doc_id": int(doc_id),
+            "found": False,
+            "doc_len": 0,
+            "terms": [],
+        }
+        text = _source_text(self.index_dir, self.meta, int(doc_id))
+        if text is None:
+            return out
+        toks = analyze_seq(self.meta, text)
+        out["found"] = True
+        out["doc_len"] = len(toks)
+        tf: dict[str, int] = {}
+        pos: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            tf[t] = tf.get(t, 0) + 1
+            if positions:
+                pos.setdefault(t, []).append(i)
+        dfs = {
+            r["term"]: r["df"] for r in self.term_stats_for(list(tf))
+        }
+        for t in sorted(tf):
+            row = {"term": t, "tf": tf[t], "df": int(dfs.get(t, 0))}
+            if positions:
+                row["positions"] = pos[t]
+            out["terms"].append(row)
+        return out
+
     def term_stats_for(self, terms: list[str]) -> list[dict]:
         """(term, df) for an explicit term list — resident frame when it
         fits, pruned Spark vocab scan otherwise."""
