@@ -60,6 +60,49 @@ bg = [
     ).boolean_search(spark, IDX, "(arbak|arband) +stop0", k=3).collect()
 ]
 print("BOOLEAN-GROUP", bg)
+# probe: round-4 query surfaces
+fz = s.search("arbak~1 stop1", per_page=3)
+print("FUZZY hits", fz["total_results"], "plan", s.last_plan)
+rx = s.search("/arba[kl]/ stop1", per_page=3)
+print("REGEX hits", rx["total_results"])
+from uci_searchengine_spark.operators.wand import score_msm  # noqa: E402
+
+msm = [
+    (r["doc_id"], round(r["score"], 6))
+    for r in score_msm(spark, IDX, "stop0 arbak stop1", 3, 2).collect()
+]
+print("MSM(2-of-3)", msm)
+sa = s.search_after_envelope("stop0 arbak", None, per_page=3)
+print("SEARCH_AFTER page1", len(sa["results"]), "cursor", sa["next_cursor"])
+nr = [
+    (r["doc_id"], r["n_occ"])
+    for r in __import__(
+        "uci_searchengine_spark.operators.phrase", fromlist=["phrase_search"]
+    ).phrase_search(spark, IDX, "stop0 stop1", 3, slop=2).collect()
+]
+print("NEAR(slop=2)", nr)
+syn = [
+    (r["doc_id"], round(r["score"], 6))
+    for r in __import__(
+        "uci_searchengine_spark.operators.boolean", fromlist=["boolean_search"]
+    ).boolean_search(
+        spark, IDX, "+stop0 arbak", k=3, synonyms={"stop0": ["stop1"]}
+    ).collect()
+]
+print("SYNONYM", syn)
+from uci_searchengine_spark.operators.rescore import rescore_phrase  # noqa: E402
+
+rs = [
+    (r["doc_id"], r["n_occ"])
+    for r in rescore_phrase(
+        spark, IDX, "stop0 arbak", "stop0 stop1", k=3, window=30,
+        rescore_weight=5.0,
+    ).collect()
+]
+print("RESCORE", rs)
+print("COUNT", s.count("stop0 arbak")["count"])
+tv = s.term_vectors(0)
+print("TERMVECTORS(0)", tv["doc_len"], len(tv["terms"]))
 from uci_searchengine_spark.operators.checkindex import check_index  # noqa: E402
 
 rep = check_index(spark, IDX)

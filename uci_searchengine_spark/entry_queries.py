@@ -30,8 +30,28 @@ from uci_searchengine_spark.operators import multimodal as mm
 from uci_searchengine_spark.operators import similarity as sim
 
 
+_SCAN_PARTS: dict[tuple, int] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Gate table reader. The driver's testdata writes each table as a
+    SINGLE parquet row group, so the scan plans one task no matter the
+    core count (maxPartitionBytes cannot split inside a row group) and
+    every expensive projection serializes; rebalance across cores when
+    the planned scan is under the session parallelism. At 100 TB the
+    scan plans >= parallelism splits and this is a no-op — never an
+    extra shuffle at scale. Filters still push to the scan (Catalyst
+    pushes predicates through Repartition; plan-audited)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    target = spark.sparkContext.defaultParallelism
+    key = (sf_dir, name, target)
+    parts = _SCAN_PARTS.get(key)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+        _SCAN_PARTS[key] = parts
+    if parts < target:
+        df = df.repartition(target)
+    return df
 
 
 BM25_QUERY_TERMS = ["data", "spark", "join"]
@@ -44,6 +64,9 @@ dl AS (SELECT doc_id, len(t) AS doc_len FROM toks)
 
 
 def _doc_tokens(spark, sf_dir):
+    """(doc_id, tokens) — the expensive projection every text gate
+    shares; ``_t`` already rebalances the one-row-group testdata scan
+    so the tokenize/HOF projection parallelizes."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
 
