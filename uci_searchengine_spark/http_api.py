@@ -404,13 +404,21 @@ class EngineState:
                 query, after, per_page, mode
             )
 
-    def advanced(self, query: str, mode: str, k: int, slop: int = 0) -> dict:
-        """Boolean / phrase query surface (extension route): doc-attached
-        top-k from the plan-chosen Searcher envelope. ``slop`` applies
-        to mode=phrase only (ordered proximity)."""
+    def advanced(
+        self, query: str, mode: str, k: int, slop: int = 0,
+        per_group: int = 1,
+    ) -> dict:
+        """Boolean / phrase / collapse query surface (extension route):
+        doc-attached top-k from the plan-chosen Searcher envelope.
+        ``slop`` applies to mode=phrase only (ordered proximity);
+        ``per_group`` to mode=collapse (host-crowding)."""
         with self.lock:
             if mode == "phrase":
                 return self.searcher.phrase_envelope(query, k=k, slop=slop)
+            if mode == "collapse":
+                return self.searcher.collapsed_envelope(
+                    query, k=k, per_group=per_group
+                )
             return self.searcher.boolean_envelope(query, k=k)
 
     def percolate(self, text: str) -> dict:
@@ -682,13 +690,17 @@ class _Handler(BaseHTTPRequestHandler):
                 if query is None:
                     return self._json({"detail": "query is required"}, 422)
                 slop = _int_param(qs, "slop", 0)
+                per_group = _int_param(qs, "per_group", 1)
                 if (
-                    mode not in ("boolean", "phrase")
+                    mode not in ("boolean", "phrase", "collapse")
                     or not (1 <= k <= 50)
                     or not (0 <= slop <= 50)
+                    or not (1 <= per_group <= 10)
                 ):
                     return self._json({"detail": "invalid parameter"}, 422)
-                return self._json(self.engine.advanced(query, mode, k, slop))
+                return self._json(
+                    self.engine.advanced(query, mode, k, slop, per_group)
+                )
             if u.path == "/api/suggest":
                 word = qs.get("word", [None])[0]
                 if not word:

@@ -118,6 +118,28 @@ def search_after(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def export_matches(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    out_dir: str,
+    mode: str = "or",
+) -> int:
+    """Scroll-style bulk export (the ES scroll / PIT use case done the
+    Spark way): the FULL ranked match set written to parquet in ONE
+    globally range-sorted pass — (score desc, doc_id asc) across files
+    by partition index — instead of N cursor round-trips. Repeated
+    search_after pages re-scan the postings once per page; at bulk-export
+    volumes the single sort is strictly cheaper, and the sink is
+    restart-safe (overwrite = idempotent). Returns the exported row
+    count (read back from the written footers, no recompute)."""
+    df = score_all(spark, index_dir, query, mode=mode).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    df.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()
+
+
 def score_all(
     spark: SparkSession, index_dir: str, query: str, mode: str = "or"
 ) -> DataFrame:

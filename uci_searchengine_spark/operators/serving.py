@@ -310,6 +310,31 @@ class Searcher:
             "next_cursor": nxt,
         }
 
+    def collapsed_envelope(
+        self, query: str, k: int = 10, per_group: int = 1,
+        mode: str = "or",
+    ) -> dict:
+        """Field-collapsed (host-crowding) doc-attached results (ES
+        collapse / Lucene grouping): at most ``per_group`` best docs per
+        lowercased url host, global top-k. Delegates to
+        operators/collapse.collapsed_topk — one scoring pass over the
+        match set + one window keyed by group, never the corpus."""
+        from uci_searchengine_spark.operators.collapse import collapsed_topk
+
+        df = collapsed_topk(
+            self.spark, self.index_dir, query, k, per_group, mode
+        )
+        rows = [r.asDict() for r in df.collect()]
+        attached = self._attach(rows, query_terms(query))
+        for a, r in zip(attached, rows):
+            a["group"] = r["group"]
+        return {
+            "query": query,
+            "mode": "collapse",
+            "per_group": per_group,
+            "results": attached,
+        }
+
     def boolean_envelope(
         self, query: str, k: int = 10, plan: str = "auto"
     ) -> dict:
