@@ -734,6 +734,23 @@ class _Handler(BaseHTTPRequestHandler):
                 if query is None or mode not in ("or", "and"):
                     return self._json({"detail": "invalid parameter"}, 422)
                 return self._json(self.engine.count(query, mode))
+            if u.path == "/api/highlight":
+                query = qs.get("query", [None])[0]
+                raw = qs.get("doc_id", [None])[0]
+                if query is None or raw is None:
+                    return self._json(
+                        {"detail": "query and doc_id are required"}, 422
+                    )
+                n_frags = _int_param(qs, "fragments", 3)
+                frag_len = _int_param(qs, "fragment_size", 120)
+                if not (1 <= n_frags <= 10) or not (20 <= frag_len <= 500):
+                    return self._json({"detail": "invalid parameter"}, 422)
+                with self.engine.lock:
+                    return self._json(
+                        self.engine.searcher.highlight(
+                            query, int(raw), n_frags, frag_len
+                        )
+                    )
             if u.path == "/api/termvectors":
                 raw = qs.get("doc_id", [None])[0]
                 if raw is None:

@@ -458,6 +458,38 @@ class Searcher:
         out["matched"] = bool(out["terms"]) and not _math.isnan(total)
         return out
 
+    def highlight(
+        self,
+        query: str,
+        doc_id: int,
+        n_frags: int = 3,
+        frag_len: int = 120,
+    ) -> dict:
+        """Multi-fragment highlighting for ONE doc (ES highlight /
+        unified-highlighter analog; pinned rule in
+        functions/highlight.py). Display terms follow the envelope's
+        display rule (raw query forms); one bounded co-located
+        doc-store read, no scoring job."""
+        from uci_searchengine_spark.functions.highlight import (
+            highlight_fragments,
+        )
+        from uci_searchengine_spark.operators.mlt import _source_text
+
+        out = {
+            "query": query,
+            "doc_id": int(doc_id),
+            "found": False,
+            "fragments": [],
+        }
+        text = _source_text(self.index_dir, self.meta, int(doc_id))
+        if text is None:
+            return out
+        out["found"] = True
+        out["fragments"] = highlight_fragments(
+            text, query_terms(query), n_frags, frag_len
+        )
+        return out
+
     def count(self, query: str, mode: str = "or") -> dict:
         """Count-only surface (ES _count analog): the exact match-set
         cardinality under the FULL query surface — wildcards, fuzzy,
