@@ -3222,6 +3222,61 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+SPAN_N = 8
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-SPAN detection (Lee et al. substring dedup, the
+    n-token-window shape — operators/dedup.duplicate_span_stats): an
+    8-token span is duplicated when its exact text occurs >= 2 times
+    corpus-wide; per-doc output is the UNION length of duplicated
+    windows (n + Σ min(n, gap) over sorted starts — exact identity,
+    one JVM fold). The only heavy shuffle is hash-granularity counting,
+    the same shape as minhash shingling."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dd.duplicate_span_stats(docs, "doc_id", "text", n=SPAN_N)
+        .select(
+            F.col("id").alias("doc_id"),
+            "total_tokens",
+            "dup_tokens",
+            "dup_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_duplicate_spans() -> str:
+    n = SPAN_N
+    return f"""
+WITH toksw AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, len(t)::BIGINT AS total_tokens, u.start,
+         CAST(('0x' || substr(md5(array_to_string(t[u.start:u.start+{n - 1}], ' ')),1,8)) AS UBIGINT)::BIGINT AS h
+  FROM toksw,
+  LATERAL (SELECT unnest(generate_series(1, len(t)-{n}+1)) AS start) u
+  WHERE len(t) >= {n}
+),
+duph AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+per_doc AS (
+  SELECT doc_id, any_value(total_tokens) AS total_tokens,
+         list_sort(list(DISTINCT start)) AS ss
+  FROM pos JOIN duph USING(h)
+  GROUP BY doc_id
+)
+SELECT doc_id, total_tokens,
+       CAST({n} + coalesce(list_sum(
+         [least({n}, ss[i] - ss[i-1]) for i in generate_series(2, len(ss))]
+       ), 0) AS BIGINT) AS dup_tokens,
+       round(CAST({n} + coalesce(list_sum(
+         [least({n}, ss[i] - ss[i-1]) for i in generate_series(2, len(ss))]
+       ), 0) AS DOUBLE) / total_tokens, 6) AS dup_frac
+FROM per_doc ORDER BY doc_id
+"""
+
+
 RESCORE_WINDOW = 50
 RESCORE_PHRASE = ["data", "spark"]
 
@@ -4085,4 +4140,5 @@ QUERIES = {
     "match_histogram": (q_match_histogram, SQL_MATCH_HISTOGRAM),
     "synonym_search": (q_synonym_search, SQL_SYNONYM_SEARCH),
     "rescore_phrase": (q_rescore_phrase, _sql_rescore_phrase()),
+    "duplicate_spans": (q_duplicate_spans, _sql_duplicate_spans()),
 }

@@ -31,6 +31,8 @@ point their frontend here unchanged:
   under an optional prefix (extension).
 * ``GET /api/count?query=...&mode=or|and`` — exact match-set count
   under the full query surface (ES _count analog; extension).
+* ``GET /api/highlight?query=...&doc_id=N&fragments=F&fragment_size=L``
+  — multi-fragment highlighting (ES highlight analog; extension).
 * ``GET /api/termvectors?doc_id=N[&positions=false]`` — per-doc term
   vector: tf, df, token positions (ES _termvectors analog; extension).
 * ``GET /api/percolate?text=...`` — standing-query alert check against

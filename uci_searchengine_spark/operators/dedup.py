@@ -659,3 +659,104 @@ def decontaminate(
         .groupBy("id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (suffix-array dedup), re-expressed as the Spark-practical
+    n-token-window equivalent: an n-token span is DUPLICATED when its
+    exact text occurs ≥ ``min_count`` times corpus-wide (within-doc
+    repeats count — boilerplate repeats inside one page are the common
+    web case). Returns per-doc
+    ``(id, total_tokens, dup_tokens, dup_frac)`` for docs holding at
+    least one duplicated span, where dup_tokens is the UNION length of
+    the doc's duplicated windows.
+
+    Dataflow (every step relational, no all-pairs anything):
+
+    1. positional n-gram hashes per doc — in-row JVM transform, md5-
+       derived 32-bit ids (portable: the DuckDB oracle reproduces them);
+    2. one explode to (hash) granularity → global occurrence counts —
+       the ONLY heavy shuffle, same shape as minhash shingling; the
+       shuffled row is (8-byte hash, id, int start);
+    3. duplicated hashes join back (shuffle hash join on the hash);
+    4. per-doc span-union via sorted starts and the exact identity
+       ``union = n + Σ min(n, s_i − s_{i−1})`` — one JVM aggregate
+       fold, no python.
+
+    At 100 TB step 2's count can swap to a count-min sketch /
+    frequent-hash broadcast for the >=2 filter; the exact groupBy is
+    the pinned-correct default. Docs shorter than ``n`` tokens hold no
+    span and never match."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("t"),
+    ).select("id", "t", F.size("t").alias("total_tokens"))
+    grams = F.when(
+        F.size("t") < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
+        )
+    )
+    pos = (
+        base.select(
+            "id",
+            "total_tokens",
+            F.posexplode(grams).alias("start", "gram"),
+        )
+        .select(
+            "id",
+            "total_tokens",
+            "start",
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("h")
+    )
+    starts = (
+        pos.join(dup_h, "h")
+        .groupBy("id", "total_tokens")
+        .agg(F.array_sort(F.collect_set("start")).alias("ss"))
+    )
+    # union length of [s, s+n) windows over sorted distinct starts:
+    # n for the first + min(n, gap) for each later start
+    gaps = F.aggregate(
+        F.sequence(F.lit(1), F.size("ss") - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.least(
+            F.lit(n).cast("long"),
+            (
+                F.get(F.col("ss"), i.cast("int"))
+                - F.get(F.col("ss"), (i - 1).cast("int"))
+            ).cast("long"),
+        ),
+    )
+    dup_tokens = F.when(F.size("ss") == 0, F.lit(0).cast("long")).otherwise(
+        F.lit(n).cast("long")
+        + F.when(F.size("ss") > 1, gaps).otherwise(F.lit(0).cast("long"))
+    )
+    return starts.select(
+        "id",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        dup_tokens.alias("dup_tokens"),
+        F.round(
+            dup_tokens.cast("double") / F.col("total_tokens"), 6
+        ).alias("dup_frac"),
+    )
