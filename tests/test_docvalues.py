@@ -172,3 +172,48 @@ def test_blend_on_appended_index(spark, tmp_path_factory):
     assert [x[0] for x in got] == [x[0] for x in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=1e-12)
+
+
+@pytest.mark.parametrize("ascending", [False, True])
+def test_sort_by_field_vs_oracle(spark, dv_index, oracle_small, ascending):
+    """ES sort-by-field: top-k matches ranked by the plane value (score
+    carried), both directions, vs a python oracle over the match set."""
+    from uci_searchengine_spark.operators.docvalues import sort_by_field_topk
+
+    q = "stop0 arbak"
+    scores = oracle_small.score(q)
+    exp = sorted(
+        ((d, _dv(d), s) for d, s in scores.items()),
+        key=lambda t: (t[1] if ascending else -t[1], t[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["value"], r["score"])
+        for r in sort_by_field_topk(
+            spark, dv_index, q, "rank", k=10, ascending=ascending
+        ).collect()
+    ]
+    assert [(d, round(v, 12)) for d, v, _ in got] == [
+        (d, round(v, 12)) for d, v, _ in exp
+    ]
+    import math as _m
+
+    for (_, _, gs), (_, _, es) in zip(got, exp):
+        assert _m.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_sort_by_field_and_mode_and_missing_plane(
+    spark, dv_index, index_small, oracle_small
+):
+    from uci_searchengine_spark.operators.docvalues import sort_by_field_topk
+
+    q = "stop0 arbak"
+    and_ids = {d for d, _ in oracle_small.top_k_and(q, 10**9)}
+    got = sort_by_field_topk(spark, dv_index, q, "rank", k=5, mode="and").collect()
+    assert all(r["doc_id"] in and_ids for r in got)
+    vals = [r["value"] for r in got]
+    assert vals == sorted(vals, reverse=True)
+    # missing plane: every value is the dense default 0.0 → doc_id order
+    got2 = sort_by_field_topk(spark, index_small, q, "nope", k=5).collect()
+    assert [r["value"] for r in got2] == [0.0] * len(got2)
+    ids = [r["doc_id"] for r in got2]
+    assert ids == sorted(ids)

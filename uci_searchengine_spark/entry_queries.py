@@ -3222,6 +3222,37 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_sort_by_field(spark, sf_dir):
+    """ES sort-by-field: the query's MATCH SET ranked by a numeric doc
+    field (n_chars desc, doc_id asc) instead of relevance, BM25 score
+    carried for display — the product path is
+    docvalues.sort_by_field_topk over the bucket-partitioned values
+    plane (pytest vs oracle both directions); this relational mirror
+    shares the BM25 dataflow and one broadcast-joinable field fetch."""
+    scored = _relational_bm25_scored(spark, sf_dir)
+    vals = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        scored.join(vals, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("value"),
+            "score",
+        )
+        .orderBy(F.desc("value"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_sort_by_field() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+{_SQL_SCORED_CTE}
+SELECT s.doc_id, d.n_chars::DOUBLE AS value, s.score
+FROM scored s JOIN documents d USING(doc_id)
+ORDER BY value DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 SPAN_N = 8
 
 
@@ -4141,4 +4172,5 @@ QUERIES = {
     "synonym_search": (q_synonym_search, SQL_SYNONYM_SEARCH),
     "rescore_phrase": (q_rescore_phrase, _sql_rescore_phrase()),
     "duplicate_spans": (q_duplicate_spans, _sql_duplicate_spans()),
+    "sort_by_field": (q_sort_by_field, _sql_sort_by_field()),
 }

@@ -47,6 +47,8 @@ from uci_searchengine_spark.operators.index_build import IndexMeta
 from uci_searchengine_spark.operators.wand import (
     _TOPK_SCHEMA,
     _decode_for_candidates,
+    _score_bucket,
+    _score_bucket_and,
     apply_per_bucket,
     load_excl,
     pruned_segments,
@@ -253,3 +255,91 @@ def blended_topk(
     excl = load_excl(index_dir, spark, meta.bucket_size)
     per_bucket = apply_per_bucket(seg, excl, make_fn, _TOPK_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+_SORT_SCHEMA = "doc_id long, value double, score double"
+
+
+def sort_by_field_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    dv_name: str,
+    k: int = 10,
+    ascending: bool = False,
+    mode: str = "or",
+) -> DataFrame:
+    """ES sort-by-field: top-k MATCHING docs ranked by a doc-values
+    plane instead of relevance — (value desc|asc, doc_id asc), BM25
+    score carried for display. Eligibility = the query's match set
+    (mode="or" any term, "and" all terms); docs missing from the plane
+    sort with value 0.0 (the plane's dense default — pinned).
+
+    Scale shape: block-max metadata orders by SCORE, so no admissible
+    skip exists for a value-ordered top-k (Lucene gets one by sorting
+    the index itself on the field — noted as the index-sort refinement);
+    each bucket decodes its pruned term rows once (OR-union / AND
+    intersection), ranks its ≤bucket_size matches against the
+    task-locally read value vector, and returns ≤k rows — the global
+    step is the same bounded TakeOrderedAndProject as every scorer."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    meta = IndexMeta.load(index_dir)
+    terms = terms_for_index(meta, query)
+    if not terms:
+        return spark.createDataFrame([], _SORT_SCHEMA)
+    seg = pruned_segments(spark, index_dir, meta, terms)
+    n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
+    idx_dir, name, asc = index_dir, dv_name, bool(ascending)
+    n_terms = len(terms)
+
+    def make_fn(excl_local):
+        def fn(key, seg_pdf):
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "value": pd.Series([], dtype="float64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+            if not len(seg_pdf):
+                return empty
+            idf_map = {
+                t: idf_fn(n_docs, int(d))
+                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+            }
+            if mode == "and":
+                scored = _score_bucket_and(
+                    seg_pdf, idf_map, avgdl, bucket_size, n_terms, None,
+                    excl=excl_local,
+                )
+            else:
+                scored = _score_bucket(
+                    seg_pdf, idf_map, avgdl, bucket_size,
+                    k=bucket_size, excl=excl_local, count_matches=False,
+                )
+            if not len(scored):
+                return empty
+            bucket = int(seg_pdf["bucket"].iloc[0])
+            vec = _load_bucket_values(idx_dir, name, bucket, bucket_size)
+            ids = scored["doc_id"].to_numpy()
+            vals = (
+                np.zeros(len(ids))
+                if vec is None
+                else vec[ids - bucket * bucket_size]
+            )
+            order = np.lexsort((ids, vals if asc else -vals))[:k]
+            return pd.DataFrame(
+                {
+                    "doc_id": ids[order].astype("int64"),
+                    "value": vals[order],
+                    "score": scored["score"].to_numpy()[order],
+                }
+            )
+
+        return fn
+
+    excl = load_excl(index_dir, spark, meta.bucket_size)
+    per_bucket = apply_per_bucket(seg, excl, make_fn, _SORT_SCHEMA)
+    val_order = F.asc("value") if asc else F.desc("value")
+    return per_bucket.orderBy(val_order, F.asc("doc_id")).limit(k)
