@@ -3253,6 +3253,105 @@ ORDER BY value DESC, s.doc_id ASC LIMIT 10
 """
 
 
+BM25F_TITLE_LEN = 8
+BM25F_W_TITLE = 2
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """BM25F top-10 (Robertson/Zaragoza weighted-tf combination — the
+    Lucene/ES multi-field ranking family): per-doc fields are derived
+    deterministically from the token stream (title = first
+    BM25F_TITLE_LEN tokens, the headline convention; body = the rest),
+    tf̃ = w_title·tf_title + tf_body, weighted length
+    dl̃ = w_title·len_title + len_body, and ONE standard BM25 saturation
+    over the combined tf with df̃ counted on the combined match — the
+    cross-field semantics `most_fields` can't express (a term spread
+    across fields saturates once, not per-field). Product path:
+    operators/multifield.score_fields over the index planes. Same
+    one-action shape as q_bm25_topk: scan → tiny broadcast aggs →
+    match-set groupBy → TakeOrderedAndProject."""
+    n, w = BM25F_TITLE_LEN, BM25F_W_TITLE
+    toks = _doc_tokens(spark, sf_dir)
+    fielded = toks.select(
+        "doc_id",
+        F.slice("t", 1, n).alias("ft"),
+        F.expr(f"slice(t, {n + 1}, greatest(size(t) - {n}, 0))").alias("fb"),
+    ).withColumn(
+        "wdl", (F.lit(w) * F.size("ft") + F.size("fb")).cast("long")
+    )
+    stats = fielded.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("wdl").alias("avgdl")
+    )
+    tf_pairs = F.array(
+        *[
+            F.struct(
+                F.lit(term).alias("term"),
+                (
+                    F.lit(w)
+                    * F.size(F.filter(F.col("ft"), lambda x: x == F.lit(term)))
+                    + F.size(F.filter(F.col("fb"), lambda x: x == F.lit(term)))
+                )
+                .cast("long")
+                .alias("tf"),
+            )
+            for term in BM25_QUERY_TERMS
+        ]
+    )
+    posts = (
+        fielded.select("doc_id", "wdl", F.explode(tf_pairs).alias("p"))
+        .select("doc_id", "wdl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    tf_part = tfd * (BM25_K1 + 1.0) / (
+        tfd + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("wdl") / F.col("avgdl"))
+    )
+    return (
+        posts.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_part).alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_bm25f_topk() -> str:
+    n, w = BM25F_TITLE_LEN, BM25F_W_TITLE
+    terms = ",".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+f AS (
+  SELECT doc_id, t[1:{n}] AS ft, t[{n + 1}:] AS fb,
+         CAST({w}*len(t[1:{n}]) + len(t[{n + 1}:]) AS BIGINT) AS wdl
+  FROM toks
+),
+stats AS (SELECT count(*) AS n_docs, avg(wdl) AS avgdl FROM f),
+posts AS (
+  SELECT doc_id, wdl, q.term,
+         CAST({w}*len(list_filter(ft, x -> x = q.term))
+              + len(list_filter(fb, x -> x = q.term)) AS BIGINT) AS tf
+  FROM f CROSS JOIN (SELECT unnest([{terms}]) AS term) q
+),
+m AS (SELECT * FROM posts WHERE tf > 0),
+dfs AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+               * (p.tf*{BM25_K1 + 1.0})
+               / (p.tf + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*p.wdl/s.avgdl)) ), 6) AS score
+  FROM m p JOIN dfs d USING(term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 SPAN_N = 8
 
 
@@ -4173,4 +4272,5 @@ QUERIES = {
     "rescore_phrase": (q_rescore_phrase, _sql_rescore_phrase()),
     "duplicate_spans": (q_duplicate_spans, _sql_duplicate_spans()),
     "sort_by_field": (q_sort_by_field, _sql_sort_by_field()),
+    "bm25f_topk": (q_bm25f_topk, _sql_bm25f_topk()),
 }
