@@ -402,6 +402,23 @@ class TestAdvancedRoute:
         )
         assert all(r["n_occ"] >= 1 for r in got["results"])
 
+    def test_advanced_fields_over_http(self, spark, index_small, http_server):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        base, _ = http_server
+        code, got = _get(
+            base,
+            "/api/advanced?query=page%20arban&mode=fields&k=5"
+            "&w_title=3&variant=most_fields",
+        )
+        assert code == 200
+        exp = Searcher(spark, index_small).fields_envelope(
+            "page arban", k=5, w_title=3.0, variant="most_fields"
+        )
+        assert got == json.loads(json.dumps(exp))
+        assert got["weights"] == {"title": 3.0, "text": 1.0}
+        assert got["results"]
+
     def test_advanced_validation(self, http_server):
         base, _ = http_server
         for p in (
@@ -409,6 +426,9 @@ class TestAdvancedRoute:
             "/api/advanced?query=x&mode=regex",    # bad mode
             "/api/advanced?query=x&k=0",
             "/api/advanced?query=x&k=51",
+            "/api/advanced?query=x&mode=fields&variant=nope",
+            "/api/advanced?query=x&mode=fields&w_title=abc",
+            "/api/advanced?query=x&mode=fields&w_title=-1",
         ):
             code, body = _get_err(base, p)
             assert code == 422, p

@@ -408,18 +408,26 @@ class EngineState:
 
     def advanced(
         self, query: str, mode: str, k: int, slop: int = 0,
-        per_group: int = 1,
+        per_group: int = 1, w_title: float = 2.0, w_text: float = 1.0,
+        variant: str = "bm25f",
     ) -> dict:
-        """Boolean / phrase / collapse query surface (extension route):
-        doc-attached top-k from the plan-chosen Searcher envelope.
-        ``slop`` applies to mode=phrase only (ordered proximity);
-        ``per_group`` to mode=collapse (host-crowding)."""
+        """Boolean / phrase / collapse / fields query surface (extension
+        route): doc-attached top-k from the plan-chosen Searcher
+        envelope. ``slop`` applies to mode=phrase only (ordered
+        proximity); ``per_group`` to mode=collapse (host-crowding);
+        ``w_title``/``w_text``/``variant`` to mode=fields (multi-field
+        ranking, operators/multifield.py)."""
         with self.lock:
             if mode == "phrase":
                 return self.searcher.phrase_envelope(query, k=k, slop=slop)
             if mode == "collapse":
                 return self.searcher.collapsed_envelope(
                     query, k=k, per_group=per_group
+                )
+            if mode == "fields":
+                return self.searcher.fields_envelope(
+                    query, k=k, w_title=w_title, w_text=w_text,
+                    variant=variant,
                 )
             return self.searcher.boolean_envelope(query, k=k)
 
@@ -693,15 +701,27 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._json({"detail": "query is required"}, 422)
                 slop = _int_param(qs, "slop", 0)
                 per_group = _int_param(qs, "per_group", 1)
+                variant = qs.get("variant", ["bm25f"])[0]
+                try:
+                    w_title = float(qs.get("w_title", ["2.0"])[0])
+                    w_text = float(qs.get("w_text", ["1.0"])[0])
+                except ValueError:
+                    return self._json({"detail": "invalid parameter"}, 422)
                 if (
-                    mode not in ("boolean", "phrase", "collapse")
+                    mode not in ("boolean", "phrase", "collapse", "fields")
                     or not (1 <= k <= 50)
                     or not (0 <= slop <= 50)
                     or not (1 <= per_group <= 10)
+                    or variant not in ("bm25f", "most_fields", "concat")
+                    or not (0.0 <= w_title <= 100.0)
+                    or not (0.0 <= w_text <= 100.0)
                 ):
                     return self._json({"detail": "invalid parameter"}, 422)
                 return self._json(
-                    self.engine.advanced(query, mode, k, slop, per_group)
+                    self.engine.advanced(
+                        query, mode, k, slop, per_group, w_title, w_text,
+                        variant,
+                    )
                 )
             if u.path == "/api/suggest":
                 word = qs.get("word", [None])[0]
