@@ -403,6 +403,35 @@ def main() -> None:
         )
     )
 
+    # multi-field ranking: the titleplane scan must receive the query's
+    # term IN (...) as pushed parquet filters (row-group pruning on the
+    # term-sorted plane), the per-term df agg must broadcast back, and
+    # the bounded top-k must be in-plan
+    from uci_searchengine_spark.operators.multifield import (
+        score_fields,
+        write_title_plane,
+    )
+
+    write_title_plane(spark, IDX)
+    mfd = score_fields(spark, IDX, "arbak stop1", variant="bm25f", k=10)
+    plan = mfd._sc._jvm.PythonSQLUtils.explainString(
+        mfd._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "multifield: term IN pushed to the titleplane scan",
+            "In(term, [arbak,stop1])" in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "multifield: df agg broadcast + in-plan top-k",
+            "BroadcastHashJoin" in plan and "TakeOrderedAndProject" in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

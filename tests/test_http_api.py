@@ -402,6 +402,16 @@ class TestAdvancedRoute:
         )
         assert all(r["n_occ"] >= 1 for r in got["results"])
 
+    def test_analyze_route(self, http_server):
+        base, _ = http_server
+        code, got = _get(base, "/api/analyze?text=Hello%2C%20World-2!")
+        assert code == 200
+        assert got["stem"] is False
+        assert [t["token"] for t in got["tokens"]] == ["hello", "world", "2"]
+        assert [t["position"] for t in got["tokens"]] == [0, 1, 2]
+        code, _err = _get_err(base, "/api/analyze")
+        assert code == 422
+
     def test_advanced_fields_over_http(self, spark, index_small, http_server):
         from uci_searchengine_spark.operators.serving import Searcher
 

@@ -35,6 +35,8 @@ point their frontend here unchanged:
   — multi-fragment highlighting (ES highlight analog; extension).
 * ``GET /api/termvectors?doc_id=N[&positions=false]`` — per-doc term
   vector: tf, df, token positions (ES _termvectors analog; extension).
+* ``GET /api/analyze?text=...`` — token stream under the index's
+  analysis chain (ES _analyze analog; extension).
 * ``GET /api/percolate?text=...`` — standing-query alert check against
   ``<index>/percolator.json`` (404 without a registry; extension).
 * ``GET /api/databases`` / ``POST /api/databases/switch`` /
@@ -490,6 +492,25 @@ class EngineState:
         with self.lock:
             return self.searcher.similar(doc_id, k=k)
 
+    def analyze(self, text: str) -> dict:
+        """ES _analyze analog: the token stream ``text`` produces under
+        the CURRENT index's analysis chain (tokenize, stem iff the index
+        was built with stem=True) — the introspection surface that
+        explains why a query does or doesn't match. Pure driver-side
+        (bm25.analyze_seq), no job."""
+        from uci_searchengine_spark.operators.bm25 import analyze_seq
+
+        with self.lock:
+            meta = self.searcher.meta
+        toks = analyze_seq(meta, text)
+        return {
+            "text": text,
+            "stem": bool(getattr(meta, "stem", False)),
+            "tokens": [
+                {"token": t, "position": i} for i, t in enumerate(toks)
+            ],
+        }
+
     def suggest(self, word: str, k: int) -> dict:
         with self.lock:
             rows = self.searcher.suggest(word, k=k).collect()
@@ -781,6 +802,11 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(
                     self.engine.termvectors(int(raw), positions)
                 )
+            if u.path == "/api/analyze":
+                text = qs.get("text", [None])[0]
+                if text is None:
+                    return self._json({"detail": "text is required"}, 422)
+                return self._json(self.engine.analyze(text))
             if u.path == "/api/similar":
                 raw = qs.get("doc_id", [None])[0]
                 if raw is None:
