@@ -132,6 +132,44 @@ def test_unknown_variant_raises(spark, index_small):
         mf.score_fields(spark, index_small, "page", variant="nope")
 
 
+def test_title_plane_refreshed_by_ingest(spark, tmp_path):
+    """ingest_round rewrites an existing title plane after the append
+    (same derived-plane contract as the vocab plane), so multi-field
+    serving keeps its pruned plane through the ingest loop."""
+    from pyspark.sql import functions as F
+
+    from uci_searchengine_spark.operators.index_build import IndexMeta
+    from uci_searchengine_spark.operators.lifecycle import ingest_round
+    from uci_searchengine_spark.registry import IndexRegistry
+    from uci_searchengine_spark.sources.synth import synth_pages
+
+    reg = IndexRegistry(str(tmp_path / "reg"))
+    pages = synth_pages(spark, 120, 1337, partitions=3)
+    urls = sorted(r["url"] for r in pages.select("url").distinct().collect())
+    cut = urls[80]
+    ingest_round(
+        spark, pages.filter(F.col("url") < cut), reg,
+        num_shards=4, n_buckets=2, input_snapshot="tp-r0",
+    )
+    d = reg.path(reg.current())
+    mf.write_title_plane(spark, d)
+    ingest_round(
+        spark, pages.filter(F.col("url") >= cut), reg,
+        num_shards=4, n_buckets=2, input_snapshot="tp-r1", max_gens=99,
+    )
+    d2 = reg.path(reg.current())
+    assert d2 == d
+    meta2 = IndexMeta.load(d2)
+    assert mf._plane_tag(d2, meta2) is not None
+    # the refreshed plane serves the appended docs: plane vs live agree
+    planed = mf.score_fields(spark, d2, "page").collect()
+    os.remove(os.path.join(d2, "titleplane", "_uss_tag.json"))
+    live = mf.score_fields(spark, d2, "page").collect()
+    assert [(r["doc_id"], r["score"]) for r in planed] == [
+        (r["doc_id"], r["score"]) for r in live
+    ]
+
+
 def test_stemmed_index_title_analysis_symmetric(spark, tmp_path):
     """On a stem=True index the TITLE field stems too (same analysis
     chain as the body): a title-only inflected match is retrieved by a

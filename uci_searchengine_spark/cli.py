@@ -69,11 +69,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--scorer", choices=["wand", "naive"], default="wand")
     q.add_argument(
         "--mode",
-        choices=["or", "and", "phrase", "bool", "fuzzy", "regexp"],
+        choices=["or", "and", "phrase", "bool", "fuzzy", "regexp", "fields"],
         default="or",
         help="or/and = BM25 envelope; phrase = exact sequence (or "
         "--slop proximity); bool = +must/-not/\"phrase\" syntax; "
-        "fuzzy/regexp = word~N / /pat/ multi-term rewrites",
+        "fuzzy/regexp = word~N / /pat/ multi-term rewrites; "
+        "fields = multi-field title^w/text ranking (--w-title/--variant)",
+    )
+    q.add_argument(
+        "--w-title", type=float, default=2.0,
+        help="fields mode: title field weight",
+    )
+    q.add_argument(
+        "--variant", choices=["bm25f", "most_fields", "concat"],
+        default="bm25f", help="fields mode: combination semantics",
     )
     q.add_argument(
         "--slop", type=int, default=0,
@@ -318,6 +327,16 @@ def main(argv: list[str] | None = None) -> int:
                 from uci_searchengine_spark.operators.regexp import regexp_search
 
                 rows = regexp_search(spark, args.index, args.q, args.k).collect()
+                print(json.dumps([r.asDict() for r in rows], indent=2))
+            elif args.mode == "fields":
+                from uci_searchengine_spark.operators.multifield import (
+                    score_fields,
+                )
+
+                rows = score_fields(
+                    spark, args.index, args.q, w_title=args.w_title,
+                    variant=args.variant, k=args.k,
+                ).collect()
                 print(json.dumps([r.asDict() for r in rows], indent=2))
             elif args.msm is not None:
                 from uci_searchengine_spark.operators.wand import score_msm

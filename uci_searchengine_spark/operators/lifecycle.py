@@ -72,6 +72,14 @@ def ingest_round(
         from uci_searchengine_spark.operators.prefix import write_vocab_plane
 
         write_vocab_plane(spark, cur_dir)
+    if os.path.isdir(os.path.join(cur_dir, "titleplane")):
+        # same staleness contract as the vocab plane: the title postings
+        # plane is keyed to (gens, n_docs) and an append stales it
+        from uci_searchengine_spark.operators.multifield import (
+            write_title_plane,
+        )
+
+        write_title_plane(spark, cur_dir)
     if should_merge(cur_dir, max_gens, max_tombstone_frac):
         gens = int(getattr(IndexMeta.load(cur_dir), "gens", 1))
         merged = f"{cur.split('-m')[0]}-m{gens}"
