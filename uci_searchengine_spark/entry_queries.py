@@ -3352,6 +3352,44 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+LM_ALPHA = 0.1
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Reference-LM perplexity quality filter (CCNet/Gopher stage —
+    operators/lm_quality.py): a bigram LM with add-α smoothing trained
+    on the trusted slice (lang='en', CCNet's Wikipedia analog), every
+    ≥2-token doc scored by ppl = exp(−mean ln P(w|v)). Training is two
+    groupBys over the reference slice only; scoring is the doc-bigram ⋈
+    broadcast-model join. ppl rounded to 3 (a doc's ppl averages
+    hundreds of ln terms — the last ~1e-9 is summation-order noise)."""
+    from uci_searchengine_spark.operators.lm_quality import (
+        perplexity,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, big, v = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return (
+        perplexity(docs, uni, big, v, alpha=LM_ALPHA, digits=3)
+        .select(F.col("id").alias("doc_id"), "n_bigrams", "ppl")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_lm_perplexity() -> str:
+    from uci_searchengine_spark.operators.lm_quality import perplexity_sql
+
+    inner = perplexity_sql(
+        "SELECT * FROM documents",
+        ref_where="lang = 'en'",
+        tokens_expr=tokens_sql_expr("text"),
+        alpha=LM_ALPHA,
+        digits=3,
+    )
+    return f"SELECT id AS doc_id, n_bigrams, ppl FROM ({inner}) ORDER BY doc_id"
+
+
 SPAN_N = 8
 
 
@@ -4273,4 +4311,5 @@ QUERIES = {
     "duplicate_spans": (q_duplicate_spans, _sql_duplicate_spans()),
     "sort_by_field": (q_sort_by_field, _sql_sort_by_field()),
     "bm25f_topk": (q_bm25f_topk, _sql_bm25f_topk()),
+    "lm_perplexity": (q_lm_perplexity, _sql_lm_perplexity()),
 }
