@@ -85,3 +85,89 @@ def test_hash_join_path_matches_broadcast(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_vocab_cap_unk_model(spark):
+    """The CCNet <unk> knob: cap the vocabulary at top-V, verify against
+    a brute-force capped python LM, and confirm the cap removes the
+    uncapped model's OOV ppl=V bound (gibberish now scores WORSE than
+    reference-like text)."""
+    cap = 5
+    ref = spark.createDataFrame([(s,) for s in REF], "text string")
+    docs = spark.createDataFrame(SCORED, "doc_id long, text string")
+    uni, big, v = lmq.train_bigram_lm(ref, vocab_cap=cap)
+    assert v <= cap + 1  # kept vocab + <unk>
+    got = {
+        r["id"]: (r["n_bigrams"], r["ppl"])
+        for r in lmq.perplexity(
+            docs, uni, big, v, alpha=ALPHA, vocab=lmq.vocab_from_uni(uni)
+        ).collect()
+    }
+
+    # brute force: same top-V (count desc, term asc) + <unk> fold
+    uni_c, big_c = Counter(), Counter()
+    toks = [tokenize_py(s) for s in REF]
+    for t in toks:
+        uni_c.update(t)
+    kept = set(
+        w for w, _ in sorted(uni_c.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+    )
+    m = lambda w: w if w in kept else "<unk>"  # noqa: E731
+    uni_m, big_m = Counter(), Counter()
+    for t in toks:
+        mt = [m(w) for w in t]
+        uni_m.update(mt)
+        big_m.update(zip(mt, mt[1:]))
+    vv = len(uni_m)
+    assert vv == v
+    import math as _math
+
+    for i, s in SCORED:
+        t = [m(w) for w in tokenize_py(s)]
+        if len(t) < 2:
+            assert i not in got
+            continue
+        lps = [
+            _math.log(
+                (big_m.get((a, b), 0) + ALPHA) / (uni_m.get(a, 0) + ALPHA * vv)
+            )
+            for a, b in zip(t, t[1:])
+        ]
+        want = round(_math.exp(-sum(lps) / len(lps)), 6)
+        assert got[i][1] == pytest.approx(want, rel=1e-9), i
+    # gibberish maps to <unk>-runs whose bigram counts are REAL (rare),
+    # so it no longer enjoys the uniform 1/V escape
+    assert got[0][1] < got[2][1]
+
+
+def test_ppl_buckets_terciles(spark):
+    """head/middle/tail assignment matches a numpy linear-interpolation
+    tercile split (Spark percentile ≡ np.percentile linear), per group
+    and globally."""
+    import numpy as np
+
+    rows = [(i, "g1" if i < 9 else "g2", float(10 + i)) for i in range(15)]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in lmq.ppl_buckets(scored, group_col="lang").collect()
+    }
+    for grp in ("g1", "g2"):
+        vals = np.array([p for _, g, p in rows if g == grp])
+        lo = round(float(np.percentile(vals, 100 / 3)), 6)
+        hi = round(float(np.percentile(vals, 200 / 3)), 6)
+        for i, g, p in rows:
+            if g != grp:
+                continue
+            want = "head" if p <= lo else ("middle" if p <= hi else "tail")
+            assert got[i] == want, (i, p, lo, hi)
+    # global path (no group column)
+    got_g = {
+        r["doc_id"]: r["bucket"] for r in lmq.ppl_buckets(scored).collect()
+    }
+    vals = np.array([p for _, _, p in rows])
+    lo = round(float(np.percentile(vals, 100 / 3)), 6)
+    hi = round(float(np.percentile(vals, 200 / 3)), 6)
+    for i, _, p in rows:
+        want = "head" if p <= lo else ("middle" if p <= hi else "tail")
+        assert got_g[i] == want

@@ -3390,6 +3390,62 @@ def _sql_lm_perplexity() -> str:
     return f"SELECT id AS doc_id, n_bigrams, ppl FROM ({inner}) ORDER BY doc_id"
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split: per-LANGUAGE perplexity
+    terciles under the reference LM (lm_quality.ppl_buckets) — head =
+    the most reference-like third of each language's docs. The cuts are
+    one tiny per-lang percentile agg broadcast back; cut values rounded
+    to 6 on both engines so the boundary predicate is deterministic."""
+    from uci_searchengine_spark.operators.lm_quality import (
+        perplexity,
+        ppl_buckets,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, big, v = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    scored = (
+        perplexity(docs, uni, big, v, alpha=LM_ALPHA, digits=3)
+        .select(F.col("id").alias("doc_id"), "ppl")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        ppl_buckets(scored, group_col="lang")
+        .select("doc_id", "lang", "ppl", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_ppl_buckets() -> str:
+    from uci_searchengine_spark.operators.lm_quality import perplexity_sql
+
+    inner = perplexity_sql(
+        "SELECT * FROM documents",
+        ref_where="lang = 'en'",
+        tokens_expr=tokens_sql_expr("text"),
+        alpha=LM_ALPHA,
+        digits=3,
+    )
+    lo, hi = repr(1.0 / 3.0), repr(2.0 / 3.0)
+    return f"""
+WITH j AS (
+  SELECT s.id AS doc_id, d.lang, s.ppl
+  FROM ({inner}) s JOIN documents d ON s.id = d.doc_id
+),
+cuts AS (
+  SELECT lang, round(quantile_cont(ppl, {lo}), 6) AS cut_lo,
+         round(quantile_cont(ppl, {hi}), 6) AS cut_hi
+  FROM j GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.ppl,
+       CASE WHEN j.ppl <= c.cut_lo THEN 'head'
+            WHEN j.ppl <= c.cut_hi THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN cuts c USING (lang)
+ORDER BY j.doc_id
+"""
+
+
 SPAN_N = 8
 
 
@@ -4312,4 +4368,5 @@ QUERIES = {
     "sort_by_field": (q_sort_by_field, _sql_sort_by_field()),
     "bm25f_topk": (q_bm25f_topk, _sql_bm25f_topk()),
     "lm_perplexity": (q_lm_perplexity, _sql_lm_perplexity()),
+    "ppl_buckets": (q_ppl_buckets, _sql_ppl_buckets()),
 }

@@ -56,20 +56,76 @@ def _bigram_pairs(toks: DataFrame, *cols: str) -> DataFrame:
     )
 
 
+UNK = "<unk>"
+
+
+def _cap_vocab(uni: DataFrame, vocab_cap: int) -> DataFrame:
+    """Top-``vocab_cap`` unigrams by (count desc, term asc) — the kept
+    vocabulary relation (v). Deterministic tie-break, bounded in-plan."""
+    return (
+        uni.orderBy(F.desc("c1"), F.asc("v")).limit(vocab_cap).select("v")
+    )
+
+
+def _map_unk(df: DataFrame, vocab: DataFrame, *cols: str) -> DataFrame:
+    """Replace every token column not in ``vocab`` with ``<unk>`` via
+    broadcast left-semi-shaped joins (one per column) — no literal
+    vocabulary array in the plan, no python."""
+    for c in cols:
+        kept = vocab.select(F.col("v").alias(c)).withColumn(f"_k_{c}", F.lit(1))
+        df = (
+            df.join(F.broadcast(kept), c, "left")
+            .withColumn(
+                c, F.when(F.col(f"_k_{c}").isNotNull(), F.col(c)).otherwise(F.lit(UNK))
+            )
+            .drop(f"_k_{c}")
+        )
+    return df
+
+
 def train_bigram_lm(
-    ref_docs: DataFrame, text_col: str = "text"
+    ref_docs: DataFrame, text_col: str = "text", vocab_cap: "int | None" = None
 ) -> "tuple[DataFrame, DataFrame, int]":
     """(unigram_counts(v, c1), bigram_counts(v, w, c2), V) from the
     reference slice. Two groupBys over the exploded token stream of the
-    REFERENCE docs only."""
+    REFERENCE docs only.
+
+    ``vocab_cap`` = the CCNet/KenLM production knob: keep the top-V
+    unigrams by (count desc, term asc) and fold everything else into
+    ``<unk>`` BEFORE counting, so the model is bounded at V+1 unigrams
+    and the OOV uniform-1/V escape disappears (out-of-vocab mass rides
+    the <unk> row's real counts instead). The same mapping must be
+    applied at scoring time — ``perplexity`` takes the returned
+    relations, so pass the model's vocabulary via ``vocab_from_uni``."""
     toks = ref_docs.select(tokens_col(F.col(text_col)).alias("t"))
-    uni = (
+    raw_uni = (
         toks.select(F.explode("t").alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("c1"))
     )
-    big = _bigram_pairs(toks).groupBy("v", "w").agg(F.count("*").alias("c2"))
+    raw_big = _bigram_pairs(toks)
+    if vocab_cap is None:
+        uni = raw_uni
+        big = raw_big.groupBy("v", "w").agg(F.count("*").alias("c2"))
+        return uni, big, uni.count()
+    vocab = _cap_vocab(raw_uni, vocab_cap)
+    uni = (
+        _map_unk(raw_uni.select("v", "c1"), vocab, "v")
+        .groupBy("v")
+        .agg(F.sum("c1").alias("c1"))
+    )
+    big = (
+        _map_unk(raw_big, vocab, "v", "w")
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("c2"))
+    )
     return uni, big, uni.count()
+
+
+def vocab_from_uni(uni: DataFrame) -> DataFrame:
+    """The model's vocabulary relation (v) minus the <unk> row — the
+    mapping set scoring must apply when the model was capped."""
+    return uni.filter(F.col("v") != UNK).select("v")
 
 
 def perplexity(
@@ -82,15 +138,20 @@ def perplexity(
     alpha: float = DEFAULT_ALPHA,
     broadcast_model: bool = True,
     digits: int = 6,
+    vocab: "DataFrame | None" = None,
 ) -> DataFrame:
     """(id, n_bigrams, ppl) for every doc with ≥ 2 tokens, ppl rounded
     to ``digits``. ``broadcast_model=False`` switches both model joins
     to hash joins for a model too large to broadcast. Cross-engine
     comparisons should round coarser (the gate pins 3): a doc's ppl
     averages hundreds of ln terms, so the last ~1e-9 depends on
-    summation order."""
+    summation order. For a ``vocab_cap`` model pass
+    ``vocab=vocab_from_uni(uni)`` so scoring applies the SAME <unk>
+    mapping the counts were trained under."""
     toks = docs.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
     pairs = _bigram_pairs(toks, "id")
+    if vocab is not None:
+        pairs = _map_unk(pairs, vocab, "v", "w")
     b = F.broadcast if broadcast_model else (lambda df: df)
     logp = F.log(
         (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + alpha)
@@ -146,3 +207,32 @@ LEFT JOIN uni u ON p.v = u.v
 CROSS JOIN vsize s
 GROUP BY p.id
 """
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    group_col: "str | None" = None,
+    probs: "tuple[float, float]" = (1.0 / 3.0, 2.0 / 3.0),
+    digits: int = 6,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket each doc by where its
+    perplexity falls against the (per-``group_col``, e.g. per-language)
+    interpolated quantile cuts — head = most reference-like third,
+    tail = least. One tiny per-group percentile agg broadcast back; the
+    cuts are rounded to ``digits`` on BOTH engines before comparison so
+    the boundary predicate is deterministic cross-engine (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, pinned by gate
+    match_stats)."""
+    lo = F.round(F.expr(f"percentile(ppl, {probs[0]!r})"), digits).alias("cut_lo")
+    hi = F.round(F.expr(f"percentile(ppl, {probs[1]!r})"), digits).alias("cut_hi")
+    if group_col is not None:
+        cuts = scored.groupBy(group_col).agg(lo, hi)
+        j = scored.join(F.broadcast(cuts), group_col)
+    else:
+        j = scored.crossJoin(F.broadcast(scored.agg(lo, hi)))
+    return j.withColumn(
+        "bucket",
+        F.when(F.col("ppl") <= F.col("cut_lo"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("cut_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("cut_lo", "cut_hi")
