@@ -3446,6 +3446,45 @@ ORDER BY j.doc_id
 """
 
 
+DSIR_BUCKETS = 256
+DSIR_K = 100
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023): pick
+    the 100 docs whose hashed unigram+bigram distribution best matches
+    the lang='en' target slice, via importance log-weights under add-λ
+    bag models and a deterministic Gumbel top-k draw. One corpus
+    featurize + groupBy, a ≤256-row broadcast ratio join, a bounded
+    top-k — no all-pairs stage. logw/key rounded to 3 (tens-to-hundreds
+    of ln terms per doc — last-ulp summation-order noise)."""
+    from uci_searchengine_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        k=DSIR_K,
+        n_buckets=DSIR_BUCKETS,
+        digits=3,
+    )
+
+
+def _sql_dsir_select() -> str:
+    from uci_searchengine_spark.operators.dsir import dsir_select_sql
+
+    return dsir_select_sql(
+        "SELECT doc_id, text FROM documents",
+        target_where=(
+            "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+        ),
+        k=DSIR_K,
+        tokens_expr=tokens_sql_expr("text"),
+        n_buckets=DSIR_BUCKETS,
+        digits=3,
+    )
+
+
 SPAN_N = 8
 
 
@@ -4369,4 +4408,5 @@ QUERIES = {
     "bm25f_topk": (q_bm25f_topk, _sql_bm25f_topk()),
     "lm_perplexity": (q_lm_perplexity, _sql_lm_perplexity()),
     "ppl_buckets": (q_ppl_buckets, _sql_ppl_buckets()),
+    "dsir_select": (q_dsir_select, _sql_dsir_select()),
 }
