@@ -385,6 +385,56 @@ def q_bm25_segments_topk(spark, sf_dir):
     )
 
 
+BOOST_WEIGHTS = {"data": 2.0, "join": 0.5}
+
+SQL_BOOSTED_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( (ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * CASE p.term WHEN 'data' THEN 2.0 WHEN 'join' THEN 0.5 ELSE 1.0 END)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_boosted_search(spark, sf_dir):
+    """Lucene query-time term boosts (``term^N``) through the PRODUCT
+    path: score_wand(boosts=...) multiplies each boosted term's idf
+    weight — the same w every block-max upper bound uses, so θ-pruning
+    stays admissible under boosts with zero extra bookkeeping
+    (wand._idf_map). data^2 join^0.5 reranks the bm25_segments_topk
+    result set; the oracle applies the identical per-term factor."""
+    from uci_searchengine_spark.operators.index_build import load_docs
+    from uci_searchengine_spark.operators.wand import score_wand
+
+    idx = _segments_index_dir(spark, sf_dir)
+    topk = score_wand(
+        spark, idx, " ".join(BM25_QUERY_TERMS), k=10, boosts=BOOST_WEIGHTS
+    )
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def q_bm25_and_topk(spark, sf_dir):
     """Conjunctive BM25 top-10: only docs containing EVERY query term are
     eligible (U1 extension — AND semantics the reference UI lacks but any
@@ -4409,4 +4459,5 @@ QUERIES = {
     "lm_perplexity": (q_lm_perplexity, _sql_lm_perplexity()),
     "ppl_buckets": (q_ppl_buckets, _sql_ppl_buckets()),
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
+    "boosted_search": (q_boosted_search, SQL_BOOSTED_SEARCH),
 }

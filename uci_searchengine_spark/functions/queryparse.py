@@ -75,6 +75,33 @@ class BoolQuery:
         return list(out)
 
 
+_BOOST = re.compile(r"^(\S+?)\^(\d+(?:\.\d+)?)$")
+
+
+def parse_boosts(q: str) -> "tuple[str, dict[str, float]]":
+    """Strip Lucene-style query-time boosts: a whitespace token
+    ``chunk^N`` (N a positive number) contributes ``{chunk: N}`` and the
+    bare chunk flows on to the normal parse. Quoted phrases and groups
+    are left untouched (term-level boosts only — the common case; a
+    boosted phrase stays literal and will fail analysis loudly rather
+    than silently dropping the ^). Duplicate boosted chunks keep the
+    MAX boost. ``^0`` (a zero weight is a disguised NOT — use ``-term``)
+    and negative boosts raise ValueError."""
+    out: list[str] = []
+    boosts: dict[str, float] = {}
+    for raw in q.split():
+        m = _BOOST.match(raw)
+        if not m or '"' in raw or "(" in raw or ")" in raw:
+            out.append(raw)
+            continue
+        chunk, b = m.group(1), float(m.group(2))
+        if b <= 0:
+            raise ValueError(f"boost must be > 0, got {raw!r}")
+        boosts[chunk] = max(boosts.get(chunk, 0.0), b)
+        out.append(chunk)
+    return " ".join(out), boosts
+
+
 def parse_query(q: str, analyze) -> BoolQuery:
     """Parse the boolean syntax; ``analyze(text) -> list[str]`` is the
     index's analysis chain applied to each captured chunk.

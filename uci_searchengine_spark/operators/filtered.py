@@ -40,6 +40,7 @@ from uci_searchengine_spark.operators.index_build import IndexMeta
 from uci_searchengine_spark.operators.wand import (
     _TOPK_COUNT_SCHEMA,
     _TOPK_SCHEMA,
+    _idf_map,
     _score_bucket,
     _score_bucket_and,
     load_excl,
@@ -162,12 +163,14 @@ def filtered_topk_count(
     mode: str = "or",
     terms: "list[str] | None" = None,
     excl="__load__",
+    boosts: "dict[str, float] | None" = None,
 ) -> "tuple[list[tuple[int, float]], int]":
     """Envelope primitive: filtered global top-k AND the exact
     post-filter match count from ONE Spark job (mirror of
     wand.topk_and_count, with the inclusion cogroup). The count is the
     OR-union (or intersection) size AMONG allowed docs — exactly what a
-    ``site:`` results page reports as total_results."""
+    ``site:`` results page reports as total_results. ``boosts`` maps
+    analyzed terms to query-time weight multipliers (wand._idf_map)."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     prep = _prep(spark, index_dir, query, allowed, terms=terms, excl=excl)
@@ -188,10 +191,7 @@ def filtered_topk_count(
         if not len(seg_pdf):
             return empty
         incl = np.unique(incl_pdf["doc_id"].to_numpy().astype(np.int64))
-        idf_map = {
-            t: idf_fn(n_docs, int(d))
-            for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
-        }
+        idf_map = _idf_map(n_docs, seg_pdf, boosts)
         if mode == "and":
             pdf, n = _score_bucket_and(
                 seg_pdf, idf_map, avgdl, bucket_size, n_terms, k,

@@ -121,6 +121,7 @@ def local_topk_count_docs(
     mode: str = "or",
     excl: "np.ndarray | None" = None,
     pf_cache: "dict | None" = None,
+    boosts: "dict[str, float] | None" = None,
 ) -> tuple[list[dict], int]:
     """In-process twin of ``wand.topk_count_docs``: the SAME per-bucket
     closure over the same pruned rows, buckets iterated with a pandas
@@ -139,7 +140,8 @@ def local_topk_count_docs(
     # fetches per bucket because its tasks are parallel — serially that
     # would multiply the fetch cost by n_buckets)
     fn = _wand.make_envelope_fn(
-        meta, docs_dirs, lowered, k, mode, len(terms), with_docs=False
+        meta, docs_dirs, lowered, k, mode, len(terms), with_docs=False,
+        boosts=boosts,
     )(excl)
     # serial bucket loop: measured faster than a thread pool here — the
     # per-bucket glue is GIL-bound pandas, and the numpy decode slices

@@ -905,7 +905,14 @@ class Searcher:
         from uci_searchengine_spark.operators.prefix import parse_wildcards
         from uci_searchengine_spark.operators.regexp import parse_regexps
 
+        from uci_searchengine_spark.functions.queryparse import parse_boosts
+
         rest, hosts = parse_site_filters(query)
+        # Lucene term^N query-time boosts: strip the suffixes up front so
+        # the de-boosted chunks flow through the normal rewrite pipeline
+        # (and the display rule never sees a '^2'), resolve raw chunks to
+        # analyzed terms once the index's analysis chain is in hand below
+        rest, raw_boosts = parse_boosts(rest)
         literals, prefixes = parse_wildcards(rest)
         literals2, fuzzies = parse_fuzzy(" ".join(literals))
         literals3, patterns = parse_regexps(" ".join(literals2))
@@ -934,6 +941,25 @@ class Searcher:
         else:
             terms = terms_for_index(self.meta, rest)
             disp = query_terms(rest)
+        boosts: "dict[str, float] | None" = None
+        if raw_boosts:
+            boosts = {}
+            for chunk, b in raw_boosts.items():
+                cl = chunk.lower()
+                if cl.endswith("*") and "*" not in cl[:-1]:
+                    # a boosted wildcard boosts every concrete expansion
+                    # (Lucene: the rewrite distributes the clause boost)
+                    for t in self._expand_prefix(cl[:-1]):
+                        boosts[t] = max(boosts.get(t, 0.0), b)
+                    continue
+                if "*" in cl or "~" in cl or cl.startswith("/"):
+                    raise ValueError(
+                        "boosts apply to literal terms and stem* "
+                        "wildcards only (not fuzzy/regex chunks)"
+                    )
+                for t in terms_for_index(self.meta, chunk):
+                    boosts[t] = max(boosts.get(t, 0.0), b)
+            boosts = boosts or None
         if not terms:
             return {
                 "query": query,
@@ -980,7 +1006,7 @@ class Searcher:
                 rows_l, total = local_topk_count_docs(
                     self.index_dir, self.meta, disp, terms,
                     k=page * per_page, mode=mode, excl=excl_all,
-                    pf_cache=self._pf_cache,
+                    pf_cache=self._pf_cache, boosts=boosts,
                 )
                 rows = [
                     {
@@ -1004,7 +1030,7 @@ class Searcher:
                 hits, total = filtered_topk_count(
                     self.spark, self.index_dir, rest, allowed,
                     k=page * per_page, mode=mode, terms=terms,
-                    excl=excl0,
+                    excl=excl0, boosts=boosts,
                 )
                 rows = self._attach(
                     [
@@ -1039,7 +1065,7 @@ class Searcher:
             rows, total = local_topk_count_docs(
                 self.index_dir, self.meta, disp, terms,
                 k=page * per_page, mode=mode, excl=excl,
-                pf_cache=self._pf_cache,
+                pf_cache=self._pf_cache, boosts=boosts,
             )
         else:
             self.last_plan = "spark"
@@ -1047,7 +1073,7 @@ class Searcher:
             rows, total = _wand.topk_count_docs(
                 seg, self.meta, self.index_dir, disp,
                 k=page * per_page, mode=mode, n_terms=len(terms),
-                excl=excl,
+                excl=excl, boosts=boosts,
             )
         start = (page - 1) * per_page
         sel = rows[start : start + per_page]

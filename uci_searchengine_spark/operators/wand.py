@@ -557,14 +557,36 @@ def score_msm(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _idf_map(
+    n_docs: int, seg_pdf, boosts: "dict[str, float] | None" = None
+) -> dict[str, float]:
+    """Per-term scoring weight for one bucket's rows: idf, times the
+    query-time boost when one is given (Lucene ``term^N``). The boost
+    multiplies the SAME w every block-max upper bound uses
+    (``w·(k1+1)·block_max``), so θ-pruning stays admissible under
+    boosts with no extra bookkeeping."""
+    if boosts:
+        return {
+            t: idf_fn(n_docs, int(d)) * boosts.get(t, 1.0)
+            for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+        }
+    return {
+        t: idf_fn(n_docs, int(d))
+        for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+    }
+
+
 def score_wand(
-    spark: SparkSession, index_dir: str, query: str, k: int = 10, mode: str = "or"
+    spark: SparkSession, index_dir: str, query: str, k: int = 10, mode: str = "or",
+    boosts: "dict[str, float] | None" = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) via block-max pruned scoring over segments.
 
     ``mode="or"`` (default) is the reference's disjunctive semantics
     (search.py:79-82); ``mode="and"`` keeps only docs containing EVERY
-    query term (conjunctive extension — rarest-first intersection)."""
+    query term (conjunctive extension — rarest-first intersection).
+    ``boosts`` maps ANALYZED terms to query-time weight multipliers
+    (Lucene ``term^N``)."""
     meta = IndexMeta.load(index_dir)
     terms = terms_for_index(meta, query)
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -573,7 +595,7 @@ def score_wand(
     seg = pruned_segments(spark, index_dir, meta, terms)
     return _topk_over_segments(
         seg, meta, k, mode=mode, n_terms=len(terms),
-        excl=load_excl(index_dir, spark, meta.bucket_size),
+        excl=load_excl(index_dir, spark, meta.bucket_size), boosts=boosts,
     )
 
 
@@ -635,6 +657,7 @@ def _topk_over_segments(
     mode: str = "or",
     n_terms: int | None = None,
     excl: "np.ndarray | BucketedExcl | None" = None,
+    boosts: "dict[str, float] | None" = None,
 ) -> DataFrame:
     """Scoring tail shared by score_wand and serving.Searcher: per-bucket
     block-max scoring over an (already pruned, df-resolved) segment
@@ -650,10 +673,7 @@ def _topk_over_segments(
                 return pd.DataFrame(
                     {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
                 )
-            idf_map = {
-                t: idf_fn(n_docs, int(d))
-                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
-            }
+            idf_map = _idf_map(n_docs, seg_pdf, boosts)
             if mode == "and":
                 return _score_bucket_and(
                     seg_pdf, idf_map, avgdl, bucket_size, n_terms, k, excl=excl_local
@@ -695,6 +715,7 @@ def topk_and_count(
     mode: str = "or",
     n_terms: int | None = None,
     excl: "np.ndarray | None" = None,
+    boosts: "dict[str, float] | None" = None,
 ) -> tuple[list[tuple[int, float]], int]:
     """Envelope primitive: global top-k hits AND the exact total match
     count from ONE Spark job (the envelope previously ran the scorer and
@@ -724,10 +745,7 @@ def topk_and_count(
             )
             if not len(seg_pdf):
                 return empty
-            idf_map = {
-                t: idf_fn(n_docs, int(d))
-                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
-            }
+            idf_map = _idf_map(n_docs, seg_pdf, boosts)
             if mode == "and":
                 pdf, n = _score_bucket_and(
                     seg_pdf, idf_map, avgdl, bucket_size, n_terms, k,
@@ -883,6 +901,7 @@ def make_envelope_fn(
     mode: str,
     n_terms: int | None,
     with_docs: bool = True,
+    boosts: "dict[str, float] | None" = None,
 ):
     """Per-bucket envelope closure builder SHARED by the Spark path
     (``topk_count_docs``) and the task-local path
@@ -910,10 +929,7 @@ def make_envelope_fn(
             )
             if not len(seg_pdf):
                 return empty
-            idf_map = {
-                t: idf_fn(n_docs, int(d))
-                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
-            }
+            idf_map = _idf_map(n_docs, seg_pdf, boosts)
             if mode == "and":
                 pdf, n = _score_bucket_and(
                     seg_pdf, idf_map, avgdl, bucket_size, n_terms, k,
@@ -966,6 +982,7 @@ def topk_count_docs(
     mode: str = "or",
     n_terms: int | None = None,
     excl: "np.ndarray | BucketedExcl | None" = None,
+    boosts: "dict[str, float] | None" = None,
 ) -> tuple[list[dict], int]:
     """The WHOLE search envelope from ONE Spark job.
 
@@ -984,7 +1001,8 @@ def topk_count_docs(
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     docs_dirs = [os.path.join(d, "docs") for d in generation_dirs(index_dir)]
     make_fn = make_envelope_fn(
-        meta, docs_dirs, [t.lower() for t in display_terms], k, mode, n_terms
+        meta, docs_dirs, [t.lower() for t in display_terms], k, mode, n_terms,
+        boosts=boosts,
     )
     per_bucket = apply_per_bucket(seg, excl, make_fn, _TOPK_DOCS_SCHEMA)
     row = per_bucket.agg(
