@@ -4076,6 +4076,69 @@ ORDER BY score DESC, s.doc_id ASC LIMIT 10
 """
 
 
+DECAY_ORIGIN, DECAY_SCALE, DECAY_RATE = 1000.0, 800.0, 0.5
+
+
+def q_decay_search(spark, sf_dir):
+    """ES function_score gauss decay (operators/docvalues.py
+    decay_topk): final = bm25 · exp(dist²·ln(0.5)/scale²) with dist the
+    doc's n_chars distance from origin 1000 — the freshness/recency
+    ranking shape over a raw doc-values plane, multiplier derived
+    in-task so one plane serves any curve. θ-pruning stays admissible:
+    unseen docs bounded by remaining_ub · max(mult), candidates by
+    (acc + remaining_ub) · mult[doc]."""
+    from uci_searchengine_spark.operators.docvalues import (
+        attach_doc_values,
+        decay_topk,
+    )
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    idx = _segments_index_dir(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select("doc_id", F.col("n_chars").cast("double").alias("value"))
+    attach_doc_values(spark, idx, vals, "chars")
+    topk = decay_topk(
+        spark, idx, " ".join(BM25_QUERY_TERMS), "chars", kind="gauss",
+        origin=DECAY_ORIGIN, scale=DECAY_SCALE, decay=DECAY_RATE, k=10,
+    )
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_DECAY_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ) AS bscore
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id,
+       round(s.bscore * exp(
+         pow(greatest(abs(doc.n_chars - {DECAY_ORIGIN!r}), 0.0), 2)
+         * ln({DECAY_RATE!r}) / ({DECAY_SCALE!r} * {DECAY_SCALE!r})), 6) AS score
+FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+WHERE s.bscore > 0
+ORDER BY score DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 def q_more_like_this(spark, sf_dir):
     """More-Like-This (Lucene MLT): the source doc's top-25 tf·idf terms
     → BM25 disjunction → source excluded at accumulation time.
@@ -4460,4 +4523,5 @@ QUERIES = {
     "ppl_buckets": (q_ppl_buckets, _sql_ppl_buckets()),
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "boosted_search": (q_boosted_search, SQL_BOOSTED_SEARCH),
+    "decay_search": (q_decay_search, SQL_DECAY_SEARCH),
 }

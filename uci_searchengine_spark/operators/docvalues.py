@@ -257,6 +257,197 @@ def blended_topk(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _decay_multiplier(
+    vec: np.ndarray,
+    kind: str,
+    origin: float,
+    scale: float,
+    offset: float,
+    decay: float,
+) -> np.ndarray:
+    """ES function_score decay curves over a value vector, in (0, 1]:
+    dist = max(|v − origin| − offset, 0), and the curve is pinned so
+    that dist == scale multiplies by exactly ``decay``:
+
+    * gauss:  exp(dist² · ln(decay) / scale²)
+    * exp:    exp(dist · ln(decay) / scale)
+    * linear: max(1 − dist·(1−decay)/scale, 0)
+    """
+    import math as _math
+
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0,1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    dist = np.maximum(np.abs(vec - origin) - offset, 0.0)
+    ln_d = _math.log(decay)
+    if kind == "gauss":
+        return np.exp(dist * dist * ln_d / (scale * scale))
+    if kind == "exp":
+        return np.exp(dist * ln_d / scale)
+    if kind == "linear":
+        return np.maximum(1.0 - dist * (1.0 - decay) / scale, 0.0)
+    raise ValueError(f"kind must be gauss|exp|linear, got {kind!r}")
+
+
+def _score_bucket_decayed(
+    seg: pd.DataFrame,
+    idf_map: dict,
+    avgdl: float,
+    bucket_size: int,
+    k: int,
+    mult: np.ndarray,
+    excl: "np.ndarray | None" = None,
+) -> pd.DataFrame:
+    """OR-mode block-max scoring with a per-doc MULTIPLICATIVE factor in
+    [0, 1] (function_score decay): final = bm25 · mult. Admissibility:
+    an unseen doc's final score is ≤ remaining_ub · max(mult); a seen
+    candidate's is ≤ (acc + remaining_ub) · mult[doc] — both bounds are
+    exact analogs of the additive lane in _score_bucket_blended, with θ
+    and the candidate set maintained over DECAYED scores. Matching stays
+    score>0 on the raw BM25 accumulator (decay is a ranking signal, not
+    a matching signal — a fully-decayed hit is still a hit at rank
+    bottom)."""
+    _empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+    )
+    if not len(seg):
+        return _empty
+    bucket = int(seg["bucket"].iloc[0])
+    base = bucket * bucket_size
+    max_mult = float(mult.max()) if mult.size else 0.0
+
+    has_gen = "gen_avgdl" in seg.columns
+    rows = []
+    for r in seg.itertuples(index=False):
+        w = idf_map[r.term]
+        bm = np.asarray(r.block_max, dtype=np.float64)
+        infl = max(1.0, avgdl / float(r.gen_avgdl)) if has_gen else 1.0
+        rows.append((w * (BM25_K1 + 1.0) * bm.max() * infl, w, r))
+    rows.sort(key=lambda x: -x[0])
+
+    acc = np.zeros(bucket_size, dtype=np.float64)
+    theta = -np.inf
+    cand: "np.ndarray | None" = None
+    remaining_ub = sum(x[0] for x in rows)
+
+    for ub, w, r in rows:
+        remaining_ub -= ub
+        blob = bytes(r.postings)
+        if cand is None:
+            d, tf, dl = unpack_postings(blob)
+        else:
+            d, tf, dl = _decode_for_candidates(
+                blob,
+                np.asarray(r.block_offsets, dtype=np.int64),
+                np.asarray(r.block_last_doc, dtype=np.int64),
+                cand,
+                base,
+            )
+            if d.size == 0:
+                continue
+        if excl is not None and excl.size and d.size:
+            p = np.clip(np.searchsorted(excl, d), 0, excl.size - 1)
+            m = excl[p] != d
+            d, tf, dl = d[m], tf[m], dl[m]
+            if d.size == 0:
+                continue
+        tf_f = tf.astype(np.float64)
+        contrib = w * (
+            tf_f
+            * (BM25_K1 + 1.0)
+            / (tf_f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl))
+        )
+        np.add.at(acc, d - base, contrib)
+
+        if cand is None:
+            nz = np.flatnonzero(acc > 0)
+            if nz.size >= k:
+                dc = acc[nz] * mult[nz]
+                theta = np.partition(dc, nz.size - k)[nz.size - k]
+            if remaining_ub * max_mult < theta:
+                cand = nz[(acc[nz] + remaining_ub) * mult[nz] >= theta] + base
+        else:
+            nz = cand - base
+            if nz.size >= k:
+                dc = acc[nz] * mult[nz]
+                theta = np.partition(dc, nz.size - k)[nz.size - k]
+                cand = cand[(acc[nz] + remaining_ub) * mult[nz] >= theta]
+
+    nz = np.flatnonzero(acc > 0) if cand is None else np.unique(cand - base)
+    nz = nz[acc[nz] > 0]
+    if nz.size == 0:
+        return _empty
+    scores = acc[nz] * mult[nz]
+    if nz.size > k:
+        kth = np.partition(scores, nz.size - k)[nz.size - k]
+        keep = scores >= kth
+        nz, scores = nz[keep], scores[keep]
+    order = np.lexsort((nz, -scores))[:k]
+    return pd.DataFrame(
+        {"doc_id": (nz[order] + base).astype("int64"), "score": scores[order]}
+    )
+
+
+def decay_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    dv_name: str,
+    kind: str = "gauss",
+    origin: float = 0.0,
+    scale: float = 1.0,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """ES function_score decay ranking: top-k under
+    ``bm25 · decay_curve(doc_value)`` (OR matching) — the freshness /
+    geo-distance / recency ranking shape. The raw value plane is read
+    task-locally per bucket and the multiplier derived in-task, so one
+    stored plane serves any (kind, origin, scale, offset, decay); docs
+    missing from the plane carry the dense default value 0.0 (they decay
+    by their distance from origin — pinned)."""
+    # validate the curve parameters before any job
+    _decay_multiplier(np.zeros(1), kind, origin, scale, offset, decay)
+    meta = IndexMeta.load(index_dir)
+    terms = terms_for_index(meta, query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    seg = pruned_segments(spark, index_dir, meta, terms)
+    n_docs, avgdl, bucket_size = meta.n_docs, meta.avgdl, meta.bucket_size
+    idx_dir, name = index_dir, dv_name
+    params = (kind, float(origin), float(scale), float(offset), float(decay))
+
+    def make_fn(excl_local):
+        def fn(key, seg_pdf):
+            if not len(seg_pdf):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "score": pd.Series([], dtype="float64"),
+                    }
+                )
+            bucket = int(seg_pdf["bucket"].iloc[0])
+            vec = _load_bucket_values(idx_dir, name, bucket, bucket_size)
+            if vec is None:
+                vec = np.zeros(bucket_size, dtype=np.float64)
+            mult = _decay_multiplier(vec, *params)
+            idf_map = {
+                t: idf_fn(n_docs, int(d))
+                for t, d in zip(seg_pdf["term"], seg_pdf["df_global"])
+            }
+            return _score_bucket_decayed(
+                seg_pdf, idf_map, avgdl, bucket_size, k, mult, excl=excl_local
+            )
+
+        return fn
+
+    excl = load_excl(index_dir, spark, meta.bucket_size)
+    per_bucket = apply_per_bucket(seg, excl, make_fn, _TOPK_SCHEMA)
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 _SORT_SCHEMA = "doc_id long, value double, score double"
 
 
