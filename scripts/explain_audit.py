@@ -432,6 +432,34 @@ def main() -> None:
         )
     )
 
+    # DSIR: the ≤B-row log-ratio table must broadcast onto the doc
+    # features (never shuffle the corpus against it) and the Gumbel
+    # top-k draw must be the bounded TakeOrderedAndProject, not a sort
+    from uci_searchengine_spark.operators.dsir import dsir_select
+
+    raw = synth_pages(spark, 100, 1337, partitions=4).select(
+        F.xxhash64("url").alias("doc_id"),
+        F.decode("html", "utf-8").alias("text"),
+    )
+    ds = dsir_select(raw, raw.limit(20), k=10, n_buckets=64)
+    plan = ds._sc._jvm.PythonSQLUtils.explainString(
+        ds._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "dsir: ratio table broadcast onto doc features",
+            "BroadcastHashJoin" in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "dsir: Gumbel top-k is bounded (TakeOrderedAndProject)",
+            "TakeOrderedAndProject" in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
