@@ -3496,6 +3496,54 @@ ORDER BY j.doc_id
 """
 
 
+PARA_W = 12
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet paragraph-level dedup (dedup.paragraph_dedup): paragraphs
+    = 12-token chunks (this corpus has no newline structure — rule
+    shared with the oracle via token_chunks_col), first corpus-wide
+    occurrence wins (min (doc_id, pos) per md5), docs rebuilt from
+    surviving paragraphs in order. One posexplode + one hash
+    min-aggregate + one equi-join + one per-doc re-agg — skew-safe (a
+    million-fold boilerplate paragraph is ONE aggregate row)."""
+    from uci_searchengine_spark.operators.dedup import (
+        paragraph_dedup,
+        token_chunks_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    paras = token_chunks_col(tokens_col(F.col("text")), PARA_W)
+    return paragraph_dedup(docs, paras).orderBy("doc_id")
+
+
+_SQL_PARAGRAPH_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+paras AS (
+  SELECT doc_id, pos, para FROM (
+    SELECT doc_id,
+           unnest(range(0, CAST(ceil(len(t) / {PARA_W}.0) AS BIGINT))) AS pos,
+           unnest(list_transform(range(0, CAST(ceil(len(t) / {PARA_W}.0) AS BIGINT)),
+             i -> array_to_string(t[i*{PARA_W}+1 : i*{PARA_W}+{PARA_W}], ' '))) AS para
+    FROM toks
+  ) WHERE para <> ''
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM paras
+)
+SELECT doc_id, count(*) AS n_kept,
+       string_agg(para, ' ' ORDER BY pos) AS text_dedup
+FROM ranked WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _sql_paragraph_dedup() -> str:
+    return _SQL_PARAGRAPH_DEDUP.format(toks=tokens_sql_expr("text"))
+
+
 DSIR_BUCKETS = 256
 DSIR_K = 100
 
@@ -4524,4 +4572,5 @@ QUERIES = {
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "boosted_search": (q_boosted_search, SQL_BOOSTED_SEARCH),
     "decay_search": (q_decay_search, SQL_DECAY_SEARCH),
+    "paragraph_dedup": (q_paragraph_dedup, _sql_paragraph_dedup()),
 }

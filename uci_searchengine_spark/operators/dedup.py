@@ -760,3 +760,73 @@ def duplicate_span_stats(
             dup_tokens.cast("double") / F.col("total_tokens"), 6
         ).alias("dup_frac"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    paragraphs,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's paragraph-level dedup: hash every paragraph, keep only
+    the FIRST occurrence corpus-wide (min (doc_id, position) per hash —
+    later repeats are dropped even inside the same doc), and rebuild
+    each doc's text from its surviving paragraphs in original order.
+
+    ``paragraphs`` is a Column producing ``array<string>`` — the split
+    rule is the caller's (CCNet splits on newlines; a corpus without
+    newline structure can chunk its token stream). Empty paragraphs are
+    ignored. Docs whose every paragraph was dropped disappear from the
+    output (they carry no surviving text).
+
+    Scale shape: one posexplode + one (hash) min-aggregate + one
+    equi-join back on (hash, doc, pos) + one per-doc re-aggregate — two
+    content-sized shuffles, no window sort inside a hash group (a
+    boilerplate paragraph repeated millions of times becomes ONE
+    min-aggregate row, not a million-row sort partition; the same skew
+    reasoning as the LSH bucket cap).
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(paragraphs).alias("pos", "para"),
+        )
+        .filter(F.col("para") != "")
+        .withColumn("h", F.md5("para"))
+    )
+    # (id, pos) uniquely addresses a paragraph, so the winner set joins
+    # back as a plain left-semi on those two keys — no self-join lineage
+    # ambiguity on h, and the semi join dedupes for free.
+    winners = (
+        paras.groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    )
+    kept = paras.join(winners, ["id", "pos"], "left_semi").select(
+        "id", "pos", "para"
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "para"))),
+        lambda x: x["para"],
+    )
+    return kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(" ", ordered).alias("text_dedup"),
+    ).select(F.col("id").alias(id_col), "n_kept", "text_dedup")
+
+
+def token_chunks_col(tokens, width: int):
+    """``array<string>`` of space-joined ``width``-token chunks of a
+    token-array column — the deterministic paragraph rule for corpora
+    without newline structure (gate + oracle share it). DuckDB mirror:
+    list_transform(range(0, ceil(len(t)/w)), i ->
+    array_to_string(t[i*w+1 : i*w+w], ' '))."""
+    n_chunks = F.ceil(F.size(tokens) / F.lit(width)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i * width + 1, width)),
+    )
+    # sequence(0, -1) DESCENDS in Spark — empty docs must yield [] not
+    # a bogus negative-index chunk
+    return F.when(n_chunks > 0, chunks).otherwise(
+        F.array().cast("array<string>")
+    )
