@@ -1,0 +1,121 @@
+"""HyperLogLog sketch: estimate accuracy vs exact distinct, register
+merge property (union = element-wise max, rolling sub-sketches up ==
+sketching the whole), grouped sketches, partition invariance, and the
+DuckDB oracle mirror producing identical registers + estimate."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n, dup_every=3):
+    # n rows, ~n/dup_every distinct keys, two groups
+    rows = [
+        (i, f"key-{i // dup_every}", "a" if i % 2 == 0 else "b")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "i long, k string, g string")
+
+
+@pytest.mark.spark
+class TestHLL:
+    def test_accuracy_vs_exact(self, spark):
+        from uci_searchengine_spark.operators.sketches import hll_distinct
+
+        for n, p in [(3000, 8), (3000, 10), (20000, 10)]:
+            df = _docs(spark, n)
+            exact = df.select("k").distinct().count()
+            est = hll_distinct(df, F.col("k"), p=p).collect()[0]["n_est"]
+            m = 1 << p
+            sigma = 1.04 / (m ** 0.5)
+            assert abs(est - exact) / exact < 5 * sigma, (n, p, est, exact)
+
+    def test_merge_is_max_and_lossless(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        df = _docs(spark, 4000)
+        half_a = df.filter(F.col("i") < 2000)
+        half_b = df.filter(F.col("i") >= 2000)
+        merged = (
+            hll_registers(half_a, F.col("k"), p=8)
+            .union(hll_registers(half_b, F.col("k"), p=8))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        whole = hll_registers(df, F.col("k"), p=8)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+        est_m = hll_estimate(merged, p=8).collect()[0]["n_est"]
+        est_w = hll_estimate(whole, p=8).collect()[0]["n_est"]
+        assert est_m == est_w
+
+    def test_grouped_rollup(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            hll_distinct,
+            hll_estimate,
+            hll_registers,
+        )
+
+        df = _docs(spark, 3000)
+        per_g = {
+            r["g"]: r["n_est"]
+            for r in hll_distinct(
+                df, F.col("k"), p=8, group_cols=["g"]
+            ).collect()
+        }
+        assert set(per_g) == {"a", "b"}
+        # rolling the per-group sketches up == sketching ungrouped
+        rolled = (
+            hll_registers(df, F.col("k"), p=8, group_cols=["g"])
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        est_rolled = hll_estimate(rolled, p=8).collect()[0]["n_est"]
+        est_whole = hll_distinct(df, F.col("k"), p=8).collect()[0]["n_est"]
+        assert est_rolled == est_whole
+
+    def test_partition_invariance(self, spark):
+        from uci_searchengine_spark.operators.sketches import hll_distinct
+
+        df = _docs(spark, 2000)
+        a = hll_distinct(df.repartition(1), F.col("k"), p=7).collect()[0]
+        b = hll_distinct(df.repartition(13), F.col("k"), p=7).collect()[0]
+        assert tuple(a) == tuple(b)
+
+    def test_duckdb_mirror(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            hll_distinct,
+            hll_sql,
+        )
+
+        df = _docs(spark, 1500)
+        pdf = df.toPandas()
+        con = duckdb.connect()
+        con.register("t", pdf)
+        got_sql = con.execute(hll_sql("k", "t", p=7)).fetchall()[0]
+        got_spark = tuple(hll_distinct(df, F.col("k"), p=7).collect()[0])
+        assert got_spark == got_sql
+        # grouped mirror too
+        sql_g = hll_sql("k", "t", p=7, group_cols=["g"])
+        got_sql_g = sorted(con.execute(sql_g).fetchall())
+        got_spark_g = sorted(
+            map(
+                tuple,
+                hll_distinct(
+                    df, F.col("k"), p=7, group_cols=["g"]
+                ).collect(),
+            )
+        )
+        assert got_spark_g == got_sql_g
+
+    def test_small_range_linear_counting(self, spark):
+        from uci_searchengine_spark.operators.sketches import hll_distinct
+
+        # 20 distinct keys, p=10: most registers empty -> ln branch
+        df = _docs(spark, 60, dup_every=3)
+        est = hll_distinct(df, F.col("k"), p=10).collect()[0]["n_est"]
+        assert abs(est - 20) <= 3

@@ -3544,6 +3544,36 @@ def _sql_paragraph_dedup() -> str:
     return _SQL_PARAGRAPH_DEDUP.format(toks=tokens_sql_expr("text"))
 
 
+HLL_P = 6  # 64 registers: raw-estimate branch at every test SF
+
+
+def q_hll_distinct_docs(spark, sf_dir):
+    """HyperLogLog distinct-doc estimate (sketches.py) next to the
+    exact count — the sketch path COUNT(DISTINCT key) takes at 10^12
+    docs. Key = doc_id as string (the high-cardinality column of this
+    table). p=6 keeps the gate on the integer-register raw-estimate
+    branch (no ln) at both sf0.001 and sf0.01."""
+    from uci_searchengine_spark.operators.sketches import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    est = hll_distinct(docs, F.col("doc_id").cast("string"), p=HLL_P)
+    exact = docs.agg(F.countDistinct("doc_id").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        "n_exact", "n_est", "n_buckets", "max_rho"
+    )
+
+
+def _sql_hll_distinct_docs() -> str:
+    from uci_searchengine_spark.operators.sketches import hll_sql
+
+    key = "CAST(doc_id AS VARCHAR)"
+    return f"""
+SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_exact,
+       x.n_est, x.n_buckets, x.max_rho
+FROM ({hll_sql(key, "documents", p=HLL_P)}) x
+"""
+
+
 DSIR_BUCKETS = 256
 DSIR_K = 100
 
@@ -4573,4 +4603,5 @@ QUERIES = {
     "boosted_search": (q_boosted_search, SQL_BOOSTED_SEARCH),
     "decay_search": (q_decay_search, SQL_DECAY_SEARCH),
     "paragraph_dedup": (q_paragraph_dedup, _sql_paragraph_dedup()),
+    "hll_distinct_docs": (q_hll_distinct_docs, _sql_hll_distinct_docs()),
 }

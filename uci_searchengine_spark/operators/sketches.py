@@ -1,0 +1,189 @@
+"""Mergeable cardinality sketches: a deterministic HyperLogLog.
+
+The reference engine counts distincts exactly (``COUNT(DISTINCT ...)``
+over its SQLite tables — e.g. the crawler-statistics distinct-domain
+count behind ``/api/crawler/statistics``, reference
+``backend/app/services/statistics_service.py``). Exact distinct is a
+full shuffle of every key; at 10^12 documents the distinct-URL /
+distinct-domain questions need a sketch. This module implements
+classic HyperLogLog (Flajolet et al. 2007) as pure relational
+DataFrame ops, deterministic and engine-portable:
+
+* hash = the md5-prefix trick shared with operators/sampling.py — two
+  u32 words (hex chars 1-8 and 9-16) give a 64-bit hash, so registers
+  don't saturate at corpus scale (a 32-bit hash space collapses past
+  ~10^9 keys; 64-bit is the HLL++ fix).
+* rho (leading-zero rank) is computed with integer/string ops only
+  (``length(bin(w))``), never floating log2 — bit-exact in both Spark
+  and DuckDB, which is what makes the correctness gate hashable.
+* registers (bucket → max rho) are a plain grouped aggregate: they ARE
+  the sketch, they merge by ``max`` (union = element-wise max), and a
+  grouped variant gives per-group sketches that roll up without
+  rescanning data — the property that matters on a cluster.
+
+Scale shape: one narrow projection + one (group, bucket)-keyed
+aggregate with map-side combine — 2^p rows per group out, never a
+distinct-key shuffle. The estimate is a second tiny aggregate over
+registers. No collect, no UDF, no window.
+
+Float caveat (documented, not hand-waved): the estimator's
+``sum(pow(2,-rho))`` is order-dependent in the last ulp, so the BIGINT
+estimate could in principle differ across engines if it landed within
+one ulp of a .5 rounding boundary; registers and all other gate
+columns are integer-exact. The small-range (linear-counting) branch
+uses ``ln`` and is only taken when there are empty registers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709340954839503
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_cols(key: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, rho) from the 64-bit md5-prefix hash of ``key``.
+
+    bucket = top p bits of the high u32; rho = 1 + leading zeros of
+    the remaining 64-p bits (high remainder ‖ low u32), capped at
+    64-p+1 when the remainder is all zero.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    hi = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    w_hi = 32 - p  # bits of hi left after the bucket index
+    bucket = F.shiftright(hi, w_hi).cast("int")
+    rem = hi.bitwiseAND(F.lit((1 << w_hi) - 1))
+    rho = (
+        F.when(rem > 0, F.lit(w_hi + 1) - F.length(F.bin(rem)))
+        .when(lo > 0, F.lit(w_hi + 32 + 1) - F.length(F.bin(lo)))
+        .otherwise(F.lit(64 - p + 1))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    key: Column,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The sketch itself: one row per (group, bucket) with the max
+    rank. Columns: ``*group_cols, bucket, rho``. Merge two sketches
+    (or roll sub-group sketches up to a coarser grouping) with
+    ``union → groupBy(bucket).agg(max(rho))`` — no data rescan."""
+    bucket, rho = _hll_cols(key, p)
+    groups = list(group_cols or [])
+    return (
+        df.select(*groups, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+    est_col: str = "n_est",
+) -> DataFrame:
+    """Cardinality estimate from a register table (per group if
+    ``group_cols``). Raw HLL estimate with the standard small-range
+    linear-counting correction when empty registers exist."""
+    m = 1 << p
+    alpha = _alpha(m)
+    groups = list(group_cols or [])
+    agg = registers.groupBy(*groups).agg(
+        F.count("*").alias("_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.max("rho").alias("max_rho"),
+    )
+    empty = F.lit(m) - F.col("_used")
+    e_raw = F.lit(alpha * m * m) / (F.col("_s") + empty.cast("double"))
+    # linear counting when the raw estimate is small AND empties exist
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *groups,
+        F.round(est).cast("long").alias(est_col),
+        F.col("_used").cast("int").alias("n_buckets"),
+        "max_rho",
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: Column,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-shot approximate COUNT(DISTINCT key) [per group]."""
+    return hll_estimate(
+        hll_registers(df, key, p, group_cols), p, group_cols
+    )
+
+
+def hll_sql(
+    key_expr: str,
+    table_sql: str,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+    est_col: str = "n_est",
+) -> str:
+    """The DuckDB mirror of hll_distinct — same hash, same integer
+    rho, same constants (alpha embedded via repr so both engines parse
+    the identical double literal)."""
+    m = 1 << p
+    # precomputed in Python exactly like the Spark side's
+    # F.lit(alpha*m*m), then CAST AS DOUBLE: a bare decimal literal is
+    # DECIMAL in DuckDB and overflows on multiplication
+    amm = f"CAST({_alpha(m) * m * m!r} AS DOUBLE)"
+    w_hi = 32 - p
+    mask = (1 << w_hi) - 1
+    groups = list(group_cols or [])
+    gsel = "".join(g + ", " for g in groups)
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    gby_b = "GROUP BY " + gsel + "bucket"
+    return f"""
+WITH h AS (
+  SELECT {gsel}
+         CAST(('0x' || substr(md5({key_expr}), 1, 8)) AS UBIGINT) AS hi,
+         CAST(('0x' || substr(md5({key_expr}), 9, 8)) AS UBIGINT) AS lo
+  FROM {table_sql}
+), b AS (
+  SELECT {gsel}
+         CAST(hi // {mask + 1} AS INT) AS bucket,
+         CASE WHEN hi % {mask + 1} > 0
+                THEN {w_hi + 1} - length(bin(hi % {mask + 1}))
+              WHEN lo > 0 THEN {w_hi + 32 + 1} - length(bin(lo))
+              ELSE {64 - p + 1} END AS rho
+  FROM h
+), regs AS (
+  SELECT {gsel}bucket, CAST(MAX(rho) AS INT) AS rho FROM b {gby_b}
+), agg AS (
+  SELECT {gsel}count(*) AS used, SUM(pow(2.0, -rho)) AS s,
+         MAX(rho) AS max_rho
+  FROM regs {gby}
+)
+SELECT {gsel}
+       CAST(round(CASE WHEN {amm} / (s + ({m} - used))
+                         <= CAST({2.5 * m!r} AS DOUBLE) AND used < {m}
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / ({m} - used))
+                  ELSE {amm} / (s + ({m} - used)) END)
+            AS BIGINT) AS {est_col},
+       CAST(used AS INT) AS n_buckets, max_rho
+FROM agg
+"""
