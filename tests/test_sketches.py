@@ -112,6 +112,95 @@ class TestHLL:
         )
         assert got_spark_g == got_sql_g
 
+    def test_cms_overestimates_and_is_tight_when_wide(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            cms_estimate,
+            cms_table,
+        )
+
+        counts = spark.createDataFrame(
+            [(f"t{i}", (i % 7) + 1) for i in range(300)],
+            "term string, cnt long",
+        )
+        exact = {r["term"]: r["cnt"] for r in counts.collect()}
+        sk = cms_table(counts, width=1 << 13, depth=4)
+        est = {
+            r["term"]: r["n_cms"]
+            for r in cms_estimate(
+                sk, counts.select("term"), width=1 << 13, depth=4
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        assert all(est[t] >= exact[t] for t in exact)
+        # 300 keys in 4x8192 cells: min-over-rows should be exact
+        assert est == exact
+
+    def test_cms_merge_by_cell_sum(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            cms_estimate,
+            cms_table,
+        )
+
+        a = spark.createDataFrame(
+            [("x", 5), ("y", 2)], "term string, cnt long"
+        )
+        b = spark.createDataFrame(
+            [("x", 3), ("z", 7)], "term string, cnt long"
+        )
+        merged = (
+            cms_table(a, width=256, depth=3)
+            .union(cms_table(b, width=256, depth=3))
+            .groupBy("r", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+        whole = cms_table(
+            a.union(b).groupBy("term").agg(F.sum("cnt").alias("cnt")),
+            width=256,
+            depth=3,
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+        q = spark.createDataFrame([("x",), ("z",)], "term string")
+        est = {
+            r["term"]: r["n_cms"]
+            for r in cms_estimate(merged, q, width=256, depth=3).collect()
+        }
+        assert est["x"] >= 8 and est["z"] >= 7
+
+    def test_cms_duckdb_mirror(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            cms_estimate,
+            cms_sql,
+            cms_table,
+        )
+
+        counts = spark.createDataFrame(
+            [(f"k{i}", i + 1) for i in range(50)], "term string, cnt long"
+        )
+        con = duckdb.connect()
+        con.register("kc0", counts.toPandas())
+        sql = cms_sql(
+            "SELECT term, cnt FROM kc0",
+            "SELECT term FROM kc0 WHERE cnt > 40",
+            width=128,
+            depth=4,
+        )
+        got_sql = sorted(con.execute(sql).fetchall())
+        sk = cms_table(counts, width=128, depth=4)
+        got_spark = sorted(
+            map(
+                tuple,
+                cms_estimate(
+                    sk,
+                    counts.filter(F.col("cnt") > 40).select("term"),
+                    width=128,
+                    depth=4,
+                ).collect(),
+            )
+        )
+        assert got_spark == got_sql
+
     def test_small_range_linear_counting(self, spark):
         from uci_searchengine_spark.operators.sketches import hll_distinct
 

@@ -3574,6 +3574,61 @@ FROM ({hll_sql(key, "documents", p=HLL_P)}) x
 """
 
 
+CMS_W = 4096
+CMS_D = 4
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the corpus's top-20
+    terms, next to exact counts (sketches.py) — bounded-memory
+    (depth×width cells) frequency estimation, the scale path when the
+    exact term-count table itself is too big to materialize. Integer
+    arithmetic end-to-end, so the gate is exact."""
+    from uci_searchengine_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    tc = (
+        _doc_tokens(spark, sf_dir)
+        .select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = tc.orderBy(F.desc("cnt"), F.asc("term")).limit(20)
+    sk = cms_table(tc, width=CMS_W, depth=CMS_D)
+    est = cms_estimate(sk, top.select("term"), width=CMS_W, depth=CMS_D)
+    return (
+        top.join(est, "term")
+        .select("term", F.col("cnt").alias("n_exact"), "n_cms")
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from uci_searchengine_spark.operators.sketches import cms_sql
+
+    counts = (
+        f"WITH toksx AS (SELECT doc_id, {tokens_sql_expr('text')} AS t "
+        "FROM documents) "
+        "SELECT unnest(t) AS term, 1 AS one FROM toksx"
+    )
+    counts = (
+        f"SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM ({counts}) "
+        "GROUP BY term"
+    )
+    top = (
+        f"SELECT term, cnt FROM ({counts}) "
+        "ORDER BY cnt DESC, term ASC LIMIT 20"
+    )
+    est = cms_sql(counts, f"SELECT term FROM ({top})", width=CMS_W, depth=CMS_D)
+    return f"""
+SELECT t.term, CAST(t.cnt AS BIGINT) AS n_exact, e.n_cms
+FROM ({top}) t JOIN ({est}) e USING (term)
+ORDER BY n_exact DESC, term ASC
+"""
+
+
 DSIR_BUCKETS = 256
 DSIR_K = 100
 
@@ -4604,4 +4659,5 @@ QUERIES = {
     "decay_search": (q_decay_search, SQL_DECAY_SEARCH),
     "paragraph_dedup": (q_paragraph_dedup, _sql_paragraph_dedup()),
     "hll_distinct_docs": (q_hll_distinct_docs, _sql_hll_distinct_docs()),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
 }

@@ -39,6 +39,142 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def cms_table(
+    counts: DataFrame,
+    key: str = "term",
+    cnt: str = "cnt",
+    width: int = 1 << 14,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a keyed count
+    table: ``depth`` salted md5 hash rows × ``width`` buckets, each cell
+    the sum of counts hashing there. Columns: ``r, bucket, c``.
+
+    depth×width cells bound the state no matter how many distinct keys
+    exist — the frequency-estimation analog of the HLL registers above:
+    at 10^12 documents the exact term-frequency table is billions of
+    rows; the sketch is ``depth*width`` and merges by cell-wise sum
+    (union → groupBy(r, bucket).sum). Everything is integer arithmetic,
+    so estimates are bit-identical across engines by construction.
+
+    Scale shape: input is an already-aggregated (key, count) table (one
+    shuffle to build, shared with any df/tf computation); the sketch
+    adds one ``depth``-way projection fan-out and one (r, bucket)
+    aggregate with map-side combine — output rows ≤ depth×width.
+    """
+    rows = [
+        F.struct(
+            F.lit(r).alias("r"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(r)), F.col(key))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    return (
+        counts.select(
+            F.explode(F.array(*rows)).alias("rb"), F.col(cnt).alias("_c")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("_c").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    key: str = "term",
+    width: int = 1 << 14,
+    depth: int = 4,
+    est_col: str = "n_cms",
+) -> DataFrame:
+    """Point-estimate counts for ``queries[key]`` from a cms_table
+    sketch: min over the ``depth`` cells each key hashes to (an
+    over-estimate by construction — collisions only ever add). The
+    sketch side is ≤ depth×width rows, so Spark broadcasts it; the
+    probe is a map-side join however large the query set is."""
+    probes = queries.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":", F.lit(str(r)), F.col(key)
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(width),
+                        )
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["r", "bucket"], "left").select(
+        key, F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return joined.groupBy(key).agg(F.min("c").alias(est_col))
+
+
+def cms_sql(
+    counts_sql: str,
+    queries_sql: str,
+    key: str = "term",
+    cnt: str = "cnt",
+    width: int = 1 << 14,
+    depth: int = 4,
+    est_col: str = "n_cms",
+) -> str:
+    """DuckDB mirror of cms_table + cms_estimate: identical salted
+    hash, identical integer cells."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || {key}),"
+        f" 1, 8)) AS UBIGINT) % {width}"
+    )
+    return f"""
+WITH kc AS ({counts_sql}),
+cells AS (
+  SELECT r, CAST({h} AS INT) AS bucket, SUM({cnt}) AS c
+  FROM kc, range(0, {depth}) t(r)
+  GROUP BY 1, 2
+),
+q AS ({queries_sql}),
+probe AS (
+  SELECT q.{key}, t.r, CAST({h} AS INT) AS bucket
+  FROM q, range(0, {depth}) t(r)
+)
+SELECT p.{key},
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS {est_col}
+FROM probe p LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY p.{key}
+"""
+
+
 def _alpha(m: int) -> float:
     if m == 16:
         return 0.673
