@@ -385,6 +385,59 @@ def q_bm25_segments_topk(spark, sf_dir):
     )
 
 
+def _federated_index_dirs(spark, sf_dir: str) -> "list[str]":
+    """Two compressed-segment indexes over the even-/odd-doc_id halves
+    of the gate's documents table (build-or-resume cached, same scheme
+    as _segments_index_dir) — the federation fixture."""
+    from uci_searchengine_spark.operators.index_build import build_index
+
+    docs = _t(spark, sf_dir, "documents")
+    dirs = []
+    for parity in (0, 1):
+        half = docs.filter(F.col("doc_id") % 2 == parity)
+        agg = half.agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("s")
+        ).collect()[0]
+        snap = f"gate-fed{parity}:n={agg['n']}:chars={agg['s']}"
+        h = hashlib.md5(f"{sf_dir}|{snap}".encode()).hexdigest()[:12]
+        idx = os.path.join(tempfile.gettempdir(), f"uci_gate_fedidx_{h}")
+        build_index(
+            spark, half.transform(_docs_as_pages), idx, input_snapshot=snap
+        )
+        dirs.append(idx)
+    return dirs
+
+
+def q_federated_search(spark, sf_dir):
+    """Cross-index federated BM25 (operators/federate.py): the corpus
+    split across two independent indexes, one query over both under
+    exact union-corpus statistics — rank- and score-identical to
+    indexing the corpus whole, so the oracle is the SAME SQL as
+    bm25_topk. k=40 inside the federation then re-sort on original ids
+    gives the oracle's (score, doc_id) tie-break a ≥31-way-tie safety
+    margin."""
+    from uci_searchengine_spark.operators.federate import federated_topk
+    from uci_searchengine_spark.operators.index_build import load_docs
+
+    dirs = _federated_index_dirs(spark, sf_dir)
+    topk = federated_topk(spark, dirs, " ".join(BM25_QUERY_TERMS), k=40)
+    urls = None
+    for i, d in enumerate(dirs):
+        u = load_docs(spark, d).select(
+            F.lit(i).cast("int").alias("index_id"), "doc_id", "url"
+        )
+        urls = u if urls is None else urls.unionByName(u)
+    return (
+        topk.join(urls, ["index_id", "doc_id"])
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 BOOST_WEIGHTS = {"data": 2.0, "join": 0.5}
 
 SQL_BOOSTED_SEARCH = f"""
@@ -4660,4 +4713,5 @@ QUERIES = {
     "paragraph_dedup": (q_paragraph_dedup, _sql_paragraph_dedup()),
     "hll_distinct_docs": (q_hll_distinct_docs, _sql_hll_distinct_docs()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
+    "federated_search": (q_federated_search, SQL_BM25_TOPK),
 }
