@@ -460,6 +460,75 @@ def main() -> None:
         )
     )
 
+    # sketches: one partial-aggregated shuffle each, no UDF, no window.
+    # HLL registers must show map-side partial aggregation (the whole
+    # point of the register representation at corpus scale).
+    from uci_searchengine_spark.operators.sketches import (
+        cms_table,
+        hll_registers,
+    )
+
+    docs100 = synth_pages(spark, 100, 1337, partitions=4).select(
+        F.decode("html", "utf-8").alias("text")
+    )
+    regs = hll_registers(docs100, F.col("text"), p=8)
+    plan = regs._sc._jvm.PythonSQLUtils.explainString(
+        regs._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "hll: partial (map-side) aggregate before the exchange",
+            "partial_max" in plan and "FlatMapGroupsInPandas" not in plan,
+            plan,
+        )
+    )
+    regs.collect()
+    executed = regs._jdf.queryExecution().executedPlan().toString()
+    checks.append(
+        ("hll: whole-stage codegen on the hash projection",
+         "*(" in executed, executed)
+    )
+    counts100 = docs100.groupBy(F.col("text").alias("term")).agg(
+        F.count("*").alias("cnt")
+    )
+    cms = cms_table(counts100, width=256, depth=4)
+    plan = cms._sc._jvm.PythonSQLUtils.explainString(
+        cms._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "cms: partial (map-side) cell sums, no UDF",
+            "partial_sum" in plan and "FlatMapGroupsInPandas" not in plan,
+            plan,
+        )
+    )
+
+    # paragraph dedup: the first-occurrence winner must be a MIN
+    # aggregate (skew-safe), never a per-hash window sort
+    from uci_searchengine_spark.operators.dedup import (
+        paragraph_dedup,
+        token_chunks_col,
+    )
+    from uci_searchengine_spark.functions.tokenize import tokens_col
+
+    pd_docs = synth_pages(spark, 100, 1337, partitions=4).select(
+        F.xxhash64("url").alias("doc_id"),
+        F.decode("html", "utf-8").alias("text"),
+    )
+    pdd = paragraph_dedup(
+        pd_docs, token_chunks_col(tokens_col(F.col("text")), 12)
+    )
+    plan = pdd._sc._jvm.PythonSQLUtils.explainString(
+        pdd._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "paragraph dedup: min-aggregate winners, no Window sort",
+            "partial_min" in plan and "Window" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
