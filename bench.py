@@ -653,13 +653,26 @@ def main() -> None:
         1000 * sorted(llat)[max(0, int(len(llat) * 0.95) - 1)], 1
     )
     # boolean / phrase on the same task-local plan (shared closures —
-    # operators/local_search.boolean_topk_local / phrase_topk_local)
-    t0 = time.perf_counter()
-    searcher.phrase_rows("arbak stop1", plan="local")
-    out["phrase_local_ms"] = round(1000 * (time.perf_counter() - t0), 1)
-    t0 = time.perf_counter()
-    searcher.boolean_rows('stop0 +arbak -stop9 "arbak stop1"', plan="local")
-    out["boolean_local_ms"] = round(1000 * (time.perf_counter() - t0), 1)
+    # operators/local_search.boolean_topk_local / phrase_topk_local).
+    # min-of-2 like the headline queries: these are one-number records
+    # and a single sample is hostage to GC/host phase (a full-protocol
+    # run once recorded boolean at 9.5 s where steady-state is 0.6 s).
+    def _min2_ms(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(1000 * best, 1)
+
+    out["phrase_local_ms"] = _min2_ms(
+        lambda: searcher.phrase_rows("arbak stop1", plan="local")
+    )
+    out["boolean_local_ms"] = _min2_ms(
+        lambda: searcher.boolean_rows(
+            'stop0 +arbak -stop9 "arbak stop1"', plan="local"
+        )
+    )
 
     # 2d) round-3 query surfaces on the same warm index: wildcard
     # (resident job-free vocab expansion + envelope), site: filter

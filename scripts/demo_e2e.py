@@ -108,6 +108,23 @@ from uci_searchengine_spark.operators.checkindex import check_index  # noqa: E40
 rep = check_index(spark, IDX)
 print("CHECKINDEX ok", rep["ok"], rep["stats"])
 
+# probe: sketches + federation (round-4 additions)
+from pyspark.sql import functions as F  # noqa: E402
+
+from uci_searchengine_spark.operators.sketches import hll_distinct  # noqa: E402
+
+hh = hll_distinct(
+    pages.select(F.col("url")), F.col("url"), p=8
+).collect()[0]
+print("HLL urls est", hh["n_est"], "exact", pages.count())
+from uci_searchengine_spark.operators.federate import federated_topk  # noqa: E402
+
+fed = [
+    (r["index_id"], r["doc_id"], round(r["score"], 6))
+    for r in federated_topk(spark, [IDX], "stop0 arbak", k=3).collect()
+]
+print("FEDERATED(single-member)", fed)
+
 # probe: resume — rerun build on same dir/snapshot, expect all partitions skipped
 t0 = time.time()
 build_index(spark, pages, IDX, num_shards=4, n_buckets=4,

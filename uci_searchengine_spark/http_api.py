@@ -19,6 +19,11 @@ point their frontend here unchanged:
   total_index_entries} (routes.py:294-307); index-derived.
 * ``GET /api/suggest?word=...`` — the fuzzy vocab suggestion
   (extension; the reference frontend has no suggest route).
+* ``GET /api/search?query=...&dbs=name1,name2`` — federated search
+  over several registry versions/aliases under exact union-corpus
+  statistics (operators/federate.py; extension). Each result carries
+  the member name; mutually exclusive with search_after (member-local
+  cursors don't compose into a global one). 404 on unknown members.
 * ``GET /api/advanced?query=...&mode=boolean|phrase&k=K`` — the
   boolean (+must/-not/"phrase") and exact-phrase query surface with
   doc-attached results (extension; ``Searcher.boolean_envelope`` /
@@ -398,6 +403,27 @@ class EngineState:
                 query, page=page, per_page=per_page, mode=mode
             )
 
+    def search_federated(
+        self, query: str, page: int, per_page: int, mode: str,
+        names: "list[str]",
+    ) -> dict:
+        """``GET /api/search?dbs=a,b`` — one query over several registry
+        versions/aliases under exact union-corpus statistics
+        (operators/federate.py). Requires a registry; each hit carries
+        the member name it came from."""
+        if self.registry is None:
+            raise LookupError("federated search requires a registry")
+        from uci_searchengine_spark.operators.federate import (
+            federated_envelope,
+        )
+
+        dirs = [self.registry.path(n) for n in names]
+        with self.lock:
+            return federated_envelope(
+                self.spark, dirs, query, page=page, per_page=per_page,
+                mode=mode, labels=names,
+            )
+
     def search_after(
         self, query: str, after, per_page: int, mode: str
     ) -> dict:
@@ -695,6 +721,29 @@ class _Handler(BaseHTTPRequestHandler):
                 mode = qs.get("mode", ["or"])[0]
                 if page < 1 or not (1 <= per_page <= 50) or mode not in ("or", "and"):
                     return self._json({"detail": "invalid parameter"}, 422)
+                dbs = qs.get("dbs", [None])[0]
+                if dbs is not None:
+                    # federated multi-index search (extension): dbs=
+                    # comma-joined registry versions/aliases; exclusive
+                    # with cursor paging (member-local cursors don't
+                    # compose into one global cursor)
+                    if "search_after" in qs:
+                        return self._json(
+                            {"detail": "dbs and search_after are "
+                             "mutually exclusive"}, 422)
+                    names = [n for n in dbs.split(",") if n]
+                    if not names:
+                        return self._json(
+                            {"detail": "dbs must name at least one "
+                             "index"}, 422)
+                    try:
+                        return self._json(
+                            self.engine.search_federated(
+                                query, page, per_page, mode, names
+                            )
+                        )
+                    except LookupError as e:
+                        return self._json({"detail": str(e)}, 404)
                 cursor = qs.get("search_after", [None])[0]
                 if cursor is not None:
                     # cursor paging excludes page= (ES rule: from/size

@@ -49,20 +49,16 @@ def _global_stats(metas: "list[IndexMeta]") -> tuple[int, float]:
     return n, total_len / n
 
 
-def federated_topk(
-    spark: SparkSession,
-    index_dirs: "list[str]",
-    query: str,
-    k: int = 10,
-) -> DataFrame:
-    """Top-k (index_id, doc_id, score) across ``index_dirs`` under
-    exact union-corpus BM25 statistics. ``doc_id`` is index-local (each
-    index owns its dense id space); callers resolve global identity
-    through each index's doc store. Per-index top-k is a superset of
-    that index's contribution to the global top-k, so the final
-    ``orderBy … limit k`` over ≤ k·n_indexes rows is exact."""
+def _prepare_members(
+    spark: SparkSession, index_dirs: "list[str]", query: str
+) -> "tuple[list[str], list[tuple[str, IndexMeta, DataFrame]]]":
+    """Shared federation prelude: validate the members, analyze the
+    query once, and return each member's pruned segment relation with
+    the UNION-corpus statistics substituted in (global df on rows,
+    per-index avgdl preserved as gen_avgdl so block-max bounds inflate
+    admissibly, meta rewritten to global n_docs/avgdl)."""
     if not index_dirs:
-        raise ValueError("federated_topk needs at least one index dir")
+        raise ValueError("federation needs at least one index dir")
     metas = [IndexMeta.load(d) for d in index_dirs]
     if len({(m.stem, m.k1, m.b) for m in metas}) != 1:
         raise ValueError(
@@ -70,11 +66,8 @@ def federated_topk(
             f"constants; got {[(m.stem, m.k1, m.b) for m in metas]}"
         )
     terms = terms_for_index(metas[0], query)
-    empty = spark.createDataFrame(
-        [], "index_id int, doc_id long, score double"
-    )
     if not terms:
-        return empty
+        return [], []
     n_docs, avgdl = _global_stats(metas)
 
     # pruned per-index relations (shard + term pruning, per-index df
@@ -94,8 +87,8 @@ def federated_topk(
         ):
             df_global[r["term"]] += int(r["df"])
 
-    branches = []
-    for i, (d, m, seg) in enumerate(zip(index_dirs, metas, segs)):
+    members = []
+    for d, m, seg in zip(index_dirs, metas, segs):
         # global df onto rows as a when-chain keyed on term (terms are
         # few; the pruned relation only contains these terms)
         df_expr = None
@@ -113,11 +106,34 @@ def federated_topk(
             # per-generation inflation keeps pruning admissible
             seg = seg.withColumn("gen_avgdl", F.lit(float(m.avgdl)))
         meta_g = dataclasses.replace(m, n_docs=n_docs, avgdl=avgdl)
+        members.append((d, meta_g, seg))
+    return terms, members
+
+
+def federated_topk(
+    spark: SparkSession,
+    index_dirs: "list[str]",
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (index_id, doc_id, score) across ``index_dirs`` under
+    exact union-corpus BM25 statistics. ``doc_id`` is index-local (each
+    index owns its dense id space); callers resolve global identity
+    through each index's doc store. Per-index top-k is a superset of
+    that index's contribution to the global top-k, so the final
+    ``orderBy … limit k`` over ≤ k·n_indexes rows is exact."""
+    terms, members = _prepare_members(spark, index_dirs, query)
+    if not members:
+        return spark.createDataFrame(
+            [], "index_id int, doc_id long, score double"
+        )
+    branches = []
+    for i, (d, meta_g, seg) in enumerate(members):
         topk_i = _topk_over_segments(
             seg,
             meta_g,
             k,
-            excl=load_excl(d, spark, m.bucket_size),
+            excl=load_excl(d, spark, meta_g.bucket_size),
         )
         branches.append(
             topk_i.select(
@@ -128,3 +144,80 @@ def federated_topk(
     return out.orderBy(
         F.desc("score"), F.asc("index_id"), F.asc("doc_id")
     ).limit(k)
+
+
+def federated_envelope(
+    spark: SparkSession,
+    index_dirs: "list[str]",
+    query: str,
+    page: int = 1,
+    per_page: int = 10,
+    mode: str = "or",
+    labels: "list[str] | None" = None,
+) -> dict:
+    """The reference search envelope over a federation: doc-attached
+    results (url/title/snippet/score + the member label each hit came
+    from) and the EXACT union match count, one topk_count_docs job per
+    member. Cross-member ordering is (score desc, url asc) — a total,
+    engine-independent order (doc ids are index-local and urls are
+    globally unique by the crawler's dedup invariant)."""
+    import math
+
+    from uci_searchengine_spark.operators.wand import topk_count_docs
+
+    labels = labels or [str(i) for i in range(len(index_dirs))]
+    if len(labels) != len(index_dirs):
+        raise ValueError("labels must match index_dirs")
+    terms, members = _prepare_members(spark, index_dirs, query)
+    if not members:
+        return {
+            "query": query,
+            "total_results": 0,
+            "page": page,
+            "per_page": per_page,
+            "total_pages": 0,
+            "did_you_mean": None,
+            "results": [],
+        }
+    disp = query.split()
+    total = 0
+    rows: list[dict] = []
+    for lbl, (d, meta_g, seg) in zip(labels, members):
+        rows_i, total_i = topk_count_docs(
+            seg,
+            meta_g,
+            d,
+            disp,
+            k=page * per_page,
+            mode=mode,
+            n_terms=len(terms),
+            excl=load_excl(d, spark, meta_g.bucket_size),
+        )
+        total += total_i
+        for r in rows_i:
+            rows.append({**r, "index": lbl})
+    rows.sort(key=lambda r: (-r["score"], r["url"]))
+    start = (page - 1) * per_page
+    dym = None
+    if total == 0:
+        from uci_searchengine_spark.operators.suggest import suggest_query
+
+        dym = suggest_query(spark, index_dirs[0], query)
+    return {
+        "query": query,
+        "total_results": total,
+        "page": page,
+        "per_page": per_page,
+        "total_pages": math.ceil(total / per_page),
+        "did_you_mean": dym,
+        "results": [
+            {
+                "url": r["url"],
+                "title": r["title"],
+                "snippet": r["snippet"],
+                "score": r["score"],
+                "index": r["index"],
+            }
+            for r in rows[start : start + per_page]
+        ],
+    }
