@@ -79,6 +79,10 @@ HEADLINE = [
     "latest_event_per_user",
     "training_prep_v2",
     "pack_sequences",
+    # round-4 additions (relational, no gate-index build)
+    "paragraph_dedup",
+    "hll_distinct_docs",
+    "cms_heavy_hitters",
 ]
 
 BENCH_QUERIES = [

@@ -160,6 +160,23 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--no-robots", action="store_true")
     cr.add_argument("--master", default=None)
 
+    et = sub.add_parser(
+        "export-training",
+        help="run the composed training-data pipeline (filter -> dedup "
+        "-> decontaminate -> split -> mixture -> pack) over a testdata-"
+        "shaped corpus dir and write the result as parquet",
+    )
+    et.add_argument("--sf-dir", required=True, help="dir with documents.parquet etc.")
+    et.add_argument("--out", required=True, help="output parquet path")
+    et.add_argument(
+        "--stage",
+        default="training_prep_v3",
+        choices=["training_prep", "training_prep_v2", "training_prep_v3"],
+        help="which pipeline stage's output to materialize (v3 = packed "
+        "512-token sequences, v2 = filtered/deduped/split docs)",
+    )
+    et.add_argument("--master", default=None)
+
     sv = sub.add_parser("serve", help="HTTP API over a built index (/api/search ...)")
     g = sv.add_mutually_exclusive_group(required=True)
     g.add_argument("--index", help="serve ONE immutable index directory")
@@ -205,6 +222,13 @@ def main(argv: list[str] | None = None) -> int:
                 respect_robots=not args.no_robots,
             )
             print(json.dumps(st.statistics()))
+        elif args.cmd == "export-training":
+            from uci_searchengine_spark.entry_queries import QUERIES
+
+            df = QUERIES[args.stage][0](spark, args.sf_dir)
+            df.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"written": args.out, "stage": args.stage, "rows": n}))
         elif args.cmd == "serve":
             from uci_searchengine_spark.http_api import make_server
 
