@@ -529,6 +529,32 @@ def main() -> None:
         )
     )
 
+    # federation: the member scans must keep shard partition-pruning
+    # and term pushdown THROUGH the global-df override projection, and
+    # the per-bucket scorer must be the same FlatMapGroupsInPandas the
+    # single-index path uses
+    from uci_searchengine_spark.operators.federate import federated_topk
+
+    fed = federated_topk(spark, [IDX], "stop0 arbak", k=5)
+    plan = fed._sc._jvm.PythonSQLUtils.explainString(
+        fed._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "federate: shard partition pruning survives the df override",
+            "PartitionFilters: [shard" in plan and " IN (" in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "federate: term IN pushdown + per-bucket scorer",
+            "PushedFilters: [In(term" in plan
+            and "FlatMapGroupsInPandas" in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
