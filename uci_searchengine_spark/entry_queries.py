@@ -1780,8 +1780,6 @@ def q_training_prep_v2(spark, sf_dir):
     aggregate, or a broadcast anti-join; Catalyst fuses the predicates
     into one scan projection, so at 100 TB the pipeline costs one pass
     over the corpus plus the dedup exchange."""
-    from pyspark.sql import Window
-
     from uci_searchengine_spark.operators.sampling import hash_uniform_col
 
     docs = _t(spark, sf_dir, "documents")
@@ -1798,11 +1796,12 @@ def q_training_prep_v2(spark, sf_dir):
         & (F.round(textstats.top_word_fraction(c), 9) <= 0.12)
         & (F.round(textstats.top_bigram_fraction(c), 9) <= 0.06)
     ).select("doc_id", textstats.fingerprint_md5(c).alias("fp"))
-    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
-    canon = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id")
+    # first-occurrence canonicalization as a MIN aggregate (map-side
+    # combined, skew-safe: a mass-duplicate fingerprint is one reduced
+    # row) — identical to the row_number()-over-(fp, doc_id) form it
+    # replaces, without the per-fp window sort partition
+    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
     )
     clean = canon.join(contaminated, "doc_id", "left_anti")
     sampled = clean.filter(hash_uniform_col(F.col("doc_id")) < 0.5)
