@@ -1679,21 +1679,29 @@ def q_canonical_docs(spark, sf_dir):
     MinHash-LSH pairs → connected components → quality ranking in one
     dataflow (the keep-best canonicalization every training pipeline
     ends with)."""
-    from pyspark.sql import Window
-
     clusters = q_dup_clusters(spark, sf_dir)  # (doc_id, comp)
     docs = _t(spark, sf_dir, "documents")
     q = docs.select(
         "doc_id", F.round(textstats.quality_score(F.col("text")), 2).alias("quality")
     )
-    w = Window.partitionBy("comp").orderBy(
-        F.desc("quality"), F.asc("doc_id")
-    )
+    # keep-best per cluster as a MAX-struct aggregate (map-side
+    # combined; a giant boilerplate cluster is one reduced row, never a
+    # window-sort partition): max (quality, -doc_id) == the old
+    # row_number over (quality desc, doc_id asc)
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("q"), (-F.col("doc_id")).alias("nd")
+        )
+    ).alias("w")
     return (
         clusters.join(q, "doc_id")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("comp", F.col("doc_id").alias("canonical_doc_id"), "quality")
+        .groupBy("comp")
+        .agg(best)
+        .select(
+            "comp",
+            (-F.col("w.nd")).alias("canonical_doc_id"),
+            F.col("w.q").alias("quality"),
+        )
         .orderBy("comp")
     )
 
@@ -1720,8 +1728,6 @@ def q_training_prep(spark, sf_dir):
     fingerprint) → deterministic 50% hash sample → leakage-free
     train/test split. Every stage is a scan-side predicate or a single
     keyed aggregate; nothing leaves the JVM."""
-    from pyspark.sql import Window
-
     from uci_searchengine_spark.operators.sampling import hash_uniform_col
 
     docs = _t(spark, sf_dir, "documents")
@@ -1731,11 +1737,10 @@ def q_training_prep(spark, sf_dir):
     ).select(
         "doc_id", textstats.fingerprint_md5(F.col("text")).alias("fp")
     )
-    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
-    canon = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "fp")
+    # first-occurrence per fingerprint as a MIN aggregate (skew-safe;
+    # same rewrite as training_prep_v2)
+    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
     )
     sampled = canon.filter(hash_uniform_col(F.col("doc_id")) < 0.5)
     return sampled.withColumn(
