@@ -529,6 +529,27 @@ def main() -> None:
         )
     )
 
+    # training pipeline: every first-occurrence / keep-best step must
+    # be an aggregate, never a per-key Window sort (the skew class a
+    # mass-duplicate fingerprint or cluster would explode at 100 TB)
+    from uci_searchengine_spark.entry_queries import (
+        q_canonical_docs,
+        q_training_prep_v2,
+    )
+
+    for nm, qf in (
+        ("training_prep_v2", q_training_prep_v2),
+        ("canonical_docs", q_canonical_docs),
+    ):
+        qd = qf(spark, "/root/testdata/sf0.001")
+        plan = qd._sc._jvm.PythonSQLUtils.explainString(
+            qd._jdf.queryExecution(), "formatted"
+        )
+        checks.append(
+            (f"{nm}: aggregate canonicalization, no Window sort",
+             "Window" not in plan, plan)
+        )
+
     # federation: the member scans must keep shard partition-pruning
     # and term pushdown THROUGH the global-df override projection, and
     # the per-bucket scorer must be the same FlatMapGroupsInPandas the
