@@ -74,3 +74,80 @@ class TestDidYouMean:
         assert env["did_you_mean"] == "arbak"
         ok = search(spark, index_small, env["did_you_mean"])
         assert ok["total_results"] > 0 and ok["did_you_mean"] is None
+
+
+def _oracle_phrase_suggest(docs, w1, w2, k=3, alpha=0.1, max_dist=1):
+    """Pure-Python mirror of phrase_suggest_pairs' add-α bigram LM."""
+    import math
+    from collections import Counter
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[:], i
+            for j in range(1, len(b) + 1):
+                dp[j] = min(
+                    prev[j] + 1,
+                    dp[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return dp[-1]
+
+    uni = Counter(t for d in docs for t in d)
+    bi = Counter((d[i], d[i + 1]) for d in docs for i in range(len(d) - 1))
+    n1, v = float(sum(uni.values())), float(len(uni))
+
+    def cands(w):
+        return [
+            t
+            for t in uni
+            if t[0] == w[0]
+            and abs(len(t) - len(w)) <= max_dist
+            and lev(t, w) <= max_dist
+        ]
+
+    out = []
+    for s1 in cands(w1):
+        for s2 in cands(w2):
+            sc = math.log((uni[s1] + alpha) / (n1 + alpha * v)) + math.log(
+                (bi.get((s1, s2), 0) + alpha) / (uni[s1] + alpha * v)
+            )
+            out.append((f"{s1} {s2}", round(sc, 3)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@pytest.mark.spark
+class TestPhraseSuggest:
+    DOCS = [
+        ["data", "spark", "engine"],
+        ["data", "spark"],
+        ["data", "spark", "rocks"],
+        ["data", "lake"],
+        ["dart", "spork"],
+    ] + [["date"]] * 10  # "date" individually dwarfs "data"
+
+    def _toks(self, spark):
+        return spark.createDataFrame(
+            [(i, d) for i, d in enumerate(self.DOCS)], "id long, t array<string>"
+        )
+
+    @pytest.mark.parametrize("q", [("dta", "sprk"), ("date", "spork")])
+    def test_matches_python_oracle(self, spark, q):
+        from uci_searchengine_spark.operators.suggest import phrase_suggest_pairs
+
+        exp = _oracle_phrase_suggest(self.DOCS, *q)
+        got = [
+            (r["suggestion"], round(r["score"], 3))
+            for r in phrase_suggest_pairs(self._toks(spark), *q).collect()
+        ]
+        assert got == exp, (q, got, exp)
+
+    def test_cooccurrence_beats_unigram_frequency(self, spark):
+        # "date" is 3x more frequent than "data" but never precedes
+        # "spark" — the whole-phrase LM must still put "data spark" first.
+        from uci_searchengine_spark.operators.suggest import phrase_suggest_pairs
+
+        # "dat" expands to both data and date (and dart)
+        got = phrase_suggest_pairs(self._toks(spark), "dat", "sprk").collect()
+        assert got and got[0]["suggestion"] == "data spark"

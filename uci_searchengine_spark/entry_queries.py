@@ -3201,6 +3201,63 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+# misspelled "agg join": 'ag' expands to BOTH 'a' and 'agg' (the only
+# multi-candidate neighborhood in this corpus's vocabulary), so the
+# bigram-LM ranking genuinely decides the order
+PS_W1, PS_W2 = "ag", "jon"
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase-suggester analog (suggest.phrase_suggest_pairs): the
+    misspelled two-word query corrected by whole-phrase bigram-LM
+    likelihood — per-word candidates (first-char + length window +
+    levenshtein<=1 against the corpus vocabulary) ranked by
+    ln P(c1) + ln P(c2|c1), add-α. Scores pinned at 3 decimals (the
+    lm_perplexity cross-engine ln convention)."""
+    from uci_searchengine_spark.operators.suggest import (
+        phrase_suggest_pairs,
+    )
+
+    return phrase_suggest_pairs(
+        _doc_tokens(spark, sf_dir), PS_W1, PS_W2, k=3
+    )
+
+
+def _sql_phrase_suggest() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+uni AS (SELECT a, count(*) AS c1
+        FROM (SELECT unnest(t) AS a FROM toks) GROUP BY a),
+stats AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+                 CAST(count(*) AS DOUBLE) AS v FROM uni),
+bi AS (
+  SELECT a, b, count(*) AS c2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS a,
+           unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS b
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY a, b
+),
+c1s AS (SELECT a AS s1, c1 AS c_s1 FROM uni
+        WHERE substr(a, 1, 1) = '{PS_W1[0]}'
+          AND abs(length(a) - {len(PS_W1)}) <= 1
+          AND levenshtein(a, '{PS_W1}') <= 1),
+c2s AS (SELECT a AS s2 FROM uni
+        WHERE substr(a, 1, 1) = '{PS_W2[0]}'
+          AND abs(length(a) - {len(PS_W2)}) <= 1
+          AND levenshtein(a, '{PS_W2}') <= 1),
+pairs AS (
+  SELECT s1, s2, c_s1, COALESCE(bi.c2, 0) AS c_bi
+  FROM c1s CROSS JOIN c2s
+  LEFT JOIN bi ON bi.a = s1 AND bi.b = s2
+)
+SELECT s1 || ' ' || s2 AS suggestion,
+       round(ln((c_s1 + 0.1) / (n1 + 0.1 * v))
+           + ln((c_bi + 0.1) / (c_s1 + 0.1 * v)), 3) AS score
+FROM pairs CROSS JOIN stats
+ORDER BY score DESC, suggestion ASC LIMIT 3
+"""
+
+
 def q_common_terms_intersect(spark, sf_dir):
     """INTERSECT set op: distinct terms present in both doc 0 and doc 1."""
     toks = _doc_tokens(spark, sf_dir)
@@ -4718,4 +4775,5 @@ QUERIES = {
     "hll_distinct_docs": (q_hll_distinct_docs, _sql_hll_distinct_docs()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
     "federated_search": (q_federated_search, SQL_BM25_TOPK),
+    "phrase_suggest": (q_phrase_suggest, _sql_phrase_suggest()),
 }

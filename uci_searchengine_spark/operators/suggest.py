@@ -125,3 +125,94 @@ def suggest_query(
     if not fixes:
         return None
     return " ".join(fixes.get(t, t) for t in terms)
+
+
+def phrase_suggest_pairs(
+    toks: DataFrame,
+    w1: str,
+    w2: str,
+    k: int = 3,
+    alpha: float = 0.1,
+    max_dist: int = 1,
+) -> DataFrame:
+    """ES phrase-suggester analog for a two-word query: per-word
+    candidates from the corpus vocabulary (Lucene-style generator:
+    shared first char + length window pushed to the scan, then exact
+    ``levenshtein <= max_dist``), whole-PHRASE ranking by an add-α
+    bigram LM fit on the corpus — so "dta sprk" corrects toward a pair
+    that actually CO-OCCURS, not just two individually-frequent words
+    (the property the per-word ``suggest`` above can't give).
+
+    ``toks`` is (id, t array<string>). Returns top-k rows
+    ``(suggestion, score)`` with score = ln P(c1) + ln P(c2|c1) rounded
+    to 3 decimals (the cross-engine ln-agreement convention the
+    lm_perplexity gate established); order (score desc, suggestion asc)
+    is computed on the ROUNDED score so ranking is engine-portable.
+
+    Scale shape: unigram/bigram counts are the same two counted
+    shuffles every LM stage here pays (shareable with lm_quality);
+    candidate sets are a pruned scan of the vocabulary relation
+    (orders of magnitude smaller than postings) and the candidate
+    cross-join is |cand1|×|cand2| — bounded by the generator, never
+    corpus-sized. One broadcast one-row stats join; no window."""
+    uni = (
+        toks.select(F.explode("t").alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").alias("c1"))
+    )
+    stats = uni.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.count("*").cast("double").alias("v"),
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c2"))
+    )
+
+    def cands(w: str, out: str) -> DataFrame:
+        return (
+            uni.filter(
+                (F.substring("a", 1, 1) == w[0])
+                & (F.abs(F.length("a") - len(w)) <= max_dist)
+                & (F.levenshtein(F.col("a"), F.lit(w)) <= max_dist)
+            )
+            .select(F.col("a").alias(out), F.col("c1").alias(f"c_{out}"))
+        )
+
+    c1s = cands(w1, "s1")
+    c2s = cands(w2, "s2").drop("c_s2")
+    pairs = (
+        c1s.crossJoin(c2s)
+        .join(
+            bi,
+            (F.col("s1") == F.col("a")) & (F.col("s2") == F.col("b")),
+            "left",
+        )
+        .select(
+            "s1", "s2", "c_s1", F.coalesce("c2", F.lit(0)).alias("c_bi")
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    a = float(alpha)
+    score = F.round(
+        F.log((F.col("c_s1") + a) / (F.col("n1") + a * F.col("v")))
+        + F.log((F.col("c_bi") + a) / (F.col("c_s1") + a * F.col("v"))),
+        3,
+    )
+    return (
+        pairs.select(
+            F.concat_ws(" ", "s1", "s2").alias("suggestion"),
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .limit(k)
+    )
