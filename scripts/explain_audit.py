@@ -576,6 +576,60 @@ def main() -> None:
         )
     )
 
+    # quantile sketch: the hash-sample keep decision must fold into the
+    # scan as a pushed filter (zero-shuffle sketch build), and the
+    # estimate must be a plain grouped aggregate — no UDF, no Window
+    from uci_searchengine_spark.entry_queries import (
+        q_composite_agg,
+        q_sampled_quantiles,
+    )
+
+    qd = q_sampled_quantiles(spark, "/root/testdata/sf0.001")
+    plan = qd._sc._jvm.PythonSQLUtils.explainString(
+        qd._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "quantile sketch: sample filter at the scan, no UDF/Window",
+            "Filter" in plan
+            and "HashAggregate" in plan
+            and "Window" not in plan
+            and "Python" not in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "quantile sketch: pruned read schema (doc_id, lang, n_chars)",
+            "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200],
+            plan,
+        )
+    )
+
+    # composite agg: the after-cursor is a ROW-level predicate pushed
+    # to the parquet scan (pre-aggregate pruning), the page a bounded
+    # TakeOrderedAndProject, aggregation map-side partial
+    qd = q_composite_agg(spark, "/root/testdata/sf0.001")
+    plan = qd._sc._jvm.PythonSQLUtils.explainString(
+        qd._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "composite: cursor predicate pushed to scan",
+            "PushedFilters:" in plan
+            and "GreaterThan(lang" in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "composite: bounded page (TakeOrderedAndProject) + partial agg",
+            "TakeOrderedAndProject" in plan
+            and "partial_count" in plan.lower(),
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

@@ -208,3 +208,73 @@ class TestHLL:
         df = _docs(spark, 60, dup_every=3)
         est = hll_distinct(df, F.col("k"), p=10).collect()[0]["n_est"]
         assert abs(est - 20) <= 3
+
+
+@pytest.mark.spark
+class TestQuantileSketch:
+    def _vals(self, spark, n=4000):
+        # skewed values so quantiles are non-trivial; two groups
+        rows = [(i, "a" if i % 2 == 0 else "b", float((i * i) % 977)) for i in range(n)]
+        return spark.createDataFrame(rows, "id long, g string, x double")
+
+    def test_accuracy_vs_exact(self, spark):
+        from uci_searchengine_spark.operators.sketches import sampled_quantiles
+
+        df = self._vals(spark)
+        got = sampled_quantiles(df, "x", "id", theta=0.5).collect()[0]
+        # rank error ~ 1/sqrt(theta*n) ≈ 0.022: the p50 estimate must
+        # land inside the true [p45, p55] value band
+        band = df.agg(
+            F.percentile("x", F.lit(0.45)).alias("lo"),
+            F.percentile("x", F.lit(0.55)).alias("hi"),
+        ).collect()[0]
+        assert band["lo"] <= got["p50"] <= band["hi"], got["p50"]
+        assert got["n_sample"] == pytest.approx(2000, rel=0.1)
+
+    def test_union_merge_and_down_merge(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            quantile_estimate,
+            quantile_sample,
+        )
+
+        df = self._vals(spark)
+        a, b = df.filter("id < 2000"), df.filter("id >= 2000")
+        whole = quantile_sample(df, "x", "id", theta=0.5)
+        parts = quantile_sample(a, "x", "id", theta=0.5).unionByName(
+            quantile_sample(b, "x", "id", theta=0.5)
+        )
+        # union of part-sketches == sketch of the union, row-exact
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, parts.collect())
+        )
+        # down-merge: tightening theta is a filter on the sketch itself
+        tight = quantile_sample(df, "x", "id", theta=0.25)
+        assert sorted(map(tuple, whole.filter("u < 0.25").collect())) == sorted(
+            map(tuple, tight.collect())
+        )
+        est = quantile_estimate(whole.filter("u < 0.25")).collect()
+        est2 = quantile_estimate(tight).collect()
+        assert sorted(map(tuple, est)) == sorted(map(tuple, est2))
+
+    def test_grouped_and_duckdb_mirror(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            sampled_quantiles,
+            sampled_quantiles_sql,
+        )
+
+        df = self._vals(spark)
+        got = sorted(
+            map(
+                tuple,
+                sampled_quantiles(
+                    df, "x", "id", theta=0.5, group_cols=["g"]
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.register("tbl", df.toPandas())
+        sql = sampled_quantiles_sql(
+            "SELECT * FROM tbl", "x", "id", theta=0.5, group_cols=["g"]
+        )
+        exp = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == exp

@@ -3743,6 +3743,87 @@ ORDER BY n_exact DESC, term ASC
 """
 
 
+# mid-bucket-space cursor: engages BOTH predicate branches (lang >
+# 'de' OR (lang = 'de' AND source > 'src15')) at every test SF
+COMP_AFTER = ("de", "src15")
+
+
+def q_composite_agg(spark, sf_dir):
+    """ES composite aggregation (operators/composite.py): one page of
+    (lang, source) bucket enumeration resumed from the after-cursor —
+    the row-level tuple predicate prunes pre-aggregate at the scan, the
+    page is a bounded TakeOrderedAndProject. ES's only agg shape that
+    pages an unbounded bucket space in O(size) memory."""
+    from uci_searchengine_spark.operators.composite import composite_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    return composite_agg(
+        docs,
+        ["lang", "source"],
+        [
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        ],
+        size=8,
+        after=COMP_AFTER,
+    )
+
+
+def _sql_composite_agg() -> str:
+    from uci_searchengine_spark.operators.composite import composite_sql
+
+    return composite_sql(
+        "SELECT * FROM documents",
+        ["lang", "source"],
+        "CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(n_chars) AS BIGINT) AS sum_chars",
+        size=8,
+        after=COMP_AFTER,
+    )
+
+
+QSK_THETA = 0.25  # ~1/4 sample: hundreds of rows per lang at sf0.01
+
+
+def q_sampled_quantiles(spark, sf_dir):
+    """Theta-style hash-sample quantile sketch (sketches.py): per-lang
+    n_chars percentiles from the deterministic md5 sample — the
+    corpus-wide scale path for ES `percentiles` aggs (the exact
+    `percentile` used on bounded match sets gathers a whole group into
+    one task). Sample selection is row-local and engine-portable, so
+    the estimate is cross-engine exact under round(6)."""
+    from uci_searchengine_spark.operators.sketches import sampled_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampled_quantiles(
+            docs,
+            val="n_chars",
+            key="doc_id",
+            probs=(0.5, 0.9, 0.99),
+            theta=QSK_THETA,
+            group_cols=["lang"],
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_sampled_quantiles() -> str:
+    from uci_searchengine_spark.operators.sketches import (
+        sampled_quantiles_sql,
+    )
+
+    q = sampled_quantiles_sql(
+        "SELECT * FROM documents",
+        val="n_chars",
+        key="doc_id",
+        probs=(0.5, 0.9, 0.99),
+        theta=QSK_THETA,
+        group_cols=["lang"],
+    )
+    return f"SELECT * FROM ({q}) ORDER BY lang"
+
+
 DSIR_BUCKETS = 256
 DSIR_K = 100
 
@@ -4776,4 +4857,80 @@ QUERIES = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
     "federated_search": (q_federated_search, SQL_BM25_TOPK),
     "phrase_suggest": (q_phrase_suggest, _sql_phrase_suggest()),
+    "sampled_quantiles": (q_sampled_quantiles, _sql_sampled_quantiles()),
+    "composite_agg": (q_composite_agg, _sql_composite_agg()),
+}
+
+# Late-round-4 window rotation (supersedes the literal order above): the
+# 22 gates added after the early-round rotation had landed sat past the
+# driver's 50-entry window and would have gone a full round with no
+# driver check. Window = (a) the round-3 red rows, now fixed (packing
+# oracle cast), (b) every never-driver-checked gate, (c) every gate whose
+# implementation was touched this round (phrase lazy-verify, boolean
+# ADVICE fixes, percolator wildcard reject, LSH bucket cap, skew-safe
+# canonicalization in the training preps, suggest module), (d) the
+# flagship serving/dedup pipeline gates. Everything rotated to the tail
+# is driver-green from rounds 2-3 on untouched code and stays covered by
+# scripts/check_oracles.py + pytest.
+_WINDOW_R4 = [
+    # (a) round-3 red rows + the training pipeline they compose into
+    # (canonicalization reworked this round: min-aggregate/max-struct)
+    "pack_sequences",
+    "training_prep_v3",
+    "training_prep_v2",
+    "training_prep",
+    "canonical_docs",
+    # (b) never driver-checked: late-round-4 additions
+    "paragraph_dedup",
+    "hll_distinct_docs",
+    "cms_heavy_hitters",
+    "federated_search",
+    "phrase_suggest",
+    "near_match",
+    "phrase_near_topk",
+    "fuzzy_search",
+    "regexp_search",
+    "msm_search",
+    "match_stats",
+    "match_histogram",
+    "synonym_search",
+    "rescore_phrase",
+    "duplicate_spans",
+    "sort_by_field",
+    "bm25f_topk",
+    "lm_perplexity",
+    "ppl_buckets",
+    "dsir_select",
+    "boosted_search",
+    "decay_search",
+    "search_after",
+    "collapsed_search",
+    # (c) implementation touched this round
+    "suggest",
+    "phrase_match",
+    "phrase_segments_topk",
+    "phrase_positional_topk",
+    "boolean_search",
+    "boolean_groups",
+    "percolate",
+    "minhash_lsh_pairs",
+    "bm25_append",
+    # (d) flagship serving + dedup/ANN pipeline
+    "bm25_topk",
+    "bm25_segments_and",
+    "bm25_tombstones",
+    "batch_bm25_topk",
+    "search_facets",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "dup_clusters",
+    "composite_agg",
+    "semantic_dedup",
+    "ann_cosine_topk",
+    "sampled_quantiles",
+]
+assert len(_WINDOW_R4) == 50 and len(set(_WINDOW_R4)) == 50
+QUERIES = {
+    k: QUERIES[k]
+    for k in _WINDOW_R4 + [k for k in QUERIES if k not in set(_WINDOW_R4)]
 }

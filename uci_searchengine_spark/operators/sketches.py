@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketches: a deterministic HyperLogLog.
+"""Mergeable sketches: deterministic HyperLogLog (cardinality),
+count-min (frequency), and a theta-style hash-sample quantile sketch.
 
 The reference engine counts distincts exactly (``COUNT(DISTINCT ...)``
 over its SQLite tables — e.g. the crawler-statistics distinct-domain
@@ -172,6 +173,121 @@ SELECT p.{key},
        CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS {est_col}
 FROM probe p LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
 GROUP BY p.{key}
+"""
+
+
+def quantile_sample(
+    df: DataFrame,
+    val: str,
+    key: str,
+    theta: float = 1.0 / 16,
+    salt: str = "qsk",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The quantile sketch itself: a theta-style deterministic hash
+    sample — rows whose salted md5-uniform of ``key`` falls below
+    ``theta``, projected to ``(*group_cols, u, v)``.
+
+    Why this shape (vs t-digest/KLL): the sample IS the sketch, and it
+    has the two properties that matter on a cluster, *exactly*, not
+    approximately — (1) union of two sketches = sketch of the union
+    (hash selection is row-local, so partial sketches from different
+    tables/partitions/days concatenate), and (2) down-merge: tightening
+    to theta' < theta is a plain ``u < theta'`` filter, no rescan of
+    the base data. Both engines reproduce the identical sample, which
+    is what makes the estimate cross-engine hashable — a t-digest's
+    centroids are merge-order-dependent and could never gate.
+
+    Scale shape: the keep decision folds into the scan as a pushed
+    predicate (zero shuffle to build); expected sketch size is
+    theta×N rows per group — pick theta so that fits one task (1e-6 at
+    10^12 rows → ~10^6 sampled values), giving ±O(1/sqrt(theta·N))
+    rank error (Vapnik–Chervonenkis sampling bound), e.g. ~1e-3 rank
+    error at 10^6 samples."""
+    from uci_searchengine_spark.operators.sampling import hash_uniform_col
+
+    groups = list(group_cols or [])
+    u = hash_uniform_col(F.col(key), salt)
+    return df.select(
+        *groups, u.alias("u"), F.col(val).cast("double").alias("v")
+    ).filter(F.col("u") < F.lit(float(theta)))
+
+
+def _prob_name(p: float) -> str:
+    return "p" + format(p * 100, "g").replace(".", "_")
+
+
+def quantile_estimate(
+    sample: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: list[str] | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Interpolated quantiles of a quantile_sample sketch [per group]:
+    one grouped aggregate over theta×N rows. Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation convention
+    (pinned by the ppl_buckets gate); ``digits`` rounding absorbs the
+    last-ulp summation differences."""
+    groups = list(group_cols or [])
+    return sample.groupBy(*groups).agg(
+        F.count("*").alias("n_sample"),
+        *[
+            F.round(F.percentile("v", F.lit(p)), digits).alias(_prob_name(p))
+            for p in probs
+        ],
+    )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    val: str,
+    key: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    theta: float = 1.0 / 16,
+    salt: str = "qsk",
+    group_cols: list[str] | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """One-shot scalable percentiles: sketch + estimate. The 100 TB
+    path for ES ``percentiles`` aggregations — the exact per-group
+    ``percentile`` used on bounded match sets (match_stats) gathers
+    every value of a group into one task and cannot run corpus-wide."""
+    return quantile_estimate(
+        quantile_sample(df, val, key, theta, salt, group_cols),
+        probs,
+        group_cols,
+        digits,
+    )
+
+
+def sampled_quantiles_sql(
+    table_sql: str,
+    val: str,
+    key: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    theta: float = 1.0 / 16,
+    salt: str = "qsk",
+    group_cols: list[str] | None = None,
+    digits: int = 6,
+) -> str:
+    """DuckDB mirror of sampled_quantiles: identical salted hash
+    selection, quantile_cont ≡ Spark percentile, identical rounding."""
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    groups = list(group_cols or [])
+    gsel = "".join(g + ", " for g in groups)
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    qs = ", ".join(
+        f"round(quantile_cont(v, {p!r}), {digits}) AS {_prob_name(p)}"
+        for p in probs
+    )
+    return f"""
+WITH s AS (
+  SELECT {gsel}CAST({val} AS DOUBLE) AS v
+  FROM ({table_sql})
+  WHERE {hash_uniform_sql(key, salt)} < {float(theta)!r}
+)
+SELECT {gsel}count(*) AS n_sample, {qs} FROM s {gby}
 """
 
 
