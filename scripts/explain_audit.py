@@ -630,6 +630,25 @@ def main() -> None:
         )
     )
 
+    # anchor plane: term counting must be a (dst, term) grouped
+    # aggregate with a map-side partial, the top-k a post-aggregate
+    # slice — never a per-inlink Window sort (mega-target skew class)
+    from uci_searchengine_spark.entry_queries import q_anchor_plane
+
+    qd = q_anchor_plane(spark, "/root/testdata/sf0.001")
+    plan = qd._sc._jvm.PythonSQLUtils.explainString(
+        qd._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "anchor plane: partial aggregates, no Window, no Python UDF",
+            "partial_count" in plan.lower()
+            and "Window" not in plan
+            and "Python" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

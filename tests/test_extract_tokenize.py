@@ -129,3 +129,126 @@ def test_extract_udf_matches_oracle_byte_identical(spark, pages_tiny_pdf):
     assert len(out) == len(pages_tiny_pdf)
     for r in out:
         assert r["ex_text"] == r["text"], r["url"]
+
+
+class TestExtractAnchors:
+    def _pairs(self, html, url="https://ex.com/a"):
+        from uci_searchengine_spark.functions.extract import (
+            extract_anchors_one,
+        )
+
+        return extract_anchors_one(html.encode(), url)
+
+    def test_basic_pairs(self):
+        got = self._pairs(
+            '<a href="/x">Click  Here</a> mid <a href="https://o.org/Y/">o</a>'
+        )
+        assert got == [
+            ("https://ex.com/x", "Click Here"),
+            ("https://o.org/y", "o"),
+        ]
+
+    def test_skip_fragment_and_mailto(self):
+        got = self._pairs(
+            '<a href="#top">t</a><a href="mailto:a@b">m</a><a href="/k">k</a>'
+        )
+        assert got == [("https://ex.com/k", "k")]
+
+    def test_nested_markup_inside_anchor(self):
+        got = self._pairs('<a href="/x">big <b>bold</b> text</a>')
+        assert got == [("https://ex.com/x", "big bold text")]
+
+    def test_unclosed_anchor_autocloses_at_next(self):
+        got = self._pairs('<a href="/x">one <a href="/y">two</a>')
+        assert got == [
+            ("https://ex.com/x", "one"),
+            ("https://ex.com/y", "two"),
+        ]
+
+    def test_script_inside_anchor_excluded(self):
+        got = self._pairs('<a href="/x">ok<script>var t="no";</script></a>')
+        assert got == [("https://ex.com/x", "ok")]
+
+    def test_href_less_anchor_ignored(self):
+        got = self._pairs("<a>plain</a><a href='/z'>z</a>")
+        assert got == [("https://ex.com/z", "z")]
+
+    def test_keeps_multiplicity_same_target(self):
+        got = self._pairs('<a href="/x">one</a><a href="/x">two</a>')
+        assert got == [
+            ("https://ex.com/x", "one"),
+            ("https://ex.com/x", "two"),
+        ]
+
+    def test_pinned_outputs_untouched(self):
+        # the anchor capture must not perturb the byte-pinned extractor
+        from uci_searchengine_spark.functions.extract import extract_one
+
+        html = b'<title>T</title><p>body  text</p><a href="/x">Click</a>'
+        title, text, links = extract_one(html, "https://ex.com/a")
+        assert (title, text, links) == (
+            "T",
+            "Tbody textClick",  # raw text-node concat, two-space split
+            ["https://ex.com/x"],
+        )
+
+
+@pytest.mark.spark
+class TestAnchorPlane:
+    def test_rollup_matches_python(self, spark):
+        from uci_searchengine_spark.operators.links import anchor_plane
+
+        rows = [
+            ("s1", "d1", "big data"),
+            ("s2", "d1", "big spark"),
+            ("s3", "d1", "big"),
+            ("s1", "d2", "lake"),
+            ("s1", "d2", "lake house"),  # same src twice: 1 distinct inlink
+        ]
+        edges = spark.createDataFrame(
+            rows, "src_url string, dst_url string, anchor string"
+        )
+        got = {
+            r["dst_url"]: (r["n_inlinks"], r["anchors"])
+            for r in anchor_plane(edges, k=2).collect()
+        }
+        assert got == {
+            "d1": (3, "big:3 data:1"),  # ties broken term-asc, capped k=2
+            "d2": (1, "lake:2 house:1"),
+        }
+
+    def test_min_count_prunes_singletons(self, spark):
+        from uci_searchengine_spark.operators.links import anchor_plane
+
+        edges = spark.createDataFrame(
+            [("s1", "d1", "hot hot cold")],
+            "src_url string, dst_url string, anchor string",
+        )
+        got = anchor_plane(edges, k=5, min_count=2).collect()[0]
+        assert got["anchors"] == "hot:2"
+
+    def test_html_to_plane_end_to_end(self, spark):
+        from uci_searchengine_spark.operators.links import (
+            anchor_edges,
+            anchor_plane,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    "https://a.com/p1",
+                    b'<a href="https://t.com/x">great engine</a>',
+                ),
+                (
+                    "https://b.com/p2",
+                    b'<a href="https://t.com/x/">fast engine</a>',
+                ),
+            ],
+            "url string, html binary",
+        )
+        plane = anchor_plane(anchor_edges(pages), k=3).collect()
+        assert len(plane) == 1
+        r = plane[0]
+        assert r["dst_url"] == "https://t.com/x"  # normalized union
+        assert r["n_inlinks"] == 2
+        assert r["anchors"] == "engine:2 fast:1 great:1"

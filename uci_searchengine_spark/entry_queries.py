@@ -1194,6 +1194,75 @@ ORDER BY rank DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_anchor_plane(spark, sf_dir):
+    """Anchor-text rollup (operators/links.py:anchor_plane): per link
+    TARGET, inlink count + top-5 anchor terms by count — the web
+    ranking plane third-party link text provides. Edges are the same
+    deterministic hash graph as q_pagerank (driver tables carry no link
+    column); each edge's anchor = the SOURCE doc's first 3 tokens.
+    Top-20 targets by inlink count desc, id asc."""
+    from uci_searchengine_spark.operators.links import anchor_plane
+
+    toks = _doc_tokens(spark, sf_dir)
+    n = toks.count()
+    first3 = toks.select(
+        F.col("doc_id").alias("src"),
+        F.concat_ws(" ", F.slice("t", 1, 3)).alias("anchor"),
+    )
+    edges = (
+        first3.select(
+            "src", ((F.col("src") * 2 + 7) % n).alias("dst"), "anchor"
+        )
+        .unionByName(
+            first3.select(
+                "src", ((F.col("src") * 3 + 7) % n).alias("dst"), "anchor"
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        anchor_plane(edges, src="src", dst="dst", k=5)
+        .select(F.col("dst").alias("doc_id"), "n_inlinks", "anchors")
+        .orderBy(F.desc("n_inlinks"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_anchor_plane() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+nn AS (SELECT count(*) AS n FROM toks),
+f3 AS (SELECT doc_id AS src,
+              array_to_string(t[1:3], ' ') AS anchor FROM toks),
+e0 AS (
+  SELECT src, (src*2+7) % (SELECT n FROM nn) AS dst, anchor FROM f3
+  UNION
+  SELECT src, (src*3+7) % (SELECT n FROM nn), anchor FROM f3
+),
+e AS (SELECT DISTINCT src, dst, anchor FROM e0 WHERE src != dst),
+terms AS (
+  SELECT dst, unnest({tokens_sql_expr('anchor')}) AS term FROM e
+),
+tc AS (SELECT dst, term, count(*) AS cnt FROM terms
+       WHERE term != '' GROUP BY dst, term),
+topk AS (
+  SELECT dst,
+         string_agg(term || ':' || cnt, ' '
+                    ORDER BY cnt DESC, term ASC) AS anchors
+  FROM (SELECT *, row_number() OVER
+            (PARTITION BY dst ORDER BY cnt DESC, term ASC) AS rn
+        FROM tc)
+  WHERE rn <= 5 GROUP BY dst
+),
+inl AS (SELECT dst, count(DISTINCT src) AS n_inlinks FROM e GROUP BY dst)
+SELECT i.dst AS doc_id, i.n_inlinks,
+       COALESCE(k.anchors, '') AS anchors
+FROM inl i LEFT JOIN topk k ON k.dst = i.dst
+ORDER BY n_inlinks DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -4859,6 +4928,7 @@ QUERIES = {
     "phrase_suggest": (q_phrase_suggest, _sql_phrase_suggest()),
     "sampled_quantiles": (q_sampled_quantiles, _sql_sampled_quantiles()),
     "composite_agg": (q_composite_agg, _sql_composite_agg()),
+    "anchor_plane": (q_anchor_plane, _sql_anchor_plane()),
 }
 
 # Late-round-4 window rotation (supersedes the literal order above): the
@@ -4923,7 +4993,7 @@ _WINDOW_R4 = [
     "search_facets",
     "dedup_exact",
     "ngram_jaccard_pairs",
-    "dup_clusters",
+    "anchor_plane",
     "composite_agg",
     "semantic_dedup",
     "ann_cosine_topk",

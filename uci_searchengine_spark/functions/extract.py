@@ -34,6 +34,7 @@ from urllib.parse import urljoin, urlparse
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from uci_searchengine_spark.schema import EXTRACT_SCHEMA
@@ -52,6 +53,10 @@ class _TextParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.pieces: list[str] = []
         self.hrefs: list[str] = []
+        # anchor text per href (same order as hrefs); captured additively
+        # without touching the pinned text/title/links semantics above
+        self.anchor_pieces: list[list[str]] = []
+        self._open_anchor: list[str] | None = None
         self._skip_depth = 0
         self._in_title = False
         self._title_done = False
@@ -69,9 +74,13 @@ class _TextParser(HTMLParser):
             # <title>a<b>c</b></title> → soup.title.string is None
             self._title_has_child_tag = True
         if tag == "a":
+            # a new <a> auto-closes a still-open one (browser behavior)
+            self._open_anchor = None
             for k, v in attrs:
                 if k == "href" and v is not None:
                     self.hrefs.append(v)
+                    self._open_anchor = []
+                    self.anchor_pieces.append(self._open_anchor)
                     break
 
     def handle_endtag(self, tag):
@@ -79,6 +88,8 @@ class _TextParser(HTMLParser):
             if self._skip_depth > 0:
                 self._skip_depth -= 1
             return
+        if tag == "a":
+            self._open_anchor = None
         if tag == "title" and self._in_title:
             self._in_title = False
             self._title_done = True
@@ -87,6 +98,8 @@ class _TextParser(HTMLParser):
         if self._skip_depth:
             return
         self.pieces.append(data)
+        if self._open_anchor is not None:
+            self._open_anchor.append(data)
         if self._in_title:
             self._title_pieces.append(data)
 
@@ -135,6 +148,40 @@ def extract_one(html: bytes, url: str) -> tuple[str, str, list[str]]:
         if not (h.startswith("#") or h.startswith("mailto:"))
     ]
     return title, text, links
+
+
+def extract_anchors_one(html: bytes, url: str) -> list[tuple[str, str]]:
+    """Parse one document into (normalized_href, anchor_text) pairs —
+    the link-with-anchor variant of ``extract_one``. Same skip rules
+    ('#'/'mailto:'), same urljoin + normalize_url; anchor text is the
+    <a> element's document-order text run through the pinned
+    ``_clean_text`` whitespace rule. Pairs keep multiplicity (the same
+    target linked twice with different anchors is two signals)."""
+    p = _TextParser()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return [
+        (normalize_url(urljoin(url, h)), _clean_text("".join(pieces)))
+        for h, pieces in zip(p.hrefs, p.anchor_pieces)
+        if not (h.startswith("#") or h.startswith("mailto:"))
+    ]
+
+
+_ANCHORS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_ANCHORS_TYPE)
+def extract_anchors(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_anchors_one(h, u) for h, u in zip(html, url)]
+    )
 
 
 @pandas_udf(EXTRACT_SCHEMA)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from uci_searchengine_spark.functions.extract import extract_html
+from uci_searchengine_spark.functions.tokenize import tokens_col
 
 
 def links_table(pages: DataFrame) -> DataFrame:
@@ -92,3 +93,86 @@ def pagerank(
         if (i + 1) % 3 == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def anchor_edges(pages: DataFrame) -> DataFrame:
+    """pages → (src_url, dst_url, anchor) — the anchor-text edge table.
+    Same skip/normalize rules as ``links_table`` but keeps multiplicity
+    and the <a> element's text (functions/extract.py:extract_anchors):
+    anchor text is the classic external relevance signal web ranking
+    adds on top of body BM25 (it describes the TARGET, written by a
+    third party). Arrow-batched parse, one explode — no shuffle."""
+    from uci_searchengine_spark.functions.extract import extract_anchors
+
+    pair = F.explode(extract_anchors(F.col("html"), F.col("url"))).alias("p")
+    return (
+        pages.select(F.col("url").alias("src_url"), pair)
+        .select(
+            "src_url",
+            F.col("p.href").alias("dst_url"),
+            F.col("p.anchor").alias("anchor"),
+        )
+        .filter(F.col("dst_url") != F.col("src_url"))
+    )
+
+
+def anchor_plane(
+    edges: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    k: int = 8,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-target anchor-text rollup: ``(dst, n_inlinks, anchors)``
+    where ``anchors`` is the top-``k`` anchor terms by count
+    ("term:count term:count ..." — count desc, term asc), the field a
+    serving index ingests as an extra ranking plane (BM25F treats it
+    like title).
+
+    Scale shape — the skew question is THE question here (popular pages
+    have millions of inlinks): term counting is a (dst, term) grouped
+    aggregate with map-side combine, so per-key state after the shuffle
+    is the target's distinct anchor VOCABULARY (anchors are repetitive
+    — orders of magnitude below its inlink count); the top-k slice then
+    caps carried state at k terms via sort_array+slice on the counted
+    rows, never a per-inlink sort. ``min_count`` drops singleton terms
+    before the collect for mega-targets. Inlink count is a separate
+    two-level count-distinct aggregate. No window, no UDF."""
+    toks = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.explode(tokens_col(F.col("anchor"))).alias("term"),
+    ).filter(F.col("term") != "")
+    tc = (
+        toks.groupBy("_d", "term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    topk = tc.groupBy("_d").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("cnt")).alias("nc"),
+                                F.col("term").alias("term"),
+                            )
+                        )
+                    ),
+                    1,
+                    k,
+                ),
+                lambda s: F.concat_ws(":", s["term"], (-s["nc"]).cast("string")),
+            ),
+        ).alias("anchors")
+    )
+    inl = edges.groupBy(F.col(dst).alias("_d")).agg(
+        F.countDistinct(F.col(src)).alias("n_inlinks")
+    )
+    return inl.join(topk, "_d", "left").select(
+        F.col("_d").alias(dst),
+        "n_inlinks",
+        F.coalesce("anchors", F.lit("")).alias("anchors"),
+    )
