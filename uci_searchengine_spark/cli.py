@@ -177,6 +177,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     et.add_argument("--master", default=None)
 
+    ev = sub.add_parser(
+        "evaluate",
+        help="trec_eval-style retrieval metrics (recall/prec/MRR/nDCG@k) "
+        "for a run file vs graded qrels",
+    )
+    ev.add_argument("--runs", required=True, help="parquet (qid, doc_id, rank)")
+    ev.add_argument("--qrels", required=True, help="parquet (qid, doc_id, rel)")
+    ev.add_argument("--k", type=int, default=10)
+    ev.add_argument("--out", help="optional parquet path for per-topic rows")
+    ev.add_argument("--master", default=None)
+
     sv = sub.add_parser("serve", help="HTTP API over a built index (/api/search ...)")
     g = sv.add_mutually_exclusive_group(required=True)
     g.add_argument("--index", help="serve ONE immutable index directory")
@@ -229,6 +240,24 @@ def main(argv: list[str] | None = None) -> int:
             df.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(json.dumps({"written": args.out, "stage": args.stage, "rows": n}))
+        elif args.cmd == "evaluate":
+            from uci_searchengine_spark.operators.eval_metrics import (
+                macro_metrics,
+                retrieval_metrics,
+            )
+
+            per = retrieval_metrics(
+                spark.read.parquet(args.runs),
+                spark.read.parquet(args.qrels),
+                k=args.k,
+            )
+            if args.out:
+                per.write.mode("overwrite").parquet(args.out)
+            print(
+                json.dumps(
+                    macro_metrics(per, k=args.k).collect()[0].asDict()
+                )
+            )
         elif args.cmd == "serve":
             from uci_searchengine_spark.http_api import make_server
 

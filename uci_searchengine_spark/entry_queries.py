@@ -1263,6 +1263,51 @@ ORDER BY n_inlinks DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_retrieval_metrics(spark, sf_dir):
+    """trec_eval-style per-topic retrieval metrics (operators/
+    eval_metrics.py): recall/precision/MRR/nDCG@10 for a deterministic
+    8-topic run file and graded qrels derived arithmetically from
+    documents (both engines derive the identical tables; the metric
+    math — burst-gain DCG, rel-sorted IDCG truncation, first-hit MRR —
+    is what's under test). The Spark side computes IDCG with an
+    aggregate sort+slice, never a Window."""
+    from uci_searchengine_spark.operators.eval_metrics import (
+        retrieval_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    runs = docs.filter(F.col("doc_id") < 80).select(
+        (F.col("doc_id") % 8).alias("qid"),
+        "doc_id",
+        (F.floor(F.col("doc_id") / 8) + 1).alias("rank"),
+    )
+    qrels = docs.filter(
+        (F.col("doc_id") < 200) & ((F.col("doc_id") * 13) % 7 < 3)
+    ).select(
+        (F.col("doc_id") % 8).alias("qid"),
+        "doc_id",
+        ((F.col("doc_id") * 11) % 4).alias("rel"),
+    )
+    return retrieval_metrics(runs, qrels, k=10).orderBy("qid")
+
+
+def _sql_retrieval_metrics() -> str:
+    from uci_searchengine_spark.operators.eval_metrics import (
+        retrieval_metrics_sql,
+    )
+
+    runs = (
+        "SELECT doc_id % 8 AS qid, doc_id, doc_id // 8 + 1 AS rank "
+        "FROM documents WHERE doc_id < 80"
+    )
+    qrels = (
+        "SELECT doc_id % 8 AS qid, doc_id, (doc_id * 11) % 4 AS rel "
+        "FROM documents WHERE doc_id < 200 AND (doc_id * 13) % 7 < 3"
+    )
+    q = retrieval_metrics_sql(runs, qrels, k=10)
+    return f"SELECT * FROM ({q}) ORDER BY qid"
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -4929,6 +4974,7 @@ QUERIES = {
     "sampled_quantiles": (q_sampled_quantiles, _sql_sampled_quantiles()),
     "composite_agg": (q_composite_agg, _sql_composite_agg()),
     "anchor_plane": (q_anchor_plane, _sql_anchor_plane()),
+    "retrieval_metrics": (q_retrieval_metrics, _sql_retrieval_metrics()),
 }
 
 # Late-round-4 window rotation (supersedes the literal order above): the
@@ -4992,7 +5038,7 @@ _WINDOW_R4 = [
     "batch_bm25_topk",
     "search_facets",
     "dedup_exact",
-    "ngram_jaccard_pairs",
+    "retrieval_metrics",
     "anchor_plane",
     "composite_agg",
     "semantic_dedup",
