@@ -1308,6 +1308,23 @@ def _sql_retrieval_metrics() -> str:
     return f"SELECT * FROM ({q}) ORDER BY qid"
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer induction (operators/bpe.py): the first 8 merges
+    learned from the corpus word-frequency relation, with their pair
+    counts. Iterative (each merge rewrites the vocabulary state), so
+    this gate is rows-only — no single SQL statement expresses the
+    loop; the exact-semantics check is tests/test_bpe.py against the
+    textbook reference implementation."""
+    from uci_searchengine_spark.operators.bpe import bpe_train, word_counts
+
+    words = word_counts(_doc_tokens(spark, sf_dir))
+    merges, _state = bpe_train(words, num_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, a string, b string, merged string, cnt long",
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -4975,6 +4992,8 @@ QUERIES = {
     "composite_agg": (q_composite_agg, _sql_composite_agg()),
     "anchor_plane": (q_anchor_plane, _sql_anchor_plane()),
     "retrieval_metrics": (q_retrieval_metrics, _sql_retrieval_metrics()),
+    # rows-only (iterative; exact semantics pinned in tests/test_bpe.py)
+    "bpe_merges": (q_bpe_merges, None),
 }
 
 # Late-round-4 window rotation (supersedes the literal order above): the
