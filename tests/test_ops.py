@@ -514,6 +514,54 @@ def test_pagerank_matches_bruteforce(spark):
 
 
 @pytest.mark.spark
+def test_hits_matches_bruteforce(spark):
+    """Fixed-iteration HITS == plain-python reference on a seeded
+    random digraph, and the hub/authority separation property on a
+    star graph (a directory page is a hub, not an authority)."""
+    import math
+    import random
+
+    from uci_searchengine_spark.operators.links import hits
+
+    rng = random.Random(7)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(df, iterations=5).collect()
+    }
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(5):
+        auth = {v: sum(hub[a] for a, b in edges if b == v) for v in nodes}
+        na = math.sqrt(sum(x * x for x in auth.values()))
+        auth = {v: x / na for v, x in auth.items()}
+        hub = {v: sum(auth[b] for a, b in edges if a == v) for v in nodes}
+        nh = math.sqrt(sum(x * x for x in hub.values()))
+        hub = {v: x / nh for v, x in hub.items()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v][0] == pytest.approx(hub[v], rel=1e-9), v
+        assert got[v][1] == pytest.approx(auth[v], rel=1e-9), v
+
+    # star: node 0 links to 1..5 (directory); 1..5 link nowhere
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    sres = {r["node"]: r for r in hits(star, iterations=3).collect()}
+    assert sres[0]["hub"] == pytest.approx(1.0)
+    assert sres[0]["auth"] == 0.0
+    assert all(sres[i]["hub"] == 0.0 for i in range(1, 6))
+    assert all(
+        sres[i]["auth"] == pytest.approx(1 / math.sqrt(5)) for i in range(1, 6)
+    )
+
+
+@pytest.mark.spark
 class TestRepetitionAndDecontamination:
     def test_repetition_fractions_vs_python(self, spark, docs_df):
         from collections import Counter

@@ -1325,6 +1325,86 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/links.py:hits): 5 fixed
+    mutual-reinforcement rounds with per-round L2 normalization over
+    the same deterministic hash graph as q_pagerank; the SQL oracle
+    unrolls the identical rounds. Top-20 by rounded authority."""
+    from uci_searchengine_spark.operators.links import hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 2 + 7) % n).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    r = hits(e, iterations=5)
+    return (
+        r.select(
+            F.col("node").alias("doc_id"),
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+        .orderBy(F.desc("auth"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_hits() -> str:
+    layers = []
+    ph = "h0"
+    for i in range(1, 6):
+        layers.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum({ph}.v) AS s
+  FROM e JOIN {ph} ON {ph}.node = e.src GROUP BY e.dst
+),
+an{i} AS MATERIALIZED (SELECT sqrt(sum(s*s)) AS n FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         coalesce(ar{i}.s, 0.0) / (SELECT n FROM an{i}) AS v
+  FROM nodes LEFT JOIN ar{i} ON ar{i}.node = nodes.node
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a{i}.v) AS s
+  FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src
+),
+hn{i} AS MATERIALIZED (SELECT sqrt(sum(s*s)) AS n FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         coalesce(hr{i}.s, 0.0) / (SELECT n FROM hn{i}) AS v
+  FROM nodes LEFT JOIN hr{i} ON hr{i}.node = nodes.node
+)"""
+        )
+        ph = f"h{i}"
+    chain = ",\n".join(layers)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+7) % (SELECT n FROM nn) AS dst FROM documents
+  UNION
+  SELECT doc_id, (doc_id*3+7) % (SELECT n FROM nn) FROM documents
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS v FROM nodes),
+{chain}
+SELECT h5.node AS doc_id, round(h5.v, 6) AS hub, round(a5.v, 6) AS auth
+FROM h5 JOIN a5 ON a5.node = h5.node
+ORDER BY auth DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_doc_token_stats(spark, sf_dir):
     """doc_len per doc (A6 — computed once at build, not per query)."""
     return _doc_tokens(spark, sf_dir).select(
@@ -4992,6 +5072,7 @@ QUERIES = {
     "composite_agg": (q_composite_agg, _sql_composite_agg()),
     "anchor_plane": (q_anchor_plane, _sql_anchor_plane()),
     "retrieval_metrics": (q_retrieval_metrics, _sql_retrieval_metrics()),
+    "hits_scores": (q_hits, _sql_hits()),
     # rows-only (iterative; exact semantics pinned in tests/test_bpe.py)
     "bpe_merges": (q_bpe_merges, None),
 }
@@ -5055,7 +5136,7 @@ _WINDOW_R4 = [
     "bm25_segments_and",
     "bm25_tombstones",
     "batch_bm25_topk",
-    "search_facets",
+    "hits_scores",
     "dedup_exact",
     "retrieval_metrics",
     "anchor_plane",

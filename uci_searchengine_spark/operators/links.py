@@ -176,3 +176,69 @@ def anchor_plane(
         "n_inlinks",
         F.coalesce("anchors", F.lit("")).alias("anchors"),
     )
+
+
+def hits(
+    links: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg 1999): hub/authority scores by mutual
+    reinforcement — auth(i) = Σ hub(j) over inlinks j→i, hub(i) =
+    Σ auth(j) over outlinks i→j, each L2-normalized per iteration.
+    The companion to ``pagerank`` above: PageRank measures endorsement
+    flow, HITS separates directories (hubs) from endorsed content
+    (authorities) — the classic webtext pair.
+
+    Deterministic by construction (FIXED iteration count, no
+    convergence test) so the SQL oracle unrolls the identical rounds;
+    scores rounded downstream absorb last-ulp summation order. Each
+    iteration = two edge-keyed join+aggregate passes plus two scalar
+    L2 norms broadcast back (one-row cross joins); lineage truncated
+    every 2 rounds like pagerank. Returns (node, hub, auth) over all
+    nodes (sources and targets), zeros where a side has no edges."""
+    nodes = (
+        links.select(F.col(src).alias("node"))
+        .unionByName(links.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("auth", F.lit(1.0))
+    for i in range(iterations):
+        a_raw = (
+            links.join(
+                hubs.select(F.col("node").alias(src), "hub"), src
+            )
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("hub").alias("_s"))
+        )
+        a_n = a_raw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("_n"))
+        auths = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_n))
+            .select(
+                "node",
+                (F.coalesce("_s", F.lit(0.0)) / F.col("_n")).alias("auth"),
+            )
+        )
+        h_raw = (
+            links.join(
+                auths.select(F.col("node").alias(dst), "auth"), dst
+            )
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum("auth").alias("_s"))
+        )
+        h_n = h_raw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("_n"))
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_n))
+            .select(
+                "node",
+                (F.coalesce("_s", F.lit(0.0)) / F.col("_n")).alias("hub"),
+            )
+        )
+        if (i + 1) % 2 == 0:
+            hubs = hubs.localCheckpoint(eager=False)
+            auths = auths.localCheckpoint(eager=False)
+    return hubs.join(auths, "node")
