@@ -49,9 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--snapshot", default=None)
     b.add_argument(
         "--format",
-        choices=["parquet", "iceberg"],
+        choices=["parquet", "iceberg", "warc"],
         default="parquet",
-        help="format of the input pages table",
+        help="format of the input pages: a table (parquet/iceberg) or "
+        "a dir/glob of Common-Crawl-style .warc(.gz) segment files",
     )
     b.add_argument(
         "--stem", action="store_true", help="Porter-stem tokens at build"
@@ -283,9 +284,15 @@ def main(argv: list[str] | None = None) -> int:
             from uci_searchengine_spark.operators.index_build import build_index
             from uci_searchengine_spark.sources.tables import read_table
 
+            if args.format == "warc":
+                from uci_searchengine_spark.sources.warc import read_warc
+
+                pages_df = read_warc(spark, args.pages).drop("warc_path")
+            else:
+                pages_df = read_table(spark, args.pages, fmt=args.format)
             meta = build_index(
                 spark,
-                read_table(spark, args.pages, fmt=args.format),
+                pages_df,
                 args.index,
                 num_shards=args.shards,
                 n_buckets=args.buckets,

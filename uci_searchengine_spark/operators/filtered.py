@@ -66,6 +66,38 @@ def parse_site_filters(query: str) -> tuple[str, list[str]]:
     return " ".join(rest), hosts
 
 
+_RANGE = re.compile(
+    r"(\w+):([\[{])\s*(\*|-?[\d.]+)\s+TO\s+(\*|-?[\d.]+)\s*([\]}])"
+)
+
+
+def parse_range_filters(
+    query: str,
+) -> tuple[str, list[tuple[str, float | None, float | None, bool, bool]]]:
+    """Split Lucene numeric range filters — ``field:[10 TO 200]``
+    inclusive, ``field:{10 TO 200}`` exclusive, ``*`` open end, mixed
+    brackets allowed — from the rest of the query. Parsed BEFORE any
+    whitespace tokenization (the range syntax itself contains spaces)
+    and before ``site:`` parsing. Returns (rest, ranges) with ranges =
+    [(field, lo, hi, lo_inclusive, hi_inclusive)]; multiple filters AND
+    together (Lucene filter-context semantics). ``field`` names a
+    doc-values plane of the index; a document missing from the plane
+    does not match (ES range-on-missing-field rule). ``TO`` is
+    case-sensitive uppercase, as in Lucene."""
+    ranges: list[tuple[str, float | None, float | None, bool, bool]] = []
+
+    def _sub(m: "re.Match[str]") -> str:
+        lo = None if m.group(3) == "*" else float(m.group(3))
+        hi = None if m.group(4) == "*" else float(m.group(4))
+        ranges.append(
+            (m.group(1), lo, hi, m.group(2) == "[", m.group(5) == "]")
+        )
+        return " "
+
+    rest = _RANGE.sub(_sub, query)
+    return " ".join(rest.split()), ranges
+
+
 def _bucketed(allowed: DataFrame, bucket_size: int) -> DataFrame:
     return allowed.select(
         (F.col("doc_id").cast("long") / F.lit(bucket_size))

@@ -788,6 +788,33 @@ class Searcher:
             self._auth_pdf = pdf[["doc_id", "authority"]]
         return self._auth_pdf
 
+    def _dv_frame(self, field: str):
+        """Resident (doc_id, value) pandas frame of one doc-values
+        plane — the task-local range filter's input. Memoized per
+        field; raises loudly when the plane doesn't exist (a silent
+        empty frame would make every range query return zero hits)."""
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        from uci_searchengine_spark.operators.docvalues import dv_dir
+
+        cache = getattr(self, "_dv_pdfs", None)
+        if cache is None:
+            cache = self._dv_pdfs = {}
+        if field not in cache:
+            root = dv_dir(self.index_dir, field)
+            if not _os.path.isdir(root):
+                raise ValueError(
+                    f"unknown range field {field!r}: no doc-values "
+                    f"plane at {root}"
+                )
+            cache[field] = (
+                pq.read_table(root, columns=["doc_id", "value"])
+                .to_pandas()
+            )
+        return cache[field]
+
     def _vocab_raw(self):
         """Resident (term, df) pandas frame — shared input of the
         wildcard expansion and the suggestion VocabIndex."""
@@ -897,8 +924,18 @@ class Searcher:
         unchanged. Runs the distributed filtered plan
         (operators/filtered.py — one scoring job with the allowed
         relation cogrouped per bucket, plus the bounded co-located
-        winner fetch, same shape as the boolean/phrase envelopes)."""
+        winner fetch, same shape as the boolean/phrase envelopes).
+
+        ``field:[10 TO 200]`` / ``field:{10 TO 200}`` tokens (Lucene
+        numeric range queries, ``*`` = open end) are filter context
+        too: ``field`` names a doc-values plane of this index; docs
+        missing from the plane don't match (ES rule); multiple ranges
+        and site: filters AND together. Same two filtered plans as
+        site: (task-local complement-exclusion / distributed
+        allowed-set semi-joined from the scan-pruned plane); an
+        unknown field raises."""
         from uci_searchengine_spark.operators.filtered import (
+            parse_range_filters,
             parse_site_filters,
         )
         from uci_searchengine_spark.operators.fuzzy import parse_fuzzy
@@ -907,7 +944,10 @@ class Searcher:
 
         from uci_searchengine_spark.functions.queryparse import parse_boosts
 
-        rest, hosts = parse_site_filters(query)
+        # ranges first: their syntax contains whitespace, so every
+        # token-wise parser below must never see them
+        rest, ranges = parse_range_filters(query)
+        rest, hosts = parse_site_filters(rest)
         # Lucene term^N query-time boosts: strip the suffixes up front so
         # the de-boosted chunks flow through the normal rewrite pipeline
         # (and the display rule never sees a '^2'), resolve raw chunks to
@@ -970,7 +1010,7 @@ class Searcher:
                 "did_you_mean": None,
                 "results": [],
             }
-        if hosts:
+        if hosts or ranges:
             from uci_searchengine_spark.operators.filtered import (
                 filtered_topk_count,
             )
@@ -985,18 +1025,43 @@ class Searcher:
                 plan == "local"
                 or self._docstore_bytes() <= self.local_bytes_limit
             ):
-                # task-local site: — inclusion == exclusion of the
-                # complement (universe = the resident doc store, which
-                # the local-bytes policy just bounded); the SAME local
-                # envelope closure runs with the combined exclusion set
+                # task-local filter context — inclusion == exclusion of
+                # the complement (universe = the resident doc store,
+                # which the local-bytes policy just bounded); the SAME
+                # local envelope closure runs with the combined
+                # exclusion set. site: and range filters AND together:
+                # the drop sets union.
                 from uci_searchengine_spark.operators.local_search import (
                     local_topk_count_docs,
                 )
 
                 auth = self._authority_frame()
-                drop = auth["doc_id"][
-                    ~auth["authority"].isin(hosts)
-                ].to_numpy()
+                drops = []
+                if hosts:
+                    drops.append(
+                        auth["doc_id"][
+                            ~auth["authority"].isin(hosts)
+                        ].to_numpy()
+                    )
+                universe = auth["doc_id"].to_numpy()
+                for fld, lo, hi, ilo, ihi in ranges:
+                    dv = self._dv_frame(fld)
+                    m = np.ones(len(dv), dtype=bool)
+                    v = dv["value"].to_numpy()
+                    if lo is not None:
+                        m &= (v >= lo) if ilo else (v > lo)
+                    if hi is not None:
+                        m &= (v <= hi) if ihi else (v < hi)
+                    keep = dv["doc_id"].to_numpy()[m]
+                    # docs missing from the plane don't match (ES rule)
+                    drops.append(
+                        universe[~np.isin(universe, keep)]
+                    )
+                drop = (
+                    np.unique(np.concatenate(drops))
+                    if drops
+                    else np.array([], dtype=np.int64)
+                )
                 excl_all = (
                     np.unique(np.concatenate([excl0, drop]))
                     if isinstance(excl0, np.ndarray)
@@ -1020,12 +1085,39 @@ class Searcher:
             else:
                 # lowercase BOTH sides (parse_site_filters lowercases the
                 # hosts; an uppercase authority in a stored url must
-                # still match — plan equality with the local path)
-                allowed = self._docs.filter(
-                    F.lower(
-                        F.parse_url(F.col("url"), F.lit("AUTHORITY"))
-                    ).isin(hosts)
-                ).select("doc_id")
+                # still match — plan equality with the local path).
+                # Filters AND together: host allowed-set ∩ each range
+                # plane's in-bounds rows (left-semi joins — the planes
+                # are bucket-partitioned parquet, scan-pruned on read).
+                allowed = self._docs.select("doc_id")
+                if hosts:
+                    allowed = self._docs.filter(
+                        F.lower(
+                            F.parse_url(F.col("url"), F.lit("AUTHORITY"))
+                        ).isin(hosts)
+                    ).select("doc_id")
+                for fld, lo, hi, ilo, ihi in ranges:
+                    from uci_searchengine_spark.operators.docvalues import (
+                        dv_dir,
+                    )
+
+                    import os as _os
+
+                    root = dv_dir(self.index_dir, fld)
+                    if not _os.path.isdir(root):
+                        raise ValueError(
+                            f"unknown range field {fld!r}: no doc-values "
+                            f"plane at {root}"
+                        )
+                    plane = self.spark.read.parquet(root)
+                    v = F.col("value")
+                    if lo is not None:
+                        plane = plane.filter(v >= lo if ilo else v > lo)
+                    if hi is not None:
+                        plane = plane.filter(v <= hi if ihi else v < hi)
+                    allowed = allowed.join(
+                        plane.select("doc_id"), "doc_id", "left_semi"
+                    )
                 self.last_plan = "spark"
                 hits, total = filtered_topk_count(
                     self.spark, self.index_dir, rest, allowed,
