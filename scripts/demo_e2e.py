@@ -48,6 +48,21 @@ host = wc["results"][0]["url"].split("/")[2] if wc["results"] else None
 if host:
     st = s.search(f"stop0 site:{host}", per_page=3)
     print(f"SITE({host}) hits", st["total_results"], "plan", s.last_plan)
+from uci_searchengine_spark.operators.docvalues import attach_doc_values
+
+attach_doc_values(
+    spark,
+    IDX,
+    spark.range(s.meta.n_docs).selectExpr(
+        "id AS doc_id", "(id % 100) / cast(100 AS DOUBLE) AS value"
+    ),
+    "rank",
+)
+rg = s.search("stop0 rank:[0.25 TO 0.75]", per_page=3)
+rg2 = s.search("stop0 rank:[0.25 TO 0.75]", per_page=3, plan="spark")
+print(
+    "RANGE hits", rg["total_results"], "plan-equal", rg == rg2
+)
 sim = s.similar(0, k=3)
 print("SIMILAR(0)", [r["url"] for r in sim["results"]])
 exp = s.explain("stop0 arbak", 0)

@@ -1694,6 +1694,84 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation: the long-tail terms with document
+    frequency ≤ 400 (max_doc_count, ES's knob; 400 sits between this
+    corpus's tail cluster and its stopword head at every test SF),
+    rarest first — the inverse of the terms agg head
+    (catalog-error and spam-signal mining). Same one counted df
+    aggregate as term_df_top20; the rarity filter is a post-aggregate
+    predicate, the result bounded by TakeOrderedAndProject."""
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 400)
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(30)
+    )
+
+
+SQL_RARE_TERMS = f"""
+WITH {_TOKS_CTE}
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+GROUP BY term HAVING count(*) <= 400
+ORDER BY df ASC, term ASC LIMIT 30
+"""
+
+
+def q_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations over a date_histogram: cumulative_sum,
+    derivative (first bucket null), and a 3-bucket trailing moving
+    average (ES moving_fn with window 3) on the hourly event counts.
+    The Window here runs over the ALREADY-AGGREGATED bucket table —
+    bounded by the time range (per-hour rows), never the corpus — which
+    is the one place a global-ordered window is scale-safe; the corpus
+    pass is the same one grouped aggregate events_hourly pays."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hist = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "n")
+    )
+    w = Window.orderBy("hour_start")
+    return (
+        hist.select(
+            "hour_start",
+            "n",
+            F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum_n"),
+            (F.col("n") - F.lag("n").over(w)).alias("deriv"),
+            F.round(
+                F.avg("n").over(w.rowsBetween(-2, 0)), 6
+            ).alias("mavg3"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+SQL_PIPELINE_AGGS = """
+WITH hist AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT hour_start, n,
+       CAST(SUM(n) OVER (ORDER BY hour_start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_n,
+       CAST(n - lag(n) OVER (ORDER BY hour_start) AS BIGINT) AS deriv,
+       round(AVG(n) OVER (ORDER BY hour_start
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+FROM hist ORDER BY hour_start
+"""
+
+
 SQL_EVENTS_HOURLY = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
        count(*) AS n,
@@ -5073,6 +5151,8 @@ QUERIES = {
     "anchor_plane": (q_anchor_plane, _sql_anchor_plane()),
     "retrieval_metrics": (q_retrieval_metrics, _sql_retrieval_metrics()),
     "hits_scores": (q_hits, _sql_hits()),
+    "pipeline_aggs": (q_pipeline_aggs, SQL_PIPELINE_AGGS),
+    "rare_terms": (q_rare_terms, SQL_RARE_TERMS),
     # rows-only (iterative; exact semantics pinned in tests/test_bpe.py)
     "bpe_merges": (q_bpe_merges, None),
 }
@@ -5141,7 +5221,7 @@ _WINDOW_R4 = [
     "retrieval_metrics",
     "anchor_plane",
     "composite_agg",
-    "semantic_dedup",
+    "pipeline_aggs",
     "ann_cosine_topk",
     "sampled_quantiles",
 ]
