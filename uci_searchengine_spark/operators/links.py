@@ -198,10 +198,15 @@ def hits(
     L2 norms broadcast back (one-row cross joins); lineage truncated
     every 2 rounds like pagerank. Returns (node, hub, auth) over all
     nodes (sources and targets), zeros where a side has no edges."""
+    # the edge and node relations are loop-invariant but feed every
+    # one of the ~4 joins per iteration — without pinning them, each
+    # stage re-derives the distinct(union) lineage from scratch
+    links = links.localCheckpoint(eager=False)
     nodes = (
         links.select(F.col(src).alias("node"))
         .unionByName(links.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hubs = nodes.withColumn("hub", F.lit(1.0))
     auths = nodes.withColumn("auth", F.lit(1.0))
