@@ -463,3 +463,50 @@ class TestLogsRoute:
         assert code == 200
         assert again["events"] == []
         assert again["cursor"] == got["cursor"]
+
+
+@pytest.mark.spark
+class TestHttpRangeQuery:
+    def test_range_filter_over_http(self, spark, index_small, tmp_path_factory):
+        import shutil
+        import threading
+        import urllib.parse
+
+        from uci_searchengine_spark.http_api import make_server
+        from uci_searchengine_spark.operators.docvalues import (
+            attach_doc_values,
+        )
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        d = str(tmp_path_factory.mktemp("http_range") / "idx")
+        shutil.copytree(index_small, d)
+        n = IndexMeta.load(d).n_docs
+        attach_doc_values(
+            spark,
+            d,
+            spark.range(n).selectExpr(
+                "id AS doc_id",
+                "((id * 37) % 101) / cast(101 AS DOUBLE) AS value",
+            ),
+            "rank",
+        )
+        srv = make_server(spark, d, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            q = urllib.parse.quote("stop0 rank:[0.2 TO 0.6]")
+            code, got = _get(base, f"/api/search?query={q}&per_page=5")
+            assert code == 200
+            exp = Searcher(spark, d).search(
+                "stop0 rank:[0.2 TO 0.6]", per_page=5
+            )
+            assert got == json.loads(json.dumps(exp))
+            assert 0 < got["total_results"]
+
+            # unknown plane -> clean 422, not a 500
+            q2 = urllib.parse.quote("stop0 nosuch:[1 TO 2]")
+            code2, err = _get_err(base, f"/api/search?query={q2}")
+            assert code2 == 422 and "detail" in err
+        finally:
+            srv.shutdown()

@@ -97,12 +97,25 @@ class TestQuerySurfaceFuzz:
             "(arbak|stop1)", "dat*", "arbak~1", "/arb.*/", "~", "*", "|",
             '"unclosed', "site:x.example.com", "()", '""~3', "a~9",
             "стоп", "🙂", "-stop0",
+            # range-ish tokens: well-formed ones raise the documented
+            # unknown-plane ValueError on this plane-less index;
+            # malformed ones must flow through as ordinary junk
+            "rank:[0.1 TO 0.9]", "rank:[1 to 2]", "x:[* TO", "a:{2 TO *]",
         ]
+        from uci_searchengine_spark.operators.filtered import (
+            parse_range_filters,
+        )
+
         s = Searcher(spark, index_small, query_cache=0)
-        for i in range(25):
+        for i in range(40):
             q = " ".join(
                 rng.choice(pieces) for _ in range(rng.randint(1, 4))
             )
+            _, ranges = parse_range_filters(q)
+            if ranges:
+                with pytest.raises(ValueError, match="no doc-values"):
+                    s.search(q, page=1, per_page=3)
+                continue
             env = s.search(q, page=1, per_page=3)
             assert set(env) >= {
                 "query", "total_results", "results", "total_pages",

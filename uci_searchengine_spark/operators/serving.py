@@ -945,8 +945,21 @@ class Searcher:
         from uci_searchengine_spark.functions.queryparse import parse_boosts
 
         # ranges first: their syntax contains whitespace, so every
-        # token-wise parser below must never see them
+        # token-wise parser below must never see them. Validate the
+        # plane names eagerly — an unknown field must raise even when
+        # the query ends up with no scoring terms (loud contract).
         rest, ranges = parse_range_filters(query)
+        if ranges:
+            import os as _os
+
+            from uci_searchengine_spark.operators.docvalues import dv_dir
+
+            for fld, *_bounds in ranges:
+                if not _os.path.isdir(dv_dir(self.index_dir, fld)):
+                    raise ValueError(
+                        f"unknown range field {fld!r}: no doc-values "
+                        f"plane at {dv_dir(self.index_dir, fld)}"
+                    )
         rest, hosts = parse_site_filters(rest)
         # Lucene term^N query-time boosts: strip the suffixes up front so
         # the de-boosted chunks flow through the normal rewrite pipeline
