@@ -1694,6 +1694,31 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_*): train m=8/k=16
+    codebooks on the deterministic hash-ordered sample, encode the
+    embeddings table to 8-byte codes, ADC top-10 for the first 3
+    vectors as queries. Iterative k-means training → rows-only gate
+    (the exactness checks — encode ≡ numpy argmin, ADC ≡ table
+    lookups, codeword-exactness, recall floor — are tests/test_pq.py)."""
+    from uci_searchengine_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=8, k=16)
+    codes = pq_encode(emb, books)
+    qs = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("q_vec"),
+    )
+    return pq_search(codes, books, qs, k=10).select(
+        "q_id", "vec_id", F.round("adc", 6).alias("adc")
+    )
+
+
 def q_rare_terms(spark, sf_dir):
     """ES rare_terms aggregation: the long-tail terms with document
     frequency ≤ 400 (max_doc_count, ES's knob; 400 sits between this
@@ -5153,8 +5178,10 @@ QUERIES = {
     "hits_scores": (q_hits, _sql_hits()),
     "pipeline_aggs": (q_pipeline_aggs, SQL_PIPELINE_AGGS),
     "rare_terms": (q_rare_terms, SQL_RARE_TERMS),
-    # rows-only (iterative; exact semantics pinned in tests/test_bpe.py)
+    # rows-only (iterative; exact semantics pinned in tests/test_bpe.py
+    # and tests/test_pq.py respectively)
     "bpe_merges": (q_bpe_merges, None),
+    "pq_ann": (q_pq_ann, None),
 }
 
 # Late-round-4 window rotation (supersedes the literal order above): the
