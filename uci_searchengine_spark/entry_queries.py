@@ -5249,7 +5249,7 @@ _WINDOW_R4 = [
     "anchor_plane",
     "composite_agg",
     "pipeline_aggs",
-    "ann_cosine_topk",
+    "ivf_search",
     "sampled_quantiles",
 ]
 assert len(_WINDOW_R4) == 50 and len(set(_WINDOW_R4)) == 50

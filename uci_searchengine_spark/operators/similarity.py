@@ -198,16 +198,24 @@ def ivf_centroids(
 
 
 def ivf_assign(emb: DataFrame, vec_col: str, cents: np.ndarray) -> DataFrame:
-    """Assign each vector to its max-dot-product cell (JVM expressions)."""
-    best_c, best_d = F.lit(-1), F.lit(float("-inf"))
+    """Assign each vector to its max-dot-product cell (JVM
+    expressions). The n_cells candidate dots go into one ARRAY and the
+    cell is ``array_position(array_max)`` — linear expression size (the
+    previous best-so-far When-chain nested the whole prior tree at each
+    step: exponential in n_cells, JVM-OOM well before the thousands of
+    cells a corpus-scale IVF uses; same fix as pq_encode below).
+    First-occurrence tie rule preserved (a When-chain with strict ``>``
+    also kept the earliest max)."""
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for ci, c in enumerate(cents):
-        plane = F.array(*[F.lit(float(x)) for x in c])
-        d = dot_expr(vec_d, plane)
-        better = d > best_d
-        best_c = F.when(better, F.lit(ci)).otherwise(best_c)
-        best_d = F.when(better, d).otherwise(best_d)
-    return emb.withColumn("cell", best_c.cast("int"))
+    scores = F.array(
+        *[
+            dot_expr(vec_d, F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+    return emb.withColumn(
+        "cell", (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    )
 
 
 def ivf_search(
