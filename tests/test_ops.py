@@ -645,3 +645,29 @@ class TestRepetitionAndDecontamination:
             ).collect()
         }
         assert agg == inrow
+
+
+@pytest.mark.spark
+def test_frontier_prioritized_vs_python(spark):
+    """Anti-join + reference-count ranking == plain-python on a small
+    graph; urls already crawled never appear; ties break url-asc."""
+    from uci_searchengine_spark.operators.links import frontier_prioritized
+
+    edges = [
+        ("a", "x"), ("b", "x"), ("c", "x"),  # x: 3 refs
+        ("a", "y"), ("b", "y"),              # y: 2 refs
+        ("a", "z"),                          # z: 1 ref
+        ("q", "w"),                          # src q not crawled: ignored
+        ("a", "b"),                          # b crawled: not frontier
+    ]
+    links = spark.createDataFrame(edges, "src string, dst string")
+    crawled = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "url string"
+    )
+    got = [
+        (r["url"], r["n_refs"])
+        for r in frontier_prioritized(links, crawled).collect()
+    ]
+    assert got == [("x", 3), ("y", 2), ("z", 1)]
+    top = frontier_prioritized(links, crawled, k=2).collect()
+    assert [(r["url"], r["n_refs"]) for r in top] == [("x", 3), ("y", 2)]

@@ -1694,6 +1694,56 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_frontier_priority(spark, sf_dir):
+    """Prioritized crawl frontier (links.frontier_prioritized): treat
+    doc_id < n/2 as crawled, the hash graph as the discovered edges;
+    the frontier (dst not yet crawled, referenced from crawled srcs)
+    ranked by reference count — one left-semi + one left-anti + one
+    counted aggregate + bounded top-k. The OPIC-prior scheduling
+    policy a quality-first crawler runs between rounds."""
+    from uci_searchengine_spark.operators.links import frontier_prioritized
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 2 + 7) % n).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    crawled = docs.filter(F.col("doc_id") < n // 2)
+    return frontier_prioritized(e, crawled, k=20).select(
+        F.col("url").alias("doc_id"), "n_refs"
+    )
+
+
+def _sql_frontier_priority() -> str:
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+7) % (SELECT n FROM nn) AS dst FROM documents
+  UNION
+  SELECT doc_id, (doc_id*3+7) % (SELECT n FROM nn) FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+c AS (SELECT doc_id FROM documents
+      WHERE doc_id < (SELECT n FROM nn) // 2)
+SELECT e.dst AS doc_id, CAST(count(*) AS BIGINT) AS n_refs
+FROM e
+WHERE e.src IN (SELECT doc_id FROM c)
+  AND e.dst NOT IN (SELECT doc_id FROM c)
+GROUP BY e.dst ORDER BY n_refs DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ANN (similarity.pq_*): train m=8/k=16
     codebooks on the deterministic hash-ordered sample, encode the
@@ -5183,6 +5233,7 @@ QUERIES = {
     "bpe_merges": (q_bpe_merges, None),
     "pq_ann": (q_pq_ann, None),
 }
+QUERIES["frontier_priority"] = (q_frontier_priority, _sql_frontier_priority())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the

@@ -247,3 +247,30 @@ def hits(
             hubs = hubs.localCheckpoint(eager=False)
             auths = auths.localCheckpoint(eager=False)
     return hubs.join(auths, "node")
+
+
+def frontier_prioritized(
+    links: DataFrame,
+    crawled: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int | None = None,
+) -> DataFrame:
+    """Crawl scheduling: the frontier (discovered − crawled, the same
+    left-anti shape as ``frontier``) ranked by in-degree FROM CRAWLED
+    PAGES — the classic breadth-quality policy (an OPIC/PageRank
+    prior without the iteration): a url linked from many already-
+    crawled pages is fetched first. One anti join + one counted
+    aggregate + a bounded top-k when ``k`` is given; composes with
+    ``pagerank``/``hits`` scores by joining on the node instead.
+    Returns (url, n_refs) ordered n_refs desc, url asc."""
+    cr = crawled.select(F.col(crawled.columns[0]).alias("_c")).distinct()
+    cand = (
+        links.join(cr, links[src] == F.col("_c"), "left_semi")
+        .select(F.col(src).alias("_s"), F.col(dst).alias("url"))
+        .join(cr, F.col("url") == F.col("_c"), "left_anti")
+        .groupBy("url")
+        .agg(F.count("*").alias("n_refs"))
+        .orderBy(F.desc("n_refs"), F.asc("url"))
+    )
+    return cand.limit(k) if k else cand
