@@ -671,3 +671,36 @@ def test_frontier_prioritized_vs_python(spark):
     assert got == [("x", 3), ("y", 2), ("z", 1)]
     top = frontier_prioritized(links, crawled, k=2).collect()
     assert [(r["url"], r["n_refs"]) for r in top] == [("x", 3), ("y", 2)]
+
+
+@pytest.mark.spark
+def test_incremental_dedup_verdicts(spark):
+    """exact beats near; near catches a small edit; novel text keeps;
+    batch docs never compare against each other (only vs the store)."""
+    from uci_searchengine_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    store = spark.createDataFrame(
+        [(0, base), (1, "completely different corpus text " * 8)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                                   # byte-exact
+            (11, base.replace("lazy", "sleepy", 1)),      # near
+            (12, "unrelated novel content words " * 9),   # keep
+            (13, "unrelated novel content words " * 9),   # dup of 12 but
+            # 12 is in the SAME batch, not the store -> still keep
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r["verdict"]
+        for r in incremental_dedup(new, store, "doc_id", "text").collect()
+    }
+    assert got == {
+        10: "exact_dup",
+        11: "near_dup",
+        12: "keep",
+        13: "keep",
+    }

@@ -2014,6 +2014,76 @@ WHERE a.id < b.id
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Batch-vs-corpus dedup (dedup.incremental_dedup): documents with
+    doc_id >= n/2 are the incoming batch, the lower half the accepted
+    store; per new doc: exact_dup (md5 in store) > near_dup (shares an
+    LSH band bucket with a store doc — identical permutations/bands to
+    minhash_lsh_pairs) > keep. Left-semi probes only; the batch never
+    joins store×store."""
+    from uci_searchengine_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    store = docs.filter(F.col("doc_id") < n // 2)
+    new = docs.filter(F.col("doc_id") >= n // 2)
+    return (
+        incremental_dedup(new, store, "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "verdict")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    params = dd.minhash_params(32, seed=7)
+    mins = ",\n    ".join(
+        f"min(((shingle_id % 2147483647) * {a} + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = []
+    for b in range(8):
+        cols = " || ',' || ".join(f"h{b*4+r}::VARCHAR" for r in range(4))
+        band_rows.append(f"SELECT id, {b} AS band, md5({cols}) AS bh FROM sigs")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH nn AS (SELECT count(*) // 2 AS half FROM documents),
+toks AS (
+  SELECT doc_id AS id, doc_id >= (SELECT half FROM nn) AS is_new,
+         md5(text) AS fp,
+         string_split(trim(lower(text)), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT id,
+         CAST(('0x' || substr(md5(g),1,8)) AS UBIGINT)::BIGINT AS shingle_id
+  FROM (
+    SELECT id,
+           CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+                ELSE [array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)]
+           END AS gs
+    FROM toks
+  ), unnest(gs) AS u(g)
+),
+sigs AS (SELECT id, {mins} FROM grams GROUP BY id),
+bands AS ({bands}),
+store_fps AS (SELECT DISTINCT fp FROM toks WHERE NOT is_new),
+store_bands AS (
+  SELECT DISTINCT band, bh FROM bands
+  JOIN toks USING (id) WHERE NOT is_new
+),
+near_new AS (
+  SELECT DISTINCT b.id FROM bands b
+  JOIN toks tk ON tk.id = b.id AND tk.is_new
+  JOIN store_bands s ON s.band = b.band AND s.bh = b.bh
+)
+SELECT id AS doc_id,
+       CASE WHEN fp IN (SELECT fp FROM store_fps) THEN 'exact_dup'
+            WHEN id IN (SELECT id FROM near_new) THEN 'near_dup'
+            ELSE 'keep' END AS verdict
+FROM toks WHERE is_new ORDER BY doc_id
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """MinHash-LSH pairs → connected components (the keep-one-per-cluster
     step): (doc_id, comp) for every doc appearing in ≥1 candidate pair,
@@ -5234,6 +5304,7 @@ QUERIES = {
     "pq_ann": (q_pq_ann, None),
 }
 QUERIES["frontier_priority"] = (q_frontier_priority, _sql_frontier_priority())
+QUERIES["incremental_dedup"] = (q_incremental_dedup, _sql_incremental_dedup())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the

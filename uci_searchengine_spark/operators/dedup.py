@@ -155,6 +155,39 @@ def minhash_signatures(
     )
 
 
+def band_rows(
+    sigs: DataFrame, n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, bh) LSH band keys from a signature relation —
+    md5 of the comma-joined slice (engine-portable). Shared by the
+    self-join (lsh_candidate_pairs) and the cross-relation incremental
+    path; at production scale this IS the relation an ingest pipeline
+    persists per batch so later batches never recompute the corpus
+    side."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     n_bands: int = 8,
@@ -186,28 +219,7 @@ def lsh_candidate_pairs(
     small-corpus / gate-verification mode.
     """
     assert n_bands * rows_per_band <= 256
-    bands = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    bands = band_rows(sigs, n_bands, rows_per_band)
     if bucket_cap is None:
         a = bands.alias("a")
         b = bands.alias("b")
@@ -829,4 +841,65 @@ def token_chunks_col(tokens, width: int):
     # a bogus negative-index chunk
     return F.when(n_chunks > 0, chunks).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    store_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 32,
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Batch-vs-corpus dedup — the PRODUCTION shape: dedup runs per
+    ingest batch against everything already accepted, not corpus-wide
+    per run. Verdict per NEW doc: ``exact_dup`` (md5(text) already in
+    the store), else ``near_dup`` (shares ≥1 LSH band bucket with a
+    store doc — same bands/permutations as lsh_candidate_pairs), else
+    ``keep``. Returns (id, verdict).
+
+    Scale shape: both checks are left-semi joins of the (small) batch
+    against store-side relations — md5 fingerprints and (band, bh)
+    keys — that an ingest pipeline PERSISTS (band_rows above is
+    exactly that relation), so the corpus side is a pre-bucketed scan,
+    never recomputed; here both sides derive from docs so the gate is
+    self-contained. No pair materialization at all: the batch never
+    joins store×store."""
+    fp_new = new_docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp")
+    )
+    fp_store = store_docs.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    exact_ids = fp_new.join(fp_store, "fp", "left_semi").select("id")
+    sig_new = minhash_signatures(
+        shingles(new_docs, id_col, text_col, shingle_n), n_perm
+    )
+    sig_store = minhash_signatures(
+        shingles(store_docs, id_col, text_col, shingle_n), n_perm
+    )
+    near_ids = (
+        band_rows(sig_new, n_bands, rows_per_band)
+        .join(
+            band_rows(sig_store, n_bands, rows_per_band).select("band", "bh"),
+            ["band", "bh"],
+            "left_semi",
+        )
+        .select("id")
+        .distinct()
+    )
+    ex = exact_ids.withColumn("_e", F.lit(1))
+    nr = near_ids.withColumn("_n", F.lit(1))
+    return (
+        new_docs.select(F.col(id_col).alias("id"))
+        .join(ex, "id", "left")
+        .join(nr, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_e") == 1, F.lit("exact_dup"))
+            .when(F.col("_n") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
     )
