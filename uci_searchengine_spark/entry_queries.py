@@ -5362,11 +5362,11 @@ _WINDOW_R4 = [
     "bm25_append",
     # (d) flagship serving + dedup/ANN pipeline
     "bm25_topk",
-    "bm25_segments_and",
+    "frontier_priority",
     "bm25_tombstones",
     "batch_bm25_topk",
     "hits_scores",
-    "dedup_exact",
+    "incremental_dedup",
     "retrieval_metrics",
     "anchor_plane",
     "composite_agg",
