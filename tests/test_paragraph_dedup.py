@@ -91,3 +91,64 @@ class TestParagraphDedup:
         assert got[1] == ["a b c"]
         assert got[2] == []  # empty doc must not emit a bogus chunk
         assert got[3] == ["x"]
+
+
+def _py_cdc(tokens, mask=16):
+    import hashlib
+
+    out, cur = [], []
+    for t in tokens:
+        cur.append(t)
+        if int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % mask == 0:
+            out.append(" ".join(cur))
+            cur = []
+    if cur:
+        out.append(" ".join(cur))
+    return out
+
+
+@pytest.mark.spark
+class TestCDCChunks:
+    def test_matches_python_reference(self, spark):
+        from uci_searchengine_spark.operators.dedup import cdc_chunks_col
+
+        rng = __import__("random").Random(5)
+        rows = [
+            (i, [f"w{rng.randrange(200)}" for _ in range(rng.randrange(1, 60))])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "id long, t array<string>")
+        got = {
+            r["id"]: list(r["c"])
+            for r in df.select(
+                "id", cdc_chunks_col(F.col("t"), 16).alias("c")
+            ).collect()
+        }
+        for i, toks in rows:
+            assert got[i] == _py_cdc(toks, 16), i
+
+    def test_resynchronizes_after_edit(self, spark):
+        """The CDC property: prepending one token changes ONLY the
+        first chunk's content — every later chunk hash survives
+        (fixed-width frames would shift them all)."""
+        from uci_searchengine_spark.operators.dedup import cdc_chunks_col
+
+        rng = __import__("random").Random(9)
+        base = [f"w{rng.randrange(500)}" for _ in range(400)]
+        edited = ["inserted"] + base
+        df = spark.createDataFrame(
+            [(0, base), (1, edited)], "id long, t array<string>"
+        )
+        got = {
+            r["id"]: list(r["c"])
+            for r in df.select(
+                "id", cdc_chunks_col(F.col("t"), 8).alias("c")
+            ).collect()
+        }
+        a, b = got[0], got[1]
+        # only the head chunk absorbs the edit: every chunk after the
+        # first re-synchronizes EXACTLY (whether or not "inserted" is
+        # itself a boundary token, the trailing chunks are identical)
+        n = len(a) - 1
+        assert a[-n:] == b[-n:]
+        assert a != b

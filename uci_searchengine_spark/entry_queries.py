@@ -4092,6 +4092,62 @@ def _sql_paragraph_dedup() -> str:
     return _SQL_PARAGRAPH_DEDUP.format(toks=tokens_sql_expr("text"))
 
 
+CDC_MASK = 16  # expected chunk length (tokens); boundary = id % 16 == 0
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Paragraph dedup under the CONTENT-DEFINED chunk rule
+    (dedup.cdc_chunks_col): boundaries follow token-content hashes, so
+    an early edit only perturbs its own chunk (the rsync/LBFS property
+    fixed-width frames lack) — same skew-safe first-occurrence
+    pipeline as paragraph_dedup, different injectable rule (the
+    injection point is the point)."""
+    from uci_searchengine_spark.operators.dedup import (
+        cdc_chunks_col,
+        paragraph_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    paras = cdc_chunks_col(tokens_col(F.col("text")), CDC_MASK)
+    return paragraph_dedup(docs, paras).orderBy("doc_id")
+
+
+def _sql_cdc_dedup() -> str:
+    tok_id = "CAST(('0x' || substr(md5(tok),1,8)) AS UBIGINT)::BIGINT"
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_sql_expr('text')} AS t FROM documents),
+tk AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(range(1, len(t)+1)) AS ord
+  FROM toks
+),
+fl AS (
+  SELECT doc_id, tok, ord,
+         CASE WHEN {tok_id} % {CDC_MASK} = 0 THEN 1 ELSE 0 END AS b
+  FROM tk
+),
+cid AS (
+  SELECT doc_id, tok, ord,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+  FROM fl
+),
+paras AS (
+  SELECT doc_id, pos, string_agg(tok, ' ' ORDER BY ord) AS para
+  FROM cid GROUP BY doc_id, pos
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM paras WHERE para <> ''
+)
+SELECT doc_id, count(*) AS n_kept,
+       string_agg(para, ' ' ORDER BY pos) AS text_dedup
+FROM ranked WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 HLL_P = 6  # 64 registers: raw-estimate branch at every test SF
 
 
@@ -5305,6 +5361,7 @@ QUERIES = {
 }
 QUERIES["frontier_priority"] = (q_frontier_priority, _sql_frontier_priority())
 QUERIES["incremental_dedup"] = (q_incremental_dedup, _sql_incremental_dedup())
+QUERIES["cdc_dedup"] = (q_cdc_dedup, _sql_cdc_dedup())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the

@@ -903,3 +903,52 @@ def incremental_dedup(
             .alias("verdict"),
         )
     )
+
+
+def cdc_chunks_col(tokens, mask: int = 16):
+    """``array<string>`` of CONTENT-DEFINED chunks of a token-array
+    column — the dedup-friendly paragraph rule: a chunk boundary falls
+    AFTER any token whose 32-bit md5-prefix id ≡ 0 (mod ``mask``), so
+    expected chunk length is ``mask`` tokens but boundaries move with
+    content, not position. Why it matters vs ``token_chunks_col``: an
+    insertion early in a doc shifts every later fixed-width frame (all
+    downstream chunk hashes change — chunk dedup finds nothing), while
+    CDC boundaries re-synchronize right after the edit and only the
+    containing chunk's hash changes (the rsync/LBFS property).
+    In-row ``F.aggregate`` fold (a runtime HOF, not an unrolled
+    expression tree) — no window, no shuffle; oracle mirror uses an
+    ordinality cumsum (see the gate)."""
+
+    def is_b(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % mask
+            == 0
+        )
+
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("chunks"),
+        F.array().cast("array<string>").alias("cur"),
+    )
+
+    def step(acc, t):
+        cur2 = F.concat(acc["cur"], F.array(t))
+        return F.when(
+            is_b(t),
+            F.struct(
+                F.concat(
+                    acc["chunks"], F.array(F.concat_ws(" ", cur2))
+                ).alias("chunks"),
+                F.array().cast("array<string>").alias("cur"),
+            ),
+        ).otherwise(
+            F.struct(acc["chunks"].alias("chunks"), cur2.alias("cur"))
+        )
+
+    def finish(acc):
+        return F.when(
+            F.size(acc["cur"]) > 0,
+            F.concat(acc["chunks"], F.array(F.concat_ws(" ", acc["cur"]))),
+        ).otherwise(acc["chunks"])
+
+    return F.aggregate(tokens, acc0, step, finish)
