@@ -5420,7 +5420,7 @@ _WINDOW_R4 = [
     # (d) flagship serving + dedup/ANN pipeline
     "bm25_topk",
     "frontier_priority",
-    "bm25_tombstones",
+    "cdc_dedup",
     "batch_bm25_topk",
     "hits_scores",
     "incremental_dedup",
