@@ -349,3 +349,53 @@ class TestPercolateSlop:
                 assert match_tokens(bq, tokenize_py(tx)) == (
                     (qid, i) in exp
                 )
+
+
+from pyspark.sql import functions as F  # noqa: E402  (unordered-near block)
+
+
+@pytest.mark.spark
+class TestUnorderedNear:
+    def test_gap_vs_python(self, spark):
+        from uci_searchengine_spark.functions.phrase import (
+            unordered_near_gap_col,
+        )
+
+        docs = [
+            (0, ["a", "x", "b"]),          # gap 1, a before b
+            (1, ["b", "a"]),               # gap 0, reversed order
+            (2, ["a", "x", "x", "x", "b", "x", "a"]),  # min over pairs: b..a = 1
+            (3, ["a", "a"]),               # b absent -> NULL
+            (4, ["x"]),                    # both absent -> NULL
+        ]
+        df = spark.createDataFrame(docs, "id long, t array<string>")
+        got = {
+            r["id"]: r["g"]
+            for r in df.select(
+                "id", unordered_near_gap_col(F.col("t"), "a", "b").alias("g")
+            ).collect()
+        }
+        assert got == {0: 1, 1: 0, 2: 1, 3: None, 4: None}
+
+    def test_reversed_order_matches_where_ordered_does_not(self, spark):
+        from uci_searchengine_spark.functions.phrase import (
+            near_count_col,
+            unordered_near_gap_col,
+        )
+
+        df = spark.createDataFrame(
+            [(0, ["join", "customer"])], "id long, t array<string>"
+        )
+        row = df.select(
+            near_count_col(F.col("t"), ["customer", "join"], 2).alias("o"),
+            unordered_near_gap_col(F.col("t"), "customer", "join").alias("u"),
+        ).collect()[0]
+        assert row["o"] == 0 and row["u"] == 0
+
+    def test_rejects_same_term(self, spark):
+        from uci_searchengine_spark.functions.phrase import (
+            unordered_near_gap_col,
+        )
+
+        with pytest.raises(ValueError):
+            unordered_near_gap_col(F.col("t"), "a", "a")

@@ -681,6 +681,50 @@ def q_phrase_positional_topk(spark, sf_dir):
 NEAR_SLOP = 2
 
 
+def q_unordered_near(spark, sf_dir):
+    """Unordered proximity (Lucene span_near in_order=false, two-term):
+    docs where "customer" and "join" occur within NEAR_SLOP of each
+    other IN EITHER ORDER, with the minimum gap — the in-row nested
+    HOF functions/phrase.unordered_near_gap_col (O(tf_a·tf_b) within
+    one doc, zero shuffle). Compare q_near_match: same terms, ordered
+    only."""
+    from uci_searchengine_spark.functions.phrase import (
+        unordered_near_gap_col,
+    )
+
+    a, b = PHRASE_TERMS
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select(
+            "doc_id",
+            unordered_near_gap_col(F.col("t"), a, b).alias("min_gap"),
+        )
+        .filter(F.col("min_gap") <= NEAR_SLOP)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_unordered_near() -> str:
+    a, b = PHRASE_TERMS
+    return f"""
+WITH {_TOKS_CTE},
+tk AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos
+  FROM toks
+),
+pa AS (SELECT doc_id, pos FROM tk WHERE tok = '{a}'),
+pb AS (SELECT doc_id, pos FROM tk WHERE tok = '{b}'),
+gaps AS (
+  SELECT pa.doc_id,
+         CAST(min(abs(pa.pos - pb.pos)) - 1 AS INT) AS min_gap
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+  GROUP BY pa.doc_id
+)
+SELECT doc_id, min_gap FROM gaps
+WHERE min_gap <= {NEAR_SLOP} ORDER BY doc_id
+"""
+
+
 def q_near_match(spark, sf_dir):
     """Ordered proximity ("sloppy phrase" / ordered span_near) match,
     relational form: the pure-JVM greedy-chain HOF over the token array
@@ -5362,6 +5406,7 @@ QUERIES = {
 QUERIES["frontier_priority"] = (q_frontier_priority, _sql_frontier_priority())
 QUERIES["incremental_dedup"] = (q_incremental_dedup, _sql_incremental_dedup())
 QUERIES["cdc_dedup"] = (q_cdc_dedup, _sql_cdc_dedup())
+QUERIES["unordered_near"] = (q_unordered_near, _sql_unordered_near())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the

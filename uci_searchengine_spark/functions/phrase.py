@@ -168,3 +168,37 @@ def near_count_sql(seq: list[str], slop: int, toks: str = "t") -> str:
         f" and len([j for j in generate_series(i+1, least(i+1+{slop},"
         f" len({toks}))) if {toks}[j] = '{b}']) > 0])"
     )
+
+
+def positions_col(toks: Column, term: str) -> Column:
+    """In-row ``array<int>`` of the term's 0-based positions."""
+    return F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.get(toks, i.cast("int")) == F.lit(term),
+    )
+
+
+def unordered_near_gap_col(toks: Column, a: str, b: str) -> Column:
+    """Minimum gap between any occurrence of ``a`` and any occurrence
+    of ``b`` in either order — Lucene ``span_near(in_order=false)`` for
+    a two-term clause. gap = |pos_a − pos_b| − 1 (0 = adjacent); NULL
+    when either term is absent. ``a`` and ``b`` must differ.
+
+    Scan-side O(tf_a × tf_b) in-row nested HOF — bounded by the two
+    term frequencies within ONE document (never corpus-sized), zero
+    shuffle, composes with any filter/match pipeline as a plain
+    column. The ordered variant is ``near_count_col`` above."""
+    if a == b:
+        raise ValueError("unordered_near_gap_col needs two distinct terms")
+    pa, pb = positions_col(toks, a), positions_col(toks, b)
+    return (
+        F.array_min(
+            F.flatten(
+                F.transform(
+                    pa,
+                    lambda p: F.transform(pb, lambda q: F.abs(p - q)),
+                )
+            )
+        )
+        - 1
+    ).cast("int")
