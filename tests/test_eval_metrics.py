@@ -119,3 +119,63 @@ class TestRetrievalMetrics:
         )
         exp = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == exp
+
+
+@pytest.mark.spark
+class TestCompareRuns:
+    def test_paired_t_vs_scipy_free_reference(self, spark):
+        """t statistic and win/loss bookkeeping vs a hand-computed
+        paired reference (reversal helps one topic, hurts the other)."""
+        import math
+
+        from uci_searchengine_spark.operators.eval_metrics import (
+            compare_runs,
+            retrieval_metrics,
+        )
+
+        runs_a, qrels = _dfs(spark)
+        # run B: reverse each topic's ranking
+        maxr = {1: 3, 2: 2, 3: 1}
+        rows_b = [
+            (r["qid"], r["doc_id"], maxr[r["qid"]] + 1 - r["rank"])
+            for r in runs_a.collect()
+        ]
+        runs_b = spark.createDataFrame(
+            rows_b, "qid int, doc_id string, rank int"
+        )
+        pa = retrieval_metrics(runs_a, qrels, k=10)
+        pb = retrieval_metrics(runs_b, qrels, k=10)
+        got = compare_runs(pa, pb, "ndcg_10").collect()[0]
+
+        va = {r["qid"]: r["ndcg_10"] for r in pa.collect()}
+        vb = {r["qid"]: r["ndcg_10"] for r in pb.collect()}
+        diffs = [va[q] - vb[q] for q in sorted(va)]
+        n = len(diffs)
+        mean = sum(diffs) / n
+        sd = math.sqrt(sum((d - mean) ** 2 for d in diffs) / (n - 1))
+        assert got["n_topics"] == n == 2
+        assert got["mean_diff"] == pytest.approx(mean, abs=1e-6)
+        assert got["t_stat"] == pytest.approx(
+            mean / (sd / math.sqrt(n)), abs=1e-5
+        )
+        exp_w = sum(d > 0 for d in diffs)
+        exp_l = sum(d < 0 for d in diffs)
+        assert (got["wins"], got["losses"], got["ties"]) == (
+            exp_w,
+            exp_l,
+            n - exp_w - exp_l,
+        )
+
+    def test_identical_runs_all_ties(self, spark):
+        from uci_searchengine_spark.operators.eval_metrics import (
+            compare_runs,
+            retrieval_metrics,
+        )
+
+        runs, qrels = _dfs(spark)
+        p = retrieval_metrics(runs, qrels, k=10)
+        got = compare_runs(p, p, "mrr_10").collect()[0]
+        assert got["t_stat"] is None  # zero-variance: undefined, not inf
+        assert got["mean_diff"] == 0.0
+        assert got["wins"] == got["losses"] == 0
+        assert got["ties"] == got["n_topics"]

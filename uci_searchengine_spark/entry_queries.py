@@ -1352,6 +1352,64 @@ def _sql_retrieval_metrics() -> str:
     return f"SELECT * FROM ({q}) ORDER BY qid"
 
 
+def q_run_comparison(spark, sf_dir):
+    """Paired A/B run comparison (eval_metrics.compare_runs): run A =
+    the deterministic ranking of q_retrieval_metrics, run B = the SAME
+    docs with the ranking REVERSED (rank' = 11 − rank); per-topic
+    nDCG@10 differences → mean_a/mean_b/mean_diff, paired Student's t,
+    win/loss/tie counts. A must beat B on every decided topic by
+    construction (better docs genuinely ranked higher)."""
+    from uci_searchengine_spark.operators.eval_metrics import (
+        compare_runs,
+        retrieval_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    runs_a = docs.filter(F.col("doc_id") < 80).select(
+        (F.col("doc_id") % 8).alias("qid"),
+        "doc_id",
+        (F.floor(F.col("doc_id") / 8) + 1).alias("rank"),
+    )
+    runs_b = runs_a.select("qid", "doc_id", (11 - F.col("rank")).alias("rank"))
+    qrels = docs.filter(
+        (F.col("doc_id") < 200) & ((F.col("doc_id") * 13) % 7 < 3)
+    ).select(
+        (F.col("doc_id") % 8).alias("qid"),
+        "doc_id",
+        ((F.col("doc_id") * 11) % 4).alias("rel"),
+    )
+    return compare_runs(
+        retrieval_metrics(runs_a, qrels, k=10),
+        retrieval_metrics(runs_b, qrels, k=10),
+        "ndcg_10",
+    )
+
+
+def _sql_run_comparison() -> str:
+    from uci_searchengine_spark.operators.eval_metrics import (
+        compare_runs_sql,
+        retrieval_metrics_sql,
+    )
+
+    runs_a = (
+        "SELECT doc_id % 8 AS qid, doc_id, doc_id // 8 + 1 AS rank "
+        "FROM documents WHERE doc_id < 80"
+    )
+    runs_b = (
+        "SELECT doc_id % 8 AS qid, doc_id, 11 - (doc_id // 8 + 1) AS rank "
+        "FROM documents WHERE doc_id < 80"
+    )
+    qrels = (
+        "SELECT doc_id % 8 AS qid, doc_id, (doc_id * 11) % 4 AS rel "
+        "FROM documents WHERE doc_id < 200 AND (doc_id * 13) % 7 < 3"
+    )
+    return compare_runs_sql(
+        retrieval_metrics_sql(runs_a, qrels, k=10),
+        retrieval_metrics_sql(runs_b, qrels, k=10),
+        "ndcg_10",
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer induction (operators/bpe.py): the first 8 merges
     learned from the corpus word-frequency relation, with their pair
@@ -5407,6 +5465,7 @@ QUERIES["frontier_priority"] = (q_frontier_priority, _sql_frontier_priority())
 QUERIES["incremental_dedup"] = (q_incremental_dedup, _sql_incremental_dedup())
 QUERIES["cdc_dedup"] = (q_cdc_dedup, _sql_cdc_dedup())
 QUERIES["unordered_near"] = (q_unordered_near, _sql_unordered_near())
+QUERIES["run_comparison"] = (q_run_comparison, _sql_run_comparison())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the

@@ -139,3 +139,72 @@ SELECT p.qid, CAST(p.n_ret AS INT) AS n_ret, CAST(i.n_rel AS INT) AS n_rel,
        round(p.dcg / i.idcg, {digits}) AS ndcg_{k}
 FROM per_q p JOIN ideal i ON i.qid = p.qid
 """
+
+
+def compare_runs(
+    per_topic_a: DataFrame,
+    per_topic_b: DataFrame,
+    metric: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Paired comparison of two retrieval runs over the SAME topics
+    (the trec_eval A-vs-B workflow): per-topic metric difference →
+    one-row summary (n_topics, mean_a, mean_b, mean_diff, t_stat,
+    wins, losses, ties). t_stat is the paired Student's t
+    (mean_diff / (sd_diff/√n), sample stddev); the reader applies
+    their own significance threshold — the operator reports the
+    statistic, it does not pick α.
+
+    One inner join on qid (topics missing from either run drop — both
+    runs must be evaluated on the same qrels) + one aggregate."""
+    a = per_topic_a.select("qid", F.col(metric).alias("_a"))
+    b = per_topic_b.select("qid", F.col(metric).alias("_b"))
+    d = a.join(b, "qid").select(
+        "_a", "_b", (F.col("_a") - F.col("_b")).alias("_d")
+    )
+    n = F.count("*")
+    return d.agg(
+        n.cast("int").alias("n_topics"),
+        F.round(F.avg("_a"), digits).alias("mean_a"),
+        F.round(F.avg("_b"), digits).alias("mean_b"),
+        F.round(F.avg("_d"), digits).alias("mean_diff"),
+        F.round(
+            F.when(
+                F.stddev_samp("_d") > 0,
+                F.avg("_d")
+                / (F.stddev_samp("_d") / F.sqrt(n.cast("double"))),
+            ),  # zero-variance diffs (identical runs): t undefined, NULL
+            digits,
+        ).alias("t_stat"),
+        F.sum((F.col("_d") > 0).cast("int")).cast("int").alias("wins"),
+        F.sum((F.col("_d") < 0).cast("int")).cast("int").alias("losses"),
+        F.sum((F.col("_d") == 0).cast("int")).cast("int").alias("ties"),
+    )
+
+
+def compare_runs_sql(
+    per_topic_a_sql: str,
+    per_topic_b_sql: str,
+    metric: str,
+    digits: int = 6,
+) -> str:
+    """DuckDB mirror of compare_runs (stddev_samp ≡ Spark)."""
+    return f"""
+WITH a AS ({per_topic_a_sql}), b AS ({per_topic_b_sql}),
+d AS (
+  SELECT a.{metric} AS va, b.{metric} AS vb, a.{metric} - b.{metric} AS dd
+  FROM a JOIN b USING (qid)
+)
+SELECT CAST(count(*) AS INT) AS n_topics,
+       round(avg(va), {digits}) AS mean_a,
+       round(avg(vb), {digits}) AS mean_b,
+       round(avg(dd), {digits}) AS mean_diff,
+       round(CASE WHEN stddev_samp(dd) > 0
+                  THEN avg(dd) / (stddev_samp(dd)
+                       / sqrt(CAST(count(*) AS DOUBLE)))
+             END, {digits}) AS t_stat,
+       CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS INT) AS wins,
+       CAST(SUM(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS INT) AS losses,
+       CAST(SUM(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS INT) AS ties
+FROM d
+"""
