@@ -5511,11 +5511,12 @@ _WINDOW_R4 = [
     "decay_search",
     "search_after",
     "collapsed_search",
+    # (b continued) late never-checked additions
+    "run_comparison",
     # (c) implementation touched this round
-    "suggest",
     "phrase_match",
     "phrase_segments_topk",
-    "phrase_positional_topk",
+    "unordered_near",
     "boolean_search",
     "boolean_groups",
     "percolate",
