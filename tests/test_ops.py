@@ -704,3 +704,33 @@ def test_incremental_dedup_verdicts(spark):
         12: "keep",
         13: "keep",
     }
+
+
+@pytest.mark.spark
+def test_triangle_count_vs_python(spark):
+    """Ordered-edge join triangles == brute-force enumeration on a
+    seeded random graph (direction/multiplicity ignored)."""
+    import itertools
+    import random
+
+    from uci_searchengine_spark.operators.links import triangle_count
+
+    rng = random.Random(11)
+    n = 25
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+
+    und = {frozenset(e) for e in edges}
+    counts = {}
+    nodes = sorted({v for e in und for v in e})
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in und
+            and frozenset((b, c)) in und
+            and frozenset((a, c)) in und
+        ):
+            for v in (a, b, c):
+                counts[v] = counts.get(v, 0) + 1
+    assert got == counts

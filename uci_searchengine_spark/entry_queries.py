@@ -1796,6 +1796,67 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts (links.triangle_count) on the
+    undirected hash graph — link-farm/community density signal.
+    Ordered-edge double join, each triangle found once. Top-20 by
+    count desc, node asc."""
+    from uci_searchengine_spark.operators.links import triangle_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 2 + 7) % n).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        triangle_count(e)
+        .select(F.col("node").alias("doc_id"), "n_tri")
+        .orderBy(F.desc("n_tri"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_triangles() -> str:
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+7) % (SELECT n FROM nn) AS dst FROM documents
+  UNION
+  SELECT doc_id, (doc_id*3+7) % (SELECT n FROM nn) FROM documents
+),
+eu AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src != dst
+),
+tris AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM eu ab
+  JOIN eu bc ON bc.a = ab.b
+  JOIN eu ac ON ac.a = ab.a AND ac.b = bc.b
+),
+pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+)
+SELECT node AS doc_id, n_tri FROM pn
+ORDER BY n_tri DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_frontier_priority(spark, sf_dir):
     """Prioritized crawl frontier (links.frontier_prioritized): treat
     doc_id < n/2 as crawled, the hash graph as the discovered edges;
@@ -5466,6 +5527,7 @@ QUERIES["incremental_dedup"] = (q_incremental_dedup, _sql_incremental_dedup())
 QUERIES["cdc_dedup"] = (q_cdc_dedup, _sql_cdc_dedup())
 QUERIES["unordered_near"] = (q_unordered_near, _sql_unordered_near())
 QUERIES["run_comparison"] = (q_run_comparison, _sql_run_comparison())
+QUERIES["triangles"] = (q_triangles, _sql_triangles())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
