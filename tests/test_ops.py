@@ -734,3 +734,44 @@ def test_triangle_count_vs_python(spark):
             for v in (a, b, c):
                 counts[v] = counts.get(v, 0) + 1
     assert got == counts
+
+
+@pytest.mark.spark
+def test_label_propagation_vs_python(spark):
+    """3 synchronous rounds == plain-python simulation on a seeded
+    graph; two clean cliques joined by one bridge edge segment into
+    two communities."""
+    import random
+    from collections import Counter
+
+    from uci_searchengine_spark.operators.links import label_propagation
+
+    rng = random.Random(21)
+    n = 30
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, 3).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v, nbrs in adj.items():
+            c = Counter(lab[u] for u in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    assert got == lab
+
+    # two 4-cliques + a bridge: exactly two communities
+    cl = [(a, b) for k in (0, 10) for a in range(k, k + 4)
+          for b in range(a + 1, k + 4)] + [(3, 10)]
+    df2 = spark.createDataFrame(cl, "src long, dst long")
+    res = {r["node"]: r["label"] for r in label_propagation(df2, 3).collect()}
+    assert len({res[v] for v in range(0, 4)}) == 1
+    assert len({res[v] for v in range(10, 14)}) == 1
+    assert res[0] != res[11]

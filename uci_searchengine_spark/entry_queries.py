@@ -1857,6 +1857,78 @@ ORDER BY n_tri DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_label_prop(spark, sf_dir):
+    """Synchronous label-propagation communities (links.
+    label_propagation, 3 determinized rounds: most-frequent neighbor
+    label, ties → min) over the hash graph. Per-node (doc_id, label),
+    ordered — the community segmentation connected components can't
+    give on a connected graph."""
+    from uci_searchengine_spark.operators.links import label_propagation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 2 + 7) % n).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        label_propagation(e, iterations=3)
+        .select(F.col("node").alias("doc_id"), "label")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_label_prop() -> str:
+    layers = []
+    prev = "l0"
+    for i in range(1, 4):
+        layers.append(
+            f"""nbr{i} AS MATERIALIZED (
+  SELECT e.u AS node, {prev}.label AS cand, count(*) AS cnt
+  FROM und e JOIN {prev} ON {prev}.node = e.v
+  GROUP BY e.u, {prev}.label
+),
+l{i} AS MATERIALIZED (
+  SELECT node, cand AS label FROM (
+    SELECT node, cand,
+           row_number() OVER (PARTITION BY node
+               ORDER BY cnt DESC, cand ASC) AS rn
+    FROM nbr{i}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n".join(layers)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+7) % (SELECT n FROM nn) AS dst FROM documents
+  UNION
+  SELECT doc_id, (doc_id*3+7) % (SELECT n FROM nn) FROM documents
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e0 WHERE src != dst
+    UNION ALL
+    SELECT dst, src FROM e0 WHERE src != dst
+  )
+),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und),
+{chain}
+SELECT node AS doc_id, label FROM l3 ORDER BY doc_id
+"""
+
+
 def q_frontier_priority(spark, sf_dir):
     """Prioritized crawl frontier (links.frontier_prioritized): treat
     doc_id < n/2 as crawled, the hash graph as the discovered edges;
@@ -5528,6 +5600,7 @@ QUERIES["cdc_dedup"] = (q_cdc_dedup, _sql_cdc_dedup())
 QUERIES["unordered_near"] = (q_unordered_near, _sql_unordered_near())
 QUERIES["run_comparison"] = (q_run_comparison, _sql_run_comparison())
 QUERIES["triangles"] = (q_triangles, _sql_triangles())
+QUERIES["label_prop"] = (q_label_prop, _sql_label_prop())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the

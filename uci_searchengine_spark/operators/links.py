@@ -313,3 +313,57 @@ def triangle_count(
         .agg(F.count("*").alias("n_tri"))
     )
     return per_node
+
+
+def label_propagation(
+    links: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al.
+    2007), determinized: labels start as node ids; each round EVERY
+    node simultaneously takes the most frequent label among its
+    (undirected) neighbors, ties broken by SMALLEST label; isolated
+    update steps never consult the node's own label. Fixed iteration
+    count (no convergence test) so the SQL oracle unrolls identical
+    rounds — synchronous LP can oscillate, which is fine for a pinned
+    round count. Communities segment a connected graph where
+    connected-components necessarily returns one blob.
+
+    Each round = one edge⋈label join + one (node, label) count + one
+    max-struct argmax per node — all aggregates, no window, the same
+    skew argument as the training pipeline's canonicalization (a
+    mega-community label is one counted row per node, never a sorted
+    partition). Returns (node, label)."""
+    und = (
+        links.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            links.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for i in range(iterations):
+        nbr = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), F.col("nl").alias("cand"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = nbr.groupBy("node").agg(
+            F.max(
+                F.struct(F.col("cnt").alias("cnt"), (-F.col("cand")).alias("neg"))
+            ).alias("w")
+        )
+        labels = best.select("node", (-F.col("w.neg")).alias("label"))
+        if (i + 1) % 2 == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
