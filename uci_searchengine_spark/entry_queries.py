@@ -157,6 +157,149 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+PRF_FB_DOCS = 10  # feedback depth
+PRF_FB_TERMS = 5  # expansion terms
+PRF_BETA = 0.4  # feedback-term weight (originals weigh 1.0)
+
+
+def q_prf_search(spark, sf_dir):
+    """Pseudo-relevance feedback (RM3-lite): run the pinned BM25 query,
+    take the top-10 docs as feedback, pick the 5 highest-weight
+    non-query terms from them (weight = Σtf_in_feedback × corpus idf,
+    rounded 6 for engine-portable ranking), and re-score the corpus
+    with originals at weight 1.0 + expansions at 0.4 — the classic
+    recall-expansion loop, fully in-plan: both passes are the same
+    scan→aggregate→broadcast-join shape as bm25_topk, the feedback doc
+    set and term set flow as RELATIONS (no driver round-trip), and the
+    second pass's per-doc tf for data-dependent terms is one
+    (doc, term) counted aggregate semi-joined to the expansion set."""
+    toks = _doc_tokens(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("t").alias("doc_len"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    fb_docs = q_bm25_topk(spark, sf_dir).select("doc_id")
+
+    # candidate expansion terms: occurrences inside the feedback docs
+    fb_tf = (
+        toks.join(fb_docs, "doc_id", "left_semi")
+        .select(F.explode("t").alias("term"))
+        .filter(~F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("fb_tf"))
+    )
+    # corpus df for the candidates only (semi-join prunes the aggregate)
+    df_all = (
+        toks.select("doc_id", F.explode(F.array_distinct("t")).alias("term"))
+        .join(fb_tf.select("term"), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    fb_terms = (
+        fb_tf.join(df_all, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term", F.round(F.col("fb_tf") * idf, 6).alias("w")
+        )
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(PRF_FB_TERMS)
+    )
+    expanded = fb_terms.select(
+        "term", F.lit(float(PRF_BETA)).alias("weight")
+    ).unionByName(
+        spark.createDataFrame(
+            [(t, 1.0) for t in BM25_QUERY_TERMS], "term string, weight double"
+        )
+    )
+    # pass 2: weighted BM25 over the expanded term set
+    posts = (
+        toks.select(
+            "doc_id",
+            F.size("t").alias("doc_len"),
+            F.explode("t").alias("term"),
+        )
+        .join(F.broadcast(expanded), "term")
+        .groupBy("doc_id", "doc_len", "term", "weight")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dfs2 = posts.groupBy("term").agg(F.count("*").alias("df"))
+    tfd = F.col("tf").cast("double")
+    tf_part = tfd * (BM25_K1 + 1.0) / (
+        tfd
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doc_len") / F.col("avgdl"))
+    )
+    return (
+        posts.join(F.broadcast(dfs2), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (F.col("weight") * idf * tf_part).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_prf_search() -> str:
+    orig = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    orig_rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, CAST(1.0 AS DOUBLE) AS weight"
+        for t in BM25_QUERY_TERMS
+    )
+    return f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl
+          FROM dl),
+fb AS MATERIALIZED ({SQL_BM25_TOPK.strip()}),
+fb_tf AS (
+  SELECT term, count(*) AS fb_tf FROM (
+    SELECT unnest(t) AS term FROM toks
+    WHERE doc_id IN (SELECT doc_id FROM fb)
+  ) WHERE term NOT IN ({orig}) GROUP BY term
+),
+df_all AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN (SELECT term FROM fb_tf) GROUP BY term
+),
+fb_terms AS MATERIALIZED (
+  SELECT f.term,
+         round(f.fb_tf * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0), 6)
+           AS w
+  FROM fb_tf f JOIN df_all d ON d.term = f.term CROSS JOIN stats s
+  ORDER BY w DESC, f.term ASC LIMIT {PRF_FB_TERMS}
+),
+expanded AS MATERIALIZED (
+  SELECT term, CAST({PRF_BETA} AS DOUBLE) AS weight FROM fb_terms
+  UNION ALL {orig_rows}
+),
+posts AS (
+  SELECT u.doc_id, u.term, e.weight, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+  JOIN expanded e ON e.term = u.term
+  GROUP BY u.doc_id, u.term, e.weight
+),
+dfs2 AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( p.weight
+               * ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*{BM25_K1 + 1.0})
+                 / (p.tf + {BM25_K1}*(1.0 - {BM25_B}
+                    + {BM25_B}*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs2 f ON p.term = f.term
+  JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _relational_bm25_scored(spark, sf_dir):
     """The q_bm25_topk scoring dataflow WITHOUT the final top-k: full
     match-set (doc_id, score rounded 6) — shared by the analytic gates
@@ -5601,6 +5744,7 @@ QUERIES["unordered_near"] = (q_unordered_near, _sql_unordered_near())
 QUERIES["run_comparison"] = (q_run_comparison, _sql_run_comparison())
 QUERIES["triangles"] = (q_triangles, _sql_triangles())
 QUERIES["label_prop"] = (q_label_prop, _sql_label_prop())
+QUERIES["prf_search"] = (q_prf_search, _sql_prf_search())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
