@@ -799,3 +799,41 @@ def test_prf_expands_recall_and_is_deterministic(spark):
     plain = {r["doc_id"]: r["score"] for r in q_bm25_topk(spark, sf).collect()}
     # ranking actually moved (expansion re-weights the head)
     assert [d for d, _s in a] != list(plain)
+
+
+@pytest.mark.spark
+def test_personalized_pagerank_vs_python(spark):
+    """Seed-teleport power iteration == plain-python reference; mass
+    concentrates near the seeds (a node unreachable from seeds scores
+    exactly 0)."""
+    import random
+
+    from uci_searchengine_spark.operators.links import personalized_pagerank
+
+    rng = random.Random(33)
+    n = 30
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    # append an isolated 2-cycle unreachable from the seeds
+    edges += [(100, 101), (101, 100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, iterations=6).collect()
+    }
+
+    nodes = sorted({v for e in edges for v in e})
+    out = {}
+    for a, _b in edges:
+        out[a] = out.get(a, 0) + 1
+    tele = {v: (0.5 if v in (0, 1) else 0.0) for v in nodes}
+    rank = dict(tele)
+    for _ in range(6):
+        inc = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            inc[b] += rank[a] / out[a]
+        rank = {v: 0.15 * tele[v] + 0.85 * inc[v] for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], rel=1e-9, abs=1e-15), v
+    assert got[100] == 0.0 and got[101] == 0.0

@@ -1939,6 +1939,86 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_personalized_pr(spark, sf_dir):
+    """Personalized PageRank (links.personalized_pagerank): teleport
+    restricted to the seed set doc_id % 17 == 0 over the hash graph —
+    trusted-seed endorsement propagation (TrustRank shape). 5 unrolled
+    rounds, round(6), top-20 by rank."""
+    from uci_searchengine_spark.operators.links import personalized_pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 2 + 7) % n).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = docs.filter(F.col("doc_id") % 17 == 0)
+    pr = personalized_pagerank(e, seeds, iterations=5)
+    return (
+        pr.select(
+            F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+        )
+        .filter(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_personalized_pr() -> str:
+    d = 0.85
+    layers = []
+    prev = "r0"
+    for i in range(1, 6):
+        layers.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT nt.node,
+         (1.0 - {d}) * nt.tele + {d} * coalesce(s.c, 0.0) AS rank
+  FROM nt LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.rank / od.od) AS c
+    FROM e JOIN {prev} ON {prev}.node = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nt.node
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(layers)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+7) % (SELECT n FROM nn) AS dst FROM documents
+  UNION
+  SELECT doc_id, (doc_id*3+7) % (SELECT n FROM nn) FROM documents
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 17 = 0),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+nt AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN nodes.node IN (SELECT node FROM seeds)
+              THEN 1.0 / (SELECT k FROM ns) ELSE CAST(0.0 AS DOUBLE)
+         END AS tele
+  FROM nodes
+),
+od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, tele AS rank FROM nt),
+{chain}
+SELECT node AS doc_id, round(rank, 6) AS rank FROM r5
+WHERE round(rank, 6) > 0
+ORDER BY rank DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle counts (links.triangle_count) on the
     undirected hash graph — link-farm/community density signal.
@@ -5745,6 +5825,7 @@ QUERIES["run_comparison"] = (q_run_comparison, _sql_run_comparison())
 QUERIES["triangles"] = (q_triangles, _sql_triangles())
 QUERIES["label_prop"] = (q_label_prop, _sql_label_prop())
 QUERIES["prf_search"] = (q_prf_search, _sql_prf_search())
+QUERIES["personalized_pr"] = (q_personalized_pr, _sql_personalized_pr())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the

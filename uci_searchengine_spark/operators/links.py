@@ -367,3 +367,63 @@ def label_propagation(
         if (i + 1) % 2 == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def personalized_pagerank(
+    links: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized/topic-sensitive PageRank (Haveliwala 2002): the
+    teleport mass returns to the SEED set only — rank(v) = (1−d)·s(v)
+    + d·Σ rank_in/out_deg with s uniform over seeds, so scores measure
+    proximity-of-endorsement to the seeds (trusted-site propagation /
+    TrustRank shape). Same fixed-iteration join+aggregate rounds as
+    ``pagerank`` (SQL-unrollable); ``seeds`` is a one-column relation,
+    broadcast into the teleport term. Returns (node, rank)."""
+    nodes = (
+        links.select(F.col(src).alias("node"))
+        .unionByName(links.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    n_seeds = seed.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    base = 1.0 / float(n_seeds)
+    nodes_t = nodes.join(
+        seed.withColumn("_s", F.lit(1)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_s") == 1, F.lit(base)).otherwise(F.lit(0.0)).alias(
+            "tele"
+        ),
+    ).localCheckpoint(eager=False)
+    links = links.localCheckpoint(eager=False)
+    out = links.groupBy(src).agg(F.count("*").alias("_od"))
+    ranks = nodes_t.select("node", F.col("tele").alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            links.join(ranks.withColumnRenamed("node", src), src)
+            .join(out, src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("rank") / F.col("_od")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("_in"))
+        )
+        ranks = nodes_t.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.col("tele")
+                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
