@@ -837,3 +837,31 @@ def test_personalized_pagerank_vs_python(spark):
     for v in nodes:
         assert got[v] == pytest.approx(rank[v], rel=1e-9, abs=1e-15), v
     assert got[100] == 0.0 and got[101] == 0.0
+
+
+@pytest.mark.spark
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short quote wholly contained in a long doc: containment ~1.0
+    while Jaccard is far below any dedup threshold; direction matters
+    (big-in-small scores low)."""
+    from uci_searchengine_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    host = ("intro words before anything " + quote + " then a very long tail "
+            + " ".join(f"filler{i}" for i in range(60)))
+    df = spark.createDataFrame(
+        [(1, quote), (2, host)], "doc_id long, text string"
+    )
+    cont = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+    assert (2, 1) not in cont  # asymmetric: host not contained in quote
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the excerpt entirely

@@ -2401,6 +2401,51 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram containment (dedup.ngram_containment_pairs):
+    |A∩B|/|A| ≥ 0.12 directed pairs with the same df_cap=5 skew guard
+    as the Jaccard gate — the excerpt/quotation detector (a contained
+    doc scores ~1.0 here but a tiny Jaccard)."""
+    return dd.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.12,
+        df_cap=5,
+    ).orderBy("id_small", "id_big")
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT id,
+         CAST(('0x' || substr(md5(g),1,8)) AS UBIGINT)::BIGINT AS shingle_id
+  FROM (
+    SELECT id,
+           CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+                ELSE [array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)]
+           END AS gs
+    FROM toks
+  ), unnest(gs) AS u(g)
+),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+hot AS (SELECT shingle_id FROM grams GROUP BY shingle_id HAVING count(*) > 5),
+keep AS (SELECT id, shingle_id FROM grams WHERE shingle_id NOT IN (SELECT shingle_id FROM hot)),
+inter AS (
+  SELECT a.id AS id_small, b.id AS id_big, count(*) AS i
+  FROM keep a JOIN keep b ON a.shingle_id = b.shingle_id AND a.id != b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_small, id_big, round(i / ss.sz, 6) AS containment
+FROM inter JOIN sizes ss ON id_small = ss.id
+WHERE i / ss.sz >= 0.12
+ORDER BY id_small, id_big
+"""
+
+
 SQL_NGRAM_JACCARD_PAIRS = """
 WITH toks AS (
   SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents
@@ -5826,6 +5871,7 @@ QUERIES["triangles"] = (q_triangles, _sql_triangles())
 QUERIES["label_prop"] = (q_label_prop, _sql_label_prop())
 QUERIES["prf_search"] = (q_prf_search, _sql_prf_search())
 QUERIES["personalized_pr"] = (q_personalized_pr, _sql_personalized_pr())
+QUERIES["containment_pairs"] = (q_containment_pairs, SQL_CONTAINMENT_PAIRS)
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the

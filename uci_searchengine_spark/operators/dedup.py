@@ -952,3 +952,58 @@ def cdc_chunks_col(tokens, mask: int = 16):
         ).otherwise(acc["chunks"])
 
     return F.aggregate(tokens, acc0, step, finish)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(A in B) = |A∩B| / |A| ≥
+    threshold — catches excerpts and quotations (a small doc wholly
+    contained in a large one scores ~1.0 here but a tiny Jaccard, so
+    ``ngram_jaccard_pairs`` misses it; containment is the standard
+    quote/boilerplate-inclusion detector for training corpora).
+    Directed pairs (id_small, id_big, containment): the CONTAINED
+    doc's shingles are the denominator.
+
+    Same inverted-index equi-join and ``df_cap`` skew guard as the
+    Jaccard variant (capped mode: intersection undercounted, never
+    inflated)."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    joinable = sh
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle_id")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > df_cap)
+            .select("shingle_id")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle_id", "left_anti")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(b, "shingle_id")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_small"), F.col("b.id").alias("id_big"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_small").withColumnRenamed(
+                "sz", "sz_small"
+            ),
+            "id_small",
+        )
+        .withColumn(
+            "containment", F.col("inter") / F.col("sz_small")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_small", "id_big", F.round("containment", 6).alias("containment")
+        )
+    )
