@@ -2401,6 +2401,53 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_source_quality(spark, sf_dir):
+    """Source-level quality rollup (the FineWeb-style domain-filter
+    decision table): per source — docs, distinct languages, mean chars,
+    exact-dup rate (1 − distinct md5(text)/n), and a pinned keep/drop
+    verdict (drop when dup_rate > 0.5 or mean_chars < 100). ONE grouped
+    aggregate over the corpus; at 10^12 docs this is the table a
+    curation pipeline joins back as a broadcast filter — per-source
+    state is O(1) (count-distinct partials combine)."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "mean_chars",
+        "dup_rate",
+        F.when(
+            (F.col("dup_rate") > 0.5) | (F.col("mean_chars") < 100),
+            F.lit("drop"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    ).orderBy("source")
+
+
+SQL_SOURCE_QUALITY = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS INT) AS n_langs,
+       round(avg(n_chars), 6) AS mean_chars,
+       round(1.0 - count(DISTINCT md5(text))
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+       CASE WHEN round(1.0 - count(DISTINCT md5(text))
+                 / CAST(count(*) AS DOUBLE), 6) > 0.5
+              OR round(avg(n_chars), 6) < 100
+            THEN 'drop' ELSE 'keep' END AS verdict
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric n-gram containment (dedup.ngram_containment_pairs):
     |A∩B|/|A| ≥ 0.12 directed pairs with the same df_cap=5 skew guard
@@ -5872,6 +5919,7 @@ QUERIES["label_prop"] = (q_label_prop, _sql_label_prop())
 QUERIES["prf_search"] = (q_prf_search, _sql_prf_search())
 QUERIES["personalized_pr"] = (q_personalized_pr, _sql_personalized_pr())
 QUERIES["containment_pairs"] = (q_containment_pairs, SQL_CONTAINMENT_PAIRS)
+QUERIES["source_quality"] = (q_source_quality, SQL_SOURCE_QUALITY)
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
