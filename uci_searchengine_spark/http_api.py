@@ -946,13 +946,19 @@ class _Handler(BaseHTTPRequestHandler):
                 except ValueError as e:
                     return self._json({"detail": str(e)}, 400)
             if u.path == "/api/databases/upload" and self.engine.registry is not None:
+                # ALWAYS drain the request body before any rejection:
+                # answering 401/422 while the client is still streaming
+                # a large artifact closes the socket mid-write and the
+                # client sees EPIPE instead of the status (standard
+                # HTTP-server practice for body-carrying error paths)
+                body = self._body()
                 if self.headers.get("X-Secret-Key") != SECRET_KEY:
                     return self._json({"detail": "Invalid secret key"}, 401)
                 name = qs.get("name", [None])[0]
                 if not name:
                     return self._json({"detail": "name is required"}, 422)
                 try:
-                    return self._json(self.engine.import_index(name, self._body()))
+                    return self._json(self.engine.import_index(name, body))
                 except FileExistsError as e:
                     return self._json({"detail": str(e)}, 409)
                 except ValueError as e:
