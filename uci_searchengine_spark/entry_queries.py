@@ -2401,6 +2401,78 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_training_pairs(spark, sf_dir):
+    """Contrastive training-pair mining for retrieval models (DPR-style
+    in-batch data): for the pinned query — the top-1 match as the
+    positive, ranks 2-6 as BM25-HARD negatives (the examples that
+    actually teach a dense ranker), and 5 deterministic hash-sampled
+    NON-matching docs as random negatives. Windowless: the hard set is
+    top-6 anti-join top-1; randoms are md5-ordered off the scan. All
+    relational — the corpus-scale shape exports billions of triples in
+    one job."""
+    scored = _relational_bm25_scored(spark, sf_dir)
+    top6 = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(6)
+    pos = top6.orderBy(F.desc("score"), F.asc("doc_id")).limit(1)
+    hard = top6.join(pos.select("doc_id"), "doc_id", "left_anti")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rand = (
+        docs.join(scored.select("doc_id"), "doc_id", "left_anti")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(5)
+        .select("doc_id", F.lit(None).cast("double").alias("score"))
+    )
+    return (
+        pos.select(F.lit("positive").alias("role"), "doc_id", "score")
+        .unionByName(
+            hard.select(F.lit("hard_neg").alias("role"), "doc_id", "score")
+        )
+        .unionByName(
+            rand.select(F.lit("rand_neg").alias("role"), "doc_id", "score")
+        )
+        .orderBy("role", "doc_id")
+    )
+
+
+def _sql_training_pairs() -> str:
+    scored = """WITH toksq AS (SELECT doc_id, {tok_expr} AS t FROM documents),
+dlq AS (SELECT doc_id, len(t) AS doc_len FROM toksq),
+statsq AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dlq),
+postsq AS (
+  SELECT doc_id, term, count(*)::INT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toksq)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfsq AS (SELECT term, count(*) AS df FROM postsq GROUP BY term)
+SELECT p.doc_id,
+       round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+             * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+FROM postsq p JOIN dfsq f ON p.term=f.term JOIN dlq d ON p.doc_id=d.doc_id
+CROSS JOIN statsq s
+GROUP BY p.doc_id
+HAVING round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+       * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) > 0""".replace(
+        "{tok_expr}", tokens_sql_expr("text")
+    )
+    return f"""
+WITH scored AS MATERIALIZED ({scored}),
+top6 AS (SELECT doc_id, score FROM scored
+         ORDER BY score DESC, doc_id ASC LIMIT 6),
+pos AS (SELECT doc_id, score FROM top6
+        ORDER BY score DESC, doc_id ASC LIMIT 1),
+hard AS (SELECT doc_id, score FROM top6
+         WHERE doc_id NOT IN (SELECT doc_id FROM pos)),
+rand AS (
+  SELECT doc_id, CAST(NULL AS DOUBLE) AS score FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM scored)
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 5
+)
+SELECT 'positive' AS role, doc_id, score FROM pos
+UNION ALL SELECT 'hard_neg', doc_id, score FROM hard
+UNION ALL SELECT 'rand_neg', doc_id, score FROM rand
+ORDER BY role, doc_id
+"""
+
+
 def q_source_quality(spark, sf_dir):
     """Source-level quality rollup (the FineWeb-style domain-filter
     decision table): per source — docs, distinct languages, mean chars,
@@ -5920,6 +5992,7 @@ QUERIES["prf_search"] = (q_prf_search, _sql_prf_search())
 QUERIES["personalized_pr"] = (q_personalized_pr, _sql_personalized_pr())
 QUERIES["containment_pairs"] = (q_containment_pairs, SQL_CONTAINMENT_PAIRS)
 QUERIES["source_quality"] = (q_source_quality, SQL_SOURCE_QUALITY)
+QUERIES["training_pairs"] = (q_training_pairs, _sql_training_pairs())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
