@@ -2473,6 +2473,96 @@ ORDER BY role, doc_id
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Sequential funnel analytics over events: per user, the earliest
+    view → click → purchase chain where each step follows the previous
+    within 30 minutes — windowless (per-user min-aggregate per step,
+    each conditioned on the prior step's time via a broadcast-joined
+    stage table; the classic conversion-funnel shape at event-log
+    scale). Returns per-step user counts + conversion rates."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (
+                F.col("ts")
+                <= F.col("t_click") + F.expr("INTERVAL 30 MINUTES")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n1 = v.count()
+    n2 = c.select("user_id").distinct().count()
+    n3 = p.count()
+    # conversion division + rounding happen ENGINE-side in both gate
+    # sides (python round is banker's; SQL round is half-away)
+    rows = spark.createDataFrame(
+        [
+            ("1_view", n1, n1, n1),
+            ("2_click_30m", n2, n2, n1),
+            ("3_purchase_30m", n3, n3, n2),
+        ],
+        "step string, n_users long, num long, den long",
+    )
+    return rows.select(
+        "step",
+        "n_users",
+        F.when(
+            F.col("den") > 0,
+            F.round(F.col("num") / F.col("den"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conv"),
+    ).orderBy("step")
+
+
+SQL_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 30 MINUTE
+  GROUP BY e.user_id, v.t_view
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 30 MINUTE
+  GROUP BY e.user_id
+),
+ns AS (SELECT (SELECT count(*) FROM v) AS n1,
+              (SELECT count(DISTINCT user_id) FROM c) AS n2,
+              (SELECT count(*) FROM p) AS n3)
+SELECT step, n_users,
+       CASE WHEN den > 0 THEN round(num / CAST(den AS DOUBLE), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS conv
+FROM (
+  SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users, n1 AS num, n1 AS den FROM ns
+  UNION ALL SELECT '2_click_30m', CAST(n2 AS BIGINT), n2, n1 FROM ns
+  UNION ALL SELECT '3_purchase_30m', CAST(n3 AS BIGINT), n3, n2 FROM ns
+) ORDER BY step
+"""
+
+
 def q_source_quality(spark, sf_dir):
     """Source-level quality rollup (the FineWeb-style domain-filter
     decision table): per source — docs, distinct languages, mean chars,
@@ -5993,6 +6083,7 @@ QUERIES["personalized_pr"] = (q_personalized_pr, _sql_personalized_pr())
 QUERIES["containment_pairs"] = (q_containment_pairs, SQL_CONTAINMENT_PAIRS)
 QUERIES["source_quality"] = (q_source_quality, SQL_SOURCE_QUALITY)
 QUERIES["training_pairs"] = (q_training_pairs, _sql_training_pairs())
+QUERIES["funnel"] = (q_funnel, SQL_FUNNEL)
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
