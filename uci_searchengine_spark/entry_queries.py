@@ -2563,6 +2563,74 @@ FROM (
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix over the event log: cohort = ISO week
+    of a user's FIRST event (per-user min aggregate), activity =
+    distinct (user, week), retention(cohort, offset) = active users /
+    cohort size — the classic growth-analytics matrix, windowless
+    (three aggregates + one join; both engines truncate weeks to ISO
+    Monday). Offsets 0-3, ordered."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("cohort_n"))
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cells = (
+        active.join(first, "user_id")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort")) / 7
+            ).cast("int").alias("offset"),
+            "user_id",
+        )
+        .filter(F.col("offset").between(0, 3))
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_n"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "offset")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+sizes AS (SELECT cohort, count(*) AS cohort_n FROM first GROUP BY cohort),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+cells AS (
+  SELECT f.cohort,
+         CAST(floor(date_diff('day', f.cohort, a.week) / 7) AS INT)
+           AS "offset",
+         count(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN first f ON f.user_id = a.user_id
+  WHERE date_diff('day', f.cohort, a.week) BETWEEN 0 AND 27
+  GROUP BY f.cohort, 2
+)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week, c."offset",
+       CAST(c.n_active AS BIGINT) AS n_active,
+       round(c.n_active / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+FROM cells c JOIN sizes s ON s.cohort = c.cohort
+ORDER BY cohort_week, c."offset"
+"""
+
+
 def q_source_quality(spark, sf_dir):
     """Source-level quality rollup (the FineWeb-style domain-filter
     decision table): per source — docs, distinct languages, mean chars,
@@ -6084,6 +6152,7 @@ QUERIES["containment_pairs"] = (q_containment_pairs, SQL_CONTAINMENT_PAIRS)
 QUERIES["source_quality"] = (q_source_quality, SQL_SOURCE_QUALITY)
 QUERIES["training_pairs"] = (q_training_pairs, _sql_training_pairs())
 QUERIES["funnel"] = (q_funnel, SQL_FUNNEL)
+QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
