@@ -2474,62 +2474,15 @@ ORDER BY role, doc_id
 
 
 def q_funnel(spark, sf_dir):
-    """Sequential funnel analytics over events: per user, the earliest
-    view → click → purchase chain where each step follows the previous
-    within 30 minutes — windowless (per-user min-aggregate per step,
-    each conditioned on the prior step's time via a broadcast-joined
-    stage table; the classic conversion-funnel shape at event-log
-    scale). Returns per-step user counts + conversion rates."""
+    """Sequential funnel analytics (operators/events.funnel): per
+    user, earliest view -> click -> purchase chain with 30-minute step
+    windows — windowless stepwise min-aggregates conditioned on the
+    prior step's time; per-step counts + conversion rates (division
+    and rounding engine-side on both gate sides)."""
+    from uci_searchengine_spark.operators.events import funnel
+
     ev = _t(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t_view")
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 30 MINUTES"))
-        )
-        .groupBy("user_id", "t_view")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_click"))
-            & (
-                F.col("ts")
-                <= F.col("t_click") + F.expr("INTERVAL 30 MINUTES")
-            )
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    n1 = v.count()
-    n2 = c.select("user_id").distinct().count()
-    n3 = p.count()
-    # conversion division + rounding happen ENGINE-side in both gate
-    # sides (python round is banker's; SQL round is half-away)
-    rows = spark.createDataFrame(
-        [
-            ("1_view", n1, n1, n1),
-            ("2_click_30m", n2, n2, n1),
-            ("3_purchase_30m", n3, n3, n2),
-        ],
-        "step string, n_users long, num long, den long",
-    )
-    return rows.select(
-        "step",
-        "n_users",
-        F.when(
-            F.col("den") > 0,
-            F.round(F.col("num") / F.col("den"), 6),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("conv"),
-    ).orderBy("step")
+    return funnel(ev, ["view", "click", "purchase"])
 
 
 SQL_FUNNEL = """
@@ -2557,52 +2510,20 @@ SELECT step, n_users,
             ELSE CAST(0.0 AS DOUBLE) END AS conv
 FROM (
   SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users, n1 AS num, n1 AS den FROM ns
-  UNION ALL SELECT '2_click_30m', CAST(n2 AS BIGINT), n2, n1 FROM ns
-  UNION ALL SELECT '3_purchase_30m', CAST(n3 AS BIGINT), n3, n2 FROM ns
+  UNION ALL SELECT '2_click', CAST(n2 AS BIGINT), n2, n1 FROM ns
+  UNION ALL SELECT '3_purchase', CAST(n3 AS BIGINT), n3, n2 FROM ns
 ) ORDER BY step
 """
 
 
 def q_cohort_retention(spark, sf_dir):
-    """Cohort retention matrix over the event log: cohort = ISO week
-    of a user's FIRST event (per-user min aggregate), activity =
-    distinct (user, week), retention(cohort, offset) = active users /
-    cohort size — the classic growth-analytics matrix, windowless
-    (three aggregates + one join; both engines truncate weeks to ISO
-    Monday). Offsets 0-3, ordered."""
-    ev = _t(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
-    )
-    sizes = first.groupBy("cohort").agg(F.count("*").alias("cohort_n"))
-    active = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
-    ).distinct()
-    cells = (
-        active.join(first, "user_id")
-        .select(
-            "cohort",
-            F.floor(
-                F.datediff(F.col("week"), F.col("cohort")) / 7
-            ).cast("int").alias("offset"),
-            "user_id",
-        )
-        .filter(F.col("offset").between(0, 3))
-        .groupBy("cohort", "offset")
-        .agg(F.countDistinct("user_id").alias("n_active"))
-    )
-    return (
-        cells.join(sizes, "cohort")
-        .select(
-            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
-            "offset",
-            "n_active",
-            F.round(F.col("n_active") / F.col("cohort_n"), 6).alias(
-                "retention"
-            ),
-        )
-        .orderBy("cohort_week", "offset")
-    )
+    """Cohort retention matrix (operators/events.cohort_retention):
+    first-event ISO-week cohorts x distinct weekly activity, offsets
+    0-3 — three aggregates + one join, windowless; both engines
+    truncate weeks to ISO Monday."""
+    from uci_searchengine_spark.operators.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), max_offset=3)
 
 
 SQL_COHORT_RETENTION = """
