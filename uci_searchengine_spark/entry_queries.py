@@ -2516,6 +2516,91 @@ FROM (
 """
 
 
+def q_source_terms(spark, sf_dir):
+    """Per-source distinctive terms (the field-vs-background variant
+    of significant_terms — source profiling): for each source, the
+    top-3 terms by smoothed log-lift ln((df_src/n_src)/((df_bg+1)/
+    (n_bg+1))) with df_src ≥ 2, ties term asc — one doc-frequency
+    pass reused for both sides, aggregate top-k via sort_array+slice
+    (no window). Top sources by name, 3 rows each."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("term")
+    )
+    n_bg = docs.count()
+    n_src = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    df_src = toks.groupBy("source", "term").agg(
+        F.count("*").alias("df_src")
+    ).filter(F.col("df_src") >= 2)
+    df_bg = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_bg")
+    )
+    lift = F.round(
+        F.log(
+            (F.col("df_src") / F.col("n_src"))
+            / ((F.col("df_bg") + 1.0) / F.lit(float(n_bg + 1)))
+        ),
+        6,
+    )
+    scored = (
+        df_src.join(F.broadcast(n_src), "source")
+        .join(df_bg, "term")
+        .select("source", "term", lift.alias("lift"))
+    )
+    top3 = scored.groupBy("source").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("lift")).alias("nl"),
+                        F.col("term").alias("term"),
+                    )
+                )
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return (
+        top3.select("source", F.posexplode("top").alias("rank0", "s"))
+        .select(
+            "source",
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("s.term").alias("term"),
+            (-F.col("s.nl")).alias("lift"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+SQL_SOURCE_TERMS = f"""
+WITH toks0 AS (SELECT source, doc_id, {tokens_sql_expr('text')} AS t
+               FROM documents),
+tk AS (SELECT DISTINCT source, doc_id, unnest(t) AS term FROM toks0),
+nbg AS (SELECT count(*) AS n FROM documents),
+nsrc AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+dsrc AS (SELECT source, term, count(*) AS df_src FROM tk
+         GROUP BY source, term HAVING count(*) >= 2),
+dbg AS (SELECT term, count(DISTINCT doc_id) AS df_bg FROM tk GROUP BY term),
+scored AS (
+  SELECT d.source, d.term,
+         round(ln((d.df_src / CAST(s.n_src AS DOUBLE))
+               / ((b.df_bg + 1.0) / CAST((SELECT n FROM nbg) + 1 AS DOUBLE))),
+               6) AS lift
+  FROM dsrc d JOIN nsrc s ON s.source = d.source
+  JOIN dbg b ON b.term = d.term
+),
+ranked AS (
+  SELECT source, term, lift,
+         row_number() OVER (PARTITION BY source
+             ORDER BY lift DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, CAST(rank AS INT) AS rank, term, lift
+FROM ranked WHERE rank <= 3 ORDER BY source, rank
+"""
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort retention matrix (operators/events.cohort_retention):
     first-event ISO-week cohorts x distinct weekly activity, offsets
@@ -6074,6 +6159,7 @@ QUERIES["source_quality"] = (q_source_quality, SQL_SOURCE_QUALITY)
 QUERIES["training_pairs"] = (q_training_pairs, _sql_training_pairs())
 QUERIES["funnel"] = (q_funnel, SQL_FUNNEL)
 QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
+QUERIES["source_terms"] = (q_source_terms, SQL_SOURCE_TERMS)
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
