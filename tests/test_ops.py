@@ -865,3 +865,37 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert (2, 1) not in cont  # asymmetric: host not contained in quote
     jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
     assert jac == []  # symmetric Jaccard misses the excerpt entirely
+
+
+@pytest.mark.spark
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """The signature-match estimator is close to exact Jaccard on
+    constructed overlapping docs (binomial std 1/sqrt(32) ≈ 0.18)."""
+    from uci_searchengine_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    base = [f"w{i}" for i in range(60)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(base)),
+            (1, " ".join(base[:45] + [f"x{i}" for i in range(15)])),
+            (2, " ".join(f"y{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "doc_id", "text", 3)
+    sigs = {r["id"]: list(r["sig"]) for r in minhash_signatures(sh, 32).collect()}
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r["id"], set()).add(r["shingle_id"])
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(sigs[a], sigs[b])) / 32
+
+    def jac(a, b):
+        return len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+
+    assert abs(est(0, 1) - jac(0, 1)) <= 0.2  # overlapping pair
+    assert est(0, 2) == jac(0, 2) == 0.0      # disjoint pair

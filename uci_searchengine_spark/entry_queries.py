@@ -2870,6 +2870,119 @@ FROM toks WHERE is_new ORDER BY doc_id
 """
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash Jaccard ESTIMATION — the property the signatures exist
+    for: for every LSH candidate pair, est = matching signature
+    components / n_perm (unbiased estimator of Jaccard, ±1/√32 ≈ 0.18
+    std) next to the EXACT shingle Jaccard. Signature compare is one
+    in-row zip_with over the joined pair — at corpus scale this
+    replaces the exact shingle-set join entirely (signatures are 32
+    longs; shingle sets are unbounded)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, "doc_id", "text", 3)
+    sigs = dd.minhash_signatures(sh, 32)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(32.0)
+    )
+    sz = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle_id")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    exact = (
+        inter.join(sz.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "za"), "id_a")
+        .join(sz.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "zb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("i") / (F.col("za") + F.col("zb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est"))
+        .join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "est",
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _sql_minhash_estimate() -> str:
+    params = dd.minhash_params(32, seed=7)
+    mins = ",\n    ".join(
+        f"min(((shingle_id % 2147483647) * {a} + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = []
+    for b in range(8):
+        cols = " || ',' || ".join(f"h{b*4+r}::VARCHAR" for r in range(4))
+        band_rows.append(f"SELECT id, {b} AS band, md5({cols}) AS bh FROM sigs")
+    bands = " UNION ALL ".join(band_rows)
+    matches = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split(trim(lower(text)), ' ') AS t FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT id,
+         CAST(('0x' || substr(md5(g),1,8)) AS UBIGINT)::BIGINT AS shingle_id
+  FROM (
+    SELECT id,
+           CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+                ELSE [array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)]
+           END AS gs
+    FROM toks
+  ), unnest(gs) AS u(g)
+),
+sigs AS MATERIALIZED (SELECT id, {mins} FROM grams GROUP BY id),
+bands AS ({bands}),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.id < b.id
+),
+sz AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (
+  SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+  FROM grams x JOIN grams y ON x.shingle_id = y.shingle_id AND x.id < y.id
+  GROUP BY x.id, y.id
+)
+SELECT p.id_a, p.id_b,
+       round(({matches}) / CAST(32.0 AS DOUBLE), 6) AS est,
+       coalesce(round(i.i / CAST(za.sz + zb.sz - i.i AS DOUBLE), 6),
+                CAST(0.0 AS DOUBLE)) AS jaccard
+FROM pairs p
+JOIN sigs a ON a.id = p.id_a
+JOIN sigs b ON b.id = p.id_b
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+LEFT JOIN sz za ON za.id = p.id_a
+LEFT JOIN sz zb ON zb.id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """MinHash-LSH pairs → connected components (the keep-one-per-cluster
     step): (doc_id, comp) for every doc appearing in ≥1 candidate pair,
@@ -6160,6 +6273,7 @@ QUERIES["training_pairs"] = (q_training_pairs, _sql_training_pairs())
 QUERIES["funnel"] = (q_funnel, SQL_FUNNEL)
 QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
 QUERIES["source_terms"] = (q_source_terms, SQL_SOURCE_TERMS)
+QUERIES["minhash_estimate"] = (q_minhash_estimate, _sql_minhash_estimate())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
