@@ -2870,6 +2870,98 @@ FROM toks WHERE is_new ORDER BY doc_id
 """
 
 
+RKNN_K = 5
+
+
+def q_reciprocal_knn(spark, sf_dir):
+    """Reciprocal k-NN pairs over the embeddings table: (a, b) kept
+    only when b is in a's cosine top-5 AND a is in b's — the mutual
+    criterion that suppresses hub false-matches one-directional kNN
+    admits. Gate scale runs the exact n² pair scores; each side's
+    top-k is a bounded aggregate sort+slice (no Spark window; ties
+    (cos desc, id asc) on the ROUNDED cosine). At corpus scale the
+    pair generation swaps to the LSH/IVF candidate join — the mutual
+    filter is unchanged."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    topk = pairs.groupBy("ia").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct((-F.col("cos")).alias("nc"), F.col("ib").alias("ib"))
+                )
+            ),
+            1,
+            RKNN_K,
+        ).alias("nn")
+    )
+    edges = topk.select(
+        "ia", F.explode("nn").alias("e")
+    ).select("ia", F.col("e.ib").alias("ib"), (-F.col("e.nc")).alias("cos"))
+    rev = edges.select(
+        F.col("ib").alias("ia"), F.col("ia").alias("ib")
+    )
+    mutual = edges.join(rev, ["ia", "ib"], "left_semi").filter(
+        F.col("ia") < F.col("ib")
+    )
+    return mutual.select(
+        F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos"
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_reciprocal_knn() -> str:
+    return f"""
+WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_dot_product(a.embedding, b.embedding)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(b.embedding, b.embedding))), 6)
+           AS cos
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+topk AS MATERIALIZED (
+  SELECT ia, ib, cos FROM (
+    SELECT ia, ib, cos,
+           row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC)
+             AS rn
+    FROM pairs
+  ) WHERE rn <= {RKNN_K}
+)
+SELECT t.ia AS id_a, t.ib AS id_b, t.cos
+FROM topk t JOIN topk r ON r.ia = t.ib AND r.ib = t.ia
+WHERE t.ia < t.ib
+ORDER BY id_a, id_b
+"""
+
+
 def q_minhash_estimate(spark, sf_dir):
     """MinHash Jaccard ESTIMATION — the property the signatures exist
     for: for every LSH candidate pair, est = matching signature
@@ -6274,6 +6366,7 @@ QUERIES["funnel"] = (q_funnel, SQL_FUNNEL)
 QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
 QUERIES["source_terms"] = (q_source_terms, SQL_SOURCE_TERMS)
 QUERIES["minhash_estimate"] = (q_minhash_estimate, _sql_minhash_estimate())
+QUERIES["reciprocal_knn"] = (q_reciprocal_knn, _sql_reciprocal_knn())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
