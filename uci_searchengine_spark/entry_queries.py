@@ -5169,6 +5169,30 @@ FROM ({hll_sql(key, "documents", p=HLL_P)}) x
 """
 
 
+def q_hll_grouped(spark, sf_dir):
+    """GROUPED HyperLogLog (sketches.hll_distinct with group_cols):
+    per-language distinct-doc estimates from per-group register
+    tables — the form whose registers roll up to coarser groupings
+    without rescanning data (pytest-pinned); here the per-group
+    estimates gate cross-engine. Same p=6 raw-estimate branch as
+    hll_distinct_docs."""
+    from uci_searchengine_spark.operators.sketches import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct(
+        docs, F.col("doc_id").cast("string"), p=HLL_P, group_cols=["lang"]
+    ).orderBy("lang")
+
+
+def _sql_hll_grouped() -> str:
+    from uci_searchengine_spark.operators.sketches import hll_sql
+
+    q = hll_sql(
+        "CAST(doc_id AS VARCHAR)", "documents", p=HLL_P, group_cols=["lang"]
+    )
+    return f"SELECT * FROM ({q}) ORDER BY lang"
+
+
 CMS_W = 4096
 CMS_D = 4
 
@@ -6367,6 +6391,7 @@ QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
 QUERIES["source_terms"] = (q_source_terms, SQL_SOURCE_TERMS)
 QUERIES["minhash_estimate"] = (q_minhash_estimate, _sql_minhash_estimate())
 QUERIES["reciprocal_knn"] = (q_reciprocal_knn, _sql_reciprocal_knn())
+QUERIES["hll_grouped"] = (q_hll_grouped, _sql_hll_grouped())
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
