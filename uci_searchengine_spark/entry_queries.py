@@ -6404,6 +6404,13 @@ QUERIES["hll_grouped"] = (q_hll_grouped, _sql_hll_grouped())
 # flagship serving/dedup pipeline gates. Everything rotated to the tail
 # is driver-green from rounds 2-3 on untouched code and stays covered by
 # scripts/check_oracles.py + pytest.
+# ROUND-5 ROTATION NOTE: gates registered after this list was frozen
+# (appended via QUERIES[...] = ... below — triangles, label_prop,
+# prf_search, personalized_pr, containment_pairs, source_quality,
+# source_terms, training_pairs, funnel, cohort_retention,
+# minhash_estimate, reciprocal_knn, hll_grouped, rare_terms, pq_ann)
+# have NEVER been driver-checked; they and the r2-era core gates in
+# the tail are the round-5 window-rotation priority.
 _WINDOW_R4 = [
     # (a) round-3 red rows + the training pipeline they compose into
     # (canonicalization reworked this round: min-aggregate/max-struct)
