@@ -5193,6 +5193,37 @@ def _sql_hll_grouped() -> str:
     return f"SELECT * FROM ({q}) ORDER BY lang"
 
 
+PR_VALUES = (200, 1000, 3000)
+
+
+def q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks (inverse percentiles): the fraction of docs
+    with n_chars ≤ v for pinned values — one aggregate pass of
+    avg(indicator), trivially partial/mergeable (the exact-scan
+    counterpart of the sampled_quantiles sketch direction)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.round(
+                F.avg((F.col("n_chars") <= v).cast("double")), 6
+            ).alias(f"pr_{v}")
+            for v in PR_VALUES
+        ],
+    )
+
+
+SQL_PERCENTILE_RANKS = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       {", ".join(
+           f"round(avg(CASE WHEN n_chars <= {v} THEN CAST(1.0 AS DOUBLE) "
+           f"ELSE CAST(0.0 AS DOUBLE) END), 6) AS pr_{v}"
+           for v in PR_VALUES
+       )}
+FROM documents
+"""
+
+
 CMS_W = 4096
 CMS_D = 4
 
@@ -6392,6 +6423,7 @@ QUERIES["source_terms"] = (q_source_terms, SQL_SOURCE_TERMS)
 QUERIES["minhash_estimate"] = (q_minhash_estimate, _sql_minhash_estimate())
 QUERIES["reciprocal_knn"] = (q_reciprocal_knn, _sql_reciprocal_knn())
 QUERIES["hll_grouped"] = (q_hll_grouped, _sql_hll_grouped())
+QUERIES["percentile_ranks"] = (q_percentile_ranks, SQL_PERCENTILE_RANKS)
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
