@@ -35,9 +35,9 @@ class TestFunnel:
             r["step"]: (r["n_users"], r["conv"])
             for r in funnel(ev, ["view", "click", "purchase"]).collect()
         }
-        assert got["1_view"] == (4, 1.0)
-        assert got["2_click"] == (3, 0.75)  # u1, u2, u4
-        assert got["3_purchase"] == (1, pytest.approx(1 / 3, abs=1e-6))
+        assert got["01_view"] == (4, 1.0)
+        assert got["02_click"] == (3, 0.75)  # u1, u2, u4
+        assert got["03_purchase"] == (1, pytest.approx(1 / 3, abs=1e-6))
 
     def test_earliest_step_event_is_the_anchor(self, spark):
         # the FIRST view anchors the window even when a later view
@@ -53,7 +53,7 @@ class TestFunnel:
             "user_id long, event_type string, ts timestamp",
         )
         got = {r["step"]: r["n_users"] for r in funnel(ev, ["view", "click"]).collect()}
-        assert got == {"1_view": 1, "2_click": 0}
+        assert got == {"01_view": 1, "02_click": 0}
 
 
 @pytest.mark.spark

@@ -899,3 +899,25 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
 
     assert abs(est(0, 1) - jac(0, 1)) <= 0.2  # overlapping pair
     assert est(0, 2) == jac(0, 2) == 0.0      # disjoint pair
+
+
+@pytest.mark.spark
+def test_label_propagation_on_string_nodes(spark):
+    """Regression: the tie-break must not arithmetically negate the
+    label column — on string node ids (urls, the output of this
+    module's own links_table) that threw CAST_INVALID_INPUT under
+    ANSI mode. Two url cliques + a bridge segment into two
+    communities with 'most frequent, smallest label' ties."""
+    from uci_searchengine_spark.operators.links import label_propagation
+
+    urls = [f"https://a{i}.example.com/" for i in range(4)] + [
+        f"https://b{i}.example.com/" for i in range(4)
+    ]
+    cl = [(urls[a], urls[b]) for a in range(4) for b in range(a + 1, 4)]
+    cl += [(urls[a], urls[b]) for a in range(4, 8) for b in range(a + 1, 8)]
+    cl.append((urls[3], urls[4]))
+    df = spark.createDataFrame(cl, "src string, dst string")
+    res = {r["node"]: r["label"] for r in label_propagation(df, 3).collect()}
+    assert len({res[u] for u in urls[:4]}) == 1
+    assert len({res[u] for u in urls[4:]}) == 1
+    assert res[urls[0]] != res[urls[7]]

@@ -2509,9 +2509,9 @@ SELECT step, n_users,
        CASE WHEN den > 0 THEN round(num / CAST(den AS DOUBLE), 6)
             ELSE CAST(0.0 AS DOUBLE) END AS conv
 FROM (
-  SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users, n1 AS num, n1 AS den FROM ns
-  UNION ALL SELECT '2_click', CAST(n2 AS BIGINT), n2, n1 FROM ns
-  UNION ALL SELECT '3_purchase', CAST(n3 AS BIGINT), n3, n2 FROM ns
+  SELECT '01_view' AS step, CAST(n1 AS BIGINT) AS n_users, n1 AS num, n1 AS den FROM ns
+  UNION ALL SELECT '02_click', CAST(n2 AS BIGINT), n2, n1 FROM ns
+  UNION ALL SELECT '03_purchase', CAST(n3 AS BIGINT), n3, n2 FROM ns
 ) ORDER BY step
 """
 

@@ -92,7 +92,17 @@ def composite_sql(
     the same flat boolean form), GROUP BY, ORDER BY keys, LIMIT."""
 
     def lit(v) -> str:
-        return f"'{v}'" if isinstance(v, str) else repr(v)
+        # Quote-escape string cursors ("o'neil" is a plausible domain)
+        # and reject anything that is not a plain str/int/float — the
+        # cursor value is spliced into SQL text, so an unvetted repr()
+        # would be an injection surface.
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError(
+                f"composite cursor values must be str/int/float, got {v!r}"
+            )
+        return repr(v)
 
     where = ""
     if after is not None:

@@ -50,8 +50,16 @@ def funnel(
         )
         counts.append(stage.count())
     spark = events.sparkSession
+    # Zero-pad the step index: the table is ordered by the string
+    # label, and without padding "10_x" would sort before "2_y" on
+    # funnels of 10+ steps.
     rows = [
-        (f"{i + 1}_{s}", counts[i], counts[i], counts[i - 1] if i else counts[0])
+        (
+            f"{i + 1:02d}_{s}",
+            counts[i],
+            counts[i],
+            counts[i - 1] if i else counts[0],
+        )
         for i, s in enumerate(steps)
     ]
     return (

@@ -160,7 +160,15 @@ def federated_envelope(
     from) and the EXACT union match count, one topk_count_docs job per
     member. Cross-member ordering is (score desc, url asc) — a total,
     engine-independent order (doc ids are index-local and urls are
-    globally unique by the crawler's dedup invariant)."""
+    globally unique by the crawler's dedup invariant).
+
+    PRECONDITION — member indexes must be url-DISJOINT. ``total_results``
+    sums per-member match counts, which double-counts a url present in
+    more than one member. Indexes built by this engine's crawler satisfy
+    this (global url dedup before build); for externally built members
+    the caller owns the invariant. The returned page is additionally
+    deduped by url (first = best-scoring member wins) so overlap can
+    never surface duplicate rows even if the count is an upper bound."""
     import math
 
     from uci_searchengine_spark.operators.wand import topk_count_docs
@@ -197,6 +205,13 @@ def federated_envelope(
         for r in rows_i:
             rows.append({**r, "index": lbl})
     rows.sort(key=lambda r: (-r["score"], r["url"]))
+    seen_urls: set = set()
+    deduped = []
+    for r in rows:
+        if r["url"] not in seen_urls:
+            seen_urls.add(r["url"])
+            deduped.append(r)
+    rows = deduped
     start = (page - 1) * per_page
     dym = None
     if total == 0:

@@ -358,12 +358,16 @@ def label_propagation(
             .groupBy(F.col("u").alias("node"), F.col("nl").alias("cand"))
             .agg(F.count("*").alias("cnt"))
         )
-        best = nbr.groupBy("node").agg(
-            F.max(
-                F.struct(F.col("cnt").alias("cnt"), (-F.col("cand")).alias("neg"))
-            ).alias("w")
+        # Tie-break = "most frequent, then smallest label" WITHOUT
+        # arithmetic negation (labels may be strings — urls — where
+        # ``-col`` would throw CAST_INVALID_INPUT under ANSI mode):
+        # per-node max cnt, join back on (node, cnt), min(cand).
+        best_cnt = nbr.groupBy("node").agg(F.max("cnt").alias("cnt"))
+        labels = (
+            nbr.join(best_cnt, ["node", "cnt"])
+            .groupBy("node")
+            .agg(F.min("cand").alias("label"))
         )
-        labels = best.select("node", (-F.col("w.neg")).alias("label"))
         if (i + 1) % 2 == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels

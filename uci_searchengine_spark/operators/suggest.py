@@ -155,6 +155,11 @@ def phrase_suggest_pairs(
     (orders of magnitude smaller than postings) and the candidate
     cross-join is |cand1|×|cand2| — bounded by the generator, never
     corpus-sized. One broadcast one-row stats join; no window."""
+    w1, w2 = w1.strip(), w2.strip()
+    if not w1 or not w2:
+        raise ValueError(
+            "phrase_suggest_pairs needs two non-empty query words"
+        )
     uni = (
         toks.select(F.explode("t").alias("a"))
         .groupBy("a")
