@@ -921,3 +921,55 @@ def test_label_propagation_on_string_nodes(spark):
     assert len({res[u] for u in urls[:4]}) == 1
     assert len({res[u] for u in urls[4:]}) == 1
     assert res[urls[0]] != res[urls[7]]
+
+
+@pytest.mark.spark
+def test_reciprocal_knn_candidate_path_equals_exact(spark):
+    """The LSH candidate path must reproduce the exact all-pairs
+    mutual-kNN result on BOTH regimes: (a) a clustered corpus (the
+    realistic case — candidates prune hard: assert the candidate
+    relation is well under half of n², recall still 1.0) and (b) a
+    small uniformly-random corpus with generous probes (the gate's
+    worst case)."""
+    import numpy as np
+
+    from uci_searchengine_spark.operators.similarity import (
+        knn_candidate_pairs,
+        reciprocal_knn,
+    )
+
+    def run(vecs, ids, **cfg):
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        exact = sorted(
+            tuple(r) for r in reciprocal_knn(df, k=5).collect()
+        )
+        cand = knn_candidate_pairs(df, dim=vecs.shape[1], **cfg)
+        got = sorted(
+            tuple(r)
+            for r in reciprocal_knn(df, k=5, candidates=cand).collect()
+        )
+        return exact, got, cand.count(), len(ids)
+
+    # (a) clustered: 8 tight clusters of 15 in 64-d
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 64)) * 4
+    vecs = np.vstack(
+        [c + rng.standard_normal((15, 64)) * 0.3 for c in centers]
+    )
+    exact, got, n_cand, n = run(
+        vecs, range(len(vecs)), n_tables=4, n_planes=6, hamming=1
+    )
+    assert got == exact and len(exact) > 0
+    assert n_cand < 0.5 * n * (n - 1), (
+        f"clustered corpus should prune: {n_cand} vs n²={n*(n-1)}"
+    )
+
+    # (b) uniform random, generous probes (the gate parameterization)
+    vecs2 = np.random.RandomState(13).standard_normal((60, 64))
+    exact2, got2, _, _ = run(
+        vecs2, range(60), n_tables=6, n_planes=4, hamming=2
+    )
+    assert got2 == exact2 and len(exact2) > 0

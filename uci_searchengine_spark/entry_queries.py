@@ -2877,61 +2877,30 @@ def q_reciprocal_knn(spark, sf_dir):
     """Reciprocal k-NN pairs over the embeddings table: (a, b) kept
     only when b is in a's cosine top-5 AND a is in b's — the mutual
     criterion that suppresses hub false-matches one-directional kNN
-    admits. Gate scale runs the exact n² pair scores; each side's
+    admits. The gate runs THROUGH THE CANDIDATE PATH: pair generation
+    is ``similarity.knn_candidate_pairs`` (multi-table SRP buckets +
+    Hamming multiprobe feeding a bucket equi-join — the plan is
+    explode→shuffle→join, never an n² cross join), then
+    ``similarity.reciprocal_knn`` scores only candidates; each side's
     top-k is a bounded aggregate sort+slice (no Spark window; ties
-    (cos desc, id asc) on the ROUNDED cosine). At corpus scale the
-    pair generation swaps to the LSH/IVF candidate join — the mutual
-    filter is unchanged."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    (cos desc, id asc) on the ROUNDED cosine). The gate corpus is
+    uniformly random (5th-NN cosine ≈0.29 — no locality), the ANN
+    worst case, so recall-1.0 probing is necessarily generous there;
+    on clustered embeddings the same operator prunes hard
+    (tests/test_ops.py pins candidate-path ≡ exact-path on BOTH
+    regimes plus the pruning ratio on the clustered one)."""
+    from uci_searchengine_spark.operators.similarity import (
+        knn_candidate_pairs,
+        reciprocal_knn,
     )
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = knn_candidate_pairs(
+        emb, n_tables=6, n_planes=4, hamming=2, dim=64, seed=11
     )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
-        )
+    return reciprocal_knn(emb, k=RKNN_K, candidates=cand).orderBy(
+        "id_a", "id_b"
     )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("ia") != F.col("ib"))
-        .select(
-            "ia",
-            "ib",
-            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias(
-                "cos"
-            ),
-        )
-    )
-    topk = pairs.groupBy("ia").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(
-                    F.struct((-F.col("cos")).alias("nc"), F.col("ib").alias("ib"))
-                )
-            ),
-            1,
-            RKNN_K,
-        ).alias("nn")
-    )
-    edges = topk.select(
-        "ia", F.explode("nn").alias("e")
-    ).select("ia", F.col("e.ib").alias("ib"), (-F.col("e.nc")).alias("cos"))
-    rev = edges.select(
-        F.col("ib").alias("ia"), F.col("ia").alias("ib")
-    )
-    mutual = edges.join(rev, ["ia", "ib"], "left_semi").filter(
-        F.col("ia") < F.col("ib")
-    )
-    return mutual.select(
-        F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos"
-    ).orderBy("id_a", "id_b")
 
 
 def _sql_reciprocal_knn() -> str:

@@ -402,3 +402,154 @@ def pq_search(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def knn_candidate_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 6,
+    n_planes: int = 4,
+    hamming: int = 2,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Self-join candidate pairs for k-NN graph construction WITHOUT a
+    cross join: ``n_tables`` independent SRP hash tables; within each,
+    a pair is a candidate when its bucket ids differ in at most
+    ``hamming`` bits — realised as multi-probe (each vector explodes
+    to its own bucket XOR every ≤-hamming bit mask) feeding a plain
+    bucket EQUI-join, so the plan is explode → shuffle-on-bucket →
+    join, never n². Candidate volume = Σ_buckets |probes∩b|·|base∩b|
+    — it tracks bucket occupancy (data clusteredness), not n².
+    Returns DISTINCT directed (ia, ib), ia != ib; the relation is
+    symmetric because bucket Hamming distance is.
+
+    Parameter note: on clustered embeddings (real text/image vectors)
+    defaults prune heavily; on uniformly random vectors — where true
+    5-NN cosine sits at ~0.29, i.e. no locality for ANY hash to
+    exploit — recall-1.0 settings necessarily approach all-pairs.
+    The gate corpus is that worst case; tests pin both regimes."""
+    if hamming > n_planes:
+        raise ValueError("hamming probes cannot exceed n_planes")
+    masks = [0]
+    if hamming >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if hamming >= 2:
+        masks += [
+            (1 << p1) | (1 << p2)
+            for p1 in range(n_planes)
+            for p2 in range(p1 + 1, n_planes)
+        ]
+    if hamming >= 3:
+        masks += [
+            (1 << p1) | (1 << p2) | (1 << p3)
+            for p1 in range(n_planes)
+            for p2 in range(p1 + 1, n_planes)
+            for p3 in range(p2 + 1, n_planes)
+        ]
+    out = None
+    for t in range(n_tables):
+        s = seed + 97 * t
+        base = emb.select(
+            F.col(id_col).alias("ib"),
+            srp_bucket(F.col(vec_col), n_planes, dim, seed=s).alias("bucket"),
+        )
+        probes = emb.select(
+            F.col(id_col).alias("ia"),
+            F.explode(
+                F.array(
+                    *[
+                        srp_bucket(
+                            F.col(vec_col), n_planes, dim, seed=s
+                        ).bitwiseXOR(F.lit(m))
+                        for m in masks
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        pairs_t = probes.join(base, "bucket").select("ia", "ib")
+        out = pairs_t if out is None else out.unionByName(pairs_t)
+    return out.filter(F.col("ia") != F.col("ib")).distinct()
+
+
+def reciprocal_knn(
+    emb: DataFrame,
+    k: int = 5,
+    candidates: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual (reciprocal) k-NN pairs: (a, b) kept only when b is in
+    a's cosine top-k AND a is in b's — the hub-suppressing criterion
+    one-directional kNN lacks. Per-side top-k is a bounded aggregate
+    sort+slice (no Spark window; ties (cos desc, id asc) on the
+    6-ROUNDED cosine so ordering is engine-portable); the mutual
+    filter is a directed-edge self semi-join.
+
+    ``candidates`` — a directed, SYMMETRIC (ia, ib) pair relation
+    (e.g. ``knn_candidate_pairs``) that bounds which pairs are scored.
+    None falls back to the exact all-pairs cross join (the oracle
+    path; n² — gate/test scale only). With candidates the plan is
+    join-score-aggregate, linear in candidate volume: the 100 TB path.
+    Returns (id_a, id_b, cos) with id_a < id_b."""
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    a = e.select(F.col("_id").alias("ia"), F.col("_v").alias("va"))
+    b = e.select(F.col("_id").alias("ib"), F.col("_v").alias("vb"))
+    if candidates is None:
+        scored = a.crossJoin(b).filter(F.col("ia") != F.col("ib"))
+    else:
+        scored = (
+            candidates.select("ia", "ib")
+            .join(a, "ia")
+            .join(b, "ib")
+        )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+
+    pairs = scored.select(
+        "ia",
+        "ib",
+        F.round(dot / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias(
+            "cos"
+        ),
+    )
+    topk = pairs.groupBy("ia").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cos")).alias("nc"), F.col("ib").alias("ib")
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("nn")
+    )
+    edges = (
+        topk.select("ia", F.explode("nn").alias("e"))
+        .select("ia", F.col("e.ib").alias("ib"), (-F.col("e.nc")).alias("cos"))
+    )
+    rev = edges.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    mutual = edges.join(rev, ["ia", "ib"], "left_semi").filter(
+        F.col("ia") < F.col("ib")
+    )
+    return mutual.select(
+        F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos"
+    )
