@@ -1553,21 +1553,110 @@ def _sql_run_comparison() -> str:
     )
 
 
+# The FIXED merge list for the cross-engine BPE gate: the 8 merges the
+# corpus actually learns at the driver's gate SF, now pinned as a
+# literal parameter (like the fixed query terms of the search gates) so
+# the gate is SQL-mirrorable. The LEARNING loop itself is iterative and
+# stays pytest-pinned (tests/test_bpe.py, exact ≡ the Sennrich
+# reference); what the driver hash-checks here is (a) the iteration-1
+# pair-count table — the aggregate every merge round recomputes — and
+# (b) the full vocabulary segmented under the fixed merges, i.e. the
+# APPLY side of the tokenizer, which is what a training pipeline runs
+# at corpus scale. No merge has a == b, which keeps the oracle's
+# non-overlapping string-replace exactly equal to the greedy
+# left-to-right merge semantics.
+BPE_FIXED_MERGES = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+]
+
+
 def q_bpe_merges(spark, sf_dir):
-    """BPE tokenizer induction (operators/bpe.py): the first 8 merges
-    learned from the corpus word-frequency relation, with their pair
-    counts. Iterative (each merge rewrites the vocabulary state), so
-    this gate is rows-only — no single SQL statement expresses the
-    loop; the exact-semantics check is tests/test_bpe.py against the
-    textbook reference implementation."""
-    from uci_searchengine_spark.operators.bpe import bpe_train, word_counts
+    """BPE tokenizer gate (operators/bpe.py), cross-engine form: one
+    relation (kind, a, b, cnt) holding BOTH the iteration-1 adjacent-
+    pair counts over the char-split word-frequency state (kind=
+    'pair1': a/b = the symbol pair, top-20 by cnt desc, a, b) AND the
+    whole vocabulary segmented under ``BPE_FIXED_MERGES`` applied in
+    order by the pure-JVM ``merge_pair_col`` fold (kind='seg': a =
+    word, b = space-joined symbols, cnt = corpus frequency). The
+    corpus is touched once (word_counts); everything after operates
+    on the vocabulary-sized relation."""
+    from uci_searchengine_spark.operators.bpe import (
+        _chars,
+        merge_pair_col,
+        pair_counts,
+        word_counts,
+    )
 
     words = word_counts(_doc_tokens(spark, sf_dir))
-    merges, _state = bpe_train(words, num_merges=8)
-    return spark.createDataFrame(
-        [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
-        "rank int, a string, b string, merged string, cnt long",
+    state = words.select(
+        "word", "freq", _chars(F.col("word")).alias("syms")
     )
+    part1 = (
+        pair_counts(state)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(20)
+        .select(
+            F.lit("pair1").alias("kind"),
+            "a",
+            "b",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    seg = state
+    for a, b in BPE_FIXED_MERGES:
+        seg = seg.withColumn("syms", merge_pair_col(F.col("syms"), a, b))
+    part2 = seg.select(
+        F.lit("seg").alias("kind"),
+        F.col("word").alias("a"),
+        F.concat_ws(" ", "syms").alias("b"),
+        F.col("freq").cast("long").alias("cnt"),
+    )
+    return part1.unionByName(part2)
+
+
+def _sql_bpe_merges() -> str:
+    """DuckDB mirror of q_bpe_merges. Segmentation = sequential
+    non-overlapping string replaces over a DOUBLE-delimited symbol
+    string ('|a||b||c|'): double delimiters make adjacent matches of
+    the same pattern textually disjoint, so one replace pass ==
+    one greedy left-to-right merge pass (verified for runs and
+    self-adjacent patterns); exact only because no fixed merge has
+    a == b (asserted here)."""
+    assert all(a != b for a, b in BPE_FIXED_MERGES)
+    seg_expr = "'|' || array_to_string(string_split(word, ''), '||') || '|'"
+    for a, b in BPE_FIXED_MERGES:
+        seg_expr = f"replace({seg_expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+WITH {_TOKS_CTE},
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(t) AS word FROM toks)
+  WHERE word != '' GROUP BY word
+),
+pair1 AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq,
+           unnest(list_zip(cs[1:len(cs) - 1], cs[2:len(cs)])) AS p
+    FROM (SELECT freq, string_split(word, '') AS cs FROM wc)
+  )
+  GROUP BY 1, 2
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 20
+)
+SELECT 'pair1' AS kind, a, b, cnt FROM pair1
+UNION ALL
+SELECT 'seg' AS kind, word AS a,
+       replace(trim({seg_expr}, '|'), '||', ' ') AS b,
+       freq AS cnt
+FROM wc
+"""
 
 
 def q_hits(spark, sf_dir):
@@ -2203,20 +2292,28 @@ GROUP BY e.dst ORDER BY n_refs DESC, doc_id ASC LIMIT 20
 
 
 def q_pq_ann(spark, sf_dir):
-    """Product-quantization ANN (similarity.pq_*): train m=8/k=16
-    codebooks on the deterministic hash-ordered sample, encode the
-    embeddings table to 8-byte codes, ADC top-10 for the first 3
-    vectors as queries. Iterative k-means training → rows-only gate
-    (the exactness checks — encode ≡ numpy argmin, ADC ≡ table
-    lookups, codeword-exactness, recall floor — are tests/test_pq.py)."""
+    """Product-quantization ANN (similarity.pq_*), cross-engine form:
+    encode the embeddings table to m=8/k=16 codes against the PINNED
+    codebooks (operators/pq_gate_books.py — real k-means output,
+    frozen as a literal parameter exactly like BPE_FIXED_MERGES /
+    the fixed query terms, so the DuckDB oracle can share them), then
+    ADC top-10 for the first 3 vectors as queries. What the driver
+    hash-checks is the APPLY side a serving tier runs — argmin
+    encoding + table-lookup ADC ranking; the iterative k-means
+    TRAINING stays pytest-pinned (tests/test_pq.py: encode ≡ numpy
+    argmin, ADC ≡ table lookups, recall floor)."""
+    import numpy as np
+
+    from uci_searchengine_spark.operators.pq_gate_books import (
+        PQ_GATE_BOOKS,
+    )
     from uci_searchengine_spark.operators.similarity import (
-        pq_codebooks,
         pq_encode,
         pq_search,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = pq_codebooks(emb, m=8, k=16)
+    books = np.array(PQ_GATE_BOOKS, dtype=np.float64)
     codes = pq_encode(emb, books)
     qs = emb.filter("vec_id < 3").select(
         F.col("vec_id").alias("q_id"),
@@ -2225,6 +2322,68 @@ def q_pq_ann(spark, sf_dir):
     return pq_search(codes, books, qs, k=10).select(
         "q_id", "vec_id", F.round("adc", 6).alias("adc")
     )
+
+
+def _sql_pq_ann() -> str:
+    """DuckDB mirror of q_pq_ann from the same pinned codebooks:
+    encode = per-(vector, subspace) argmax of dot(sub, codeword) −
+    ‖codeword‖²/2 with the first-occurrence (min code id) tie rule
+    numpy argmin uses; ADC = Σ_j dot(codeword_{code_j}, q_sub_j),
+    ranked per query on the UNROUNDED sum (as Spark does) and rounded
+    to 6 for output."""
+    from uci_searchengine_spark.operators.pq_gate_books import (
+        PQ_GATE_BOOKS,
+    )
+
+    m = len(PQ_GATE_BOOKS)
+    dsub = len(PQ_GATE_BOOKS[0][0])
+    vals = ",\n".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in PQ_GATE_BOOKS[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(len(PQ_GATE_BOOKS[j]))
+    )
+    return f"""
+WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cb(j, c, cv) AS (VALUES
+{vals}
+),
+sub AS (
+  SELECT vec_id, j, v[j * {dsub} + 1 : j * {dsub} + {dsub}] AS sv
+  FROM e CROSS JOIN (SELECT unnest(range({m})) AS j)
+),
+scored AS MATERIALIZED (
+  SELECT vec_id, sub.j, c,
+         list_dot_product(sv, cv) - 0.5 * list_dot_product(cv, cv) AS s
+  FROM sub JOIN cb ON cb.j = sub.j
+),
+mx AS (SELECT vec_id, j, max(s) AS ms FROM scored GROUP BY vec_id, j),
+enc AS (
+  SELECT scored.vec_id, scored.j, min(c) AS code
+  FROM scored JOIN mx ON mx.vec_id = scored.vec_id AND mx.j = scored.j
+                     AND scored.s = mx.ms
+  GROUP BY scored.vec_id, scored.j
+),
+qtab AS (
+  SELECT qs.vec_id AS q_id, cb.j, cb.c,
+         list_dot_product(cb.cv,
+             qs.v[cb.j * {dsub} + 1 : cb.j * {dsub} + {dsub}]) AS tv
+  FROM (SELECT vec_id, v FROM e WHERE vec_id < 3) qs CROSS JOIN cb
+),
+adc AS (
+  SELECT qtab.q_id, enc.vec_id, sum(tv) AS sadc
+  FROM enc JOIN qtab ON qtab.j = enc.j AND qtab.c = enc.code
+  GROUP BY qtab.q_id, enc.vec_id
+)
+SELECT q_id, vec_id, round(sadc, 6) AS adc
+FROM (
+  SELECT q_id, vec_id, sadc,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sadc DESC, vec_id ASC) AS rn
+  FROM adc
+) WHERE rn <= 10
+"""
 
 
 def q_rare_terms(spark, sf_dir):
@@ -6369,10 +6528,8 @@ QUERIES = {
     "hits_scores": (q_hits, _sql_hits()),
     "pipeline_aggs": (q_pipeline_aggs, SQL_PIPELINE_AGGS),
     "rare_terms": (q_rare_terms, SQL_RARE_TERMS),
-    # rows-only (iterative; exact semantics pinned in tests/test_bpe.py
-    # and tests/test_pq.py respectively)
-    "bpe_merges": (q_bpe_merges, None),
-    "pq_ann": (q_pq_ann, None),
+    "bpe_merges": (q_bpe_merges, _sql_bpe_merges()),
+    "pq_ann": (q_pq_ann, _sql_pq_ann()),
 }
 QUERIES["frontier_priority"] = (q_frontier_priority, _sql_frontier_priority())
 QUERIES["incremental_dedup"] = (q_incremental_dedup, _sql_incremental_dedup())
