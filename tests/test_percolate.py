@@ -190,3 +190,90 @@ def test_percolate_no_registry_404(spark, index_small):
         assert e.code == 404
     finally:
         srv.shutdown()
+
+
+@pytest.mark.spark
+class TestPercolateIndexed:
+    REGISTRY = {
+        "q_must": "+data +spark",
+        "q_group": "(data|spark) +join",
+        "q_not": "data -join",
+        "q_phrase": '"data spark"',
+        "q_near": '"data spark"~2',
+        "q_or": "data spark scan",
+        "q_contra": "(data|spark) -data -spark",
+        "q_multi_group": "(data|scan) (spark|join)",
+    }
+
+    def _docs(self, spark):
+        texts = [
+            "data spark join",            # 0
+            "data big spark",             # 1: near but not phrase
+            "data scan",                  # 2
+            "join only here",             # 3
+            "spark join scan",            # 4
+            "nothing relevant at all",    # 5
+            "data gap gap spark",         # 6: too far for slop 2
+        ]
+        from uci_searchengine_spark.functions.tokenize import tokenize_py
+
+        return spark.createDataFrame(
+            [(i, tokenize_py(t)) for i, t in enumerate(texts)],
+            "doc_id long, t array<string>",
+        )
+
+    def test_indexed_equals_expression_path(self, spark):
+        from uci_searchengine_spark.operators.percolate import (
+            percolate,
+            percolate_indexed,
+        )
+
+        docs = self._docs(spark)
+        full = sorted(tuple(r) for r in percolate(docs, self.REGISTRY).collect())
+        idx = sorted(
+            tuple(r)
+            for r in percolate_indexed(docs, self.REGISTRY).collect()
+        )
+        assert idx == full and len(full) > 0
+
+    def test_candidates_prefilter_and_no_false_negatives(self, spark):
+        from uci_searchengine_spark.operators.percolate import (
+            compile_queries,
+            extraction_terms,
+            match_tokens,
+        )
+
+        docs = self._docs(spark)
+        compiled = compile_queries(self.REGISTRY)
+        rows = docs.collect()
+        n_cand = 0
+        for qid, bq in compiled.items():
+            ext = set(extraction_terms(bq))
+            for r in rows:
+                hit = bool(ext & set(r["t"]))
+                n_cand += hit
+                # extraction guarantee: a match is always a candidate
+                if match_tokens(bq, list(r["t"])):
+                    assert hit, (qid, r["doc_id"])
+        # and the pre-filter genuinely prunes the cross product
+        assert n_cand < len(compiled) * len(rows)
+
+    def test_large_registry_plan_is_constant(self, spark):
+        # 300 registered queries through the indexed path — the
+        # expression path would compile 300 predicates into one
+        # projection; the indexed plan stays two joins + one filter.
+        from uci_searchengine_spark.operators.percolate import (
+            percolate,
+            percolate_indexed,
+        )
+
+        reg = {f"q{i:03d}": f"+tok{i % 37} +tok{(i * 7) % 37}" for i in range(300)}
+        docs = self._docs(spark).unionByName(
+            spark.createDataFrame(
+                [(100 + i, [f"tok{i}", f"tok{(i * 7) % 37}"]) for i in range(37)],
+                "doc_id long, t array<string>",
+            )
+        )
+        full = sorted(tuple(r) for r in percolate(docs, reg).collect())
+        idx = sorted(tuple(r) for r in percolate_indexed(docs, reg).collect())
+        assert idx == full and len(full) > 0

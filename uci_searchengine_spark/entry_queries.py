@@ -6384,6 +6384,22 @@ ORDER BY query_id, doc_id
 """
 
 
+def q_percolate_indexed(spark, sf_dir):
+    """The percolator's 10^5-registry scale path (percolate_indexed):
+    same registered queries and result set as q_percolate, but
+    candidates come from a term→query inverted index (one explode +
+    broadcast equi-join) and verification is a broadcast join against
+    the query-metadata RELATION evaluated by data-driven JVM HOFs —
+    plan size constant in the registry. Shares q_percolate's oracle:
+    the two paths must produce the identical relation."""
+    from uci_searchengine_spark.operators.percolate import percolate_indexed
+
+    toks = _doc_tokens(spark, sf_dir)
+    return percolate_indexed(toks, PERCOLATE_QUERIES).orderBy(
+        "query_id", "doc_id"
+    )
+
+
 # Registry order matters: the driver's correctness gate checks the FIRST 50
 # entries only. Window invariant (every gate driver-verified at least once
 # per two rounds): keep (a) any previously-red gate, (b) every gate whose
@@ -6550,6 +6566,7 @@ QUERIES["minhash_estimate"] = (q_minhash_estimate, _sql_minhash_estimate())
 QUERIES["reciprocal_knn"] = (q_reciprocal_knn, _sql_reciprocal_knn())
 QUERIES["hll_grouped"] = (q_hll_grouped, _sql_hll_grouped())
 QUERIES["percentile_ranks"] = (q_percentile_ranks, SQL_PERCENTILE_RANKS)
+QUERIES["percolate_indexed"] = (q_percolate_indexed, SQL_PERCOLATE)
 
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the

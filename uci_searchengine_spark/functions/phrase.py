@@ -202,3 +202,47 @@ def unordered_near_gap_col(toks: Column, a: str, b: str) -> Column:
         )
         - 1
     ).cast("int")
+
+
+def near_exists_data(toks: Column, seq: Column, slop: Column) -> Column:
+    """Data-driven twin of ``near_count_col`` existence: ``seq`` and
+    ``slop`` are COLUMNS (one registered phrase per row), not Python
+    literals — the form the indexed percolator needs, where the query
+    registry is a relation joined against candidates rather than a
+    compiled expression chain. Same greedy earliest-next-chain
+    semantics (slop = 0 degenerates to the exact-phrase match). Pure
+    JVM higher-order functions; evaluates per candidate row only."""
+    n = F.size(seq)
+    last = F.size(toks) - F.lit(1)
+    win = (n - F.lit(1) + slop).cast("long")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(last, F.lit(0))),
+        lambda i: F.get(toks, i.cast("int")) == F.get(seq, 0),
+    )
+
+    def chain_ok(i: Column) -> Column:
+        rest = F.slice(seq, 2, F.greatest(n - 1, F.lit(0)))
+
+        def step(acc: Column, w: Column) -> Column:
+            lo = acc + F.lit(1)
+            hi = F.least(i.cast("long") + win, last.cast("long"))
+            nxt = F.when(
+                (acc >= 0) & (lo <= hi),
+                F.array_min(
+                    F.filter(
+                        F.sequence(lo, hi),
+                        lambda j: F.get(toks, j.cast("int")) == w,
+                    )
+                ),
+            )
+            return F.coalesce(nxt, F.lit(-1)).cast("long")
+
+        return F.aggregate(rest, i.cast("long"), step) >= 0
+
+    return (
+        F.when(
+            (n > 0) & (F.size(toks) >= n),
+            F.exists(starts, chain_ok),
+        )
+        .otherwise(F.lit(False))
+    )

@@ -166,3 +166,110 @@ def percolate(
         docs.select(F.col(id_col), F.explode(hits).alias("query_id"))
         .select("query_id", id_col)
     )
+
+
+def extraction_terms(bq) -> list[str]:
+    """The candidate-index term set for one registered query — the
+    no-false-negative guarantee Lucene's percolator extraction makes:
+    every document matching ``bq`` contains at least one returned
+    term. Pick the cheapest positive clause: one MUST term (a match
+    contains all of them), else one word of the first phrase (a match
+    contains every phrase word), else every member of the smallest
+    any-of group, else every pure-OR term. No positive clause → []
+    (matches nothing, index nothing)."""
+    if bq.must_terms:
+        return [min(bq.must_terms)]
+    if bq.phrases:
+        return [min(bq.phrases[0])]
+    if bq.groups:
+        return sorted(set(min(bq.groups, key=lambda g: (len(g), sorted(g)))))
+    if bq.or_terms:
+        return sorted(set(bq.or_terms))
+    return []
+
+
+_META_SCHEMA = (
+    "query_id string, musts array<string>, groups array<array<string>>, "
+    "ors array<string>, nots array<string>, "
+    "phrases array<struct<words: array<string>, slop: int>>, "
+    "or_req boolean"
+)
+
+
+def percolate_indexed(
+    docs: DataFrame,
+    queries: "dict[str, str]",
+    id_col: str = "doc_id",
+    tokens_col_name: str = "t",
+    analyze=None,
+) -> DataFrame:
+    """The 10^5+-registered-queries scale path for ``percolate``:
+    queries become DATA, not expressions. (a) a term→query inverted
+    index over ``extraction_terms`` pre-filters candidates with one
+    token-explode + broadcast equi-join (each doc meets only queries
+    it shares an extraction term with — never |docs|×|registry|);
+    (b) candidates verify against one broadcast query-metadata
+    relation via per-row JVM higher-order functions (containment /
+    overlap / data-driven greedy phrase chain — ``near_exists_data``),
+    so plan size is CONSTANT in the registry where the expression
+    path grows linearly (10^5 standing queries would blow codegen).
+    Result set ≡ ``percolate`` exactly (pytest-pinned); batch frames
+    only — the candidate distinct is a plain shuffle (streams keep
+    the expression path, or add dropDuplicates+watermark).
+
+    Reference-shape: the alerting inverse of the reference's search
+    loop (backend/app/api/search.py:67-126), same as ``percolate``."""
+    from uci_searchengine_spark.functions.phrase import near_exists_data
+
+    compiled = compile_queries(queries, analyze)
+    ext_rows: list[tuple[str, str]] = []
+    meta_rows: list[tuple] = []
+    for qid, bq in sorted(compiled.items()):
+        ext = extraction_terms(bq)
+        if not ext:
+            continue
+        ext_rows.extend((t, qid) for t in ext)
+        has_pos = bool(bq.must_terms or bq.groups or bq.phrases)
+        meta_rows.append(
+            (
+                qid,
+                sorted(set(bq.must_terms)),
+                [sorted(set(g)) for g in bq.groups],
+                sorted(set(bq.or_terms)),
+                sorted(set(bq.not_terms)),
+                [
+                    {"words": p, "slop": sl}
+                    for p, sl in zip(bq.phrases, bq.slops())
+                ],
+                bool(bq.or_terms) and not has_pos,
+            )
+        )
+    spark = docs.sparkSession
+    if not meta_rows:
+        return spark.createDataFrame([], f"query_id string, {id_col} long")
+    ext_df = spark.createDataFrame(ext_rows, "term string, query_id string")
+    meta_df = spark.createDataFrame(meta_rows, _META_SCHEMA)
+    t = F.col(tokens_col_name)
+    cand = (
+        docs.select(
+            F.col(id_col), F.explode(F.array_distinct(t)).alias("term")
+        )
+        .join(F.broadcast(ext_df), "term")
+        .select("query_id", id_col)
+        .distinct()
+    )
+    verified = (
+        cand.join(docs.select(id_col, tokens_col_name), id_col)
+        .join(F.broadcast(meta_df), "query_id")
+        .filter(
+            (F.size(F.array_except(F.col("musts"), t)) == 0)
+            & F.forall("groups", lambda g: F.arrays_overlap(t, g))
+            & F.forall(
+                "phrases",
+                lambda p: near_exists_data(t, p["words"], p["slop"]),
+            )
+            & (~F.col("or_req") | F.arrays_overlap(t, F.col("ors")))
+            & ~F.arrays_overlap(t, F.col("nots"))
+        )
+    )
+    return verified.select("query_id", id_col)
