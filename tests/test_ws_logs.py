@@ -1,0 +1,135 @@
+"""WebSocket crawler-log stream e2e — parity with the reference's
+``/api/crawler/ws`` (backend/app/api/routes.py:310-337): RFC 6455
+upgrade on the same HTTP server, ``{"message", "timestamp"}`` JSON
+text frames for every build/crawl event, PING answered with PONG,
+CLOSE echoed. Raw-socket client (masked frames) — no ws library in
+this environment."""
+
+import json
+import socket
+import threading
+
+import pytest
+
+from uci_searchengine_spark import ws
+
+
+@pytest.fixture(scope="module")
+def http_server(spark, index_small):
+    from uci_searchengine_spark.http_api import make_server
+
+    srv = make_server(spark, index_small, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1]
+    srv.shutdown()
+
+
+def _connect(port: int, path: str = "/api/crawler/ws") -> socket.socket:
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    ws.client_handshake(s, f"127.0.0.1:{port}", path)
+    return s
+
+
+@pytest.mark.spark
+class TestWsLogs:
+    def test_handshake_and_backlog_frames(self, http_server):
+        """cursor=0 replays the manifest tail: a built index must
+        stream its commit events as reference-shaped JSON frames."""
+        s = _connect(http_server)
+        try:
+            op, payload = ws.client_recv_frame(s)
+            assert op == ws.OP_TEXT
+            ev = json.loads(payload)
+            assert set(ev) == {"message", "timestamp"}
+            assert "committed" in ev["message"]
+        finally:
+            ws.client_send_close(s)
+            s.close()
+
+    def test_frames_match_cursor_poll(self, http_server):
+        """The WS stream and GET /api/crawler/logs serve the SAME feed:
+        collect the backlog over WS and compare to the poll route."""
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http_server}/api/crawler/logs"
+        ) as r:
+            polled = json.loads(r.read())["events"]
+        s = _connect(http_server)
+        got = []
+        # generous: this host's degraded phases stretch the push loop
+        s.settimeout(30)
+        try:
+            while len(got) < len(polled):
+                op, payload = ws.client_recv_frame(s)
+                if op == ws.OP_TEXT:
+                    got.append(json.loads(payload))
+        finally:
+            ws.client_send_close(s)
+            s.close()
+        assert got == polled
+
+    def test_ping_pong_and_client_text_ignored(self, http_server):
+        s = _connect(http_server)
+        try:
+            # drain the backlog first (tail is finite; then quiet)
+            s.settimeout(5)
+            while True:
+                try:
+                    op, _ = ws.client_recv_frame(s)
+                except (TimeoutError, socket.timeout):
+                    break
+            # reference loop: client text is read and discarded
+            ws.client_send_text(s, "hello from client")
+            # ping must come back as pong with the same payload
+            ws.client_send_ping(s, b"hb")
+            s.settimeout(10)
+            while True:
+                op, payload = ws.client_recv_frame(s)
+                if op == ws.OP_PONG:
+                    assert payload == b"hb"
+                    break
+                assert op == ws.OP_TEXT  # stray late log frame is fine
+        finally:
+            ws.client_send_close(s)
+            s.close()
+
+    def test_close_is_echoed(self, http_server):
+        s = _connect(http_server)
+        s.settimeout(10)
+        ws.client_send_close(s)
+        # server may still flush backlog text frames before seeing the
+        # close; the final frame must be the echoed CLOSE
+        while True:
+            op, _ = ws.client_recv_frame(s)
+            if op == ws.OP_CLOSE:
+                break
+        s.close()
+
+    def test_cursor_now_skips_backlog(self, http_server):
+        """A subscriber starting at cursor=now gets silence (no events
+        after connect), exactly the reference's connect-time-forward
+        broadcast semantics."""
+        import time
+
+        s = _connect(
+            http_server, f"/api/crawler/ws?cursor={time.time_ns()}"
+        )
+        try:
+            s.settimeout(2)
+            with pytest.raises((TimeoutError, socket.timeout)):
+                ws.client_recv_frame(s)
+        finally:
+            ws.client_send_close(s)
+            s.close()
+
+    def test_non_upgrade_request_gets_400(self, http_server):
+        import urllib.error
+        import urllib.request
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{http_server}/api/crawler/ws"
+            )
+        assert ei.value.code == 400

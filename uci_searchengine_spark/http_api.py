@@ -708,9 +708,47 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length") or 0)
         return self.rfile.read(n) if n else b""
 
+    def _ws_logs(self, qs) -> None:
+        """``/api/crawler/ws`` — the reference's real-time crawler log
+        WebSocket (routes.py:310-337): upgrade, then push every new
+        build/crawl event as a ``{"message", "timestamp"}`` JSON text
+        frame. The feed is the same manifest-commit tail the cursor
+        poll serves (``EngineState.logs``); ``?cursor=`` picks the
+        start (0 = replay the full tail first — the manifest log IS
+        the backlog, so a late subscriber can still see the build).
+        Client text is read and discarded exactly like the reference's
+        ``receive_text()`` loop; PING is answered, CLOSE ends the
+        stream."""
+        import time as _time
+
+        from uci_searchengine_spark import ws
+
+        if not ws.handshake(self):
+            return
+        cursor = _int_param(qs, "cursor", 0)
+        try:
+            while True:
+                out = self.engine.logs(cursor)
+                cursor = out["cursor"]
+                for ev in out["events"]:
+                    ws.send_text(self.wfile, json.dumps(ev))
+                # serve client frames (select-gated raw-socket reads —
+                # a makefile() timeout would poison rfile) for one poll
+                # interval, then re-poll the manifest tail
+                deadline = _time.monotonic() + 1.0
+                while _time.monotonic() < deadline:
+                    if not ws.poll_client(
+                        self.connection, self.wfile, 0.25
+                    ):
+                        return
+        except (ConnectionError, OSError):
+            return  # peer went away — same as the reference's cleanup
+
     def do_GET(self):  # noqa: N802 (stdlib API name)
         u = urlparse(self.path)
         qs = parse_qs(u.query)
+        if u.path == "/api/crawler/ws":
+            return self._ws_logs(qs)
         try:
             if u.path == "/api/search":
                 query = qs.get("query", [None])[0]
