@@ -6649,3 +6649,79 @@ QUERIES = {
     k: QUERIES[k]
     for k in _WINDOW_R4 + [k for k in QUERIES if k not in set(_WINDOW_R4)]
 }
+
+# Round-5 window rotation (final round — supersedes _WINDOW_R4): the
+# verdict's #1 process debt was gates with no independent driver check.
+# Window = (a) every gate NEVER driver-checked in any round (18 — the
+# r4 verdict's list plus percolate_indexed, new late-r4), (b) gates
+# whose implementation changed after their r4 check (composite cursor
+# escaping, federated url-dedup, phrase-suggest empty-word guard —
+# ADVICE fixes landed post-artifact), (c) the oldest stale tranche:
+# gates last driver-checked in round 2 on r2-era code. Seven r2-era
+# relational gates (nations_union, orders_by_status,
+# top_orders_by_price, cust_semi_recent, distinct_sources,
+# scalar_projection, top2_orders_per_cust — plain TPC-H shapes,
+# untouched since r2, re-verified green by the r4 judge's replica run)
+# plus the r3-checked tranche rotate to the tail; all remain covered
+# by scripts/check_oracles.py (full-registry replica, run on final
+# round-5 code) and pytest.
+_WINDOW_R5 = [
+    # (a) never driver-checked
+    "rare_terms",
+    "bpe_merges",
+    "pq_ann",
+    "triangles",
+    "label_prop",
+    "prf_search",
+    "personalized_pr",
+    "containment_pairs",
+    "source_quality",
+    "training_pairs",
+    "funnel",
+    "cohort_retention",
+    "source_terms",
+    "minhash_estimate",
+    "reciprocal_knn",
+    "hll_grouped",
+    "percentile_ranks",
+    "percolate_indexed",
+    # (b) implementation touched after the r4 driver check
+    "composite_agg",
+    "federated_search",
+    "phrase_suggest",
+    # (c) last driver-checked in round 2 (oldest code-to-check gap)
+    "ann_cosine_topk",
+    "ann_lsh",
+    "bm25_segments_and",
+    "bm25_tombstones",
+    "corpus_stats",
+    "cust_no_orders",
+    "dedup_exact",
+    "doc_token_stats",
+    "dup_clusters",
+    "embedding_near_pairs",
+    "embedding_norms",
+    "events_hourly",
+    "filter_en_long",
+    "fingerprints",
+    "hybrid_rrf",
+    "lang_id",
+    "latest_event_per_user",
+    "ngram_jaccard_pairs",
+    "order_customer_join",
+    "pagerank",
+    "postings_for_term",
+    "pricing_summary",
+    "quality_scores",
+    "quantize_embeddings",
+    "revenue_topk",
+    "search_facets",
+    "simhash",
+    "term_df_top20",
+    "token_counts",
+]
+assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
+QUERIES = {
+    k: QUERIES[k]
+    for k in _WINDOW_R5 + [k for k in QUERIES if k not in set(_WINDOW_R5)]
+}
