@@ -85,6 +85,28 @@ HEADLINE = [
     "cms_heavy_hitters",
 ]
 
+# suite_v2 (round 5): the rounds-3/4 operator families that HEADLINE
+# (frozen since r2 for cross-round comparability) never timed — graph,
+# federation, multi-field BM25F, the dedup wave, mergeable sketches,
+# the indexed percolator, candidate-join reciprocal kNN, LM-quality
+# buckets, event funnels, DSIR. Timed with the same two-pass/min
+# protocol as v1 but recorded under queries_v2 / suite_v2_seconds so
+# the v1 suite total stays comparable across rounds.
+HEADLINE_V2 = [
+    "triangles",
+    "label_prop",
+    "federated_search",
+    "bm25f_topk",
+    "incremental_dedup",
+    "duplicate_spans",
+    "hll_grouped",
+    "percolate_indexed",
+    "reciprocal_knn",
+    "ppl_buckets",
+    "funnel",
+    "dsir_select",
+]
+
 BENCH_QUERIES = [
     "stop0",
     "arbak stop1",
@@ -321,7 +343,7 @@ def compact_headline(out: dict) -> dict:
     compact = {
         k: v
         for k, v in out.items()
-        if k not in ("scaling", "queries_cold")
+        if k not in ("scaling", "queries_cold", "queries_v2_cold")
         and not k.startswith("build_runs")
     }
     sc = out.get("scaling")
@@ -836,6 +858,26 @@ def main() -> None:
                 out["queries"][name] = min(out["queries"][name], dt)
 
     out["value"] = round(sum(out["queries"].values()), 3)
+
+    # 3b) suite_v2 — rounds-3/4 operator families (same two-pass/min
+    # protocol; separate record so the frozen v1 total stays
+    # cross-round comparable). BENCH_SKIP_V2=1 skips it.
+    if not os.environ.get("BENCH_SKIP_V2"):
+        out["queries_v2"] = {}
+        out["queries_v2_cold"] = {}
+        for pass_i in range(2):
+            for name in HEADLINE_V2:
+                fn, _sql = QUERIES[name]
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.count()
+                dt = round(time.perf_counter() - t0, 3)
+                if pass_i == 0:
+                    out["queries_v2_cold"][name] = dt
+                    out["queries_v2"][name] = dt
+                else:
+                    out["queries_v2"][name] = min(out["queries_v2"][name], dt)
+        out["suite_v2_seconds"] = round(sum(out["queries_v2"].values()), 3)
 
     # The driver captures only the TAIL of stdout and parses the last
     # JSON line; BENCH_r03's line embedded the whole scaling protocol

@@ -455,18 +455,28 @@ def knn_candidate_pairs(
             F.col(id_col).alias("ib"),
             srp_bucket(F.col(vec_col), n_planes, dim, seed=s).alias("bucket"),
         )
-        probes = emb.select(
-            F.col(id_col).alias("ia"),
-            F.explode(
-                F.array(
-                    *[
-                        srp_bucket(
-                            F.col(vec_col), n_planes, dim, seed=s
-                        ).bitwiseXOR(F.lit(m))
-                        for m in masks
-                    ]
-                )
-            ).alias("bucket"),
+        # bucket once per row, THEN explode the (tiny, literal) mask
+        # array and XOR after the Generate. Inlining srp_bucket into
+        # each of the |masks| array slots (the obvious one-select form)
+        # re-evaluates its ~500-node expression tree 11x per row and
+        # pushes the projection past the codegen limit into interpreted
+        # eval — measured 8 s per table for 2k rows vs ~1 s this way;
+        # the Generate boundary stops CollapseProject from re-inlining.
+        probes = (
+            emb.select(
+                F.col(id_col).alias("ia"),
+                srp_bucket(F.col(vec_col), n_planes, dim, seed=s).alias(
+                    "_b"
+                ),
+            )
+            .select(
+                "ia",
+                "_b",
+                F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
+            )
+            .select(
+                "ia", F.col("_b").bitwiseXOR(F.col("_m")).alias("bucket")
+            )
         )
         pairs_t = probes.join(base, "bucket").select("ia", "ib")
         out = pairs_t if out is None else out.unionByName(pairs_t)
@@ -493,26 +503,6 @@ def reciprocal_knn(
     path; n² — gate/test scale only). With candidates the plan is
     join-score-aggregate, linear in candidate volume: the 100 TB path.
     Returns (id_a, id_b, cos) with id_a < id_b."""
-    e = emb.select(
-        F.col(id_col).alias("_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    )
-    a = e.select(F.col("_id").alias("ia"), F.col("_v").alias("va"))
-    b = e.select(F.col("_id").alias("ib"), F.col("_v").alias("vb"))
-    if candidates is None:
-        scored = a.crossJoin(b).filter(F.col("ia") != F.col("ib"))
-    else:
-        scored = (
-            candidates.select("ia", "ib")
-            .join(a, "ia")
-            .join(b, "ib")
-        )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
     def _norm(c):
         return F.sqrt(
             F.aggregate(
@@ -522,13 +512,64 @@ def reciprocal_knn(
             )
         )
 
-    pairs = scored.select(
+    # norm once per VECTOR (in the pre-join projection), not once per
+    # pair: the candidate relation fans every vector out to its
+    # candidate count, and recomputing the 64-element norm fold there
+    # tripled the per-pair HOF work. Same float ops on the same input
+    # → bit-identical cos (gate hash unchanged).
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).select("_id", "_v", _norm(F.col("_v")).alias("_n"))
+    a = e.select(
+        F.col("_id").alias("ia"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = e.select(
+        F.col("_id").alias("ib"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    # cos is symmetric → score each UNDIRECTED pair once (ia < ib) and
+    # mirror in-row via explode, halving the dot-product work. The
+    # candidates contract (symmetric relation) makes the ia<ib half a
+    # complete cover of the directed set.
+    if candidates is None:
+        scored = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    else:
+        scored = (
+            candidates.select("ia", "ib")
+            .filter(F.col("ia") < F.col("ib"))
+            .join(a, "ia")
+            .join(b, "ib")
+        )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    half = scored.select(
         "ia",
         "ib",
-        F.round(dot / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias(
-            "cos"
-        ),
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
     )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("ia"),
+                    F.col("ib").alias("ib"),
+                    F.col("cos").alias("cos"),
+                ),
+                F.struct(
+                    F.col("ib").alias("ia"),
+                    F.col("ia").alias("ib"),
+                    F.col("cos").alias("cos"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.ia", "_p.ib", "_p.cos")
     topk = pairs.groupBy("ia").agg(
         F.slice(
             F.sort_array(
