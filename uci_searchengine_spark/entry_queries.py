@@ -32,17 +32,37 @@ from uci_searchengine_spark.operators import similarity as sim
 
 _SCAN_PARTS: dict[tuple, int] = {}
 
+# Tables whose gates run EXPENSIVE per-row projections (tokenize/HOF
+# folds over text or 64-dim vectors) — the only place the one-row-group
+# rebalance pays for its exchange. Relational tables (lineitem, orders,
+# events, ...) run cheap codegen aggregates where a single scan task is
+# already faster than shuffle + 32-task overhead: un-gated rebalance
+# measured +0.1-0.25 s on the sub-second relational gates
+# (events_hourly 0.357→0.611 s r2→r4) for zero benefit.
+_REBALANCE_TABLES = {"documents", "embeddings"}
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _t(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    rebalance: bool | None = None,
+) -> DataFrame:
     """Gate table reader. The driver's testdata writes each table as a
     SINGLE parquet row group, so the scan plans one task no matter the
     core count (maxPartitionBytes cannot split inside a row group) and
     every expensive projection serializes; rebalance across cores when
-    the planned scan is under the session parallelism. At 100 TB the
-    scan plans >= parallelism splits and this is a no-op — never an
-    extra shuffle at scale. Filters still push to the scan (Catalyst
-    pushes predicates through Repartition; plan-audited)."""
+    the planned scan is under the session parallelism AND the table's
+    gates actually burn CPU per row (``_REBALANCE_TABLES``; override
+    per call with ``rebalance=``). At 100 TB the scan plans >=
+    parallelism splits and this is a no-op — never an extra shuffle at
+    scale. Filters still push to the scan (Catalyst pushes predicates
+    through Repartition; plan-audited)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if rebalance is None:
+        rebalance = name in _REBALANCE_TABLES
+    if not rebalance:
+        return df
     target = spark.sparkContext.defaultParallelism
     key = (sf_dir, name, target)
     parts = _SCAN_PARTS.get(key)
