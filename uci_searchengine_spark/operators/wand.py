@@ -221,10 +221,18 @@ def _score_bucket(
     acc = np.zeros(bucket_size, dtype=np.float64)
     theta = -np.inf
     cand: np.ndarray | None = None  # sorted candidate local ids, None = all
-    remaining_ub = sum(x[0] for x in rows)
+    # exact suffix sums of the per-term bounds (suffix[i] = Σ_{t>=i} ub):
+    # the empty suffix is exactly 0.0. Sequential `remaining_ub -= ub`
+    # left a ~-1e-15 residue at the final term, which bounded a doc
+    # whose score ties θ EXACTLY (the k-th doc itself) one ulp below θ
+    # and dropped it from the top-k (caught by the impact-fold fuzz).
+    _suf = [0.0]
+    for _ub, _w2, _r2 in reversed(rows):
+        _suf.append(_suf[-1] + _ub)
+    _suf.reverse()
 
-    for ub, w, r in rows:
-        remaining_ub -= ub
+    for _ti, (ub, w, r) in enumerate(rows):
+        remaining_ub = _suf[_ti + 1]
         blob = bytes(r.postings)
         offs = np.asarray(r.block_offsets, dtype=np.int64)
         lasts = np.asarray(r.block_last_doc, dtype=np.int64)
