@@ -649,6 +649,104 @@ def main() -> None:
         )
     )
 
+    # 7) round-5 surfaces
+    # reciprocal k-NN through the LSH candidate join: the whole point of
+    # the candidate path is that NOTHING in the plan is n² — every join
+    # must be an equi-join (bucket, ia, ib), never a cartesian / nested-
+    # loop product (the exact all-pairs fallback is the oracle role only)
+    from uci_searchengine_spark.operators.similarity import (
+        knn_candidate_pairs,
+        reciprocal_knn,
+    )
+
+    emb01 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = knn_candidate_pairs(emb01)
+    rk = reciprocal_knn(emb01, k=5, candidates=cand)
+    plan = rk._sc._jvm.PythonSQLUtils.explainString(
+        rk._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "reciprocal knn (candidate path): no cartesian / nested-loop join",
+            "CartesianProduct" not in plan
+            and "BroadcastNestedLoopJoin" not in plan,
+            plan,
+        )
+    )
+    checks.append(
+        (
+            "knn candidates: explode -> bucket equi-join (Generate + hash/merge join)",
+            "Generate" in plan
+            and (
+                "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan
+                or "BroadcastHashJoin" in plan
+            ),
+            plan,
+        )
+    )
+
+    # percolate_indexed: queries are DATA — the plan must stay constant
+    # as the registry grows (the expression path grows linearly and
+    # blows codegen at 10^5 standing queries), and the candidate
+    # pre-filter must arrive by broadcast with no Python anywhere
+    from uci_searchengine_spark.operators.percolate import percolate_indexed
+
+    docs_t = docs01.select(
+        "doc_id", tokens_col(F.col("text")).alias("t")
+    )
+    reg_small = {f"q{i}": f"stop{i % 7} +arbak" for i in range(5)}
+    reg_big = {f"q{i}": f"stop{i % 7} +arbak" for i in range(120)}
+    p_small = percolate_indexed(docs_t, reg_small)
+    p_big = percolate_indexed(docs_t, reg_big)
+    plan_s = p_small._sc._jvm.PythonSQLUtils.explainString(
+        p_small._jdf.queryExecution(), "formatted"
+    )
+    plan_b = p_big._sc._jvm.PythonSQLUtils.explainString(
+        p_big._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "percolate_indexed: plan size constant in registry size (24x queries)",
+            len(plan_b) < 1.5 * len(plan_s),
+            f"plan chars: 5 queries={len(plan_s)}, 120 queries={len(plan_b)}",
+        )
+    )
+    checks.append(
+        (
+            "percolate_indexed: broadcast candidate index, no Python UDF",
+            # "Python" alone would false-positive on the literal query
+            # relations (createDataFrame -> "applySchemaToPythonRDD" in
+            # the ExistingRDD scan description) — that's driver-side
+            # literal materialization, not per-row Python in the flow
+            "BroadcastHashJoin" in plan_b
+            and "BatchEvalPython" not in plan_b
+            and "ArrowEvalPython" not in plan_b
+            and "MapInPandas" not in plan_b
+            and "PythonUDF" not in plan_b,
+            plan_b,
+        )
+    )
+
+    # incremental (batch-vs-store) dedup: both probes must be left-semi
+    # joins of the batch against store relations — the store is never
+    # self-joined and no per-key Window appears anywhere
+    from uci_searchengine_spark.operators.dedup import incremental_dedup
+
+    inc = incremental_dedup(
+        docs01.limit(50), docs01, "doc_id", "text"
+    )
+    plan = inc._sc._jvm.PythonSQLUtils.explainString(
+        inc._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "incremental dedup: left-semi store probes, no Window",
+            "LeftSemi" in plan and "Window" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
