@@ -27,11 +27,19 @@ SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (headline corpus, default
 20000), BENCH_SCALE_DOCS (scaling corpus, default 100000), BENCH_RUNS
 (headline builds, default 2), BENCH_SCALE_RUNS (per-level scaling
 builds, default 3), BENCH_SCALE_ROUNDS (max interleaved scaling rounds,
-default 6 — actual count is budget-adaptive), BENCH_SCALING_BUDGET_S
+default 10 — actual count is budget-adaptive), BENCH_SCALING_BUDGET_S
 (don't start another scaling round unless it fits this wall budget,
 default 720),
 BENCH_SKIP_BUILD=1 to reuse an existing index, BENCH_SKIP_SCALING=1 to
 skip the two-parallelism section.
+
+Scaling visits run on PRE-WARMED PERSISTENT WORKERS
+(scripts/scale_worker.py, one subprocess per parallelism level): the
+host's phase flips are faster (~30 s) than a cold visit (2-4 min), so
+cold per-visit sessions let the local[2]/local[8] timed pair straddle
+different phases and grade the hypervisor instead of the dataflow.
+Workers pay JVM spin-up + warm-up once; a round is probe → back-to-back
+`build` commands (~30-45 s, one phase) → paired controls.
 """
 
 from __future__ import annotations
@@ -389,17 +397,27 @@ def main() -> None:
     # on this microVM (hypervisor steal / oversubscription), so 8→32
     # measures the box, not the dataflow.
     if not os.environ.get("BENCH_SKIP_SCALING"):
+        import select
+        import subprocess
+
         scale_idx = os.path.join(REPO, "_data", f"bench_scale_idx_{SCALE_DOCS}")
-        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "6"))
-        # INTERLEAVED rounds: visit 2 → 8 → 32 cores, then repeat. This
-        # host's effective capacity swings 2-4x over minutes with nothing
-        # running (phantom load / hypervisor steal), so consecutive
-        # per-level measurement lets one bad phase land entirely on one
-        # level and fake a scaling miss; interleaving + min-of-all-rounds
-        # per level samples every level across the same phases. Each
-        # visit is one session (the python-worker pool belongs to it), a
-        # warm-up build primes the pool, and the contemporaneous raw-
-        # multiprocessing ceiling is sampled right after the visit.
+        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "10"))
+        # INTERLEAVED rounds over PRE-WARMED PERSISTENT WORKERS. This
+        # host's effective capacity swings 2-10x on a ~30 s timescale
+        # (probe_history of any degraded-window run), which is SHORTER
+        # than a cold visit (JVM spin-up + warm-up + timed build +
+        # controls ≈ 2-4 min) — so with cold per-visit sessions the
+        # local[2] and local[8] timed builds of one "interleaved round"
+        # still straddle different phases and the pairing grades the
+        # hypervisor, not the dataflow (observed: engine 0.386 across a
+        # 22-min window whose own paired mem control read 0.04-0.25).
+        # Fix: each level is a subprocess (scripts/scale_worker.py) that
+        # pays spin-up + warm-up ONCE and then blocks; a round is probe →
+        # fire `build` at local[2] then local[8] back-to-back (~30-45 s
+        # total, inside one phase) → paired controls sampled right after.
+        # Min-of-all-rounds per level and the same-round pairing are
+        # unchanged — only the wall cost of a phase sample shrank, so the
+        # budget buys 3-4x more phase diversity.
         t_by_cores: dict[int, list[float]] = {2: [], 8: [], 32: []}
         t_by_round: list[dict[int, list[float]]] = []
         ceil_by_cores: dict[int, list[float]] = {2: [], 8: [], 32: []}
@@ -421,6 +439,113 @@ def main() -> None:
 
         def _round_eff(tr: dict[int, list[float]]) -> float:
             return (min(tr[2]) / min(tr[8])) / 4 if tr[2] and tr[8] else 0.0
+
+        # corpora materialized once, untimed, BEFORE any worker spawns
+        # (table maintenance, not build work — and workers must never
+        # race on generation)
+        prep = get_spark(
+            app_name="bench-scale-prep",
+            master=f"local[{CPUS}]",
+            shuffle_partitions=CPUS,
+        )
+        corpus_path = _sorted_corpus_path(prep, SCALE_DOCS)
+        warm_path = _sorted_corpus_path(prep, 5000)
+        prep.stop()
+
+        SENT = "@SCALE@ "
+        workers: dict[int, subprocess.Popen] = {}
+        werr: dict[int, object] = {}
+
+        def _spawn(cores: int) -> None:
+            werr[cores] = open(
+                os.path.join(REPO, "_data", f"scale_worker_{cores}.log"), "w"
+            )
+            workers[cores] = subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "scripts", "scale_worker.py"),
+                    str(cores),
+                    corpus_path,
+                    str(SCALE_DOCS),
+                    f"{scale_idx}_c{cores}",
+                    warm_path,
+                ],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=werr[cores],
+                text=True,
+                bufsize=1,
+            )
+
+        def _kill(cores: int) -> None:
+            p = workers.pop(cores, None)
+            if p is not None:
+                try:
+                    p.kill()
+                except OSError:
+                    pass
+            f = werr.pop(cores, None)
+            if f is not None:
+                f.close()
+            shutil.rmtree(f"{scale_idx}_c{cores}", ignore_errors=True)
+
+        def _quit(cores: int) -> None:
+            p = workers.get(cores)
+            if p is not None and p.poll() is None:
+                try:
+                    p.stdin.write("quit\n")
+                    p.stdin.flush()
+                    p.wait(timeout=30)
+                except Exception:
+                    pass
+            _kill(cores)
+
+        def _read_scale(cores: int, timeout_s: float) -> dict | None:
+            """Next sentinel-prefixed JSON line from a worker, or None on
+            timeout / worker death (Spark console noise on the pipe is
+            skipped, never parsed)."""
+            p = workers.get(cores)
+            if p is None:
+                return None
+            deadline = time.monotonic() + timeout_s
+            while True:
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    return None
+                r, _, _ = select.select([p.stdout], [], [], min(rem, 5.0))
+                if not r:
+                    if p.poll() is not None:
+                        return None
+                    continue
+                line = p.stdout.readline()
+                if not line:
+                    return None
+                if line.startswith(SENT):
+                    return json.loads(line[len(SENT):])
+
+        def _timed_build_at(cores: int, timeout_s: float = 480.0) -> float | None:
+            """One timed build on the pre-warmed worker; a timeout kills
+            the worker (mid-build state is unusable) and returns None."""
+            p = workers.get(cores)
+            if p is None or p.poll() is not None:
+                return None
+            try:
+                p.stdin.write("build\n")
+                p.stdin.flush()
+            except OSError:
+                _kill(cores)
+                return None
+            res = _read_scale(cores, timeout_s)
+            if res is None:
+                _kill(cores)
+                return None
+            return float(res["t"])
+
+        for c in (2, 8, 32):
+            _spawn(c)
+        for c in (2, 8, 32):
+            if _read_scale(c, 600.0) is None:  # {"ready": c} after warm-up
+                _kill(c)
 
         for rnd in range(rounds):
             # adaptive round count: keep sampling host phases while the
@@ -507,14 +632,16 @@ def main() -> None:
             # later rounds exist to sample MORE host phases per budget:
             # the 32-core level only feeds the 8→32 diagnostic (graded
             # against the host ceiling, not the north rule), so after
-            # two visits it stops riding along and the budget buys extra
-            # (2, 8) phase samples — the pair the north rule grades
-            visit_cores = next_visits
-            for cores in visit_cores:
+            # round 0 its worker is released and the budget buys extra
+            # (2, 8) phase samples — the pair the north rule grades.
+            # Visits are back-to-back `build` commands on the live
+            # workers: the engine pair first (one phase), then the
+            # paired controls right after (same phase as the pair).
+            for cores in next_visits:
                 # after the first complete round, re-check the budget
                 # before EVERY visit — a bad host phase can stretch one
-                # 200k-doc visit past the whole budget, and the driver
-                # must always receive intact JSON
+                # build past the whole budget, and the driver must
+                # always receive intact JSON
                 if rnd > 0 and time.perf_counter() - t_start > eff_budget:
                     stop = True
                     break
@@ -526,30 +653,57 @@ def main() -> None:
                 # every level one run so the budget is spent on phase
                 # DIVERSITY (more rounds) rather than depth
                 runs = max(1, SCALE_RUNS - 1) if (cores == 2 and rnd == 0) else 1
+                for _ in range(runs):
+                    t = _timed_build_at(cores)
+                    if t is None:
+                        stop = True
+                        break
+                    t_by_cores[cores].append(t)
+                    t_by_round[rnd][cores].append(t)
+                if stop:
+                    break
+                visit_wall[cores] = time.perf_counter() - t_visit0
+            else:
+                # controls AFTER the whole engine pair: the pair itself
+                # stays contiguous (one phase), and each level's control
+                # lands within the same round's window
+                for cores in next_visits:
+                    ceil_by_cores[cores].append(_mp_ceiling(cores))
+                    memceil_by_cores[cores].append(_mp_mem_ceiling(cores))
+                rounds_done = rnd + 1
+                last_round_s = time.perf_counter() - t_round_start
+                if rnd == 0:
+                    _quit(32)
+        for c in (2, 8, 32):
+            _quit(c)
+        # cold fallback: the driver artifact must always carry (2, 8)
+        # data even if the worker path failed outright
+        if not (t_by_cores[2] and t_by_cores[8]):
+            for cores in (2, 8):
                 spark = get_spark(
-                    app_name=f"bench-scale-{cores}-r{rnd}",
+                    app_name=f"bench-scale-fb-{cores}",
                     master=f"local[{cores}]",
                     shuffle_partitions=cores,
                 )
                 pages = _sorted_corpus_path(spark, SCALE_DOCS)
                 _warmup(spark, pages)
-                visit_times = _timed_builds(
-                    spark, pages, scale_idx, SCALE_DOCS, runs
-                )
-                t_by_cores[cores] += visit_times
-                t_by_round[rnd][cores] += visit_times
+                t_fb = _timed_builds(spark, pages, scale_idx, SCALE_DOCS, 1)
+                t_by_cores[cores] += t_fb
                 spark.stop()
                 ceil_by_cores[cores].append(_mp_ceiling(cores))
                 memceil_by_cores[cores].append(_mp_mem_ceiling(cores))
-                visit_wall[cores] = time.perf_counter() - t_visit0
-            else:
-                rounds_done = rnd + 1
-                last_round_s = time.perf_counter() - t_round_start
+            t_by_round.append(
+                {2: t_by_cores[2][-1:], 8: t_by_cores[8][-1:], 32: []}
+            )
+            rounds_done = max(rounds_done, 1)
         shutil.rmtree(scale_idx, ignore_errors=True)
-        ceil = {c: min(v) for c, v in ceil_by_cores.items()}
+        ceil = {c: min(v) for c, v in ceil_by_cores.items() if v}
         memceil = {c: min(v) for c, v in memceil_by_cores.items() if v}
-        t2, t8, t32 = (min(t_by_cores[c]) for c in (2, 8, 32))
-        c2, c8, c32 = ceil[2], ceil[8], ceil[32]
+        t2, t8 = min(t_by_cores[2]), min(t_by_cores[8])
+        # the 32-level rides along for one diagnostic round only; if its
+        # worker died the (2, 8) north-rule evidence still stands
+        t32 = min(t_by_cores[32]) if t_by_cores[32] else None
+        c2, c8, c32 = ceil.get(2), ceil.get(8), ceil.get(32)
         # two pairings of the same measurements, both reported:
         # * global-min — min over every run per level (standard
         #   min-of-N; levels may come from different rounds);
@@ -566,9 +720,9 @@ def main() -> None:
             if tr[2] and tr[8]
         ]
         eff28 = max([eff28_global] + eff28_by_round)
-        eff832 = round((t8 / t32) / 4, 3)
-        ceff28 = round((c2 / c8) / 4, 3)
-        ceff832 = round((c8 / c32) / 4, 3)
+        eff832 = round((t8 / t32) / 4, 3) if t32 else None
+        ceff28 = round((c2 / c8) / 4, 3) if (c2 and c8) else None
+        ceff832 = round((c8 / c32) / 4, 3) if (c8 and c32) else None
 
         # Controls are paired SAME-ROUND (one ceiling sample lands per
         # visit, so index i in each per-core list = round i; zip
@@ -606,7 +760,7 @@ def main() -> None:
             "runs_local32_s": t_by_cores[32],
             "docs_per_sec_local2": round(SCALE_DOCS / t2, 1),
             "docs_per_sec_local8": round(SCALE_DOCS / t8, 1),
-            "docs_per_sec_local32": round(SCALE_DOCS / t32, 1),
+            "docs_per_sec_local32": round(SCALE_DOCS / t32, 1) if t32 else None,
             "n_to_4n": {
                 "pair": "local[2] -> local[8]",
                 "efficiency": eff28,
@@ -631,7 +785,7 @@ def main() -> None:
             "host_ceiling_efficiency_2_to_8_by_round": ceff28_by_round,
             "host_ceiling_efficiency_8_to_32_by_round": ceff832_by_round,
             "efficiency_vs_host_ceiling_2_to_8": round(eff28 / ceff28, 3) if ceff28 else None,
-            "efficiency_vs_host_ceiling_8_to_32": round(eff832 / ceff832, 3) if ceff832 else None,
+            "efficiency_vs_host_ceiling_8_to_32": round(eff832 / ceff832, 3) if (eff832 and ceff832) else None,
             "host_ceiling_runs": {str(c): v for c, v in ceil_by_cores.items()},
             # second control: page-fault/copy bandwidth (the resource
             # this box's degraded phases actually withdraw — observed

@@ -422,8 +422,12 @@ def knn_candidate_pairs(
     bucket EQUI-join, so the plan is explode → shuffle-on-bucket →
     join, never n². Candidate volume = Σ_buckets |probes∩b|·|base∩b|
     — it tracks bucket occupancy (data clusteredness), not n².
-    Returns DISTINCT directed (ia, ib), ia != ib; the relation is
-    symmetric because bucket Hamming distance is.
+    Returns the DISTINCT UNDIRECTED half (ia < ib): bucket Hamming
+    distance is symmetric, so the ia<ib half is a complete cover of
+    the candidate set at half the dedup/join volume (the per-table
+    filter lands before the union+distinct, which dominates the
+    operator's shuffle). Consumers that need the directed relation
+    mirror it in-row (``reciprocal_knn`` does, post-scoring).
 
     Parameter note: on clustered embeddings (real text/image vectors)
     defaults prune heavily; on uniformly random vectors — where true
@@ -478,9 +482,13 @@ def knn_candidate_pairs(
                 "ia", F.col("_b").bitwiseXOR(F.col("_m")).alias("bucket")
             )
         )
-        pairs_t = probes.join(base, "bucket").select("ia", "ib")
+        pairs_t = (
+            probes.join(base, "bucket")
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib")
+        )
         out = pairs_t if out is None else out.unionByName(pairs_t)
-    return out.filter(F.col("ia") != F.col("ib")).distinct()
+    return out.distinct()
 
 
 def reciprocal_knn(
@@ -497,12 +505,15 @@ def reciprocal_knn(
     6-ROUNDED cosine so ordering is engine-portable); the mutual
     filter is a directed-edge self semi-join.
 
-    ``candidates`` — a directed, SYMMETRIC (ia, ib) pair relation
-    (e.g. ``knn_candidate_pairs``) that bounds which pairs are scored.
-    None falls back to the exact all-pairs cross join (the oracle
-    path; n² — gate/test scale only). With candidates the plan is
-    join-score-aggregate, linear in candidate volume: the 100 TB path.
-    Returns (id_a, id_b, cos) with id_a < id_b."""
+    ``candidates`` — an (ia, ib) pair relation that bounds which pairs
+    are scored: either the undirected ia<ib half (what
+    ``knn_candidate_pairs`` returns) or a directed symmetric relation
+    (e.g. ``ann_lsh`` pair output) — the ia<ib filter below reduces
+    both to the same undirected set, which is scored once and mirrored
+    in-row. None falls back to the exact all-pairs cross join (the
+    oracle path; n² — gate/test scale only). With candidates the plan
+    is join-score-aggregate, linear in candidate volume: the 100 TB
+    path. Returns (id_a, id_b, cos) with id_a < id_b."""
     def _norm(c):
         return F.sqrt(
             F.aggregate(
@@ -533,8 +544,8 @@ def reciprocal_knn(
     )
     # cos is symmetric → score each UNDIRECTED pair once (ia < ib) and
     # mirror in-row via explode, halving the dot-product work. The
-    # candidates contract (symmetric relation) makes the ia<ib half a
-    # complete cover of the directed set.
+    # candidates contract (undirected half or symmetric directed) makes
+    # the ia<ib half a complete cover of the directed set.
     if candidates is None:
         scored = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
     else:
