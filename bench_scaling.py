@@ -3,8 +3,14 @@
 Runs the IDENTICAL index build (same deterministic input corpus, same
 shard/bucket config) at local[8] and local[32] in one process (sequential
 SparkSessions), reports docs/sec at both plus
-``eff = (T_8 / T_32) / 4`` and writes BENCH/BASELINE.md. Also reports
-query p50/p95 at both parallelism levels.
+``eff = (T_8 / T_32) / 4`` and writes BENCH/scaling_latest.md. Also
+reports query p50/p95 at both parallelism levels.
+
+NOTE: the per-round driver artifact comes from bench.py, whose scaling
+section supersedes this script's protocol (pre-warmed persistent
+workers, probe-gated rounds, paired host controls — see bench.py's
+docstring). This script remains the minimal standalone two-level
+evidence runner.
 
 This is the sandbox proxy for two cluster sizes (BASELINE.md): local[N]
 threads ≙ N executor cores; the build has no driver-side bottleneck
@@ -189,7 +195,11 @@ comparison target is therefore the scaling criterion plus the absolute
 numbers above, regenerable with `python bench_scaling.py`.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # scaling_latest.md, NOT BASELINE.md: BENCH/BASELINE.md grew into the
+    # curated round-by-round measurement history (protocol rationale,
+    # host-weather episodes, per-round records) — a standalone rerun of
+    # this script must never clobber it. The curated file links here.
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(md)
 
 
