@@ -650,9 +650,21 @@ def main() -> None:
                 # BOTH the N→4N numerator and this host's noisiest
                 # regime (per-level spread 2-4x across phases), so IT
                 # gets the extra timed run in round 0; later rounds give
-                # every level one run so the budget is spent on phase
-                # DIVERSITY (more rounds) rather than depth
-                runs = max(1, SCALE_RUNS - 1) if (cores == 2 and rnd == 0) else 1
+                # it one run so the budget is spent on phase DIVERSITY
+                # (more rounds) rather than depth. The 8-core DENOMINATOR
+                # gets TWO runs EVERY round: it costs ~1/3 of a 2-core
+                # run, and a paired A/B (scripts/ab_wp_experiment.py log,
+                # round-5) showed the in-round t8 spread — one build
+                # straddling a ~30 s phase flip — is the largest single
+                # source of pairing error (same-phase t8 7.6-13.2 s);
+                # the in-round min over two samples discards a flipped
+                # run for ~20% extra round wall.
+                if cores == 2:
+                    runs = max(1, SCALE_RUNS - 1) if rnd == 0 else 1
+                elif cores == 8:
+                    runs = 2
+                else:
+                    runs = 1
                 for _ in range(runs):
                     t = _timed_build_at(cores)
                     if t is None:
@@ -739,8 +751,12 @@ def main() -> None:
         memeff832_by_round = _pair_eff(memceil_by_cores[8], memceil_by_cores[32])
         # engine vs the BINDING constraint of the SAME round: each
         # round's engine efficiency over min(CPU-control, mem-control)
-        # of that round; headline = best round (same-phase compare,
-        # mirrors the engine's own same-round pairing)
+        # of that round. Headline = the HEADLINE ROUND's value (the
+        # round that produced the best same-round engine pairing), NOT
+        # the max over rounds: a round whose mem control collapses to
+        # ~0.03 mid-sample wins a max with a meaningless 20x ratio —
+        # the collapsed denominator is an unrepresentative control
+        # sample, not the engine beating physics.
         vs_worst_by_round = []
         for i, e in enumerate(eff28_by_round):
             ctrls = [
@@ -750,6 +766,15 @@ def main() -> None:
             ]
             if ctrls:
                 vs_worst_by_round.append(round(e / min(ctrls), 3))
+        vs_worst_headline = None
+        if vs_worst_by_round and eff28_by_round:
+            i_best = max(
+                range(len(eff28_by_round)), key=lambda i: eff28_by_round[i]
+            )
+            if i_best < len(vs_worst_by_round):
+                vs_worst_headline = vs_worst_by_round[i_best]
+            else:
+                vs_worst_headline = vs_worst_by_round[-1]
         out["scaling"] = {
             "n_docs": SCALE_DOCS,
             # probe-gate log: every cheap host-phase probe taken before
@@ -805,12 +830,12 @@ def main() -> None:
             "host_memceil_efficiency_8_to_32_by_round": memeff832_by_round,
             "host_memceil_runs": {str(c): v for c, v in memceil_by_cores.items() if v},
             # engine scaling vs the BINDING host constraint of the SAME
-            # round: engine eff ÷ min(CPU-control, mem-control), best
-            # round reported. ~1.0 means the engine scales at the box's
-            # own delivered limit in at least one sampled phase
-            "efficiency_vs_worst_ceiling_2_to_8": (
-                max(vs_worst_by_round) if vs_worst_by_round else None
-            ),
+            # round: engine eff ÷ min(CPU-control, mem-control), from
+            # the HEADLINE round (the best same-round engine pairing).
+            # ~1.0 means the engine scales at the box's own delivered
+            # limit in that phase; >1 means the binding control itself
+            # under-read in that round's window
+            "efficiency_vs_worst_ceiling_2_to_8": vs_worst_headline,
             "efficiency_vs_worst_ceiling_2_to_8_by_round": vs_worst_by_round,
             "protocol": f"{rounds_done} interleaved rounds of (2, 8, 32)-core "
             "visits (adaptive: rounds repeat while the wall budget fits "
@@ -839,6 +864,16 @@ def main() -> None:
             "hardware-backed); 8->32 is bounded by the microVM's own mp "
             "ceiling",
         }
+
+    # BENCH_ONLY_SCALING=1: record-run mode — emit the scaling evidence
+    # (detail file + compact line) and stop before the headline suites.
+    if os.environ.get("BENCH_ONLY_SCALING"):
+        detail_path = os.path.join(REPO, "BENCH", "bench_detail_latest.json")
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(compact_headline(out)))
+        return
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
 

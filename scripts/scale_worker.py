@@ -92,7 +92,13 @@ def main() -> None:
         cmd = line.strip()
         if cmd == "quit":
             break
-        if cmd == "build":
+        if cmd == "build" or cmd.startswith("build "):
+            # `build [wp]` — optional explicit write_partitions (task-grid
+            # width); bare `build` keeps build_index's default (= cores)
+            wp = None
+            parts = cmd.split()
+            if len(parts) == 2:
+                wp = int(parts[1])
             shutil.rmtree(index_dir, ignore_errors=True)
             _settle()
             t0 = time.perf_counter()
@@ -101,6 +107,7 @@ def main() -> None:
                 num_shards=32, n_buckets=16,
                 input_snapshot=f"synth:seed=1337:n={n_docs}",
                 pages_path=corpus,
+                write_partitions=wp,
             )
             _emit({"t": round(time.perf_counter() - t0, 3)})
     shutil.rmtree(index_dir, ignore_errors=True)
