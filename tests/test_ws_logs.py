@@ -26,7 +26,12 @@ def http_server(spark, index_small):
 
 
 def _connect(port: int, path: str = "/api/crawler/ws") -> socket.socket:
-    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    # 30 s: the first backlog frame needs the handler thread to read the
+    # index manifests, and this host's degraded phases stall fresh file
+    # I/O + GC long enough that a 10 s budget flaked once in a full-suite
+    # run (passes in isolation) — the assertion is frame CONTENT, not
+    # latency
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
     ws.client_handshake(s, f"127.0.0.1:{port}", path)
     return s
 
