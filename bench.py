@@ -113,6 +113,7 @@ HEADLINE_V2 = [
     "ppl_buckets",
     "funnel",
     "dsir_select",
+    "c4_clean",
 ]
 
 BENCH_QUERIES = [

@@ -747,6 +747,37 @@ def main() -> None:
         )
     )
 
+    # C4 line cleaning: the whole rule set must fold into the scan-side
+    # projection — ZERO exchanges of any kind, zero Python eval
+    # operators (HOF filter over the lines array + doc-level
+    # predicates); audited on the raw parquet read (the gate adds a
+    # presentation orderBy + the documents-table scan rebalance, which
+    # are gate furniture, not operator cost)
+    from uci_searchengine_spark.functions.tokenize import tokens_col
+    from uci_searchengine_spark.operators.clean import c4_clean
+    from uci_searchengine_spark.operators.dedup import token_chunks_col
+
+    c4 = c4_clean(
+        docs01,
+        token_chunks_col(tokens_col(F.col("text")), 12),
+        require_terminal_punct=False,
+        line_bad_words=("slow",),
+    )
+    plan = c4._sc._jvm.PythonSQLUtils.explainString(
+        c4._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "c4_clean: scan-side HOF rules, zero exchange, no Python",
+            "Exchange" not in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan
+            and "PythonUDF" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
