@@ -121,6 +121,20 @@ class TestC4Clean:
         # doc 0's unpunctuated-but-long line now survives
         assert "No terminal punctuation" in out[0]["text_clean"]
 
+    def test_training_prep_v4_composes(self, spark):
+        """v4 = c4_clean → paragraph_dedup → pack_sequences: survivors
+        must be a subset of c4_clean's survivors, and every packed doc
+        carries a positive token span (the per-stage semantics are each
+        pinned by their own gates/tests — this pins the composition)."""
+        from uci_searchengine_spark.entry_queries import q_c4_clean, q_training_prep_v4
+
+        sf = "/root/testdata/sf0.001"
+        v4 = q_training_prep_v4(spark, sf).collect()
+        assert len(v4) > 0
+        survivors = {r["doc_id"] for r in q_c4_clean(spark, sf).collect()}
+        assert {r["doc_id"] for r in v4} <= survivors
+        assert all(r["end_off"] > r["start_off"] for r in v4)
+
     def test_scan_side_plan(self, spark):
         df = spark.createDataFrame(DOCS, "doc_id long, text string")
         plan = c4_clean(df, F.split("text", "\n"))._jdf.queryExecution().executedPlan().toString()

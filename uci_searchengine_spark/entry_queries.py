@@ -3510,6 +3510,103 @@ WHERE {um} < w.sample_frac
     )
 
 
+def q_training_prep_v4(spark, sf_dir):
+    """The C4→CCNet front half of the data pipeline composed to packed
+    training spans: raw pages → C4 line-level cleaning (operators/
+    clean.c4_clean — keep substantive lines, drop marked pages) →
+    corpus-wide CCNet paragraph dedup OVER THE SURVIVING LINES
+    (first-occurrence-wins min-aggregate, skew-safe) → 512-token packed
+    sequences. One declarative dataflow: the cleaning is scan-side HOFs
+    (zero shuffle), the dedup is one hash min-aggregate + semi-join,
+    the packing is one windowed running sum inside md5 shards — at
+    100 TB the pipeline is one corpus pass plus the dedup exchange.
+    Line rule shared with the c4_clean gate (12-token chunks,
+    punctuation rule off on this no-punctuation corpus)."""
+    from uci_searchengine_spark.operators.clean import c4_clean
+    from uci_searchengine_spark.operators.dedup import (
+        paragraph_dedup,
+        token_chunks_col,
+    )
+    from uci_searchengine_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = token_chunks_col(tokens_col(F.col("text")), PARA_W)
+    cleaned = c4_clean(
+        docs,
+        lines,
+        min_words=5,
+        require_terminal_punct=False,
+        line_bad_words=("slow",),
+        doc_bad_words=("lorem ipsum",),
+        drop_brace_docs=True,
+        min_lines=3,
+    )
+    deduped = paragraph_dedup(
+        cleaned.select("doc_id", "text_clean"),
+        F.split(F.col("text_clean"), "\n"),
+    )
+    packed = pack_sequences(
+        deduped.select(
+            "doc_id",
+            textstats.ws_token_count(F.col("text_dedup")).alias("tok"),
+        ),
+        "doc_id",
+        "tok",
+        seq_len=512,
+        n_shards=8,
+    )
+    return packed.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+def _sql_training_prep_v4() -> str:
+    from uci_searchengine_spark.operators.packing import pack_sequences_sql
+
+    w = PARA_W
+    tok_dd = _WS_TOK_SQL.replace("(text)", "(text_dedup)")
+    inner = f"""
+WITH toks AS (SELECT doc_id, text, {tokens_sql_expr('text')} AS t FROM documents),
+chunked AS (
+  SELECT doc_id, text,
+         list_transform(range(0, CAST(ceil(len(t) / {w}.0) AS BIGINT)),
+           i -> array_to_string(t[i*{w}+1 : i*{w}+{w}], ' ')) AS ls
+  FROM toks
+),
+c4 AS (
+  SELECT doc_id,
+         list_filter(ls, l -> len(string_split(trim(l), ' ')) >= 5
+                          AND NOT contains(lower(l), 'slow')) AS kept
+  FROM chunked
+  WHERE len(list_filter(ls, l -> len(string_split(trim(l), ' ')) >= 5
+                         AND NOT contains(lower(l), 'slow'))) >= 3
+    AND NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(lower(text), '{{')
+),
+paras AS (
+  SELECT doc_id, pos, para FROM (
+    SELECT doc_id,
+           unnest(range(0, len(kept))) AS pos,
+           unnest(list_transform(range(0, len(kept)), i -> kept[i+1])) AS para
+    FROM c4
+  ) WHERE para <> ''
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM paras
+),
+dd AS (
+  SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT doc_id, {tok_dd} AS tok FROM dd
+"""
+    packed = pack_sequences_sql(inner, "doc_id", "tok", 512, 8)
+    return (
+        "SELECT id AS doc_id, shard, start_off, end_off, first_seq, last_seq"
+        f" FROM ({packed}) ORDER BY doc_id"
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-rule repetition filter (Rae et al. 2021, table A1): top-word
     fraction, top-bigram fraction, duplicate-line fraction, and the keep
@@ -6613,6 +6710,7 @@ QUERIES = {
     "decay_search": (q_decay_search, SQL_DECAY_SEARCH),
     "paragraph_dedup": (q_paragraph_dedup, _sql_paragraph_dedup()),
     "c4_clean": (q_c4_clean, _sql_c4_clean()),
+    "training_prep_v4": (q_training_prep_v4, _sql_training_prep_v4()),
     "hll_distinct_docs": (q_hll_distinct_docs, _sql_hll_distinct_docs()),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
     "federated_search": (q_federated_search, SQL_BM25_TOPK),
@@ -6780,7 +6878,6 @@ _WINDOW_R5 = [
     "doc_token_stats",
     "dup_clusters",
     "embedding_near_pairs",
-    "embedding_norms",
     "events_hourly",
     "filter_en_long",
     "fingerprints",
@@ -6799,9 +6896,10 @@ _WINDOW_R5 = [
     "simhash",
     "term_df_top20",
     # (d) new in round 5 — never checked by definition (displaces the
-    # r2-era token_counts to the tail; that gate stays covered by the
-    # full replica + pytest)
+    # r2-era token_counts and embedding_norms to the tail; both stay
+    # covered by the full replica + pytest)
     "c4_clean",
+    "training_prep_v4",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {
