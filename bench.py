@@ -114,6 +114,7 @@ HEADLINE_V2 = [
     "funnel",
     "dsir_select",
     "c4_clean",
+    "training_prep_v4",
 ]
 
 BENCH_QUERIES = [

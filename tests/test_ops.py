@@ -316,6 +316,61 @@ class TestMultimodal:
         assert all(r["frame_idx"] % 4 == 0 for r in out)
         assert {r["doc_id"] for r in out} == {0, 1, 2, 3, 4, 5}
 
+    def test_resize_geometry_modes(self, spark):
+        """fit letterboxes inside the box, fill covers it, stretch
+        ignores aspect — pinned against hand-computed geometry on real
+        container bytes (a wide GIF: 116x93)."""
+        from uci_searchengine_spark.operators.multimodal import (
+            resize_image_meta,
+            synth_image_bytes,
+        )
+
+        d = spark.createDataFrame(
+            [(100, synth_image_bytes(100))], "doc_id long, payload binary"
+        )
+        fit = resize_image_meta(d, "doc_id", "payload", 64, 64, "fit", use_real=True).first()
+        assert (fit["width"], fit["height"]) == (116, 93)
+        assert (fit["out_w"], fit["out_h"]) == (64, 51)  # bound by width
+        fill = resize_image_meta(d, "doc_id", "payload", 64, 64, "fill", use_real=True).first()
+        assert (fill["out_w"], fill["out_h"]) == (79, 64)  # bound by height
+        st = resize_image_meta(d, "doc_id", "payload", 64, 64, "stretch", use_real=True).first()
+        assert (st["out_w"], st["out_h"]) == (64, 64)
+        with pytest.raises(ValueError):
+            resize_image_meta(d, "doc_id", "payload", 64, 64, "zoom")
+
+    def test_resize_resample_is_stubbed(self, spark):
+        from uci_searchengine_spark.operators.multimodal import (
+            resize_image_meta,
+            synth_image_bytes,
+        )
+
+        d = spark.createDataFrame(
+            [(0, synth_image_bytes(0))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="PIL|NotImplemented"):
+            resize_image_meta(
+                d, "doc_id", "payload", 64, 64, use_real=True, resample=True
+            ).collect()
+
+    def test_image_features_deterministic_and_stubbed(self, spark):
+        from uci_searchengine_spark.operators.multimodal import (
+            image_features,
+            synth_image_bytes,
+        )
+
+        rows = [(i, synth_image_bytes(i)) for i in range(4)]
+        d = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r["features"] for r in image_features(d, "doc_id", "payload", dim=8).collect()}
+        assert all(len(v) == 8 for v in out.values())
+        # formula pin for doc 0 (png 16x16): base = 31*16 + 7*16 + 0
+        base = 31 * 16 + 7 * 16
+        assert out[0] == [((base + 13 * i) % 997) / 997.0 for i in range(8)]
+        # two runs identical (determinism across partitionings)
+        again = {r["doc_id"]: r["features"] for r in image_features(d.repartition(3), "doc_id", "payload", dim=8).collect()}
+        assert again == out
+        with pytest.raises(Exception, match="PIL|NotImplemented"):
+            image_features(d, "doc_id", "payload", use_real=True).collect()
+
 
 @pytest.mark.spark
 class TestAudio:

@@ -4249,6 +4249,91 @@ FROM documents
 """
 
 
+def _gen_img(spark, sf_dir):
+    """Valid per-doc container bytes for the image-pipeline gates
+    (shared by image_meta_real / image_resize / image_features)."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [mm.synth_image_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(
+        gen, schema=_GEN_IMG_SCHEMA
+    )
+
+
+def q_image_resize(spark, sf_dir):
+    """Resize planning over REAL container bytes
+    (multimodal.resize_image_meta): stdlib header decode → aspect-fit
+    geometry into 64×64 (out dims + scale factor — what a distributed
+    resize scheduler materializes before touching pixels; the pixel
+    resample itself stays honestly stubbed behind resample=True). The
+    oracle recomputes the identical arithmetic from the generator
+    formula — parser∘generator identity plus the fit math."""
+    d = _gen_img(spark, sf_dir)
+    return mm.resize_image_meta(
+        d, "doc_id", "payload", 64, 64, mode="fit", use_real=True
+    )
+
+
+SQL_IMAGE_RESIZE = """
+WITH m AS (
+  SELECT doc_id,
+    (16 + doc_id % 101)::INT AS width,
+    (16 + (7*doc_id) % 89)::INT AS height,
+    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END
+      AS format
+  FROM documents
+),
+s AS (
+  SELECT *, least(64.0 / width, 64.0 / height) AS sc FROM m
+)
+SELECT doc_id, width, height,
+  greatest(1, CAST(trunc(width * sc) AS INT)) AS out_w,
+  greatest(1, CAST(trunc(height * sc) AS INT)) AS out_h,
+  round(sc, 6) AS scale,
+  format
+FROM s
+"""
+
+
+IMG_FEAT_DIM = 8
+
+
+def q_image_features(spark, sf_dir):
+    """Feature-extraction plumbing (multimodal.image_features): the
+    CLIP-embedding stage's exact Spark shape — mapInPandas over (id,
+    blob) → (id, array<double>), blob projected away — with the
+    deterministic metadata-derived fake standing in for the pixel model
+    (honestly stubbed: no PIL/torch in this container). Gate explodes
+    the vector so the oracle hash covers every component; the oracle
+    recomputes the fake from the generator formula."""
+    d = _gen_img(spark, sf_dir)
+    feats = mm.image_features(d, "doc_id", "payload", dim=IMG_FEAT_DIM)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("i", "f")
+    ).select("doc_id", F.col("i").cast("int").alias("i"), "f")
+
+
+SQL_IMAGE_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id,
+    31*(16 + doc_id % 101) + 7*(16 + (7*doc_id) % 89)
+      + 5*(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END) AS base
+  FROM documents
+)
+SELECT doc_id, i::INT AS i, ((base + 13*i) % 997) / 997.0 AS f
+FROM m, unnest(range(0, {IMG_FEAT_DIM})) AS u(i)
+"""
+
+
 def q_audio_meta_real(spark, sf_dir):
     """REAL WAV decode via the stdlib wave module: valid PCM WAV bytes
     generated per doc (multimodal.synth_wav_bytes), decoded back —
@@ -6655,6 +6740,8 @@ QUERIES = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "image_meta_real": (q_image_meta_real, SQL_IMAGE_META_REAL),
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "audio_meta_real": (q_audio_meta_real, SQL_AUDIO_META_REAL),
     "frame_samples": (q_frame_samples, SQL_FRAME_SAMPLES),
     "domain_filter": (q_domain_filter, SQL_DOMAIN_FILTER),
@@ -6880,7 +6967,6 @@ _WINDOW_R5 = [
     "embedding_near_pairs",
     "events_hourly",
     "filter_en_long",
-    "fingerprints",
     "hybrid_rrf",
     "lang_id",
     "latest_event_per_user",
@@ -6890,16 +6976,18 @@ _WINDOW_R5 = [
     "postings_for_term",
     "pricing_summary",
     "quality_scores",
-    "quantize_embeddings",
     "revenue_topk",
     "search_facets",
     "simhash",
     "term_df_top20",
     # (d) new in round 5 — never checked by definition (displaces the
-    # r2-era token_counts and embedding_norms to the tail; both stay
-    # covered by the full replica + pytest)
+    # r2-era token_counts, embedding_norms, fingerprints and
+    # quantize_embeddings to the tail; all four stay covered by the
+    # full replica + pytest)
     "c4_clean",
     "training_prep_v4",
+    "image_resize",
+    "image_features",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {

@@ -151,6 +151,130 @@ def decode_image_meta(
     ).mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+RESIZE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("scale", T.DoubleType(), False),
+        T.StructField("format", T.StringType(), False),
+    ]
+)
+
+
+def _fit_dims(w: int, h: int, tw: int, th: int, mode: str):
+    """Aspect-geometry for a resize: 'fit' letterboxes inside (tw, th),
+    'fill' covers it (then crops), 'stretch' ignores aspect. Returns
+    (out_w, out_h, scale); scale is the applied linear factor ('stretch'
+    reports the width factor). Pure arithmetic — identical in any
+    engine, which is what the gate's SQL oracle recomputes."""
+    if mode == "stretch":
+        return tw, th, tw / w
+    s = min(tw / w, th / h) if mode == "fit" else max(tw / w, th / h)
+    return max(1, int(w * s)), max(1, int(h * s)), s
+
+
+def resize_image_meta(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    target_w: int,
+    target_h: int,
+    mode: str = "fit",
+    use_real: bool = False,
+    resample: bool = False,
+) -> DataFrame:
+    """The resize stage of an image-curation pipeline, split at the
+    honest boundary: header decode + output-geometry planning are REAL
+    (stdlib parsers + pure arithmetic — everything a scheduler needs to
+    budget a distributed resize: output dims, scale factor, per-format
+    routing), while the pixel resample itself (``resample=True``)
+    requires PIL/libvips and raises via ``_decode_pixels_real`` exactly
+    like the other pixel stages. mapInPandas with the blob projected
+    away on output, so downstream stages never shuffle payloads."""
+    if mode not in ("fit", "fill", "stretch"):
+        raise ValueError(f"unknown resize mode {mode!r}")
+    decode = _decode_image_real if use_real else _decode_image_fake
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, fmt = decode(bytes(p))
+                if resample:
+                    _decode_pixels_real(bytes(p))  # honest stub: raises
+                ow, oh, s = _fit_dims(w, h, target_w, target_h, mode)
+                rows.append((int(i), w, h, ow, oh, round(s, 6), fmt))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_w", "out_h",
+                    "scale", "format",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "width": "int32", "height": "int32",
+                    "out_w": "int32", "out_h": "int32", "scale": "float64",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=RESIZE_META_SCHEMA
+    )
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType(), False), False),
+    ]
+)
+
+_FMT_CODE = {"png": 0, "gif": 1, "jpeg": 2}
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    dim: int = 8,
+    use_real: bool = False,
+) -> DataFrame:
+    """Feature-extraction plumbing (the CLIP/ResNet-embedding stage of a
+    multimodal curation pipeline): mapInPandas over (id, payload) →
+    (id, array<double> of length ``dim``) — the exact schema, batch
+    shape, and blob-free output contract the real extractor needs.
+    ``use_real=True`` is the honest pixel-model stub
+    (``_decode_pixels_real`` raises: no PIL/torch in this container);
+    the default is a DETERMINISTIC FAKE derived from the REAL header
+    metadata — features[i] = ((31*w + 7*h + 5*fmt_code + 13*i) % 997)
+    / 997 — so the plumbing is testable end-to-end and the gate's SQL
+    oracle can recompute it from the generator formula."""
+
+    def fake_vec(p: bytes):
+        w, h, fmt = _decode_image_real(p)
+        base = 31 * w + 7 * h + 5 * _FMT_CODE[fmt]
+        return [((base + 13 * i) % 997) / 997.0 for i in range(dim)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real:
+                for p in pdf[payload_col]:
+                    _decode_pixels_real(bytes(p))  # raises
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "features": [fake_vec(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
