@@ -278,3 +278,95 @@ class TestQuantileSketch:
         )
         exp = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == exp
+
+
+@pytest.mark.spark
+class TestBloom:
+    M, K = 1 << 10, 3
+
+    def _words(self, spark, keys):
+        from uci_searchengine_spark.operators.sketches import bloom_words
+
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        return bloom_words(df, "k", self.M, self.K)
+
+    def _hits(self, spark, words, probes):
+        from uci_searchengine_spark.operators.sketches import bloom_hit
+
+        df = spark.createDataFrame([(p,) for p in probes], "k string")
+        out = bloom_hit(df, "k", words, self.M, self.K)
+        return {r["k"]: r["bloom_hit"] for r in out.collect()}
+
+    def test_no_false_negatives(self, spark):
+        keys = [f"url-{i}" for i in range(400)]
+        hits = self._hits(spark, self._words(spark, keys), keys)
+        assert all(hits[k] for k in keys)
+
+    def test_false_positive_rate_bounded(self, spark):
+        keys = [f"url-{i}" for i in range(200)]
+        words = self._words(spark, keys)
+        others = [f"other-{i}" for i in range(500)]
+        hits = self._hits(spark, words, others)
+        fp = sum(hits.values())
+        # n=200, m=1024, k=3 -> theoretical fp ~ (1-e^-0.586)^3 ~ 0.087;
+        # allow generous slack, but it must prune the bulk
+        assert fp / len(others) < 0.25, fp
+
+    def test_merge_is_bit_or(self, spark):
+        # bloom(A) OR bloom(B) == bloom(A u B): partial filters from
+        # different partitions/batches union losslessly
+        a = [f"k-{i}" for i in range(150)]
+        b = [f"k-{i}" for i in range(100, 300)]
+        merged = (
+            self._words(spark, a)
+            .union(self._words(spark, b))
+            .groupBy("wi")
+            .agg(F.expr("bit_or(wv)").alias("wv"))
+        )
+        whole = self._words(spark, a + b)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_word_table_bounded(self, spark):
+        # however many keys, the sketch is at most m/64 words
+        keys = [f"k-{i}" for i in range(5000)]
+        assert self._words(spark, keys).count() <= self.M // 64
+
+    def test_duckdb_mirror_identical(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            bloom_hit,
+            bloom_sql,
+            bloom_words,
+        )
+
+        keys = spark.createDataFrame(
+            [(f"d-{i}",) for i in range(0, 300, 2)], "bk string"
+        )
+        probe = spark.createDataFrame(
+            [(f"d-{i}",) for i in range(300)], "pk string"
+        )
+        words = bloom_words(keys, "bk", self.M, self.K)
+        sp = {
+            r["pk"]: r["bloom_hit"]
+            for r in bloom_hit(probe, "pk", words, self.M, self.K).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE bk AS SELECT 'd-' || (2*i)::VARCHAR AS bk "
+            "FROM range(150) t(i)"
+        )
+        con.execute(
+            "CREATE TABLE pk AS SELECT 'd-' || i::VARCHAR AS pk "
+            "FROM range(300) t(i)"
+        )
+        sql = bloom_sql(
+            "SELECT bk FROM bk",
+            "SELECT pk FROM pk",
+            "bk",
+            "pk",
+            self.M,
+            self.K,
+        )
+        dk = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+        assert sp == dk

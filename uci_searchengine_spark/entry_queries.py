@@ -6833,6 +6833,78 @@ QUERIES["hll_grouped"] = (q_hll_grouped, _sql_hll_grouped())
 QUERIES["percentile_ranks"] = (q_percentile_ranks, SQL_PERCENTILE_RANKS)
 QUERIES["percolate_indexed"] = (q_percolate_indexed, SQL_PERCOLATE)
 
+
+# -- round-5 second-wave additions ------------------------------------
+
+
+BLOOM_M = 1 << 12  # filter bits; 64 words
+BLOOM_K = 3  # hash functions
+BLOOM_SHIFT = 100000  # probe offset that manufactures non-member keys
+
+
+def q_bloom_semi(spark, sf_dir):
+    """Bloom-filter membership pre-filter (sketches.bloom_words /
+    bloom_hit — the Spark InjectRuntimeFilter / Lucene
+    BloomFilteringPostingsFormat shape): build a 4096-bit filter over
+    the distinct order custkeys (one bit_or aggregate — the filter is
+    64 longs however many keys go in), then probe every customer key
+    plus a shifted copy of the key space (the shifted half is
+    guaranteed non-member, so false positives are observable). Output
+    per probe: bloom verdict + exact membership. The production use is
+    the scan-side semi-join pre-filter: broadcast the 64 words, drop
+    probe rows bloom says are absent (never wrong — no false
+    negatives), and only the surviving sliver pays the exact join; at
+    100 TB that turns a full shuffle of the probe relation into a
+    map-side bitmap test. Reference analog: the crawler's
+    discovered-URL membership checks against SQLite unique indexes
+    (reference backend/app/api/crawler.py:271-294)."""
+    from uci_searchengine_spark.operators.sketches import (
+        bloom_hit,
+        bloom_words,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    words = bloom_words(keys, "k", BLOOM_M, BLOOM_K)
+    probe = cust.select(F.col("c_custkey").alias("probe_key")).unionAll(
+        cust.select((F.col("c_custkey") + BLOOM_SHIFT).alias("probe_key"))
+    )
+    hits = bloom_hit(probe, "probe_key", words, BLOOM_M, BLOOM_K)
+    return (
+        hits.join(F.broadcast(keys), hits["probe_key"] == keys["k"], "left")
+        .select(
+            "probe_key",
+            "bloom_hit",
+            F.col("k").isNotNull().alias("exact_hit"),
+        )
+        .orderBy("probe_key")
+    )
+
+
+def _sql_bloom_semi() -> str:
+    from uci_searchengine_spark.operators.sketches import bloom_sql
+
+    hits = bloom_sql(
+        "SELECT DISTINCT o_custkey FROM orders",
+        "SELECT c_custkey AS probe_key FROM customer "
+        f"UNION ALL SELECT c_custkey + {BLOOM_SHIFT} FROM customer",
+        "o_custkey",
+        "probe_key",
+        BLOOM_M,
+        BLOOM_K,
+    )
+    return f"""
+WITH hits AS ({hits}),
+keys AS (SELECT DISTINCT o_custkey AS k FROM orders)
+SELECT h.probe_key, h.bloom_hit, (k.k IS NOT NULL) AS exact_hit
+FROM hits h LEFT JOIN keys k ON h.probe_key = k.k
+ORDER BY probe_key
+"""
+
+
+QUERIES["bloom_semi"] = (q_bloom_semi, _sql_bloom_semi())
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no

@@ -439,3 +439,138 @@ SELECT {gsel}
        CAST(used AS INT) AS n_buckets, max_rho
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: set-membership sketch + broadcast semi-join pre-filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bits(key: Column, m_bits: int, k: int) -> Column:
+    """Array of the ``k`` bit indices ``key`` hashes to — the salted
+    md5-prefix hash family shared with cms_table above, so DuckDB can
+    mirror it bit-for-bit. Bit ``b`` of the filter lives at word
+    ``b // 64``, position ``b % 64`` (1<<63 goes negative as a signed
+    long; bit_or/& don't care)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(r)), key)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for r in range(k)
+        ]
+    )
+
+
+# shiftleft by a column needs the SQL form (the Python wrapper takes a
+# literal shift only); operates on a column literally named ``bit``
+_MASK_EXPR = "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, 64) AS INT))"
+
+
+def bloom_words(
+    keys: DataFrame,
+    key: str,
+    m_bits: int = 1 << 12,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter (Bloom 1970) of ``keys[key]`` as a word
+    table ``(wi int, wv long)`` — at most ``m_bits/64`` rows however
+    many keys go in. This is the runtime-filter shape Spark itself
+    uses for its InjectRuntimeFilter bloom: the build side collapses
+    to a constant-size bitmap via an associative ``bit_or`` aggregate
+    (map-side combine free — partial filters OR together), which then
+    broadcasts to every scan task of the probe side.
+
+    Reference parity: the reference checks crawl-frontier membership
+    row-at-a-time against SQLite unique indexes
+    (backend/app/api/crawler.py:271-294 discovered-URL dedup); at
+    10^12 URLs the exact membership relation is the largest table in
+    the system, while this sketch is ``m_bits/64`` longs with a
+    tunable false-positive rate and zero false negatives.
+    """
+    return (
+        keys.select(F.explode(_bloom_bits(F.col(key), m_bits, k)).alias("bit"))
+        .select(
+            (F.col("bit") / 64).cast("int").alias("wi"),
+            F.expr(_MASK_EXPR).alias("mask"),
+        )
+        .groupBy("wi")
+        .agg(F.expr("bit_or(mask)").alias("wv"))
+    )
+
+
+def bloom_hit(
+    probe: DataFrame,
+    key: str,
+    words: DataFrame,
+    m_bits: int = 1 << 12,
+    k: int = 3,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Annotate ``probe`` with membership in the filter: true iff all
+    ``k`` hashed bits are set. The word table is ≤ m_bits/64 rows and
+    broadcast, so the probe is a map-side join at any probe size —
+    no shuffle of the (possibly 100 TB) probe relation. Guaranteed
+    no-false-negative: a key that went into the filter always hits."""
+    exploded = probe.select(
+        key, F.explode(_bloom_bits(F.col(key), m_bits, k)).alias("bit")
+    ).select(
+        key,
+        (F.col("bit") / 64).cast("int").alias("wi"),
+        F.expr(_MASK_EXPR).alias("mask"),
+    )
+    joined = exploded.join(F.broadcast(words), "wi", "left")
+    per_hash = joined.select(
+        key,
+        (
+            F.coalesce(F.col("wv"), F.lit(0)).bitwiseAND(F.col("mask")) != 0
+        ).alias("h"),
+    )
+    return per_hash.groupBy(key).agg(F.expr("bool_and(h)").alias(hit_col))
+
+
+def bloom_sql(
+    keys_sql: str,
+    probe_sql: str,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 1 << 12,
+    k: int = 3,
+    hit_col: str = "bloom_hit",
+) -> str:
+    """DuckDB mirror of bloom_words + bloom_hit: identical salted
+    md5-prefix hash, identical word/mask layout, bit_or aggregate.
+    DuckDB's signed << raises on bit 63, so its words live in UBIGINT —
+    the bit patterns match Spark's signed longs and the gate columns
+    are booleans, so signedness never surfaces."""
+    bit = (
+        f"CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || KEY), 1, 8))"
+        f" AS UBIGINT)::BIGINT % {m_bits}"
+    )
+    b_bit = bit.replace("KEY", f"CAST(b.{build_key} AS VARCHAR)")
+    p_bit = bit.replace("KEY", f"CAST(p.{probe_key} AS VARCHAR)")
+    return f"""
+WITH bbits AS (
+  SELECT CAST(({b_bit}) // 64 AS INT) AS wi,
+         (1::UBIGINT << CAST(({b_bit}) % 64 AS INT)) AS mask
+  FROM ({keys_sql}) b, range(0, {k}) t(r)
+),
+words AS (SELECT wi, bit_or(mask) AS wv FROM bbits GROUP BY wi),
+pbits AS (
+  SELECT p.{probe_key},
+         CAST(({p_bit}) // 64 AS INT) AS wi,
+         (1::UBIGINT << CAST(({p_bit}) % 64 AS INT)) AS mask
+  FROM ({probe_sql}) p, range(0, {k}) t(r)
+)
+SELECT pb.{probe_key},
+       bool_and((COALESCE(w.wv, 0::UBIGINT) & pb.mask) <> 0) AS {hit_col}
+FROM pbits pb LEFT JOIN words w ON pb.wi = w.wi
+GROUP BY pb.{probe_key}
+"""
