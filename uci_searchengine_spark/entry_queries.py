@@ -6905,6 +6905,70 @@ ORDER BY probe_key
 
 QUERIES["bloom_semi"] = (q_bloom_semi, _sql_bloom_semi())
 
+
+HAM_DIM = 64
+HAM_CAND = 30
+HAM_K = 10
+
+
+def q_hamming_rerank(spark, sf_dir):
+    """Binary-quantized ANN (similarity.binary_quantize /
+    hamming_rerank — the faiss/Lucene binary-embedding shape): sign
+    bits pack each 64-float vector into two longs, Hamming distance
+    picks top-30 candidates (ties by id), exact cosine reranks to
+    top-10. Phase 1 reads ONLY the packed codes — at corpus scale
+    that's a 32× narrower scan than brute-force cosine, and the
+    packing itself is a zero-shuffle scan projection. Query = the
+    vec_id-0 row, read from the same table in both engines."""
+    from uci_searchengine_spark.operators.similarity import hamming_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return hamming_rerank(
+        emb, query, "vec_id", "embedding", HAM_DIM, HAM_CAND, HAM_K
+    )
+
+
+def _sql_hamming_rerank() -> str:
+    from uci_searchengine_spark.operators.similarity import (
+        binary_quantize_sql,
+        hamming_sql,
+    )
+
+    bq = binary_quantize_sql("embedding", HAM_DIM)
+    nw = (HAM_DIM + 31) // 32
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv, {bq} AS qw FROM embeddings WHERE vec_id = 0
+),
+coded AS (
+  SELECT vec_id, embedding AS v, {bq} AS w FROM embeddings
+),
+cand AS (
+  SELECT vec_id, v, qv, {hamming_sql('w', 'qw', nw)} AS hamming
+  FROM coded, q
+  ORDER BY hamming, vec_id LIMIT {HAM_CAND}
+),
+scored AS (
+  SELECT vec_id, hamming,
+         round(list_dot_product(list_transform(v, x -> CAST(x AS DOUBLE)),
+                                list_transform(qv, x -> CAST(x AS DOUBLE)))
+               / (sqrt(list_dot_product(list_transform(v, x -> CAST(x AS DOUBLE)),
+                                        list_transform(v, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                          list_transform(qv, x -> CAST(x AS DOUBLE))))),
+               6) AS cos
+  FROM cand
+)
+SELECT vec_id, hamming, cos FROM scored
+ORDER BY cos DESC, vec_id LIMIT {HAM_K}
+"""
+
+
+QUERIES["hamming_rerank"] = (q_hamming_rerank, _sql_hamming_rerank())
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
