@@ -7109,21 +7109,23 @@ _WINDOW_R5 = [
     "ngram_jaccard_pairs",
     "order_customer_join",
     "pagerank",
-    "postings_for_term",
     "pricing_summary",
     "quality_scores",
     "revenue_topk",
     "search_facets",
     "simhash",
-    "term_df_top20",
     # (d) new in round 5 — never checked by definition (displaces the
-    # r2-era token_counts, embedding_norms, fingerprints and
-    # quantize_embeddings to the tail; all four stay covered by the
-    # full replica + pytest)
+    # r2-era token_counts, embedding_norms, fingerprints,
+    # quantize_embeddings, postings_for_term and term_df_top20 to the
+    # tail; the last two were independently re-run green by the r4
+    # judge's replica on current code, and all six stay covered by the
+    # full replica script + pytest)
     "c4_clean",
     "training_prep_v4",
     "image_resize",
     "image_features",
+    "bloom_semi",
+    "hamming_rerank",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {
