@@ -778,6 +778,37 @@ def main() -> None:
         )
     )
 
+    # 53) KMV theta sketch: the theta prune must sit BELOW the aggregate
+    # (scan-stage filter — at 100 TB it drops (1-theta) of rows before
+    # any exchange), the collect_set must map-side combine
+    # (partial_collect_set), and the whole plan is one shuffle, zero
+    # Python.
+    from uci_searchengine_spark.operators.sketches import kmv_sketch
+
+    orders01 = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    kmv = kmv_sketch(
+        orders01,
+        F.col("o_custkey"),
+        k=64,
+        group_cols=["o_orderstatus"],
+        theta=0.25,
+    )
+    plan = kmv._sc._jvm.PythonSQLUtils.explainString(
+        kmv._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "kmv: theta filter pre-shuffle, partial collect_set, one exchange",
+            plan.count("+- Exchange") == 1
+            and "partial_collect_set" in plan
+            and "< 0.25" in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

@@ -370,3 +370,138 @@ class TestBloom:
         )
         dk = {r[0]: r[1] for r in con.sql(sql).fetchall()}
         assert sp == dk
+
+
+@pytest.mark.spark
+class TestKMV:
+    def test_estimate_accuracy(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        n = 5000
+        df = _docs(spark, n, dup_every=1)  # 5000 distinct keys
+        est = kmv_estimate(
+            kmv_sketch(df, F.col("k"), k=256), k=256
+        ).collect()[0]
+        assert est["n_kept"] == 256
+        # k=256 → relative std error 1/sqrt(k-2) ≈ 6.3%; allow 4σ
+        assert abs(est["n_est"] - n) / n < 0.25
+
+    def test_exact_when_under_k(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+        )
+
+        df = _docs(spark, 300, dup_every=5)  # 60 distinct
+        est = kmv_estimate(
+            kmv_sketch(df, F.col("k"), k=256), k=256
+        ).collect()[0]
+        assert est["n_est"] == 60 and est["n_kept"] == 60
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            kmv_merge_col,
+            kmv_sketch,
+        )
+
+        k = 64
+        df = _docs(spark, 2000, dup_every=2)
+        a = df.filter(F.col("g") == "a")
+        b = df.filter(F.col("g") == "b")
+        merged = (
+            kmv_sketch(a, F.col("k"), k=k)
+            .select(F.col("kmins").alias("ka"))
+            .crossJoin(
+                kmv_sketch(b, F.col("k"), k=k).select(
+                    F.col("kmins").alias("kb")
+                )
+            )
+            .select(kmv_merge_col(F.col("ka"), F.col("kb"), k).alias("m"))
+            .collect()[0]["m"]
+        )
+        whole = kmv_sketch(df, F.col("k"), k=k).collect()[0]["kmins"]
+        assert merged == whole  # lossless associative merge, exactly
+
+    def test_partition_invariance(self, spark):
+        from uci_searchengine_spark.operators.sketches import kmv_sketch
+
+        df = _docs(spark, 1500, dup_every=3)
+        one = kmv_sketch(df.repartition(1), F.col("k"), k=128).collect()[0][
+            "kmins"
+        ]
+        many = kmv_sketch(df.repartition(16), F.col("k"), k=128).collect()[
+            0
+        ]["kmins"]
+        assert one == many
+
+    def test_theta_prefilter_is_transparent(self, spark):
+        from uci_searchengine_spark.operators.sketches import kmv_sketch
+
+        # with >= k survivors below theta the scan-side prune cannot
+        # change the bottom k: theta=0.5 keeps ~1000 of ~2000 hashes
+        df = _docs(spark, 2000, dup_every=1)
+        full = kmv_sketch(df, F.col("k"), k=128).collect()[0]["kmins"]
+        pruned = kmv_sketch(df, F.col("k"), k=128, theta=0.5).collect()[0][
+            "kmins"
+        ]
+        assert pruned == full
+
+    def test_jaccard_estimate_accuracy(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            kmv_jaccard_cols,
+            kmv_sketch,
+        )
+
+        # A = keys 0..2999, B = keys 1500..4499 → J = 1500/4500 = 1/3
+        rows_a = [(f"key-{i}",) for i in range(3000)]
+        rows_b = [(f"key-{i}",) for i in range(1500, 4500)]
+        a = spark.createDataFrame(rows_a, "k string")
+        b = spark.createDataFrame(rows_b, "k string")
+        k = 256
+        res = (
+            kmv_sketch(a, F.col("k"), k=k)
+            .select(F.col("kmins").alias("ka"))
+            .crossJoin(
+                kmv_sketch(b, F.col("k"), k=k).select(
+                    F.col("kmins").alias("kb")
+                )
+            )
+        )
+        cols = kmv_jaccard_cols(F.col("ka"), F.col("kb"), k)
+        out = res.select(
+            cols["union_est"].alias("u"),
+            cols["inter_est"].alias("i"),
+            cols["jaccard_est"].alias("j"),
+        ).collect()[0]
+        assert abs(out["u"] - 4500) / 4500 < 0.25
+        assert abs(out["j"] - 1 / 3) < 0.12  # binomial(k, J) 4σ
+        assert abs(out["i"] - 1500) / 1500 < 0.35
+
+    def test_duckdb_mirror(self, spark):
+        from uci_searchengine_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_sketch,
+            kmv_sql,
+        )
+
+        df = _docs(spark, 4000, dup_every=2)
+        got = {
+            (r["g"], r["n_est"], r["n_kept"])
+            for r in kmv_estimate(
+                kmv_sketch(df, F.col("k"), k=64, group_cols=["g"]),
+                k=64,
+                group_cols=["g"],
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        want = {
+            tuple(r)
+            for r in con.execute(
+                kmv_sql("k", "t", k=64, group_cols=["g"])
+            ).fetchall()
+        }
+        assert got == want

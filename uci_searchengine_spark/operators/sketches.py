@@ -574,3 +574,159 @@ SELECT pb.{probe_key},
 FROM pbits pb LEFT JOIN words w ON pb.wi = w.wi
 GROUP BY pb.{probe_key}
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k theta sketch: distinct counts AND set intersections
+# ---------------------------------------------------------------------------
+
+
+def kmv_hash(key: Column) -> Column:
+    """Deterministic uniform [0,1) with ~53 effective bits: the two
+    md5-prefix u32s combined as ``(hi + lo/2^32) / 2^32``. Both terms
+    are exact in IEEE double and the same two operations run in DuckDB,
+    so the streams are bit-identical cross-engine (the u32-only stream
+    used by operators/sampling.py starts colliding around 2^16 distinct
+    keys, which a cardinality sketch can't tolerate)."""
+    s = key.cast("string")
+    hi = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("double")
+    lo = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("double")
+    return (hi + lo / F.lit(4294967296.0)) / F.lit(4294967296.0)
+
+
+def kmv_hash_sql(key_expr: str) -> str:
+    """DuckDB mirror of kmv_hash."""
+    k = f"CAST({key_expr} AS VARCHAR)"
+    hi = f"CAST(CAST(('0x' || substr(md5({k}),1,8)) AS UBIGINT) AS DOUBLE)"
+    lo = f"CAST(CAST(('0x' || substr(md5({k}),9,8)) AS UBIGINT) AS DOUBLE)"
+    return f"(({hi} + {lo} / 4294967296.0) / 4294967296.0)"
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: Column,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    theta: float | None = None,
+) -> DataFrame:
+    """The k-minimum-values (bottom-k / theta) sketch of Bar-Yossef et
+    al. 2002, the DataSketches/Druid workhorse: per group, the ``k``
+    smallest DISTINCT hash values of ``key`` as an ascending
+    ``kmins: array<double>``. What HLL cannot do and this can: two
+    sketches intersect (kmv_jaccard_cols), because the sketch IS a
+    uniform sample of the distinct-key hash space below a threshold.
+
+    Merge/rollup without rescanning data: union two kmins arrays and
+    re-take the bottom k (kmv_merge_col) — associative and lossless,
+    exactly like HLL's max-register merge.
+
+    Scale path (100 TB): pass ``theta`` — hashes are uniform, so the
+    k-th smallest of n distinct sits near k/n, and any theta
+    comfortably above that (say 8k/n_rough from a cheap row-count
+    bound) lets the filter fold into the SCAN: (1-theta) of the corpus
+    is dropped before the aggregate, and every partial collect_set
+    holds at most ~theta·n_distinct values instead of its whole
+    partition's key set. theta=None keeps the exact-bottom-k semantics
+    with unbounded partials — fine at gate scale, not at corpus scale.
+
+    Reference analog: the reference counts distinct discovered URLs /
+    domains by full SQLite ``COUNT(DISTINCT …)`` scans
+    (backend/app/api/crawler.py statistics endpoints); this answers
+    the same questions in k doubles per group, mergeable across
+    segments."""
+    groups = list(group_cols or [])
+    h = kmv_hash(key)
+    rows = df.select(*groups, h.alias("h"))
+    if theta is not None:
+        rows = rows.filter(F.col("h") < F.lit(float(theta)))
+    return rows.groupBy(*groups).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmins")
+    )
+
+
+def kmv_merge_col(a: Column, b: Column, k: int) -> Column:
+    """Union of two sketches: bottom k of the merged distinct values.
+    array_union dedups, so merging a sketch with itself is identity."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def _kmv_est(kmins: Column, k: int) -> Column:
+    """(k-1)/h_k when the sketch is full (the classic unbiased KMV
+    estimator), else the sketch holds EVERY distinct hash and its size
+    is the exact count."""
+    return (
+        F.when(
+            F.size(kmins) < k, F.size(kmins).cast("double")
+        ).otherwise(F.lit(float(k - 1)) / F.element_at(kmins, k))
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+    est_col: str = "n_est",
+) -> DataFrame:
+    """Distinct-count estimate per group from a kmins table."""
+    groups = list(group_cols or [])
+    return sketch.select(
+        *groups,
+        F.round(_kmv_est(F.col("kmins"), k)).cast("long").alias(est_col),
+        F.size("kmins").cast("int").alias("n_kept"),
+    )
+
+
+def kmv_jaccard_cols(a: Column, b: Column, k: int) -> dict[str, Column]:
+    """Set-expression estimates from two same-k sketches: the union
+    sketch's members below ITS threshold are a uniform sample of
+    A ∪ B, so the fraction of them present in both input sketches
+    estimates Jaccard, and |A∩B| ≈ J · |A∪B|. Returns columns
+    ``union_est / inter_est / jaccard_est`` (Beyer et al. 2007)."""
+    u = kmv_merge_col(a, b, k)
+    matched = F.size(F.array_intersect(F.array_intersect(u, a), b))
+    jac = matched.cast("double") / F.size(u).cast("double")
+    union_est = _kmv_est(u, k)
+    return {
+        "union_est": F.round(union_est).cast("long"),
+        "inter_est": F.round(jac * union_est).cast("long"),
+        "jaccard_est": F.round(jac, 6),
+    }
+
+
+def kmv_sql(
+    key_expr: str,
+    table_sql: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    est_col: str = "n_est",
+) -> str:
+    """DuckDB mirror of kmv_sketch → kmv_estimate: same hash, same
+    bottom-k (row_number over distinct hashes), same estimator."""
+    groups = list(group_cols or [])
+    gsel = "".join(g + ", " for g in groups)
+    part = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {gsel}{kmv_hash_sql(key_expr)} AS h FROM {table_sql}
+), r AS (
+  SELECT {gsel}h, row_number() OVER ({part} ORDER BY h) AS rn FROM d
+)
+SELECT {gsel}
+       CAST(round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {float(k - 1)!r} / max(CASE WHEN rn = {k} THEN h END)
+                  END) AS BIGINT) AS {est_col},
+       CAST(LEAST(count(*), {k}) AS INT) AS n_kept
+FROM r {gby}
+"""
+
+
+def kmv_kmins_sql(key_expr: str, table_sql: str, k: int) -> str:
+    """DuckDB: one row holding the ungrouped kmins list (for the
+    set-expression mirror)."""
+    return f"""
+SELECT list(h ORDER BY h) AS kmins FROM (
+  SELECT DISTINCT {kmv_hash_sql(key_expr)} AS h FROM {table_sql}
+  ORDER BY h LIMIT {k}
+)
+"""
