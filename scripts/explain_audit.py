@@ -809,6 +809,56 @@ def main() -> None:
         )
     )
 
+    # Z-order layout: the Morton-code projection must be scan-side
+    # (zero Exchange before the stats aggregate's own shuffle — the
+    # aggregate is map-combined so exactly one Exchange total), all
+    # integer JVM arithmetic (zero Python eval operators), and the
+    # physical rewrite must plan exactly one range shuffle.
+    from uci_searchengine_spark.operators.layout import (
+        cell_stats as _zo_stats,
+        zorder_cells as _zo_cells,
+        zorder_layout as _zo_layout,
+    )
+
+    orders_zo = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders_zo = orders_zo.withColumn(
+        "okday", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    )
+    zo_specs = [("o_custkey", 0, 14), ("okday", 0, 12)]
+    zst = _zo_stats(
+        _zo_cells(orders_zo, zo_specs, bits=8, cell_shift=8),
+        ["o_custkey", "okday"],
+    )
+    plan = zst._sc._jvm.PythonSQLUtils.explainString(
+        zst._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "zorder: scan-side zval, one map-combined exchange, no Python",
+            plan.count("+- Exchange") == 1
+            and "partial_count" in plan
+            and "shiftleft" in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan,
+            plan,
+        )
+    )
+    zlay = _zo_layout(orders_zo, zo_specs, bits=8, num_partitions=8)
+    plan = zlay._sc._jvm.PythonSQLUtils.explainString(
+        zlay._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "zorder layout: exactly one range shuffle, in-partition sort",
+            plan.count("+- Exchange") == 1
+            and "rangepartitioning" in plan
+            and "Sort" in plan
+            and ", false, 0" in plan,  # sortWithinPartitions: global=false
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
