@@ -859,6 +859,63 @@ def main() -> None:
         )
     )
 
+    # Distributed Lloyd k-means: centroid side broadcast (the corpus
+    # is never shuffled against k), the update step's sums partially
+    # aggregated map-side, zero Python eval.
+    from uci_searchengine_spark.operators.clustering import (
+        kmeans_assign as _km_assign,
+        kmeans_update as _km_update,
+        quantize_vec as _km_quant,
+        semdedup_pairs as _km_pairs,
+    )
+
+    emb_km = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", _km_quant(F.col("embedding")).alias("qv"))
+    cents_km = emb_km.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    km_assigned = _km_assign(emb_km, cents_km)
+    kmu = _km_update(km_assigned, 8)
+    plan = kmu._sc._jvm.PythonSQLUtils.explainString(
+        kmu._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "kmeans: broadcast centroids, partial-combined sums, no Python",
+            "Broadcast" in plan
+            and "partial_sum" in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan,
+            plan,
+        )
+    )
+    # SemDeDup: the pair join must be keyed on the CELL (equi-join) —
+    # the whole point is that clustering bounds the candidate set, so
+    # a cartesian/nested-loop join here would be the O(n²) failure.
+    kmp = _km_pairs(km_assigned, 0.4)
+    plan = kmp._sc._jvm.PythonSQLUtils.explainString(
+        kmp._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "semdedup: cell-keyed equi-join, no cartesian product",
+            # the upstream assignment's k-row centroid broadcast is a
+            # legitimate BroadcastNestedLoopJoin; the PAIR join must be
+            # an equi-join (hash or sort-merge) and nothing cartesian
+            "CartesianProduct" not in plan
+            and (
+                "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan
+                or "BroadcastHashJoin" in plan
+            )
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
