@@ -115,6 +115,13 @@ HEADLINE_V2 = [
     "dsir_select",
     "c4_clean",
     "training_prep_v4",
+    # late-round-5 additions: sketch/ANN/layout/clustering surfaces
+    "bloom_semi",
+    "hamming_rerank",
+    "kmv_distinct",
+    "zorder_cells",
+    "kmeans_cells",
+    "semdedup_pairs",
 ]
 
 BENCH_QUERIES = [
