@@ -916,6 +916,47 @@ def main() -> None:
         )
     )
 
+    # Trigram wildcard expansion: the candidate probe over the
+    # persisted plane must push the gram IN(...) filter into the
+    # parquet reader (the gram-sorted plane prunes row groups on gram
+    # min/max), AND the exact LIKE verify must run on the aggregated
+    # candidate set, not the full dictionary — i.e. the scan's pushed
+    # filters mention gram, not a Contains over every term.
+    from uci_searchengine_spark.operators.trigram import (
+        required_trigrams as _tri_req,
+        trigram_plane_fresh as _tri_fresh,
+        write_trigram_plane as _tri_write,
+    )
+    from uci_searchengine_spark.operators.index_build import (
+        IndexMeta as _IdxMeta,
+    )
+
+    if not _tri_fresh(IDX, _IdxMeta.load(IDX)):
+        _tri_write(spark, IDX)
+    _grams = _tri_req("*versit*")  # multi-gram: forces In(gram, ...)
+    tri_plane = spark.read.parquet(os.path.join(IDX, "trigramplane"))
+    tri_cand = (
+        tri_plane.filter(F.col("gram").isin(_grams))
+        .groupBy("term", "df")
+        .agg(F.count("*").alias("ng"))
+        .filter(F.col("ng") == len(_grams))
+        .select("term", "df")
+        .filter(F.col("term").like("%versit%"))
+    )
+    plan = tri_cand._sc._jvm.PythonSQLUtils.explainString(
+        tri_cand._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "trigram wildcard: gram IN pushed to plane scan, no Python",
+            ("In(gram" in plan or "EqualTo(gram" in plan)
+            and "partial_count" in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

@@ -7268,6 +7268,80 @@ GROUP BY cell ORDER BY cell
 QUERIES["zorder_cells"] = (q_zorder_cells, _sql_zorder_cells())
 
 
+WILDCARD_QUERY = "*ata* *rea* join"
+
+
+def q_wildcard_search(spark, sf_dir):
+    """Infix wildcard query ``*ata* *rea* join`` over the
+    compressed-segment index (Lucene WildcardQuery; operators/trigram):
+    leading-star patterns defeat the sorted-dictionary prefix pushdown,
+    so expansion runs through the trigram posting plane (Cox 2012 /
+    pg_trgm shape) — required trigrams from the pattern's literal
+    segments AND-ed over the gram-sorted (gram, term, df) plane, exact
+    LIKE verified only on the candidates (no false negatives by
+    construction), ordered (df desc, term asc), capped at 50 per
+    pattern. The expanded disjunction then scores through the block-max
+    pruned scorer, each term with its own idf. Oracle mirrors the rule
+    with DuckDB LIKE over the same vocabulary."""
+    from uci_searchengine_spark.operators.index_build import (
+        IndexMeta,
+        load_docs,
+    )
+    from uci_searchengine_spark.operators.trigram import (
+        trigram_plane_fresh,
+        wildcard_search,
+        write_trigram_plane,
+    )
+
+    idx = _segments_index_dir(spark, sf_dir)
+    if not trigram_plane_fresh(idx, IndexMeta.load(idx)):
+        write_trigram_plane(spark, idx)
+    topk = wildcard_search(spark, idx, WILDCARD_QUERY, k=10)
+    urls = load_docs(spark, idx).select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id")
+        .select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+SQL_WILDCARD_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+allterms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM allterms GROUP BY term
+),
+exp1 AS (SELECT term FROM vocab WHERE term LIKE '%ata%'
+         ORDER BY df DESC, term ASC LIMIT 50),
+exp2 AS (SELECT term FROM vocab WHERE term LIKE '%rea%'
+         ORDER BY df DESC, term ASC LIMIT 50),
+qterms AS (SELECT term FROM exp1 UNION SELECT term FROM exp2
+           UNION SELECT 'join' AS term),
+posts AS (
+  SELECT doc_id, term, count(*)::INT AS tf FROM allterms
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*2.2)/(p.tf + 1.2*(1.0 - 0.75 + 0.75*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+QUERIES["wildcard_search"] = (q_wildcard_search, SQL_WILDCARD_SEARCH)
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -7394,7 +7468,6 @@ _WINDOW_R5 = [
     "ann_lsh",
     "bm25_segments_and",
     "bm25_tombstones",
-    "cust_no_orders",
     "doc_token_stats",
     "dup_clusters",
     "events_hourly",
@@ -7427,6 +7500,11 @@ _WINDOW_R5 = [
     "zorder_cells",
     "kmeans_cells",
     "semdedup_pairs",
+    # (e) this-session additions — never checked by definition; each
+    # displaces an r2-era relational gate that is untouched since r2,
+    # full-registry-replica green this session, and pytest-covered
+    # (cust_no_orders rotates out for wildcard_search)
+    "wildcard_search",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {
