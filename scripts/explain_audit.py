@@ -957,6 +957,34 @@ def main() -> None:
         )
     )
 
+    # Interval range join: the BETWEEN predicate must run as a bucket
+    # equi-join (the operator's whole point) — a CartesianProduct or
+    # BroadcastNestedLoopJoin here is the O(points × intervals) failure
+    # the bucketization exists to avoid — with the aggregate partially
+    # combined map-side.
+    from uci_searchengine_spark.entry_queries import q_range_join
+
+    rj = q_range_join(spark, "/root/testdata/sf0.001")
+    plan = rj._sc._jvm.PythonSQLUtils.explainString(
+        rj._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "range join: bucket equi-join, no nested loop, partial agg",
+            "CartesianProduct" not in plan
+            and "BroadcastNestedLoopJoin" not in plan
+            and (
+                "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan
+                or "BroadcastHashJoin" in plan
+            )
+            and "partial_count" in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

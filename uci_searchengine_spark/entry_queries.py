@@ -7342,6 +7342,74 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 QUERIES["wildcard_search"] = (q_wildcard_search, SQL_WILDCARD_SEARCH)
 
 
+RJ_WIDTH = 7  # days — near the median interval length, replication ≤2×
+RJ_EPOCH = "1992-01-01"
+
+
+def q_range_join(spark, sf_dir):
+    """Interval range join as a bucket equi-join
+    (operators/rangejoin.interval_join — the Databricks range-join bin
+    shape): promo windows derived from every 32nd order
+    ([orderdate, orderdate + okey%25 + 3 days]) joined to lineitem on
+    l_shipdate BETWEEN start AND end, then aggregated per window. The
+    naive Spark plan for this predicate is a BroadcastNestedLoopJoin
+    (O(points × intervals)); here each interval explodes to its covered
+    7-day buckets, each point owns exactly one bucket, and the join is
+    an equi-join + exact filter — every qualifying pair meets exactly
+    once, both sides shuffle once on the bucket key. Oracle is DuckDB's
+    direct BETWEEN join."""
+    from uci_searchengine_spark.operators.rangejoin import interval_join
+
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 32 == 1)
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lit(RJ_EPOCH)).alias("sd"),
+            (
+                F.datediff(F.col("o_orderdate"), F.lit(RJ_EPOCH))
+                + F.col("o_orderkey") % 25
+                + F.lit(3)
+            ).alias("ed"),
+        )
+    )
+    pts = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        F.datediff(F.col("l_shipdate"), F.lit(RJ_EPOCH)).alias("d"),
+    )
+    return (
+        interval_join(pts, iv, "d", "sd", "ed", RJ_WIDTH)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_li"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH iv AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '{RJ_EPOCH}', CAST(o_orderdate AS DATE)) AS sd,
+         date_diff('day', DATE '{RJ_EPOCH}', CAST(o_orderdate AS DATE))
+           + o_orderkey % 25 + 3 AS ed
+  FROM orders WHERE o_orderkey % 32 = 1
+),
+pts AS (
+  SELECT l_quantity,
+         date_diff('day', DATE '{RJ_EPOCH}', CAST(l_shipdate AS DATE)) AS d
+  FROM lineitem
+)
+SELECT iv.o_orderkey, count(*) AS n_li, round(sum(pts.l_quantity), 2) AS sum_qty
+FROM iv JOIN pts ON pts.d BETWEEN iv.sd AND iv.ed
+GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey
+"""
+
+
+QUERIES["range_join"] = (q_range_join, SQL_RANGE_JOIN)
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -7476,7 +7544,6 @@ _WINDOW_R5 = [
     "lang_id",
     "latest_event_per_user",
     "ngram_jaccard_pairs",
-    "order_customer_join",
     "pagerank",
     "quality_scores",
     "revenue_topk",
@@ -7503,8 +7570,10 @@ _WINDOW_R5 = [
     # (e) this-session additions — never checked by definition; each
     # displaces an r2-era relational gate that is untouched since r2,
     # full-registry-replica green this session, and pytest-covered
-    # (cust_no_orders rotates out for wildcard_search)
+    # (cust_no_orders rotates out for wildcard_search,
+    # order_customer_join for range_join)
     "wildcard_search",
+    "range_join",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {
