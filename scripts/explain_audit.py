@@ -985,6 +985,36 @@ def main() -> None:
         )
     )
 
+    # MaxSim late interaction: the whole score is one in-row integer
+    # projection — scan → TakeOrdered, zero Exchange, zero Python.
+    from uci_searchengine_spark.operators.lateinteraction import (
+        maxsim_topk as _ms_topk,
+        tokens_from_vec as _ms_toks,
+    )
+
+    emb_ms = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    toks_ms = _ms_toks(emb_ms, "embedding", "vec_id", 8, 8)
+    q_ms = [
+        [int(x) for x in t]
+        for t in toks_ms.filter(F.col("vec_id") == 0).collect()[0]["toks"]
+    ]
+    ms = _ms_topk(toks_ms, q_ms, k=10)
+    plan = ms._sc._jvm.PythonSQLUtils.explainString(
+        ms._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "maxsim: in-row scoring, scan->TakeOrdered, no shuffle/Python",
+            "TakeOrderedAndProject" in plan
+            and "Exchange" not in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

@@ -7410,6 +7410,60 @@ GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey
 QUERIES["range_join"] = (q_range_join, SQL_RANGE_JOIN)
 
 
+MAXSIM_NTOK = 8
+MAXSIM_DIM = 8
+
+
+def q_maxsim_topk(spark, sf_dir):
+    """ColBERT MaxSim late-interaction top-10
+    (operators/lateinteraction — Khattab & Zaharia 2020): documents are
+    bags of token vectors (the flat 64-float embedding sliced 8×8 and
+    int64-quantized — the deterministic bag adapter), the query is
+    vec_id 0's bag, and relevance is Σ_q max_d (q·d) — each query
+    token's best doc-token dot, summed. The whole score is one in-row
+    integer projection (transform/array_max/aggregate HOFs), so the
+    plan is scan → TakeOrdered with zero shuffle and zero Python;
+    scores are exact integers, hashed raw. Scale path: candidates=
+    prunes the corpus by a cheap ANN phase before scoring (PLAID
+    rerank shape) — the gate runs the exact full-scan reference."""
+    from uci_searchengine_spark.operators.lateinteraction import (
+        maxsim_topk,
+        tokens_from_vec,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = tokens_from_vec(
+        emb, "embedding", "vec_id", MAXSIM_NTOK, MAXSIM_DIM
+    )
+    qrow = toks.filter(F.col("vec_id") == 0).collect()[0]
+    q_toks = [[int(x) for x in t] for t in qrow["toks"]]
+    return maxsim_topk(toks, q_toks, k=10)
+
+
+def _sql_maxsim_topk() -> str:
+    from uci_searchengine_spark.operators.clustering import quantize_vec_sql
+
+    qv = quantize_vec_sql("embedding")
+    n, d = MAXSIM_NTOK, MAXSIM_DIM
+    return f"""
+WITH qv AS (SELECT {qv} AS v FROM embeddings WHERE vec_id = 0),
+dv AS (SELECT vec_id, {qv} AS v FROM embeddings),
+dots AS (
+  SELECT d.vec_id, qi.i AS qi, dj.j AS dj,
+         sum(q.v[{d}*qi.i + p.p + 1] * d.v[{d}*dj.j + p.p + 1]) AS dot
+  FROM dv d, qv q, range({n}) qi(i), range({n}) dj(j), range({d}) p(p)
+  GROUP BY d.vec_id, qi.i, dj.j
+),
+maxes AS (SELECT vec_id, qi, max(dot) AS m FROM dots GROUP BY vec_id, qi),
+scores AS (SELECT vec_id, CAST(sum(m) AS BIGINT) AS score
+           FROM maxes GROUP BY vec_id)
+SELECT vec_id, score FROM scores ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+QUERIES["maxsim_topk"] = (q_maxsim_topk, _sql_maxsim_topk())
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -7536,7 +7590,6 @@ _WINDOW_R5 = [
     "ann_lsh",
     "bm25_segments_and",
     "bm25_tombstones",
-    "doc_token_stats",
     "dup_clusters",
     "events_hourly",
     "filter_en_long",
@@ -7571,9 +7624,11 @@ _WINDOW_R5 = [
     # displaces an r2-era relational gate that is untouched since r2,
     # full-registry-replica green this session, and pytest-covered
     # (cust_no_orders rotates out for wildcard_search,
-    # order_customer_join for range_join)
+    # order_customer_join for range_join, doc_token_stats — judge-
+    # replay-verified in r4 — for maxsim_topk)
     "wildcard_search",
     "range_join",
+    "maxsim_topk",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {
