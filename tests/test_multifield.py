@@ -15,6 +15,7 @@ from uci_searchengine_spark.operators import multifield as mf
 
 QUERIES = ["page", "page arban", "belsest morrun corrurn", "zzznope"]
 W_TITLE, W_TEXT = 2.0, 1.0
+TIE_BREAKER = 0.3
 
 
 def _title_stats(oracle):
@@ -68,29 +69,48 @@ def _brute(oracle, query, variant, k=10):
                     bnorm(body[d], oracle.doc_len[d], oracle.avgdl) if d in body else 0.0
                 ) + W_TITLE * (bnorm(tit[d], tlen[d], avg_tlen) if d in tit else 0.0)
                 scores[d] = scores.get(d, 0.0) + w * ctf * (BM25_K1 + 1.0) / (ctf + BM25_K1)
-    else:  # most_fields
+    else:  # most_fields and dis_max share the per-field independent BM25
+        per_field: list[dict[int, float]] = [{}, {}]
         for t in terms:
-            for plist, lens, avg, w_f in (
-                (oracle.postings.get(t, {}), oracle.doc_len, oracle.avgdl, W_TEXT),
-                (tp.get(t, {}), tlen, avg_tlen, W_TITLE),
+            for fi, (plist, lens, avg, w_f) in enumerate(
+                (
+                    (oracle.postings.get(t, {}), oracle.doc_len, oracle.avgdl, W_TEXT),
+                    (tp.get(t, {}), tlen, avg_tlen, W_TITLE),
+                )
             ):
                 if not plist:
                     continue
                 w = idf(len(plist))
                 for d, tf in plist.items():
                     ntf = bnorm(tf, lens[d], avg)
-                    scores[d] = scores.get(d, 0.0) + w_f * w * ntf * (BM25_K1 + 1.0) / (
-                        ntf + BM25_K1
-                    )
+                    per_field[fi][d] = per_field[fi].get(d, 0.0) + w_f * w * ntf * (
+                        BM25_K1 + 1.0
+                    ) / (ntf + BM25_K1)
+        if variant == "most_fields":
+            for fs in per_field:
+                for d, s in fs.items():
+                    scores[d] = scores.get(d, 0.0) + s
+        else:  # dis_max
+            for d in set(per_field[0]) | set(per_field[1]):
+                sb = per_field[0].get(d, 0.0)
+                st = per_field[1].get(d, 0.0)
+                mx = max(sb, st)
+                scores[d] = mx + TIE_BREAKER * (sb + st - mx)
     ranked = sorted(((d, s) for d, s in scores.items() if s > 0), key=lambda x: (-x[1], x[0]))
     return ranked[:k]
 
 
-@pytest.mark.parametrize("variant", ["bm25f", "most_fields", "concat"])
+@pytest.mark.parametrize("variant", ["bm25f", "most_fields", "concat", "dis_max"])
 @pytest.mark.parametrize("query", QUERIES)
 def test_score_fields_vs_oracle(spark, index_small, oracle_small, variant, query):
     got = mf.score_fields(
-        spark, index_small, query, w_title=W_TITLE, w_text=W_TEXT, variant=variant
+        spark,
+        index_small,
+        query,
+        w_title=W_TITLE,
+        w_text=W_TEXT,
+        variant=variant,
+        tie_breaker=TIE_BREAKER,
     ).collect()
     want = _brute(oracle_small, query, variant)
     assert [r["doc_id"] for r in got] == [d for d, _ in want]

@@ -7464,6 +7464,145 @@ SELECT vec_id, score FROM scores ORDER BY score DESC, vec_id LIMIT 10
 QUERIES["maxsim_topk"] = (q_maxsim_topk, _sql_maxsim_topk())
 
 
+DISMAX_TIE = 0.3
+
+
+def q_dismax_search(spark, sf_dir):
+    """ES multi_match best_fields / dis_max top-10
+    (operators/multifield.score_fields variant="dis_max" is the product
+    path; this is the same semantics in relational form, like the
+    bm25f_topk gate): title = first BM25F_TITLE_LEN tokens, body = the
+    rest; each field scored as a fully independent BM25 (its OWN df and
+    avg field length); per doc the best field wins and the other
+    contributes only through the tie-breaker —
+    score = max + 0.3·(sum − max). The right semantics when fields are
+    alternative surfaces of one concept rather than additive evidence.
+    Dataflow: one token-stream scan feeds both field pipelines, each a
+    broadcast-stats/broadcast-df aggregate; the combine is one
+    (doc_id) full-outer of two doc-keyed aggregates."""
+    n = BM25F_TITLE_LEN
+    toks = _doc_tokens(spark, sf_dir)
+    fielded = toks.select(
+        "doc_id",
+        F.slice("t", 1, n).alias("ft"),
+        F.expr(f"slice(t, {n + 1}, greatest(size(t) - {n}, 0))").alias("fb"),
+    )
+
+    def field_scores(col, out):
+        f = fielded.select(
+            "doc_id", F.col(col).alias("fx")
+        ).withColumn("fl", F.size("fx").cast("long"))
+        stats = f.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("fl").alias("avgfl"),
+        )
+        tf_pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    F.size(
+                        F.filter(F.col("fx"), lambda x: x == F.lit(t))
+                    )
+                    .cast("long")
+                    .alias("tf"),
+                )
+                for t in BM25_QUERY_TERMS
+            ]
+        )
+        posts = (
+            f.select("doc_id", "fl", F.explode(tf_pairs).alias("p"))
+            .select(
+                "doc_id",
+                "fl",
+                F.col("p.term").alias("term"),
+                F.col("p.tf").alias("tf"),
+            )
+            .filter(F.col("tf") > 0)
+        )
+        dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        tfd = F.col("tf").cast("double")
+        sat = tfd * (BM25_K1 + 1.0) / (
+            tfd
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("fl") / F.col("avgfl"))
+        )
+        return (
+            posts.join(F.broadcast(dfs), "term")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", (idf * sat).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias(out))
+        )
+
+    sb = field_scores("fb", "s_b")
+    st = field_scores("ft", "s_t")
+    both = sb.join(st, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("s_b"), F.lit(0.0)).alias("sb"),
+        F.coalesce(F.col("s_t"), F.lit(0.0)).alias("st"),
+    )
+    mx = F.greatest(F.col("sb"), F.col("st"))
+    return (
+        both.select(
+            "doc_id",
+            F.round(
+                mx + F.lit(DISMAX_TIE) * (F.col("sb") + F.col("st") - mx), 6
+            ).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_dismax_search() -> str:
+    n = BM25F_TITLE_LEN
+    terms = ",".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+    def field_cte(pfx, fx):
+        return f"""
+{pfx}f AS (SELECT doc_id, {fx} AS fx, CAST(len({fx}) AS BIGINT) AS fl FROM fields),
+{pfx}stats AS (SELECT count(*) AS n_docs, avg(fl) AS avgfl FROM {pfx}f),
+{pfx}m AS (
+  SELECT doc_id, fl, q.term,
+         CAST(len(list_filter(fx, x -> x = q.term)) AS BIGINT) AS tf
+  FROM {pfx}f CROSS JOIN (SELECT unnest([{terms}]) AS term) q
+  WHERE len(list_filter(fx, x -> x = q.term)) > 0
+),
+{pfx}dfs AS (SELECT term, count(*) AS df FROM {pfx}m GROUP BY term),
+{pfx}s AS (
+  SELECT p.doc_id,
+         sum( ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+              * (p.tf*{BM25_K1 + 1.0})
+              / (p.tf + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*p.fl/s.avgfl)) ) AS s
+  FROM {pfx}m p JOIN {pfx}dfs d USING(term) CROSS JOIN {pfx}stats s
+  GROUP BY p.doc_id
+)"""
+
+    return f"""
+WITH {_TOKS_CTE},
+fields AS (SELECT doc_id, t[1:{n}] AS ft, t[{n + 1}:] AS fb FROM toks),
+{field_cte('b', 'fb')},
+{field_cte('t', 'ft')},
+comb AS (
+  SELECT coalesce(bs.doc_id, ts.doc_id) AS doc_id,
+         coalesce(bs.s, 0.0) AS sb, coalesce(ts.s, 0.0) AS st
+  FROM bs FULL OUTER JOIN ts ON bs.doc_id = ts.doc_id
+)
+SELECT doc_id,
+       round(greatest(sb, st)
+             + {DISMAX_TIE}*(sb + st - greatest(sb, st)), 6) AS score
+FROM comb
+WHERE greatest(sb, st) + {DISMAX_TIE}*(sb + st - greatest(sb, st)) > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+QUERIES["dismax_search"] = (q_dismax_search, _sql_dismax_search())
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -7598,7 +7737,6 @@ _WINDOW_R5 = [
     "latest_event_per_user",
     "ngram_jaccard_pairs",
     "pagerank",
-    "quality_scores",
     "revenue_topk",
     "search_facets",
     # (d) new in round 5 — never checked by definition (displaces the
@@ -7625,10 +7763,12 @@ _WINDOW_R5 = [
     # full-registry-replica green this session, and pytest-covered
     # (cust_no_orders rotates out for wildcard_search,
     # order_customer_join for range_join, doc_token_stats — judge-
-    # replay-verified in r4 — for maxsim_topk)
+    # replay-verified in r4 — for maxsim_topk, quality_scores — also
+    # judge-replay-verified — for dismax_search)
     "wildcard_search",
     "range_join",
     "maxsim_topk",
+    "dismax_search",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {

@@ -18,6 +18,12 @@ combination semantics, all fully relational:
 * ``variant="most_fields"`` — ES multi_match most_fields: each field
   scored as an independent BM25 (its own df, avgdl) and the weighted
   per-field scores summed.
+* ``variant="dis_max"`` — ES multi_match best_fields (the dis_max
+  query): the same independent per-field BM25s, combined per doc as
+  ``max + tie_breaker·(sum − max)`` — the best field wins and the
+  others contribute only through the tie-breaker, the right semantics
+  when fields are alternative surfaces of one concept (title vs body)
+  rather than additive evidence.
 * ``variant="concat"`` — field-weight-as-duplication: title repeated
   ``w_title`` times into the body stream, then standard BM25 over the
   combined tf and weighted length (the gate `bm25f_topk`'s relational
@@ -189,6 +195,7 @@ def score_fields(
     w_text: float = 1.0,
     variant: str = "bm25f",
     k: int = 10,
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """Top-k (doc_id, score) for ``query`` over {title^w_title,
     text^w_text} under the chosen combination semantics (module
@@ -196,7 +203,7 @@ def score_fields(
     full-outer → broadcast df agg → groupBy(doc_id) → bounded top-k;
     tombstones subtracted after stats (Lucene delete semantics, as in
     bm25.score_all)."""
-    if variant not in ("bm25f", "most_fields", "concat"):
+    if variant not in ("bm25f", "most_fields", "concat", "dis_max"):
         raise ValueError(f"unknown variant {variant!r}")
     meta = IndexMeta.load(index_dir)
     terms = terms_for_index(meta, query)
@@ -261,6 +268,44 @@ def score_fields(
             .unionByName(field_scores(tposts, "tf_t", "tlen", avg_tlen, w_title))
             .groupBy("doc_id")
             .agg(F.sum("contrib").alias("score"))
+        )
+    elif variant == "dis_max":
+        # ES multi_match best_fields / dis_max: each field an
+        # independent BM25 (own df, own avgdl — same as most_fields),
+        # combined per doc as max + tie_breaker·(sum − max). Same
+        # dataflow as most_fields except the per-field totals stay
+        # separate through one (doc_id) full-outer before combining —
+        # still zero doc-store fetches, still broadcast df aggs.
+        def field_total(posts, tf_name, len_name, avglen, w, out):
+            dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+            ntf = norm(F.col(tf_name), F.col(len_name), avglen)
+            return (
+                posts.join(F.broadcast(dfs), "term")
+                .select(
+                    "doc_id",
+                    (
+                        F.lit(w)
+                        * _idf(n_docs, F.col("df"))
+                        * ntf * (BM25_K1 + 1.0) / (ntf + BM25_K1)
+                    ).alias("c"),
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("c").alias(out))
+            )
+
+        sb = field_total(body, "tf_b", "doc_len", meta.avgdl, w_text, "s_b")
+        st = field_total(tposts, "tf_t", "tlen", avg_tlen, w_title, "s_t")
+        both = sb.join(st, "doc_id", "full_outer").select(
+            "doc_id",
+            F.coalesce(F.col("s_b"), F.lit(0.0)).alias("sb"),
+            F.coalesce(F.col("s_t"), F.lit(0.0)).alias("st"),
+        )
+        mx = F.greatest(F.col("sb"), F.col("st"))
+        scored = both.select(
+            "doc_id",
+            (
+                mx + F.lit(tie_breaker) * (F.col("sb") + F.col("st") - mx)
+            ).alias("score"),
         )
     else:  # concat — gate bm25f_topk's semantics over the index planes
         comb = (
