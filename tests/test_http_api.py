@@ -429,6 +429,24 @@ class TestAdvancedRoute:
         assert got["weights"] == {"title": 3.0, "text": 1.0}
         assert got["results"]
 
+    def test_advanced_dismax_over_http(self, spark, index_small, http_server):
+        from uci_searchengine_spark.operators.serving import Searcher
+
+        base, _ = http_server
+        code, got = _get(
+            base,
+            "/api/advanced?query=page%20arban&mode=fields&k=5"
+            "&variant=dis_max&tie_breaker=0.3",
+        )
+        assert code == 200
+        exp = Searcher(spark, index_small).fields_envelope(
+            "page arban", k=5, variant="dis_max", tie_breaker=0.3
+        )
+        assert got == json.loads(json.dumps(exp))
+        assert got["variant"] == "dis_max"
+        assert got["tie_breaker"] == 0.3
+        assert got["results"]
+
     def test_advanced_validation(self, http_server):
         base, _ = http_server
         for p in (
@@ -439,6 +457,9 @@ class TestAdvancedRoute:
             "/api/advanced?query=x&mode=fields&variant=nope",
             "/api/advanced?query=x&mode=fields&w_title=abc",
             "/api/advanced?query=x&mode=fields&w_title=-1",
+            "/api/advanced?query=x&mode=fields&variant=dis_max"
+            "&tie_breaker=1.5",
+            "/api/advanced?query=x&mode=fields&tie_breaker=abc",
         ):
             code, body = _get_err(base, p)
             assert code == 422, p

@@ -82,8 +82,12 @@ def main(argv: list[str] | None = None) -> int:
         help="fields mode: title field weight",
     )
     q.add_argument(
-        "--variant", choices=["bm25f", "most_fields", "concat"],
+        "--variant", choices=["bm25f", "most_fields", "concat", "dis_max"],
         default="bm25f", help="fields mode: combination semantics",
+    )
+    q.add_argument(
+        "--tie-breaker", type=float, default=0.0,
+        help="fields mode, dis_max variant: tie-breaker in [0, 1]",
     )
     q.add_argument(
         "--slop", type=int, default=0,
@@ -396,6 +400,7 @@ def main(argv: list[str] | None = None) -> int:
                 rows = score_fields(
                     spark, args.index, args.q, w_title=args.w_title,
                     variant=args.variant, k=args.k,
+                    tie_breaker=args.tie_breaker,
                 ).collect()
                 print(json.dumps([r.asDict() for r in rows], indent=2))
             elif args.msm is not None:

@@ -437,7 +437,7 @@ class EngineState:
     def advanced(
         self, query: str, mode: str, k: int, slop: int = 0,
         per_group: int = 1, w_title: float = 2.0, w_text: float = 1.0,
-        variant: str = "bm25f",
+        variant: str = "bm25f", tie_breaker: float = 0.0,
     ) -> dict:
         """Boolean / phrase / collapse / fields query surface (extension
         route): doc-attached top-k from the plan-chosen Searcher
@@ -455,7 +455,7 @@ class EngineState:
             if mode == "fields":
                 return self.searcher.fields_envelope(
                     query, k=k, w_title=w_title, w_text=w_text,
-                    variant=variant,
+                    variant=variant, tie_breaker=tie_breaker,
                 )
             return self.searcher.boolean_envelope(query, k=k)
 
@@ -813,6 +813,7 @@ class _Handler(BaseHTTPRequestHandler):
                 try:
                     w_title = float(qs.get("w_title", ["2.0"])[0])
                     w_text = float(qs.get("w_text", ["1.0"])[0])
+                    tie_breaker = float(qs.get("tie_breaker", ["0.0"])[0])
                 except ValueError:
                     return self._json({"detail": "invalid parameter"}, 422)
                 if (
@@ -820,15 +821,17 @@ class _Handler(BaseHTTPRequestHandler):
                     or not (1 <= k <= 50)
                     or not (0 <= slop <= 50)
                     or not (1 <= per_group <= 10)
-                    or variant not in ("bm25f", "most_fields", "concat")
+                    or variant
+                    not in ("bm25f", "most_fields", "concat", "dis_max")
                     or not (0.0 <= w_title <= 100.0)
                     or not (0.0 <= w_text <= 100.0)
+                    or not (0.0 <= tie_breaker <= 1.0)
                 ):
                     return self._json({"detail": "invalid parameter"}, 422)
                 return self._json(
                     self.engine.advanced(
                         query, mode, k, slop, per_group, w_title, w_text,
-                        variant,
+                        variant, tie_breaker,
                     )
                 )
             if u.path == "/api/suggest":

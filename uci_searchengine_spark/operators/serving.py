@@ -342,28 +342,34 @@ class Searcher:
         w_title: float = 2.0,
         w_text: float = 1.0,
         variant: str = "bm25f",
+        tie_breaker: float = 0.0,
     ) -> dict:
         """Multi-field (title^w_title, text^w_text) doc-attached top-k —
         ES multi_match surface. Delegates to
         operators/multifield.score_fields (combination semantics pinned
-        there: bm25f | most_fields | concat); winners doc-attached via
-        the bounded fetch. Exposes the weights so a UI can label the
-        ranking."""
+        there: bm25f | most_fields | concat | dis_max); winners
+        doc-attached via the bounded fetch. Exposes the weights so a UI
+        can label the ranking; ``tie_breaker`` applies to dis_max only
+        and is surfaced in the envelope for that variant."""
         from uci_searchengine_spark.operators.bm25 import query_terms
         from uci_searchengine_spark.operators.multifield import score_fields
 
         df = score_fields(
             self.spark, self.index_dir, query,
             w_title=w_title, w_text=w_text, variant=variant, k=k,
+            tie_breaker=tie_breaker,
         )
         rows = [r.asDict() for r in df.collect()]
-        return {
+        env = {
             "query": query,
             "mode": "fields",
             "variant": variant,
             "weights": {"title": w_title, "text": w_text},
             "results": self._attach(rows, query_terms(query)),
         }
+        if variant == "dis_max":
+            env["tie_breaker"] = tie_breaker
+        return env
 
     def boolean_envelope(
         self, query: str, k: int = 10, plan: str = "auto"
