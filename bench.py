@@ -122,6 +122,12 @@ HEADLINE_V2 = [
     "zorder_cells",
     "kmeans_cells",
     "semdedup_pairs",
+    # final-session additions: trigram wildcard, bucketized range
+    # join, MaxSim late interaction, dis_max multi-field
+    "wildcard_search",
+    "range_join",
+    "maxsim_topk",
+    "dismax_search",
 ]
 
 BENCH_QUERIES = [
