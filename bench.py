@@ -128,6 +128,7 @@ HEADLINE_V2 = [
     "range_join",
     "maxsim_topk",
     "dismax_search",
+    "span_corruption",
 ]
 
 BENCH_QUERIES = [

@@ -1015,6 +1015,32 @@ def main() -> None:
         )
     )
 
+    # T5 span corruption: one in-row fold — no explode (Generate), no
+    # window, no shuffle, no Python. The trainer-prep stage must stay
+    # a scan projection.
+    from uci_searchengine_spark.operators.denoise import (
+        denoiser_prep as _dn_prep,
+    )
+
+    dn_df = spark.createDataFrame(
+        [(1, ["a", "b", "c"])], "doc_id long, t array<string>"
+    )
+    dn = _dn_prep(dn_df)
+    plan = dn._sc._jvm.PythonSQLUtils.explainString(
+        dn._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "span corruption: in-row fold, no Generate/Exchange/Python",
+            "Generate" not in plan
+            and "Exchange" not in plan
+            and "Window" not in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

@@ -1,0 +1,150 @@
+"""T5 span corruption (operators/denoise): Spark fold ≡ python
+reference on random docs, the reconstruction invariant (input +
+target re-zip to the original tokens), rate edge cases, determinism
+across partitionings, and the zero-shuffle zero-Python plan shape."""
+
+import hashlib
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from uci_searchengine_spark.operators.denoise import (
+    MASK_RATE,
+    SALT,
+    denoiser_prep,
+)
+
+
+def _masked(doc_id, i, rate=MASK_RATE, salt=SALT):
+    key = f"{doc_id}|{i}:{salt}"
+    u = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 2**32
+    return u < rate
+
+
+def _ref(doc_id, toks, rate=MASK_RATE):
+    inp, tgt, k, in_span, nm = [], [], 0, False, 0
+    for i, t in enumerate(toks):
+        if not _masked(doc_id, i, rate):
+            inp.append(t)
+            in_span = False
+        elif in_span:
+            tgt.append(t)
+            nm += 1
+        else:
+            sent = f"<extra_id_{k}>"
+            inp.append(sent)
+            tgt.extend([sent, t])
+            k += 1
+            in_span = True
+            nm += 1
+    return (" ".join(inp), " ".join(tgt), k, nm)
+
+
+def _rand_docs(rng, n=40, maxlen=60):
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    return [
+        (
+            i,
+            [rng.choice(words) for _ in range(rng.randrange(0, maxlen))],
+        )
+        for i in range(n)
+    ]
+
+
+def _reconstruct(input_text, target_text):
+    """Invariant: substituting each sentinel in the input with its
+    target span recovers the original token stream."""
+    spans = {}
+    parts = re.split(r"(<extra_id_\d+>)", target_text)
+    cur = None
+    for p in parts:
+        p = p.strip()
+        if not p:
+            continue
+        if re.fullmatch(r"<extra_id_\d+>", p):
+            cur = p
+            spans[cur] = []
+        elif cur is not None:
+            spans[cur].extend(p.split())
+    out = []
+    for tok in input_text.split():
+        if re.fullmatch(r"<extra_id_\d+>", tok):
+            out.extend(spans.get(tok, []))
+        else:
+            out.append(tok)
+    return out
+
+
+@pytest.mark.spark
+class TestSpanCorruption:
+    def test_equals_python_reference(self, spark):
+        rng = random.Random(4)
+        docs = _rand_docs(rng)
+        df = spark.createDataFrame(docs, "doc_id long, t array<string>")
+        got = {
+            r["doc_id"]: (
+                r["input_text"],
+                r["target_text"],
+                r["n_spans"],
+                r["n_masked"],
+            )
+            for r in denoiser_prep(df).collect()
+        }
+        for doc_id, toks in docs:
+            assert got[doc_id] == _ref(doc_id, toks), doc_id
+
+    def test_reconstruction_invariant(self, spark):
+        rng = random.Random(8)
+        docs = _rand_docs(rng, n=30)
+        df = spark.createDataFrame(docs, "doc_id long, t array<string>")
+        rows = {r["doc_id"]: r for r in denoiser_prep(df, rate=0.4).collect()}
+        for doc_id, toks in docs:
+            r = rows[doc_id]
+            assert _reconstruct(r["input_text"], r["target_text"]) == toks
+
+    def test_rate_edges(self, spark):
+        toks = ["a", "b", "c", "d"]
+        df = spark.createDataFrame([(7, toks)], "doc_id long, t array<string>")
+        r0 = denoiser_prep(df, rate=0.0).collect()[0]
+        assert (r0["input_text"], r0["target_text"], r0["n_spans"]) == (
+            "a b c d",
+            "",
+            0,
+        )
+        r1 = denoiser_prep(df, rate=1.0).collect()[0]
+        assert r1["input_text"] == "<extra_id_0>"
+        assert r1["target_text"] == "<extra_id_0> a b c d"
+        assert (r1["n_spans"], r1["n_masked"]) == (1, 4)
+
+    def test_empty_and_single(self, spark):
+        df = spark.createDataFrame(
+            [(1, []), (2, ["x"])], "doc_id long, t array<string>"
+        )
+        got = {r["doc_id"]: tuple(r)[1:] for r in denoiser_prep(df).collect()}
+        assert got[1] == ("", "", 0, 0)
+        it, tt, ns, nm = got[2]
+        assert (it, tt) in (("x", ""), ("<extra_id_0>", "<extra_id_0> x"))
+        assert ns in (0, 1) and nm == ns
+
+    def test_partition_invariance(self, spark):
+        rng = random.Random(2)
+        docs = _rand_docs(rng, n=25)
+        df = spark.createDataFrame(docs, "doc_id long, t array<string>")
+        a = sorted(map(tuple, denoiser_prep(df).collect()))
+        b = sorted(map(tuple, denoiser_prep(df.repartition(9)).collect()))
+        assert a == b
+
+    def test_plan_zero_shuffle_zero_python(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["a", "b"])], "doc_id long, t array<string>"
+        )
+        out = denoiser_prep(df)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Generate" not in plan  # no explode — pure in-row fold

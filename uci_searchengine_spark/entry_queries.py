@@ -7603,6 +7603,88 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 QUERIES["dismax_search"] = (q_dismax_search, _sql_dismax_search())
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption trainer prep (operators/denoise — Raffel et
+    al. 2020 §3.1.4): mask 15% of each doc's tokens by a salted
+    (doc_id, position) hash (deterministic — a resumed job masks the
+    SAME spans), collapse each masked run to a sentinel in the input,
+    emit sentinel-delimited runs as the target. One in-row aggregate
+    fold per doc (the cdc_chunks_col pattern): no explode, no window,
+    no shuffle — the whole operator is a scan projection. Oracle is
+    the honest relational description of the fold
+    (unnest-with-ordinality + gaps-and-islands window)."""
+    from uci_searchengine_spark.operators.denoise import denoiser_prep
+
+    toks = _doc_tokens(spark, sf_dir)
+    return denoiser_prep(toks).orderBy("doc_id")
+
+
+def _sql_span_corruption() -> str:
+    from uci_searchengine_spark.operators.denoise import (
+        MASK_RATE,
+        mask_flag_sql,
+    )
+
+    m = mask_flag_sql("doc_id", "pos", MASK_RATE)
+    return f"""
+WITH {_TOKS_CTE},
+tk AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos
+  FROM toks
+),
+fl AS (SELECT doc_id, tok, pos, {m} AS m FROM tk),
+mk AS (
+  SELECT doc_id, tok, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM fl WHERE m
+),
+sp0 AS (
+  SELECT doc_id, grp, min(pos) AS start,
+         string_agg(tok, ' ' ORDER BY pos) AS body
+  FROM mk GROUP BY doc_id, grp
+),
+sp AS (
+  SELECT doc_id, start, body,
+         row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS k
+  FROM sp0
+),
+inp_pieces AS (
+  SELECT doc_id, pos, tok AS piece FROM fl WHERE NOT m
+  UNION ALL
+  SELECT doc_id, start AS pos,
+         '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece FROM sp
+),
+inp AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+  FROM inp_pieces GROUP BY doc_id
+),
+tgt AS (
+  SELECT doc_id,
+         string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' || body,
+                    ' ' ORDER BY k) AS target_text,
+         count(*) AS n_spans
+  FROM sp GROUP BY doc_id
+),
+nm AS (
+  SELECT doc_id, count(*) FILTER (WHERE m) AS n_masked
+  FROM fl GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(i.input_text, '') AS input_text,
+       coalesce(g.target_text, '') AS target_text,
+       CAST(coalesce(g.n_spans, 0) AS INT) AS n_spans,
+       CAST(coalesce(nm.n_masked, 0) AS INT) AS n_masked
+FROM toks t
+LEFT JOIN inp i USING(doc_id)
+LEFT JOIN tgt g USING(doc_id)
+LEFT JOIN nm USING(doc_id)
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["span_corruption"] = (q_span_corruption, _sql_span_corruption())
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -7733,7 +7815,6 @@ _WINDOW_R5 = [
     "events_hourly",
     "filter_en_long",
     "hybrid_rrf",
-    "lang_id",
     "latest_event_per_user",
     "ngram_jaccard_pairs",
     "pagerank",
@@ -7764,11 +7845,13 @@ _WINDOW_R5 = [
     # (cust_no_orders rotates out for wildcard_search,
     # order_customer_join for range_join, doc_token_stats — judge-
     # replay-verified in r4 — for maxsim_topk, quality_scores — also
-    # judge-replay-verified — for dismax_search)
+    # judge-replay-verified — for dismax_search, lang_id — replay-class
+    # per the r4 verdict — for span_corruption)
     "wildcard_search",
     "range_join",
     "maxsim_topk",
     "dismax_search",
+    "span_corruption",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {
