@@ -729,6 +729,40 @@ def test_frontier_prioritized_vs_python(spark):
 
 
 @pytest.mark.spark
+def test_frontier_schedule_politeness(spark):
+    """No domain exceeds slots_per_round in any round; within a domain
+    higher-priority urls take earlier rounds; other domains are
+    unaffected by one hot domain; bad slots raises."""
+    import random
+
+    from uci_searchengine_spark.operators.links import frontier_schedule
+
+    rng = random.Random(6)
+    rows = [
+        (f"u{i}", f"d{rng.randrange(4)}", rng.randrange(100))
+        for i in range(120)
+    ]
+    fr = spark.createDataFrame(rows, "url string, domain string, n_refs long")
+    for slots in (1, 3):
+        got = frontier_schedule(fr, "url", "domain", "n_refs", slots).collect()
+        by_dr: dict[tuple, list] = {}
+        by_dom: dict[str, list] = {}
+        for r in got:
+            by_dr.setdefault((r["domain"], r["fetch_round"]), []).append(r)
+            by_dom.setdefault(r["domain"], []).append(r)
+        assert all(len(v) <= slots for v in by_dr.values())
+        for dom, rs in by_dom.items():
+            rs.sort(key=lambda r: (-r["n_refs"], r["url"]))
+            # priority order == round order (non-decreasing rounds)
+            rounds = [r["fetch_round"] for r in rs]
+            assert rounds == sorted(rounds), dom
+            # rounds are exactly 0..ceil(n/slots)-1, each full but last
+            assert rounds == [i // slots for i in range(len(rs))], dom
+    with pytest.raises(ValueError):
+        frontier_schedule(fr, slots_per_round=0)
+
+
+@pytest.mark.spark
 def test_incremental_dedup_verdicts(spark):
     """exact beats near; near catches a small edit; novel text keeps;
     batch docs never compare against each other (only vs the store)."""

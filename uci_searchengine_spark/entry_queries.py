@@ -7685,6 +7685,85 @@ ORDER BY t.doc_id
 QUERIES["span_corruption"] = (q_span_corruption, _sql_span_corruption())
 
 
+FS_SLOTS = 2  # per-domain fetches per round
+FS_DOMAINS = 7
+
+
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness crawl scheduling (links.frontier_schedule): the
+    prioritized frontier (same fixture as frontier_priority) bucketed
+    into fetch rounds such that no domain (here dst % 7, the synthetic
+    host) is hit more than 2× per round — the distributed form of the
+    reference crawler's serial per-host delay. One window PARTITIONED
+    BY DOMAIN (the politeness unit — partitions are domain-sized,
+    never corpus-sized); within a domain, higher-reference urls take
+    earlier rounds."""
+    from uci_searchengine_spark.operators.links import (
+        frontier_prioritized,
+        frontier_schedule,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 2 + 7) % n).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 3 + 7) % n).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    crawled = docs.filter(F.col("doc_id") < n // 2)
+    fr = frontier_prioritized(e, crawled).withColumn(
+        "domain", F.col("url") % FS_DOMAINS
+    )
+    return (
+        frontier_schedule(fr, "url", "domain", "n_refs", FS_SLOTS)
+        .select(F.col("url").alias("doc_id"), "domain", "n_refs", "fetch_round")
+        .orderBy("domain", "fetch_round", F.asc("doc_id"))
+    )
+
+
+def _sql_frontier_schedule() -> str:
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+7) % (SELECT n FROM nn) AS dst FROM documents
+  UNION
+  SELECT doc_id, (doc_id*3+7) % (SELECT n FROM nn) FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+c AS (SELECT doc_id FROM documents
+      WHERE doc_id < (SELECT n FROM nn) // 2),
+fr AS (
+  SELECT e.dst AS doc_id, CAST(count(*) AS BIGINT) AS n_refs
+  FROM e
+  WHERE e.src IN (SELECT doc_id FROM c)
+    AND e.dst NOT IN (SELECT doc_id FROM c)
+  GROUP BY e.dst
+),
+d AS (SELECT doc_id, doc_id % {FS_DOMAINS} AS domain, n_refs FROM fr),
+r AS (
+  SELECT doc_id, domain, n_refs,
+         (row_number() OVER (PARTITION BY domain
+                             ORDER BY n_refs DESC, doc_id ASC) - 1)
+           // {FS_SLOTS} AS fetch_round
+  FROM d
+)
+SELECT doc_id, domain, n_refs, CAST(fetch_round AS BIGINT) AS fetch_round
+FROM r ORDER BY domain, fetch_round, doc_id
+"""
+
+
+QUERIES["frontier_schedule"] = (q_frontier_schedule, _sql_frontier_schedule())
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -7808,7 +7887,6 @@ _WINDOW_R5 = [
     "phrase_suggest",
     # (c) last driver-checked in round 2 (oldest code-to-check gap)
     "ann_cosine_topk",
-    "ann_lsh",
     "bm25_segments_and",
     "bm25_tombstones",
     "dup_clusters",
@@ -7846,12 +7924,14 @@ _WINDOW_R5 = [
     # order_customer_join for range_join, doc_token_stats — judge-
     # replay-verified in r4 — for maxsim_topk, quality_scores — also
     # judge-replay-verified — for dismax_search, lang_id — replay-class
-    # per the r4 verdict — for span_corruption)
+    # per the r4 verdict — for span_corruption, ann_lsh — judge-replay-
+    # verified — for frontier_schedule)
     "wildcard_search",
     "range_join",
     "maxsim_topk",
     "dismax_search",
     "span_corruption",
+    "frontier_schedule",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {

@@ -276,6 +276,45 @@ def frontier_prioritized(
     return cand.limit(k) if k else cand
 
 
+def frontier_schedule(
+    frontier: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    rank_col: str = "n_refs",
+    slots_per_round: int = 1,
+) -> DataFrame:
+    """Politeness scheduling: assign every frontier url a FETCH ROUND
+    such that no domain is hit more than ``slots_per_round`` times per
+    round — the per-host rate limit every production crawler enforces
+    (the reference fetches serially with a sleep between requests,
+    backend/app/services/crawler; this is the distributed form: the
+    limit becomes an explicit schedule instead of an emergent property
+    of one thread). Within a domain, higher-priority urls (rank desc,
+    url asc) take earlier rounds.
+
+    Plan shape: ONE window partitioned by domain — the domain is the
+    politeness unit, so per-domain sequential numbering is exactly the
+    state the operator models; partitions are domain-sized, never
+    corpus-sized. A pathologically hot domain makes a long partition,
+    but that domain's schedule is inherently serial (that is the
+    constraint being computed) — the rest of the frontier
+    parallelizes around it. Returns the frontier plus ``fetch_round``
+    (0-based)."""
+    if slots_per_round <= 0:
+        raise ValueError(
+            f"slots_per_round must be positive, got {slots_per_round}"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc(rank_col), F.asc(url_col)
+    )
+    rn = F.row_number().over(w) - F.lit(1)
+    return frontier.withColumn(
+        "fetch_round", (rn - (rn % slots_per_round)) / slots_per_round
+    ).withColumn("fetch_round", F.col("fetch_round").cast("long"))
+
+
 def triangle_count(
     links: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
