@@ -7764,6 +7764,72 @@ FROM r ORDER BY domain, fetch_round, doc_id
 QUERIES["frontier_schedule"] = (q_frontier_schedule, _sql_frontier_schedule())
 
 
+ST_SHARDS = 4
+ST_SHARD_SIZE = 5
+ST_K = 10
+
+
+def q_sharded_terms(spark, sf_dir):
+    """ES distributed terms agg with doc_count_error_upper_bound
+    (operators/shardagg.sharded_terms): docs hash into 4 deterministic
+    md5 shards, each shard reports only its local top-5 terms by doc
+    frequency, the coordinator sums what it received, and each merged
+    term carries the ES worst-case undercount — Σ over non-reporting
+    CUT shards of that shard's smallest returned count. Deterministic
+    shards make the usually-opaque approximation error a testable
+    function of the data, hash-identical across engines."""
+    from uci_searchengine_spark.operators.shardagg import sharded_terms
+
+    pairs = (
+        _doc_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("t").alias("term"))
+        .distinct()
+    )
+    return sharded_terms(
+        pairs, "doc_id", "term", ST_SHARDS, ST_SHARD_SIZE, ST_K
+    )
+
+
+def _sql_sharded_terms() -> str:
+    from uci_searchengine_spark.operators.shardagg import hash_shard_sql
+
+    sh = hash_shard_sql("doc_id", ST_SHARDS)
+    return f"""
+WITH {_TOKS_CTE},
+pairs AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+cnt AS (
+  SELECT {sh} AS shard, term, count(*) AS cnt
+  FROM pairs GROUP BY shard, term
+),
+ranked AS (
+  SELECT shard, term, cnt,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, term ASC) AS rk
+  FROM cnt
+),
+ret AS (SELECT shard, term, cnt FROM ranked WHERE rk <= {ST_SHARD_SIZE}),
+floors AS (
+  SELECT shard, min(cnt) AS flr, count(*) = {ST_SHARD_SIZE} AS cut
+  FROM ret GROUP BY shard
+),
+terms AS (SELECT DISTINCT term FROM ret),
+grid AS (SELECT t.term, f.shard, f.flr, f.cut FROM terms t CROSS JOIN floors f),
+merged AS (
+  SELECT g.term,
+         CAST(sum(coalesce(r.cnt, 0)) AS BIGINT) AS doc_count,
+         CAST(sum(CASE WHEN r.cnt IS NULL AND g.cut THEN g.flr
+                       ELSE 0 END) AS BIGINT) AS error_ub
+  FROM grid g LEFT JOIN ret r ON r.shard = g.shard AND r.term = g.term
+  GROUP BY g.term
+)
+SELECT term, doc_count, error_ub FROM merged
+ORDER BY doc_count DESC, term ASC LIMIT {ST_K}
+"""
+
+
+QUERIES["sharded_terms"] = (q_sharded_terms, _sql_sharded_terms())
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -7887,7 +7953,6 @@ _WINDOW_R5 = [
     "phrase_suggest",
     # (c) last driver-checked in round 2 (oldest code-to-check gap)
     "ann_cosine_topk",
-    "bm25_segments_and",
     "bm25_tombstones",
     "dup_clusters",
     "events_hourly",
@@ -7925,13 +7990,15 @@ _WINDOW_R5 = [
     # replay-verified in r4 — for maxsim_topk, quality_scores — also
     # judge-replay-verified — for dismax_search, lang_id — replay-class
     # per the r4 verdict — for span_corruption, ann_lsh — judge-replay-
-    # verified — for frontier_schedule)
+    # verified — for frontier_schedule, bm25_segments_and — judge-
+    # replay-verified — for sharded_terms)
     "wildcard_search",
     "range_join",
     "maxsim_topk",
     "dismax_search",
     "span_corruption",
     "frontier_schedule",
+    "sharded_terms",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {
