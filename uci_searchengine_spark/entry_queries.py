@@ -7830,6 +7830,47 @@ ORDER BY doc_count DESC, term ASC LIMIT {ST_K}
 QUERIES["sharded_terms"] = (q_sharded_terms, _sql_sharded_terms())
 
 
+HRW_N, HRW_N2 = 4, 5
+
+
+def q_hrw_reshard(spark, sf_dir):
+    """Rendezvous-hash reshard contingency (plans/rendezvous — HRW,
+    Thaler & Ravishankar 1996): every doc assigned to 4 shards and to
+    5 shards by highest salted md5 weight; the (s4, s5) contingency
+    table exhibits the minimal-disruption law mod-hashing cannot give —
+    off-diagonal mass exists ONLY in the s5 = 4 column (keys move only
+    TO the new shard, never between old shards), and it carries ~1/5
+    of the corpus. Both assignments are one in-row array_max over
+    literal-salted hashes — a scan projection; the table is the
+    migration plan an index reshard would execute."""
+    from uci_searchengine_spark.plans.rendezvous import hrw_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            hrw_shard(F.col("doc_id"), HRW_N).alias("s4"),
+            hrw_shard(F.col("doc_id"), HRW_N2).alias("s5"),
+        )
+        .groupBy("s4", "s5")
+        .agg(F.count("*").alias("n"))
+        .orderBy("s4", "s5")
+    )
+
+
+def _sql_hrw_reshard() -> str:
+    from uci_searchengine_spark.plans.rendezvous import hrw_shard_sql
+
+    a = hrw_shard_sql("doc_id", HRW_N)
+    b = hrw_shard_sql("doc_id", HRW_N2)
+    return f"""
+SELECT {a} AS s4, {b} AS s5, count(*) AS n
+FROM documents GROUP BY s4, s5 ORDER BY s4, s5
+"""
+
+
+QUERIES["hrw_reshard"] = (q_hrw_reshard, _sql_hrw_reshard())
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -7956,7 +7997,6 @@ _WINDOW_R5 = [
     "bm25_tombstones",
     "dup_clusters",
     "events_hourly",
-    "filter_en_long",
     "hybrid_rrf",
     "latest_event_per_user",
     "ngram_jaccard_pairs",
@@ -7991,7 +8031,8 @@ _WINDOW_R5 = [
     # judge-replay-verified — for dismax_search, lang_id — replay-class
     # per the r4 verdict — for span_corruption, ann_lsh — judge-replay-
     # verified — for frontier_schedule, bm25_segments_and — judge-
-    # replay-verified — for sharded_terms)
+    # replay-verified — for sharded_terms, filter_en_long — replay-
+    # class per the r4 verdict — for hrw_reshard)
     "wildcard_search",
     "range_join",
     "maxsim_topk",
@@ -7999,6 +8040,7 @@ _WINDOW_R5 = [
     "span_corruption",
     "frontier_schedule",
     "sharded_terms",
+    "hrw_reshard",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {
