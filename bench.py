@@ -129,6 +129,9 @@ HEADLINE_V2 = [
     "maxsim_topk",
     "dismax_search",
     "span_corruption",
+    "frontier_schedule",
+    "sharded_terms",
+    "hrw_reshard",
 ]
 
 BENCH_QUERIES = [
