@@ -132,6 +132,8 @@ HEADLINE_V2 = [
     "frontier_schedule",
     "sharded_terms",
     "hrw_reshard",
+    "mlm_corruption",
+    "temp_mixture",
 ]
 
 BENCH_QUERIES = [

@@ -148,3 +148,84 @@ class TestSpanCorruption:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "Generate" not in plan  # no explode — pure in-row fold
+
+
+def _u_hash(doc_id, i, salt):
+    key = f"{doc_id}|{i}:{salt}"
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 2**32
+
+
+def _mlm_ref(doc_id, toks, rate=0.15, salt="mlm"):
+    out, labels, nm = [], [], 0
+    n = len(toks)
+    for i, t in enumerate(toks):
+        if _u_hash(doc_id, i, f"{salt}:sel") >= rate:
+            out.append(t)
+            continue
+        nm += 1
+        labels.append(f"{i}:{t}")
+        ua = _u_hash(doc_id, i, f"{salt}:act")
+        if ua < 0.8:
+            out.append("[MASK]")
+        elif ua < 0.9:
+            ur = _u_hash(doc_id, i, f"{salt}:rep")
+            out.append(toks[int(ur * n)])
+        else:
+            out.append(t)
+    return (" ".join(out), " ".join(labels), nm)
+
+
+@pytest.mark.spark
+class TestMlmCorruption:
+    def test_equals_python_reference(self, spark):
+        from uci_searchengine_spark.operators.denoise import mlm_prep
+
+        rng = random.Random(17)
+        docs = _rand_docs(rng, n=40)
+        df = spark.createDataFrame(docs, "doc_id long, t array<string>")
+        got = {
+            r["doc_id"]: (r["masked_text"], r["labels_text"], r["n_masked"])
+            for r in mlm_prep(df).collect()
+        }
+        for doc_id, toks in docs:
+            assert got[doc_id] == _mlm_ref(doc_id, toks), doc_id
+
+    def test_action_mix_and_positions(self, spark):
+        """Across many selected positions the 80/10/10 split shows up,
+        every label names a selected position, and unselected positions
+        are untouched."""
+        from uci_searchengine_spark.operators.denoise import mlm_prep
+
+        toks = [f"w{i:03d}" for i in range(400)]
+        df = spark.createDataFrame([(5, toks)], "doc_id long, t array<string>")
+        r = mlm_prep(df, rate=0.5).collect()[0]
+        out = r["masked_text"].split()
+        labels = dict(
+            (int(p.split(":")[0]), p.split(":")[1])
+            for p in r["labels_text"].split()
+        )
+        assert len(out) == len(toks)
+        assert r["n_masked"] == len(labels)
+        n_mask = sum(1 for t in out if t == "[MASK]")
+        # ~80% of ~200 selected — loose 4-sigma band
+        assert 120 < n_mask < 200
+        for i, t in enumerate(toks):
+            if i not in labels:
+                assert out[i] == t, i  # unselected: untouched
+            else:
+                assert labels[i] == t  # label is the original
+        # some selected positions kept their token (the 10% unchanged)
+        assert any(out[i] == t for i, t in enumerate(toks) if i in labels)
+        # some got a random replacement (not [MASK], not original)
+        assert any(
+            out[i] not in ("[MASK]", t)
+            for i, t in enumerate(toks)
+            if i in labels
+        )
+
+    def test_empty_doc(self, spark):
+        from uci_searchengine_spark.operators.denoise import mlm_prep
+
+        df = spark.createDataFrame([(1, [])], "doc_id long, t array<string>")
+        r = mlm_prep(df).collect()[0]
+        assert tuple(r)[1:] == ("", "", 0)

@@ -144,3 +144,91 @@ class TestMixture:
         assert fr["d3"] == 0.0
         kept = apply_mixture(self._docs(spark), "source", "doc_id", a)
         assert kept.filter("source = 'd3'").count() == 0
+
+
+@pytest.mark.spark
+class TestTemperatureMixture:
+    def _docs(self, spark, parts=8):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(0, 4000)
+            .repartition(parts)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("d"), (F.col("id") % 4).cast("string")).alias(
+                    "source"
+                ),
+                ((F.col("id") % 4) * -25 + 100 + F.col("id") % 7).alias("tok"),
+            )
+        )
+
+    def test_matches_python_reference(self, spark):
+        from uci_searchengine_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        docs = self._docs(spark)
+        totals = {
+            r["source"]: r["t"]
+            for r in docs.groupBy("source").sum("tok")
+            .withColumnRenamed("sum(tok)", "t").collect()
+        }
+        for tau in (1.0, 2.0, 100.0):
+            got = {
+                r["domain"]: r["sample_frac"]
+                for r in temperature_weights(docs, "source", "tok", tau)
+                .collect()
+            }
+            st = sum(v ** (1.0 / tau) for v in totals.values())
+            sn = sum(totals.values())
+            ratios = {
+                d: (v ** (1.0 / tau) / st) / (v / sn)
+                for d, v in totals.items()
+            }
+            mx = max(ratios.values())
+            for d in totals:
+                assert got[d] == pytest.approx(ratios[d] / mx, rel=1e-9), (
+                    d,
+                    tau,
+                )
+
+    def test_temperature_limits(self, spark):
+        """tau=1 keeps the natural mix (all fracs 1); large tau
+        approaches the uniform-target mixture; fracs monotone in domain
+        size (bigger domains cut harder)."""
+        from uci_searchengine_spark.operators.sampling import (
+            mixture_weights,
+            temperature_weights,
+        )
+
+        docs = self._docs(spark)
+        f1 = {
+            r["domain"]: r["sample_frac"]
+            for r in temperature_weights(docs, "source", "tok", 1.0).collect()
+        }
+        assert all(v == pytest.approx(1.0) for v in f1.values())
+        fbig = {
+            r["domain"]: r["sample_frac"]
+            for r in temperature_weights(docs, "source", "tok", 1e6).collect()
+        }
+        funi = {
+            r["domain"]: r["sample_frac"]
+            for r in mixture_weights(docs, "source", "tok").collect()
+        }
+        for d in fbig:
+            assert fbig[d] == pytest.approx(funi[d], rel=1e-3), d
+        f2 = {
+            r["domain"]: r["sample_frac"]
+            for r in temperature_weights(docs, "source", "tok", 2.0).collect()
+        }
+        # d0 has the most tokens, d3 the fewest
+        assert f2["d0"] < f2["d1"] < f2["d2"] < f2["d3"] == pytest.approx(1.0)
+
+    def test_bad_tau_raises(self, spark):
+        from uci_searchengine_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        with pytest.raises(ValueError):
+            temperature_weights(self._docs(spark), "source", "tok", 0.0)

@@ -7871,6 +7871,123 @@ FROM documents GROUP BY s4, s5 ORDER BY s4, s5
 QUERIES["hrw_reshard"] = (q_hrw_reshard, _sql_hrw_reshard())
 
 
+def q_mlm_corruption(spark, sf_dir):
+    """BERT masked-LM corruption (operators/denoise.mlm_prep — Devlin
+    et al. 2018 §3.1): 15% of positions selected by a salted
+    (doc, position) hash; of those, 80% → [MASK], 10% → a random token
+    drawn from the same doc (⌊u·len⌋, deterministic), 10% unchanged
+    but still predicted. labels = space-joined pos:original targets.
+    Every position is independent, so the whole operator is a pure
+    transform projection — zero shuffle, zero fold, zero Python; three
+    independent salted hash streams (select/action/replacement) per
+    the hash_uniform correlation rule."""
+    from uci_searchengine_spark.operators.denoise import mlm_prep
+
+    toks = _doc_tokens(spark, sf_dir)
+    return mlm_prep(toks).orderBy("doc_id")
+
+
+def _sql_mlm_corruption() -> str:
+    from uci_searchengine_spark.operators.denoise import (
+        MLM_RATE,
+        MLM_SALT,
+    )
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    key = "(CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR))"
+    us = hash_uniform_sql(key, salt=f"{MLM_SALT}:sel")
+    ua = hash_uniform_sql(key, salt=f"{MLM_SALT}:act")
+    ur = hash_uniform_sql(key, salt=f"{MLM_SALT}:rep")
+    return f"""
+WITH {_TOKS_CTE},
+tk AS (
+  SELECT doc_id, t, unnest(t) AS tok, unnest(range(0, len(t))) AS pos
+  FROM toks
+),
+u AS (
+  SELECT doc_id, t, tok, pos,
+         {us} AS us, {ua} AS ua, {ur} AS ur
+  FROM tk
+),
+m AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN us >= {MLM_RATE} THEN tok
+              WHEN ua < 0.8 THEN '[MASK]'
+              WHEN ua < 0.9
+                THEN t[CAST(floor(ur * len(t)) AS INT) + 1]
+              ELSE tok END AS out,
+         us < {MLM_RATE} AS sel
+  FROM u
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(out, ' ' ORDER BY pos) AS masked_text,
+         string_agg(CASE WHEN sel
+                         THEN CAST(pos AS VARCHAR) || ':' || tok END,
+                    ' ' ORDER BY pos) AS labels_text,
+         count(*) FILTER (WHERE sel) AS n_masked
+  FROM m GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.masked_text, '') AS masked_text,
+       coalesce(a.labels_text, '') AS labels_text,
+       CAST(coalesce(a.n_masked, 0) AS INT) AS n_masked
+FROM toks t LEFT JOIN agg a USING(doc_id)
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["mlm_corruption"] = (q_mlm_corruption, _sql_mlm_corruption())
+
+
+TEMP_TAU = 2.0
+
+
+def q_temp_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture (sampling.temperature_weights
+    — the mT5/XLM-R multilingual convention): per-source keep
+    fractions for target share ∝ tokens^(1/τ), τ=2 — the knob that
+    keeps low-resource domains from vanishing under natural-size
+    sampling, normalized downsample-only (the binding domain keeps
+    1.0). One groupBy-sum over the corpus; everything else on the
+    #domains-row aggregate."""
+    from uci_searchengine_spark.operators.sampling import temperature_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        temperature_weights(docs, "source", "n_chars", TEMP_TAU)
+        .select(
+            "domain",
+            "tokens",
+            F.round("sample_frac", 6).alias("sample_frac"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _sql_temp_mixture() -> str:
+    inv = 1.0 / TEMP_TAU
+    return f"""
+WITH totals AS (
+  SELECT source AS domain, CAST(sum(n_chars) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT domain, tokens,
+         (pow(tokens, {inv}) / (SELECT sum(pow(tokens, {inv})) FROM totals))
+         / (tokens / (SELECT CAST(sum(tokens) AS DOUBLE) FROM totals))
+           AS ratio
+  FROM totals
+)
+SELECT domain, tokens,
+       round(ratio / (SELECT max(ratio) FROM r), 6) AS sample_frac
+FROM r ORDER BY domain
+"""
+
+
+QUERIES["temp_mixture"] = (q_temp_mixture, _sql_temp_mixture())
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -7993,13 +8110,11 @@ _WINDOW_R5 = [
     "federated_search",
     "phrase_suggest",
     # (c) last driver-checked in round 2 (oldest code-to-check gap)
-    "ann_cosine_topk",
     "bm25_tombstones",
     "dup_clusters",
     "events_hourly",
     "hybrid_rrf",
     "latest_event_per_user",
-    "ngram_jaccard_pairs",
     "pagerank",
     "revenue_topk",
     "search_facets",
@@ -8032,7 +8147,13 @@ _WINDOW_R5 = [
     # per the r4 verdict — for span_corruption, ann_lsh — judge-replay-
     # verified — for frontier_schedule, bm25_segments_and — judge-
     # replay-verified — for sharded_terms, filter_en_long — replay-
-    # class per the r4 verdict — for hrw_reshard)
+    # class per the r4 verdict — for hrw_reshard, ann_cosine_topk —
+    # its ANN coverage now carried in-window by hamming_rerank /
+    # maxsim_topk / ivf_search — for mlm_corruption, and
+    # ngram_jaccard_pairs — its near-dup coverage carried in-window by
+    # minhash_lsh_pairs / containment_pairs-class gates — for
+    # temp_mixture; every rotated-out gate is full-registry-replica
+    # green at both SFs this session)
     "wildcard_search",
     "range_join",
     "maxsim_topk",
@@ -8041,6 +8162,8 @@ _WINDOW_R5 = [
     "frontier_schedule",
     "sharded_terms",
     "hrw_reshard",
+    "mlm_corruption",
+    "temp_mixture",
 ]
 assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
 QUERIES = {

@@ -139,3 +139,90 @@ def mask_flag_sql(id_expr: str, pos0_expr: str, rate: float, salt: str = SALT) -
     """DuckDB mirror of the per-(doc, 0-based position) mask rule."""
     key = f"(CAST({id_expr} AS VARCHAR) || '|' || CAST({pos0_expr} AS VARCHAR))"
     return f"({hash_uniform_sql(key, salt=salt)} < {rate})"
+
+
+# ----------------------------------------------------------- BERT MLM
+MLM_RATE = 0.15
+MLM_SALT = "mlm"
+MASK_TOKEN = "[MASK]"
+
+
+def _u(id_col: Column, i: Column, salt: str) -> Column:
+    key = F.concat(id_col.cast("string"), F.lit("|"), i.cast("string"))
+    return hash_uniform_col(key, salt=salt)
+
+
+def mlm_corrupt(
+    id_col: Column,
+    toks: Column,
+    rate: float = MLM_RATE,
+    salt: str = MLM_SALT,
+) -> Column:
+    """struct(masked_text, labels_text, n_masked) — BERT masked-LM
+    corruption (Devlin et al. 2018 §3.1): select ``rate`` of positions
+    by a salted (doc, position) hash; of the selected, 80% become
+    ``[MASK]``, 10% a random token drawn FROM THE SAME DOC (index =
+    ⌊u·len⌋ — deterministic, engine-portable), 10% stay unchanged (the
+    model must still predict them). ``labels_text`` is the
+    space-joined ``pos:original`` list — the prediction targets.
+
+    Unlike span corruption, every position is independent, so this is
+    a pure ``transform`` projection — no fold even needed; zero
+    shuffle, zero Python. Three INDEPENDENT salted streams (select /
+    action / replacement) per the ``hash_uniform_col`` correlation
+    rule."""
+    n = F.size(toks)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def sel(i):
+        return _u(id_col, i, f"{salt}:sel") < F.lit(rate)
+
+    def action(i):
+        return _u(id_col, i, f"{salt}:act")
+
+    def repl(i):
+        # u in [0,1) → index in [1, len] for element_at (1-based)
+        return F.element_at(
+            toks,
+            (F.floor(_u(id_col, i, f"{salt}:rep") * n.cast("double")) + 1)
+            .cast("int"),
+        )
+
+    masked = F.transform(
+        idx,
+        lambda i: F.when(~sel(i), F.element_at(toks, i + F.lit(1)))
+        .when(action(i) < F.lit(0.8), F.lit(MASK_TOKEN))
+        .when(action(i) < F.lit(0.9), repl(i))
+        .otherwise(F.element_at(toks, i + F.lit(1))),
+    )
+    labels = F.transform(
+        F.filter(idx, sel),
+        lambda i: F.concat(
+            i.cast("string"), F.lit(":"), F.element_at(toks, i + F.lit(1))
+        ),
+    )
+    return F.struct(
+        F.concat_ws(" ", masked).alias("masked_text"),
+        F.concat_ws(" ", labels).alias("labels_text"),
+        F.size(F.filter(idx, sel)).alias("n_masked"),
+    )
+
+
+def mlm_prep(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "t",
+    rate: float = MLM_RATE,
+    salt: str = MLM_SALT,
+) -> DataFrame:
+    """(id, masked_text, labels_text, n_masked) — one zero-shuffle
+    scan projection."""
+    c = mlm_corrupt(F.col(id_col), F.col(toks_col), rate, salt)
+    return toks.select(id_col, c.alias("_c")).select(
+        id_col,
+        F.col("_c.masked_text").alias("masked_text"),
+        F.col("_c.labels_text").alias("labels_text"),
+        F.col("_c.n_masked").alias("n_masked"),
+    )

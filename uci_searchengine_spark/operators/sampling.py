@@ -134,6 +134,39 @@ def mixture_weights(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    tok_col: str,
+    tau: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled mixture (the multilingual-pretraining
+    convention — mT5/XLM-R style, UNIMAX's baseline): target share
+    ∝ tokens_d^(1/τ), so τ=1 reproduces the corpus as-is and τ→∞
+    flattens to uniform — the knob that keeps low-resource domains
+    from vanishing under natural-size sampling. Same downsample-only
+    normalization as :func:`mixture_weights` (the binding domain keeps
+    1.0), same scale shape: ONE groupBy-sum over the big table, the
+    rest on the #domains-row aggregate."""
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    totals = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(tok_col)).alias("tokens")
+    )
+    w_all = Window.partitionBy()
+    tgt = F.pow(F.col("tokens").cast("double"), F.lit(1.0 / tau))
+    weighted = totals.withColumn("_tgt", tgt).withColumn(
+        "_ratio",
+        (F.col("_tgt") / F.sum("_tgt").over(w_all))
+        / (F.col("tokens") / F.sum("tokens").over(w_all)),
+    )
+    return weighted.select(
+        "domain",
+        "tokens",
+        (F.col("_ratio") / F.max("_ratio").over(w_all)).alias("sample_frac"),
+    )
+
+
 def apply_mixture(
     df: DataFrame,
     domain_col: str,
