@@ -140,6 +140,38 @@ fed = [
 ]
 print("FEDERATED(single-member)", fed)
 
+# probe: final-session surfaces — trigram infix wildcard, dis_max
+# fields, MaxSim late interaction, span corruption
+from uci_searchengine_spark.operators.trigram import (  # noqa: E402
+    expand_infix,
+    wildcard_search,
+    write_trigram_plane,
+)
+
+write_trigram_plane(spark, IDX)
+print("TRIGRAM exp(*rba*)", expand_infix(spark, IDX, "*rba*")[:3])
+tw = wildcard_search(spark, IDX, "*rba* stop0", k=3).collect()
+print("TRIGRAM-SEARCH", [(r["doc_id"], round(r["score"], 6)) for r in tw])
+from uci_searchengine_spark.operators.multifield import (  # noqa: E402
+    score_fields,
+)
+
+dm = score_fields(
+    spark, IDX, "stop0 arbak", variant="dis_max", tie_breaker=0.3, k=3
+).collect()
+print("DISMAX", [(r["doc_id"], round(r["score"], 6)) for r in dm])
+from uci_searchengine_spark.operators.denoise import (  # noqa: E402
+    denoiser_prep,
+)
+
+dn = denoiser_prep(
+    pages.select(
+        "url", F.split(F.col("html").cast("string"), " ").alias("t")
+    ).limit(3),
+    id_col="url",
+).collect()
+print("SPANCORRUPT", [(r["n_spans"], r["n_masked"]) for r in dn])
+
 # probe: resume — rerun build on same dir/snapshot, expect all partitions skipped
 t0 = time.time()
 build_index(spark, pages, IDX, num_shards=4, n_buckets=4,

@@ -7988,6 +7988,50 @@ FROM r ORDER BY domain
 QUERIES["temp_mixture"] = (q_temp_mixture, _sql_temp_mixture())
 
 
+def q_jsonl_source(spark, sf_dir):
+    """JSONL source round-trip (sources/jsonl — the CC-derivative wire
+    format): the documents table written as newline-delimited JSON to
+    a content-fingerprinted tmp dir, read back through the
+    explicit-schema PERMISSIVE reader (corrupt lines quarantined to a
+    column, never a crash — the CCNet operational rule), returned in
+    full. Oracle = the documents view itself: read(write(x)) must be
+    the identity, which checks the reader's schema handling without
+    the oracle touching files. Malformed-line quarantine is
+    pytest-pinned (tests/test_jsonl.py)."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from uci_searchengine_spark.sources.jsonl import (
+        DOCUMENTS_DDL,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("s")
+    ).collect()[0]
+    h = _hl.md5(f"{sf_dir}|jsonl|{agg['n']}|{agg['s']}".encode()).hexdigest()[
+        :12
+    ]
+    path = _os.path.join(_tf.gettempdir(), f"uci_gate_jsonl_{h}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        write_jsonl(
+            docs.select("doc_id", "text", "lang", "source", "n_chars"), path
+        )
+    return read_jsonl(spark, path, DOCUMENTS_DDL).orderBy("doc_id")
+
+
+SQL_JSONL_SOURCE = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES["jsonl_source"] = (q_jsonl_source, SQL_JSONL_SOURCE)
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
