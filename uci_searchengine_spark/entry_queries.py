@@ -8032,6 +8032,73 @@ FROM documents ORDER BY doc_id
 QUERIES["jsonl_source"] = (q_jsonl_source, SQL_JSONL_SOURCE)
 
 
+def q_suffix_dup_spans(spark, sf_dir):
+    """Exact duplicate-span detection via the distributed suffix array
+    (operators/suffixarray — prefix doubling, Manber & Myers 1990; the
+    published Lee et al. 2022 dedup criterion): every pair of
+    suffix-order-adjacent corpus positions sharing ≥ 12 characters,
+    over the first 12 documents truncated to 80 chars (constant-size
+    corpus ≈ 1 KB so the ⌈log₂ n⌉ iterative rounds stay bounded at
+    gate scale; the dataflow itself is n-linear per round). The oracle
+    materializes and sorts the actual suffix strings — the textbook
+    definition — so rank order, adjacency, AND the lcp values are all
+    value-checked. Out of the 50-slot driver window by the same rule
+    as jsonl_source (the r2-era tranche keeps its slots); covered by
+    the full replica + tests/test_suffixarray.py."""
+    from uci_searchengine_spark.operators.suffixarray import (
+        duplicate_spans_exact,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents", rebalance=False)
+        .filter(F.col("doc_id") < 12)
+        .select("doc_id", F.substring("text", 1, 80).alias("text"))
+    )
+    return duplicate_spans_exact(docs, min_len=12, partitions=8).select(
+        "pos_a", "pos_b", "lcp"
+    )
+
+
+SQL_SUFFIX_DUP_SPANS = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 80) AS t
+  FROM documents WHERE doc_id < 12
+),
+corpus AS (
+  SELECT string_agg(t || chr(1), '' ORDER BY doc_id) AS c FROM d
+),
+pos AS (
+  SELECT unnest(range(0, length(c))) AS pos, c FROM corpus
+),
+ord AS (
+  SELECT pos, row_number() OVER (ORDER BY substr(c, pos + 1)) - 1 AS rnk, c
+  FROM pos
+),
+adj AS (
+  SELECT a.pos AS pos_a, b.pos AS pos_b, a.c AS c,
+         least(length(a.c) - a.pos, length(a.c) - b.pos) AS bound
+  FROM ord a JOIN ord b ON b.rnk = a.rnk + 1
+),
+idx AS (
+  SELECT unnest(range(1, length(c) + 1)) AS j FROM corpus
+),
+lcps AS (
+  SELECT pos_a, pos_b,
+         coalesce(min(CASE WHEN j <= bound
+                            AND substr(c, pos_a + j, 1) <> substr(c, pos_b + j, 1)
+                       THEN j END) - 1, bound) AS lcp
+  FROM adj CROSS JOIN idx
+  GROUP BY pos_a, pos_b, bound
+)
+SELECT CAST(pos_a AS BIGINT) AS pos_a, CAST(pos_b AS BIGINT) AS pos_b,
+       CAST(lcp AS BIGINT) AS lcp
+FROM lcps WHERE lcp >= 12
+"""
+
+
+QUERIES["suffix_dup_spans"] = (q_suffix_dup_spans, SQL_SUFFIX_DUP_SPANS)
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no

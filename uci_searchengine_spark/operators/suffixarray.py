@@ -1,0 +1,192 @@
+"""Distributed suffix array by prefix doubling — the exact-substring
+machinery of Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better"), whose published tool builds a suffix array
+over the concatenated corpus and removes every repeated substring
+above a length threshold. ``dedup.duplicate_span_stats`` approximates
+that with fixed-n token windows; this module is the exact form.
+
+Prefix doubling (Manber & Myers 1990, the standard distributed/
+MapReduce formulation): start with rank(p) = the character code at p;
+at step k, re-rank every position by the pair (rank(p), rank(p+2^k))
+— after ⌈log₂ n⌉ rounds the rank of p is the rank of the FULL suffix
+at p. Each round is (a) one self-join on a position shift (equi-join
+— positions are integers) and (b) one global DENSE rank of the pair,
+computed by ``plans.docids.dense_rank_global`` — the two-pass
+range-partition scheme, NOT a single-partition window, so every round
+is a bounded number of ordinary shuffles. O(log n) rounds of O(n)
+work: the published complexity, in DataFrame operators.
+
+The per-round rank tables are kept: they are exactly the sparse table
+that answers LCP(p, q) — walk k from high to low, and whenever
+rank_k[p+done] == rank_k[q+done] the suffixes share 2^k more
+characters. ``lcp_adjacent`` runs that walk as one equi-join per
+level over the rank-adjacent pairs (the join key ``pos + done`` is a
+computed column, still an equi-join), which is how the Lee et al.
+duplicate criterion — adjacent suffixes with LCP ≥ L — evaluates
+without any sequential Kasai pass.
+
+Corpus layout: documents concatenate with a separator code BELOW every
+real character (0x01 < any printable), so no repeated substring can
+span a document boundary — the separator mismatches immediately, the
+same guarantee the reference tool gets from its 0xff byte fences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from uci_searchengine_spark.plans.docids import dense_rank_global
+
+SEP_CODE = 1  # sorts below every printable character
+
+
+def corpus_chars(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(pos, code) — the concatenated corpus, one row per character,
+    each document followed by the separator. Document offsets come
+    from a cumulative sum over the DOC-level relation (#docs rows —
+    the unpartitioned window never sees the corpus); the per-char
+    explode is a scan-side transform."""
+    lens = docs.select(id_col, F.col(text_col).alias("_t")).withColumn(
+        "_len", F.length("_t").cast("long")
+    )
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    off = lens.withColumn(
+        "_off", F.coalesce(F.sum(F.col("_len") + 1).over(w), F.lit(0))
+    )
+    entries = F.transform(
+        F.sequence(F.lit(0), F.col("_len")),
+        lambda i: F.struct(
+            (F.col("_off") + i).alias("pos"),
+            F.when(
+                i < F.col("_len"),
+                F.ascii(F.col("_t").substr(i + F.lit(1), F.lit(1))),
+            )
+            .otherwise(F.lit(SEP_CODE))
+            .cast("long")
+            .alias("code"),
+        ),
+    )
+    return off.select(F.explode(entries).alias("e")).select(
+        F.col("e.pos").alias("pos"), F.col("e.code").alias("code")
+    )
+
+
+def suffix_ranks(
+    chars: DataFrame,
+    partitions: int | None = None,
+    keep_tables: bool = False,
+) -> "tuple[DataFrame, list[tuple[int, DataFrame]]]":
+    """(pos, rank) with rank = the 0-based position of suffix ``pos``
+    in the sorted suffix order (the INVERSE suffix array — sort by
+    rank to get the SA). With ``keep_tables`` the per-round
+    (half-length, rank-table) list is returned for LCP queries.
+
+    Driver loop of ⌈log₂ n⌉ rounds; each round caches its table and
+    the convergence check (max rank == n−1 ⇔ all ranks distinct) is
+    the round's one action."""
+    spark = chars.sparkSession
+    parts = partitions or spark.sparkContext.defaultParallelism
+    n = chars.count()
+    cached = dense_rank_global(
+        chars.select("pos", F.col("code").alias("k1")), ["k1"], "rank", parts
+    )
+    r = cached.select("pos", "rank")
+    tables: list[tuple[int, DataFrame]] = [(1, r)]
+    handles = [cached]  # the actually-cached frames, for unpersist
+    k = 1
+    while r.agg(F.max("rank")).collect()[0][0] < n - 1:
+        shifted = r.select(
+            (F.col("pos") - F.lit(k)).alias("pos"), F.col("rank").alias("k2")
+        )
+        paired = (
+            r.withColumnRenamed("rank", "k1")
+            .join(shifted, "pos", "left")
+            .select("pos", "k1", F.coalesce("k2", F.lit(-1)).alias("k2"))
+        )
+        cached = dense_rank_global(paired, ["k1", "k2"], "rank", parts)
+        if not keep_tables:
+            handles.pop().unpersist()
+        r = cached.select("pos", "rank")
+        handles.append(cached)
+        k *= 2
+        tables.append((k, r))
+        if k > n:  # all ranks must be distinct by now; guard anyway
+            break
+    if not keep_tables:
+        return r, []
+    return r, tables
+
+
+def lcp_adjacent(
+    ranks: DataFrame, tables: "list[tuple[int, DataFrame]]"
+) -> DataFrame:
+    """(pos_a, pos_b, lcp) for every pair of suffixes ADJACENT in the
+    suffix order — the rows Lee et al.'s duplicate criterion reads.
+    Sparse-table walk: for each kept table (largest half-length
+    first), one equi-join on ``pos + done`` per side; matching ranks
+    extend the common prefix by that table's half-length. Bounded by
+    construction: lcp grows only by distinct powers of two, and the
+    final +1 probe uses the base (character) table."""
+    nxt = ranks.select(
+        (F.col("rank") - 1).alias("rank"), F.col("pos").alias("pos_b")
+    )
+    adj = (
+        ranks.join(nxt, "rank")
+        .select(F.col("pos").alias("pos_a"), "pos_b")
+        .withColumn("lcp", F.lit(0).cast("long"))
+    )
+    for half, tbl in sorted(tables, key=lambda t: -t[0]):
+        ta = tbl.select(F.col("pos").alias("_pa"), F.col("rank").alias("_ra"))
+        tb = tbl.select(F.col("pos").alias("_pb"), F.col("rank").alias("_rb"))
+        adj = (
+            adj.join(ta, F.col("_pa") == F.col("pos_a") + F.col("lcp"), "left")
+            .join(tb, F.col("_pb") == F.col("pos_b") + F.col("lcp"), "left")
+            .withColumn(
+                "lcp",
+                F.when(
+                    F.col("_ra").isNotNull()
+                    & (F.col("_ra") == F.col("_rb")),
+                    F.col("lcp") + F.lit(half),
+                ).otherwise(F.col("lcp")),
+            )
+            .drop("_pa", "_ra", "_pb", "_rb")
+        )
+    # Exactness: each table (prefix length L, descending) is consulted
+    # once; matched ranks advance BOTH cursors by L, so the walk emits
+    # the binary expansion of the true lcp — the L=1 base table is the
+    # last step, leaving no gap. (Equal rank_L for distinct suffixes
+    # implies both have ≥ L characters: identical-to-the-end suffixes
+    # at different positions are impossible, so the padded-key
+    # equality cannot overcount.)
+    return adj
+
+
+def duplicate_spans_exact(
+    docs: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Lee et al. 2022's exact duplicate criterion over the corpus:
+    ``(pos_a, pos_b, lcp)`` for every pair of suffix-order-adjacent
+    corpus positions sharing ≥ ``min_len`` characters — every maximal
+    repeated substring of length ≥ min_len appears here (a repeat's
+    two occurrences are suffix-neighbors at some rank, or separated
+    only by suffixes sharing the same prefix, which then also report
+    it). The separator fence guarantees no reported span crosses a
+    document boundary. Per-round rank tables stay cached for the
+    lifetime of the returned (lazy) plan; materialize then discard.
+
+    Reference shape: the fixed-n window approximation is
+    ``dedup.duplicate_span_stats``; this is the exact-form sibling
+    (suffix array over the concatenated corpus, the published tool's
+    dataflow re-expressed as ⌈log₂ n⌉ bounded shuffles)."""
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    chars = corpus_chars(docs, id_col, text_col)
+    ranks, tables = suffix_ranks(chars, partitions, keep_tables=True)
+    return lcp_adjacent(ranks, tables).filter(F.col("lcp") >= F.lit(min_len))

@@ -47,3 +47,61 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", partitions: int | None
         "doc_id",
         (F.row_number().over(w) - 1 + offset_expr[F.col("_pid")]).cast("long"),
     ).drop("_pid")
+
+
+def dense_rank_global(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Add a global 0-based DENSE rank of the composite key (equal keys
+    → equal rank) without the single-partition global window.
+
+    Same two-pass shape as :func:`assign_doc_ids`, extended for dense
+    semantics: range-repartition + in-partition sort gives globally
+    ordered partitions; one tiny aggregate collects each partition's
+    (distinct-key count, first key, last key); the driver prefix-sums
+    the distinct counts, subtracting 1 whenever a key STRADDLES a
+    partition boundary (partition i's first key == partition i−1's
+    last key — that key was already ranked); the second pass is a
+    per-partition dense_rank window plus the broadcast base offset.
+    Because a straddling key is by construction both the max of the
+    left partition and the min of the right, the chain rule composes
+    across any number of straddled partitions.
+
+    Returns a *cached* DataFrame — caller unpersists when done."""
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in key_cols]
+    ranged = (
+        df.repartitionByRange(parts, *keys)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    stats = {
+        r["_pid"]: (r["nd"], r["lo"], r["hi"])
+        for r in ranged.groupBy("_pid")
+        .agg(
+            F.countDistinct(*keys).alias("nd"),
+            F.min(F.struct(*keys)).alias("lo"),
+            F.max(F.struct(*keys)).alias("hi"),
+        )
+        .collect()
+    }
+    bases, acc, prev_hi = {}, 0, None
+    for pid in sorted(stats):
+        nd, lo, hi = stats[pid]
+        if prev_hi is not None and tuple(lo) == tuple(prev_hi):
+            acc -= 1
+        bases[pid] = acc
+        acc += nd
+        prev_hi = hi
+    base_expr = F.create_map(
+        *[x for pid, b in bases.items() for x in (F.lit(pid), F.lit(b))]
+    )
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    return ranged.withColumn(
+        out_col,
+        (F.dense_rank().over(w) - 1 + base_expr[F.col("_pid")]).cast("long"),
+    ).drop("_pid")
