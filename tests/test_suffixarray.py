@@ -136,3 +136,25 @@ def test_dense_rank_global_matches_reference(spark):
         out.unpersist()
         assert len(got) == len(rows)
         assert all(rk == ref_rank[k] for k, rk in got), f"parts={parts}"
+
+
+def test_seeded_equals_unseeded_and_reference(spark):
+    """The packed-8 seed path must give the exact ranks the width-1
+    path gives — including on a corpus whose suffixes are all
+    distinguished within 8 chars (the seed converges BEFORE its first
+    doubling and must still densify)."""
+    cases = [
+        [(0, "abcdefghijklm"), (1, "nopqrstuvw")],  # all-distinct chars
+        [(0, "abab abba"), (1, "baab abab"), (2, "abba baba")],
+    ]
+    for docs in cases:
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        chars = corpus_chars(df)
+        corpus = _corpus(docs)
+        ref = {p: i for i, p in enumerate(_ref_order(corpus))}
+        seeded, _ = suffix_ranks(chars, partitions=3, seed_width=8)
+        got = {r["pos"]: r["rank"] for r in seeded.collect()}
+        assert got == ref, f"seeded path wrong on {docs}"
+        plain, _ = suffix_ranks(chars, partitions=3, seed_width=1)
+        gotp = {r["pos"]: r["rank"] for r in plain.collect()}
+        assert gotp == ref, f"width-1 path wrong on {docs}"

@@ -78,6 +78,7 @@ def suffix_ranks(
     chars: DataFrame,
     partitions: int | None = None,
     keep_tables: bool = False,
+    seed_width: int = 8,
 ) -> "tuple[DataFrame, list[tuple[int, DataFrame]]]":
     """(pos, rank) with rank = the 0-based position of suffix ``pos``
     in the sorted suffix order (the INVERSE suffix array — sort by
@@ -85,19 +86,67 @@ def suffix_ranks(
     (half-length, rank-table) list is returned for LCP queries.
 
     Driver loop of ⌈log₂ n⌉ rounds; each round caches its table and
-    the convergence check (max rank == n−1 ⇔ all ranks distinct) is
-    the round's one action."""
+    the convergence check (all ranks distinct) is the round's one
+    action.
+
+    ``seed_width=8`` (the default, auto-disabled when any code ≥ 128):
+    the first three doubling rounds never need a dense rank at all —
+    with 7-bit codes, the base-128 PACKED VALUE of a w-char prefix
+    (missing chars padded with 0 < SEP_CODE) orders and equates
+    exactly like rank_w, so widths 2/4/8 are three cheap self-joins
+    (``packed_2w(p) = packed_w(p)·128^w + packed_w(p+w)``) with no
+    range-repartition, no per-round collect, no window. The loop then
+    enters at k=8 pairing packed values; its first dense rank
+    produces rank_16. Packed tables slot straight into the LCP walk,
+    which only ever tests rank EQUALITY."""
     spark = chars.sparkSession
     parts = partitions or spark.sparkContext.defaultParallelism
-    n = chars.count()
-    cached = dense_rank_global(
-        chars.select("pos", F.col("code").alias("k1")), ["k1"], "rank", parts
-    )
-    r = cached.select("pos", "rank")
-    tables: list[tuple[int, DataFrame]] = [(1, r)]
-    handles = [cached]  # the actually-cached frames, for unpersist
-    k = 1
-    while r.agg(F.max("rank")).collect()[0][0] < n - 1:
+    st = chars.agg(
+        F.count("*").alias("n"), F.max("code").alias("mx")
+    ).collect()[0]
+    n, mx = st["n"], st["mx"]
+    tables: list[tuple[int, DataFrame]]
+    if seed_width == 8 and n and mx is not None and mx < 128:
+        cur = chars.select(
+            "pos", F.col("code").cast("long").alias("rank")
+        ).cache()
+        tables = [(1, cur)]
+        handles = [cur]  # the actually-cached frames, for unpersist
+        w = 1
+        while w < 8:
+            shifted = cur.select(
+                (F.col("pos") - F.lit(w)).alias("pos"),
+                F.col("rank").alias("_r2"),
+            )
+            cur = (
+                cur.join(shifted, "pos", "left")
+                .select(
+                    "pos",
+                    (
+                        F.col("rank") * F.lit(128**w)
+                        + F.coalesce("_r2", F.lit(0))
+                    ).alias("rank"),
+                )
+                .cache()
+            )
+            if not keep_tables:
+                handles.pop().unpersist()
+            handles.append(cur)
+            w *= 2
+            tables.append((w, cur))
+        r, k, dense = cur, 8, False
+    else:
+        cached = dense_rank_global(
+            chars.select("pos", F.col("code").alias("k1")),
+            ["k1"],
+            "rank",
+            parts,
+        )
+        r = cached.select("pos", "rank")
+        tables = [(1, r)]
+        handles = [cached]
+        k, dense = 1, True
+    while r.agg(F.countDistinct("rank")).collect()[0][0] < n:
         shifted = r.select(
             (F.col("pos") - F.lit(k)).alias("pos"), F.col("rank").alias("k2")
         )
@@ -111,10 +160,22 @@ def suffix_ranks(
             handles.pop().unpersist()
         r = cached.select("pos", "rank")
         handles.append(cached)
+        dense = True
         k *= 2
         tables.append((k, r))
         if k > n:  # all ranks must be distinct by now; guard anyway
             break
+    if not dense:
+        # seeded run that converged before its first doubling: the
+        # packed values already totally order the suffixes, but the
+        # adjacency contract (rank, rank+1) needs DENSE ranks.
+        cached = dense_rank_global(
+            r.select("pos", F.col("rank").alias("k1")), ["k1"], "rank", parts
+        )
+        if not keep_tables:
+            handles.pop().unpersist()
+        r = cached.select("pos", "rank")
+        handles.append(cached)
     if not keep_tables:
         return r, []
     return r, tables
