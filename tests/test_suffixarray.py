@@ -158,3 +158,38 @@ def test_seeded_equals_unseeded_and_reference(spark):
         plain, _ = suffix_ranks(chars, partitions=3, seed_width=1)
         gotp = {r["pos"]: r["rank"] for r in plain.collect()}
         assert gotp == ref, f"width-1 path wrong on {docs}"
+
+
+def test_drop_duplicate_spans_policy(spark):
+    """The Lee et al. excision policy end-to-end: first corpus
+    occurrence survives intact, every later occurrence is excised,
+    untouched docs are the identity, and a threshold above the longest
+    repeat returns the corpus unchanged."""
+    from uci_searchengine_spark.operators.suffixarray import (
+        drop_duplicate_spans,
+    )
+
+    plant = "qwzxvkjbpmdyfgu"  # 15 chars, non-periodic
+    docs = [
+        (0, "aaa " + plant + " bbb"),
+        (1, "no duplicates here at all"),
+        (2, "ccc " + plant + " ddd " + plant + " eee"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in drop_duplicate_spans(df, min_len=12, partitions=4).collect()
+    }
+    assert out[0] == docs[0][1], "first occurrence must survive"
+    assert out[1] == docs[1][1], "untouched doc must be identity"
+    assert plant not in out[2], "later occurrences must be excised"
+    assert "".join(out.values()).count(plant) == 1
+    ident = {
+        r["doc_id"]: r["text_clean"]
+        for r in drop_duplicate_spans(df, min_len=40, partitions=4).collect()
+    }
+    assert ident == dict(docs), "threshold above longest repeat ⇒ identity"
+    with pytest.raises(ValueError):
+        drop_duplicate_spans(df, min_len=0)
+    with pytest.raises(ValueError):
+        drop_duplicate_spans(df, bucket_width=0)

@@ -8099,6 +8099,127 @@ FROM lcps WHERE lcp >= 12
 QUERIES["suffix_dup_spans"] = (q_suffix_dup_spans, SQL_SUFFIX_DUP_SPANS)
 
 
+def q_suffix_span_removal(spark, sf_dir):
+    """Lee et al. 2022's actual output over the suffix array
+    (operators/suffixarray.drop_duplicate_spans): the 12-doc gate
+    corpus with every duplicated substring of length ≥ 12 excised from
+    all but its first corpus occurrence — clusters are maximal
+    adjacent-lcp runs, the minimum position survives, marked global
+    intervals clip to documents through the bucketized overlap join,
+    and one in-row fold per doc merges intervals and rebuilds the
+    text. The oracle re-derives the SAME pinned policy from sorted
+    real suffix strings and excises by per-char anti-join — full clean
+    strings hashed for all 12 docs. Same window rule as
+    suffix_dup_spans."""
+    from uci_searchengine_spark.operators.suffixarray import (
+        drop_duplicate_spans,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents", rebalance=False)
+        .filter(F.col("doc_id") < 12)
+        .select("doc_id", F.substring("text", 1, 80).alias("text"))
+    )
+    return drop_duplicate_spans(docs, min_len=12, partitions=8).select(
+        "doc_id", "text_clean"
+    )
+
+
+SQL_SUFFIX_SPAN_REMOVAL = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 80) AS t
+  FROM documents WHERE doc_id < 12
+),
+corpus AS (
+  SELECT string_agg(t || chr(1), '' ORDER BY doc_id) AS c FROM d
+),
+pos AS (
+  SELECT unnest(range(0, length(c))) AS pos, c FROM corpus
+),
+ord AS (
+  SELECT pos, row_number() OVER (ORDER BY substr(c, pos + 1)) - 1 AS rnk, c
+  FROM pos
+),
+adj AS (
+  SELECT a.rnk AS rnk, a.pos AS pos_a, b.pos AS pos_b, a.c AS c,
+         least(length(a.c) - a.pos, length(a.c) - b.pos) AS bound
+  FROM ord a JOIN ord b ON b.rnk = a.rnk + 1
+),
+idx AS (
+  SELECT unnest(range(1, length(c) + 1)) AS j FROM corpus
+),
+lcps AS (
+  SELECT rnk, pos_a, pos_b,
+         coalesce(min(CASE WHEN j <= bound
+                            AND substr(c, pos_a + j, 1) <> substr(c, pos_b + j, 1)
+                       THEN j END) - 1, bound) AS lcp
+  FROM adj CROSS JOIN idx
+  GROUP BY rnk, pos_a, pos_b, bound
+),
+hits AS (
+  SELECT l.rnk, l.pos_a, l.pos_b, l.lcp
+  FROM lcps l, corpus
+  WHERE l.lcp >= 12 AND substr(c, l.pos_a + 1, 1) <> chr(1)
+),
+isl AS (
+  SELECT *, rnk - row_number() OVER (ORDER BY rnk) AS island FROM hits
+),
+istats AS (
+  SELECT island, min(lcp) AS rmlen FROM isl GROUP BY island
+),
+mem AS (
+  SELECT DISTINCT island, pos FROM (
+    SELECT island, pos_a AS pos FROM isl
+    UNION ALL SELECT island, pos_b AS pos FROM isl
+  )
+),
+keepp AS (
+  SELECT island, min(pos) AS keep_pos FROM mem GROUP BY island
+),
+marked AS (
+  SELECT m.pos AS gs, m.pos + s.rmlen AS ge
+  FROM mem m
+  JOIN keepp k USING (island)
+  JOIN istats s USING (island)
+  WHERE m.pos <> k.keep_pos
+),
+doff AS (
+  SELECT doc_id, t,
+         coalesce(sum(length(t) + 1) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ds
+  FROM d
+),
+clipped AS (
+  SELECT DISTINCT doc_id,
+         greatest(gs - ds, 0) AS s,
+         least(ge, ds + length(t)) - ds AS e
+  FROM marked JOIN doff ON gs < ds + length(t) AND ge > ds
+),
+dchars AS (
+  SELECT doc_id, unnest(range(0, length(t))) AS i, t FROM d
+),
+uncov AS (
+  SELECT dc.doc_id, dc.i, substr(dc.t, dc.i + 1, 1) AS ch
+  FROM dchars dc
+  LEFT JOIN (
+    SELECT doc_id, s, e FROM clipped
+  ) m ON m.doc_id = dc.doc_id AND dc.i >= m.s AND dc.i < m.e
+  GROUP BY dc.doc_id, dc.i, dc.t
+  HAVING count(m.doc_id) = 0
+),
+clean AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text_clean
+  FROM uncov GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(clean.text_clean, '') AS text_clean
+FROM d LEFT JOIN clean ON d.doc_id = clean.doc_id
+"""
+
+
+QUERIES["suffix_span_removal"] = (q_suffix_span_removal, SQL_SUFFIX_SPAN_REMOVAL)
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no

@@ -196,7 +196,11 @@ def lcp_adjacent(
     )
     adj = (
         ranks.join(nxt, "rank")
-        .select(F.col("pos").alias("pos_a"), "pos_b")
+        .select(
+            F.col("rank").alias("rnk"),
+            F.col("pos").alias("pos_a"),
+            "pos_b",
+        )
         .withColumn("lcp", F.lit(0).cast("long"))
     )
     for half, tbl in sorted(tables, key=lambda t: -t[0]):
@@ -251,3 +255,158 @@ def duplicate_spans_exact(
     chars = corpus_chars(docs, id_col, text_col)
     ranks, tables = suffix_ranks(chars, partitions, keep_tables=True)
     return lcp_adjacent(ranks, tables).filter(F.col("lcp") >= F.lit(min_len))
+
+
+def drop_duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Lee et al. 2022's actual OUTPUT: the corpus with every
+    duplicated substring of length ≥ ``min_len`` removed from all but
+    its first (minimum corpus position) occurrence. Returns
+    ``(id_col, text_clean)`` for EVERY input document.
+
+    Pinned policy, each step relational:
+
+    1. A duplicate CLUSTER is a maximal run of suffix-rank-adjacent
+       pairs with lcp ≥ min_len — its members pairwise share ≥ the
+       run's minimum adjacent lcp (pairwise lcp = min over the
+       adjacent lcps between them). Pairs whose shared prefix begins
+       with the document separator are dropped first: the content
+       form of the same duplicate is its own pair, one char shorter,
+       and a "duplicate" whose content is < min_len chars shouldn't
+       count. Run detection is rnk − dense-rank-of-rnk over the
+       FILTERED pair set (sparse — duplicates only), via the same
+       two-pass :func:`~uci_searchengine_spark.plans.docids.
+       dense_rank_global` the doubling loop uses — never a
+       single-partition window over the corpus.
+    2. The cluster's minimum corpus position survives; every other
+       member marks ``[pos, pos + min_adjacent_lcp)`` for removal.
+    3. Marked GLOBAL intervals clip to documents through a bucketized
+       overlap join (the operators/rangejoin shape: both sides
+       explode to fixed-width buckets, overlapping pairs meet in ≥ 1
+       shared bucket, exact overlap filter + distinct) — this also
+       splits the rare cross-boundary mark (duplicated text that
+       spans a separator) into per-doc pieces and drops the separator
+       char itself, which belongs to no document.
+    4. One in-row fold per doc merges overlapping local intervals
+       (inputs pre-sorted with sort_array) and rebuilds the kept text
+       by substring concatenation — no explode, no window.
+    """
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    base = docs.select(id_col, F.col(text_col).alias("_t")).withColumn(
+        "_len", F.length("_t").cast("long")
+    )
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    off = base.withColumn(
+        "_off", F.coalesce(F.sum(F.col("_len") + 1).over(w), F.lit(0))
+    )
+    chars = corpus_chars(docs, id_col, text_col)
+    ranks, tables = suffix_ranks(chars, partitions, keep_tables=True)
+    hits = (
+        lcp_adjacent(ranks, tables)
+        .filter(F.col("lcp") >= F.lit(min_len))
+        .join(
+            chars.select(
+                F.col("pos").alias("pos_a"), F.col("code").alias("_c")
+            ),
+            "pos_a",
+        )
+        .filter(F.col("_c") != F.lit(SEP_CODE))
+        .select("rnk", "pos_a", "pos_b", "lcp")
+    )
+    ranked = dense_rank_global(hits, ["rnk"], "_rn", partitions)
+    isl = ranked.withColumn("_isl", F.col("rnk") - F.col("_rn"))
+    stats = isl.groupBy("_isl").agg(F.min("lcp").alias("_rmlen"))
+    mem = (
+        isl.select("_isl", F.col("pos_a").alias("pos"))
+        .unionByName(isl.select("_isl", F.col("pos_b").alias("pos")))
+        .distinct()
+    )
+    keep = mem.groupBy("_isl").agg(F.min("pos").alias("_keep"))
+    marked = (
+        mem.join(keep, "_isl")
+        .filter(F.col("pos") != F.col("_keep"))
+        .join(stats, "_isl")
+        .select(
+            F.col("pos").alias("_gs"),
+            (F.col("pos") + F.col("_rmlen")).alias("_ge"),
+        )
+    )
+    bw = F.lit(bucket_width)
+    m_b = marked.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_gs") / bw), F.floor((F.col("_ge") - 1) / bw)
+            )
+        ),
+    )
+    dspan = off.filter(F.col("_len") > 0).select(
+        id_col,
+        F.col("_off").alias("_ds"),
+        (F.col("_off") + F.col("_len")).alias("_de"),
+    )
+    d_b = dspan.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_ds") / bw), F.floor((F.col("_de") - 1) / bw)
+            )
+        ),
+    )
+    clipped = (
+        m_b.join(d_b, "_bk")
+        .filter((F.col("_gs") < F.col("_de")) & (F.col("_ge") > F.col("_ds")))
+        .select(
+            id_col,
+            F.greatest(F.col("_gs") - F.col("_ds"), F.lit(0)).alias("s"),
+            (F.least("_ge", "_de") - F.col("_ds")).alias("e"),
+        )
+        .distinct()
+    )
+    ivs = clipped.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_iv")
+    )
+    excised = F.aggregate(
+        "_iv",
+        F.struct(
+            F.lit(0).cast("long").alias("cur"), F.lit("").alias("acc")
+        ),
+        lambda a, x: F.struct(
+            F.greatest(a["cur"], x["e"]).alias("cur"),
+            F.when(
+                x["s"] > a["cur"],
+                F.concat(
+                    a["acc"],
+                    F.col("_t").substr(
+                        (a["cur"] + 1).cast("int"),
+                        (x["s"] - a["cur"]).cast("int"),
+                    ),
+                ),
+            )
+            .otherwise(a["acc"])
+            .alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.col("_t").substr(
+                (a["cur"] + 1).cast("int"), F.length("_t")
+            ),
+        ),
+    )
+    return (
+        base.join(ivs, id_col, "left")
+        .withColumn(
+            "text_clean",
+            F.when(F.col("_iv").isNull(), F.col("_t")).otherwise(excised),
+        )
+        .select(id_col, "text_clean")
+    )

@@ -89,6 +89,8 @@ def dense_rank_global(
         )
         .collect()
     }
+    if not stats:  # empty input: zero-arg create_map below would fail
+        return ranged.withColumn(out_col, F.lit(0).cast("long")).drop("_pid")
     bases, acc, prev_hi = {}, 0, None
     for pid in sorted(stats):
         nd, lo, hi = stats[pid]
