@@ -171,3 +171,131 @@ def test_ppl_buckets_terciles(spark):
     for i, _, p in rows:
         want = "head" if p <= lo else ("middle" if p <= hi else "tail")
         assert got_g[i] == want
+
+
+D = 0.75
+
+
+def _brute_kn(discount=D, vocab_cap=None):
+    """Pure-python interpolated KN with the pinned add-1 continuation
+    smoothing, mirroring train_kn_bigram/kn_perplexity exactly."""
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for s in REF:
+        t = tokenize_py(s)
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+    if vocab_cap is not None:
+        kept = {
+            w
+            for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :vocab_cap
+            ]
+        }
+        m = lambda w: w if w in kept else lmq.UNK
+        big = Counter()
+        for s in REF:
+            t = [m(x) for x in tokenize_py(s)]
+            big.update(zip(t, t[1:]))
+        v = len({m(w) for w in uni})
+    else:
+        m = lambda w: w
+        v = len(uni)
+    cv = Counter()
+    n1h = Counter()
+    n1c = Counter()
+    for (a, b), c in big.items():
+        cv[a] += c
+        n1h[a] += 1
+        n1c[b] += 1
+    nt = len(big)
+    denom = nt + v + 1
+
+    def pcont(w):
+        return (n1c.get(w, 0) + 1.0) / denom
+
+    def p(a, b):
+        if cv.get(a, 0) > 0:
+            return (
+                max(big.get((a, b), 0) - discount, 0.0) / cv[a]
+                + discount * n1h[a] / cv[a] * pcont(b)
+            )
+        return pcont(b)
+
+    out = {}
+    for i, s in SCORED:
+        t = [m(x) for x in tokenize_py(s)]
+        if len(t) < 2:
+            continue
+        lps = [math.log(p(a, b)) for a, b in zip(t, t[1:])]
+        out[i] = (len(lps), round(math.exp(-sum(lps) / len(lps)), 6))
+    return out
+
+
+def test_kn_perplexity_vs_brute_force(spark):
+    ref = spark.createDataFrame([(s,) for s in REF], ["text"])
+    docs = spark.createDataFrame(SCORED, ["doc_id", "text"])
+    hist, big, cont, nt, v = lmq.train_kn_bigram(ref)
+    got = {
+        r["id"]: (r["n_bigrams"], r["ppl"])
+        for r in lmq.kn_perplexity(docs, hist, big, cont, nt, v).collect()
+    }
+    assert got == _brute_kn()
+    # semantic property: reference-like < shuffled < OOV gibberish
+    assert got[0][1] < got[1][1] < got[2][1]
+    assert 3 not in got  # single-token doc excluded
+    # hash-join path identical
+    got_h = {
+        r["id"]: (r["n_bigrams"], r["ppl"])
+        for r in lmq.kn_perplexity(
+            docs, hist, big, cont, nt, v, broadcast_model=False
+        ).collect()
+    }
+    assert got_h == got
+
+
+def test_kn_discount_zero_is_mle_on_seen(spark):
+    """D=0 kills both the discount and the backoff weight: every seen
+    bigram scores exactly c2/cv (pure MLE)."""
+    ref = spark.createDataFrame([(s,) for s in REF], ["text"])
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat")], ["doc_id", "text"]
+    )
+    hist, big, cont, nt, v = lmq.train_kn_bigram(ref)
+    got = lmq.kn_perplexity(
+        docs, hist, big, cont, nt, v, discount=0.0
+    ).collect()[0]
+    uni, bigc = Counter(), Counter()
+    for s in REF:
+        t = tokenize_py(s)
+        uni.update(t)
+        bigc.update(zip(t, t[1:]))
+    cv = Counter()
+    for (a, _b), c in bigc.items():
+        cv[a] += c
+    t = tokenize_py("the cat sat on the mat")
+    lps = [math.log(bigc[(a, b)] / cv[a]) for a, b in zip(t, t[1:])]
+    assert got["ppl"] == round(math.exp(-sum(lps) / len(lps)), 6)
+
+
+def test_kn_vocab_cap_matches_brute(spark):
+    cap = 6
+    ref = spark.createDataFrame([(s,) for s in REF], ["text"])
+    docs = spark.createDataFrame(SCORED, ["doc_id", "text"])
+    hist, big, cont, nt, v = lmq.train_kn_bigram(ref, vocab_cap=cap)
+    # the scoring-side mapping set: top-cap unigrams of the reference
+    uni = Counter()
+    for s in REF:
+        uni.update(tokenize_py(s))
+    kept = [
+        w
+        for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+    ]
+    vocab = spark.createDataFrame([(w,) for w in kept], ["v"])
+    got = {
+        r["id"]: (r["n_bigrams"], r["ppl"])
+        for r in lmq.kn_perplexity(
+            docs, hist, big, cont, nt, v, vocab=vocab
+        ).collect()
+    }
+    assert got == _brute_kn(vocab_cap=cap)

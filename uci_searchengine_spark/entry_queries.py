@@ -5309,6 +5309,51 @@ def _sql_lm_perplexity() -> str:
     return f"SELECT id AS doc_id, n_bigrams, ppl FROM ({inner}) ORDER BY doc_id"
 
 
+def q_kn_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney perplexity (lm_quality.train_kn_bigram /
+    kn_perplexity — Kneser & Ney 1995 in Chen & Goodman's interpolated
+    form, the KenLM default CCNet actually ships; the add-α gate above
+    is the pedagogical baseline). Absolute discounting with
+    continuation-count backoff: P(w|v) = max(c−D,0)/cv + (D·n1h/cv)·
+    P_cont(w); P_cont add-1-smoothed over the vocabulary so OOV needs
+    no special casing. Training = the same two groupBys plus two
+    count-distinct-shaped aggregates OVER THE BIGRAM RELATION (already
+    grouped — no extra pass over the corpus); scoring adds one
+    broadcast join (the \\|vocab\\|-sized continuation relation). All
+    exact ints until the final log; ppl rounded to 3 per the
+    lm_perplexity convention."""
+    from uci_searchengine_spark.operators.lm_quality import (
+        kn_perplexity,
+        train_kn_bigram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist, big, cont, nt, v = train_kn_bigram(
+        docs.filter(F.col("lang") == "en")
+    )
+    return (
+        kn_perplexity(docs, hist, big, cont, nt, v, digits=3)
+        .select(F.col("id").alias("doc_id"), "n_bigrams", "ppl")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_kn_ppl() -> str:
+    from uci_searchengine_spark.operators.lm_quality import (
+        kn_perplexity_sql,
+    )
+
+    inner = kn_perplexity_sql(
+        "SELECT * FROM documents",
+        ref_where="lang = 'en'",
+        tokens_expr=tokens_sql_expr("text"),
+        digits=3,
+    )
+    return (
+        f"SELECT id AS doc_id, n_bigrams, ppl FROM ({inner}) ORDER BY doc_id"
+    )
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet's head/middle/tail corpus split: per-LANGUAGE perplexity
     terciles under the reference LM (lm_quality.ppl_buckets) — head =
@@ -6791,6 +6836,7 @@ QUERIES = {
     "sort_by_field": (q_sort_by_field, _sql_sort_by_field()),
     "bm25f_topk": (q_bm25f_topk, _sql_bm25f_topk()),
     "lm_perplexity": (q_lm_perplexity, _sql_lm_perplexity()),
+    "kn_ppl": (q_kn_ppl, _sql_kn_ppl()),
     "ppl_buckets": (q_ppl_buckets, _sql_ppl_buckets()),
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "boosted_search": (q_boosted_search, SQL_BOOSTED_SEARCH),

@@ -236,3 +236,167 @@ def ppl_buckets(
         .when(F.col("ppl") <= F.col("cut_hi"), F.lit("middle"))
         .otherwise(F.lit("tail")),
     ).drop("cut_lo", "cut_hi")
+
+
+KN_DISCOUNT = 0.75
+
+
+def train_kn_bigram(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    vocab_cap: "int | None" = None,
+) -> "tuple[DataFrame, DataFrame, DataFrame, int, int]":
+    """Interpolated Kneser-Ney bigram relations (Kneser & Ney 1995, in
+    Chen & Goodman 1999's interpolated form — the KenLM default, i.e.
+    what CCNet's published pipeline actually ships, where the add-α
+    sibling above is the pedagogical baseline). Everything is exact
+    count arithmetic until scoring:
+
+    * ``hist(v, cv, n1h)`` — cv = Σ_w c(v,w), the KN history
+      denominator (NOT the unigram count: a doc-final token is no
+      history); n1h = \\|{w : c(v,w) > 0}\\| drives the backoff weight
+      λ(v) = D·n1h/cv.
+    * ``big(v, w, c2)`` — bigram counts.
+    * ``cont(w, n1c)`` — n1c = \\|{v : c(v,w) > 0}\\|, the CONTINUATION
+      count: how many distinct histories w completes ("Francisco" is
+      frequent but only ever follows "San", so its continuation mass
+      is tiny — the insight the method is named for).
+    * ``n_types`` = Σ_w n1c = \\|distinct bigram types\\|.
+    * ``vocab_size`` = \\|distinct training unigrams\\| (post-cap).
+
+    Pinned smoothing of the continuation distribution (covers OOV and
+    never-seen-as-continuation words with no special casing):
+    P_cont(w) = (n1c(w) + 1) / (n_types + vocab_size + 1).
+
+    ``vocab_cap`` folds tail tokens into ``<unk>`` before counting,
+    exactly as in :func:`train_bigram_lm`; apply the same mapping at
+    scoring via ``kn_perplexity(..., vocab=...)``."""
+    toks = ref_docs.select(tokens_col(F.col(text_col)).alias("t"))
+    raw_uni = (
+        toks.select(F.explode("t").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("c1"))
+    )
+    raw_big = _bigram_pairs(toks)
+    if vocab_cap is None:
+        vocab_size = raw_uni.count()
+        big = raw_big.groupBy("v", "w").agg(F.count("*").alias("c2"))
+    else:
+        vocab = _cap_vocab(raw_uni, vocab_cap)
+        big = (
+            _map_unk(raw_big, vocab, "v", "w")
+            .groupBy("v", "w")
+            .agg(F.count("*").alias("c2"))
+        )
+        vocab_size = (
+            _map_unk(raw_uni.select("v"), vocab, "v").distinct().count()
+        )
+    hist = big.groupBy("v").agg(
+        F.sum("c2").alias("cv"), F.count("*").alias("n1h")
+    )
+    cont = big.groupBy("w").agg(F.count("*").alias("n1c"))
+    n_types = big.count()
+    return hist, big, cont, n_types, vocab_size
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    hist: DataFrame,
+    big: DataFrame,
+    cont: DataFrame,
+    n_types: int,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = KN_DISCOUNT,
+    broadcast_model: bool = True,
+    digits: int = 6,
+    vocab: "DataFrame | None" = None,
+) -> DataFrame:
+    """(id, n_bigrams, ppl) under the interpolated-KN model:
+
+    P(w|v) = max(c(v,w) − D, 0)/cv + (D·n1h(v)/cv)·P_cont(w) when
+    cv > 0, else P_cont(w) (unseen history ⇒ pure continuation).
+    Same dataflow as :func:`perplexity` plus one more broadcast join
+    (the continuation relation is \\|vocab\\|-sized)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    pairs = _bigram_pairs(toks, "id")
+    if vocab is not None:
+        pairs = _map_unk(pairs, vocab, "v", "w")
+    b = F.broadcast if broadcast_model else (lambda df: df)
+    dd = F.lit(float(discount))
+    denom = F.lit(float(n_types + vocab_size + 1))
+    pcont = (
+        F.coalesce(F.col("n1c"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / denom
+    p = F.when(
+        F.col("cv").isNotNull() & (F.col("cv") > 0),
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double") - dd,
+            F.lit(0.0),
+        )
+        / F.col("cv")
+        + dd * F.col("n1h") / F.col("cv") * pcont,
+    ).otherwise(pcont)
+    return (
+        pairs.join(b(big), ["v", "w"], "left")
+        .join(b(hist), "v", "left")
+        .join(b(cont), "w", "left")
+        .select("id", F.log(p).alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.exp(-F.avg("lp")), digits).alias("ppl"),
+        )
+    )
+
+
+def kn_perplexity_sql(
+    table_sql: str,
+    ref_where: str,
+    tokens_expr: str,
+    id_col: str = "doc_id",
+    discount: float = KN_DISCOUNT,
+    digits: int = 6,
+) -> str:
+    """DuckDB mirror of train_kn_bigram + kn_perplexity (uncapped)."""
+    return f"""
+WITH src AS (SELECT {id_col} AS id, {tokens_expr} AS t, {ref_where} AS is_ref
+             FROM ({table_sql})),
+ref AS (SELECT t FROM src WHERE is_ref),
+uni AS (
+  SELECT v, count(*) AS c1
+  FROM (SELECT unnest(t) AS v FROM ref) GROUP BY v
+),
+vsize AS (SELECT count(*) AS V FROM uni),
+big AS (
+  SELECT v, w, count(*) AS c2 FROM (
+    SELECT unnest(t[1:len(t)-1]) AS v, unnest(t[2:]) AS w
+    FROM ref WHERE len(t) >= 2
+  ) GROUP BY v, w
+),
+hist AS (SELECT v, sum(c2) AS cv, count(*) AS n1h FROM big GROUP BY v),
+cont AS (SELECT w, count(*) AS n1c FROM big GROUP BY w),
+tot AS (SELECT count(*) AS nt FROM big),
+pairs AS (
+  SELECT id, unnest(t[1:len(t)-1]) AS v, unnest(t[2:]) AS w
+  FROM src WHERE len(t) >= 2
+)
+SELECT p.id, count(*) AS n_bigrams,
+       round(exp(-avg(ln(
+         CASE WHEN coalesce(h.cv, 0) > 0 THEN
+           greatest(coalesce(b.c2, 0) - {discount}, 0.0) / h.cv
+           + {discount} * h.n1h / h.cv
+             * ((coalesce(c.n1c, 0) + 1.0) / (t.nt + s.V + 1))
+         ELSE (coalesce(c.n1c, 0) + 1.0) / (t.nt + s.V + 1)
+         END))), {digits}) AS ppl
+FROM pairs p
+LEFT JOIN big b ON p.v = b.v AND p.w = b.w
+LEFT JOIN hist h ON p.v = h.v
+LEFT JOIN cont c ON p.w = c.w
+CROSS JOIN tot t
+CROSS JOIN vsize s
+GROUP BY p.id
+"""
