@@ -134,6 +134,13 @@ HEADLINE_V2 = [
     "hrw_reshard",
     "mlm_corruption",
     "temp_mixture",
+    # final-session wave 2: KN LM scoring and the suffix-array family
+    # (suffix gates run a bounded 12-doc corpus by design — their time
+    # is the iterative round count, not data volume; recorded so the
+    # packed-8 seed's effect stays visible round over round)
+    "kn_ppl",
+    "suffix_dup_spans",
+    "suffix_span_removal",
 ]
 
 BENCH_QUERIES = [

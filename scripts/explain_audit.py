@@ -1041,6 +1041,63 @@ def main() -> None:
         )
     )
 
+    # KN perplexity: the three model relations join BROADCAST (the
+    # scoring pass must stream the corpus once — no shuffle of the
+    # doc-bigram stream against the model), and no Python anywhere.
+    from uci_searchengine_spark.operators.lm_quality import (
+        kn_perplexity as _knp,
+        train_kn_bigram as _knt,
+    )
+
+    kn_ref = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the rug",)],
+        "text string",
+    )
+    kn_docs = spark.createDataFrame(
+        [(1, "the cat sat")], "doc_id long, text string"
+    )
+    _h, _b, _c, _nt, _v = _knt(kn_ref)
+    kn = _knp(kn_docs, _h, _b, _c, _nt, _v)
+    plan = kn._sc._jvm.PythonSQLUtils.explainString(
+        kn._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "kn_ppl: 3 broadcast model joins, no shuffle-join, no Python",
+            plan.count("BroadcastHashJoin") >= 3
+            and "SortMergeJoin" not in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
+    # Suffix-array excision: the per-doc rebuild is one in-row fold
+    # over collected intervals — the final stage (given intervals and
+    # docs) must contain no Python eval and no nested-loop join.
+    from uci_searchengine_spark.operators.suffixarray import (
+        drop_duplicate_spans as _dds,
+    )
+
+    sa_docs = spark.createDataFrame(
+        [(0, "aaa qwzxvkjbpmdyfgu bbb"), (1, "ccc qwzxvkjbpmdyfgu ddd")],
+        "doc_id long, text string",
+    )
+    sa = _dds(sa_docs, min_len=12, partitions=2)
+    plan = sa._sc._jvm.PythonSQLUtils.explainString(
+        sa._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "span removal: no Python eval, no cartesian/nested-loop join",
+            "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan
+            and "CartesianProduct" not in plan
+            and "BroadcastNestedLoopJoin" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
