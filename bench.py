@@ -141,6 +141,7 @@ HEADLINE_V2 = [
     "kn_ppl",
     "suffix_dup_spans",
     "suffix_span_removal",
+    "ul2_prep",
 ]
 
 BENCH_QUERIES = [

@@ -229,3 +229,118 @@ class TestMlmCorruption:
         df = spark.createDataFrame([(1, [])], "doc_id long, t array<string>")
         r = mlm_prep(df).collect()[0]
         assert tuple(r)[1:] == ("", "", 0)
+
+
+# ------------------------------------------------------------- UL2 mix
+from uci_searchengine_spark.operators.denoise import (  # noqa: E402
+    UL2_MODE_SALT,
+    UL2_R_RATE,
+    UL2_R_SALT,
+    UL2_S_SALT,
+    UL2_X_RATE,
+    UL2_X_SALT,
+    ul2_prep,
+)
+
+
+def _uhash(key, salt):
+    u = int(
+        hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16
+    ) / 2**32
+    return u
+
+
+def _ul2_ref(doc_id, toks):
+    um = _uhash(doc_id, UL2_MODE_SALT)
+    mode = "[R]" if um < 1 / 3 else ("[X]" if um < 2 / 3 else "[S]")
+    if mode == "[R]":
+        inp, tgt = _span_ref_salted(doc_id, toks, UL2_R_RATE, UL2_R_SALT)
+    elif mode == "[X]":
+        inp, tgt = _span_ref_salted(doc_id, toks, UL2_X_RATE, UL2_X_SALT)
+    else:
+        n = len(toks)
+        k = 1 + int(_uhash(doc_id, UL2_S_SALT) * (n - 1)) if n >= 2 else n
+        inp = " ".join(toks[:k] + ["<extra_id_0>"])
+        tgt = " ".join(["<extra_id_0>"] + toks[k:])
+    return mode, f"{mode} {inp}", tgt
+
+
+def _span_ref_salted(doc_id, toks, rate, salt):
+    inp, tgt, k, in_span = [], [], 0, False
+    for i, t in enumerate(toks):
+        if not _masked(doc_id, i, rate, salt=salt):
+            inp.append(t)
+            in_span = False
+        elif in_span:
+            tgt.append(t)
+        else:
+            sent = f"<extra_id_{k}>"
+            inp.append(sent)
+            tgt.extend([sent, t])
+            k += 1
+            in_span = True
+    return " ".join(inp), " ".join(tgt)
+
+
+class TestUL2:
+    def test_equals_python_reference(self, spark):
+        rng = random.Random(11)
+        docs = _rand_docs(rng, n=60)
+        df = spark.createDataFrame(
+            docs, "doc_id long, t array<string>"
+        )
+        got = {
+            r["doc_id"]: (r["mode"], r["input_text"], r["target_text"])
+            for r in ul2_prep(df).collect()
+        }
+        want = {i: _ul2_ref(i, t) for i, t in docs}
+        assert got == want
+        # all three paradigms exercised on 60 random docs
+        assert {m for m, _, _ in got.values()} == {"[R]", "[X]", "[S]"}
+
+    def test_s_split_properties(self, spark):
+        """S docs: input ends with the sentinel, target starts with it,
+        both sides nonempty for len >= 2, and the token stream is
+        preserved by concatenation."""
+        rng = random.Random(13)
+        docs = [(i, t) for i, t in _rand_docs(rng, n=80) if len(t) >= 2]
+        df = spark.createDataFrame(docs, "doc_id long, t array<string>")
+        rows = [r for r in ul2_prep(df).collect() if r["mode"] == "[S]"]
+        assert rows
+        byid = dict(docs)
+        for r in rows:
+            assert r["input_text"].endswith("<extra_id_0>")
+            assert r["target_text"].startswith("<extra_id_0>")
+            head = r["input_text"].split()[1:-1]  # strip mode + sentinel
+            tail = r["target_text"].split()[1:]
+            assert head and tail  # K in [1, len-1]
+            assert head + tail == byid[r["doc_id"]]
+
+    def test_rx_reconstruction(self, spark):
+        """R and X docs still satisfy the span-fold reconstruction
+        invariant (mode token stripped first)."""
+        rng = random.Random(17)
+        docs = _rand_docs(rng, n=60)
+        df = spark.createDataFrame(docs, "doc_id long, t array<string>")
+        byid = dict(docs)
+        n_checked = 0
+        for r in ul2_prep(df).collect():
+            if r["mode"] == "[S]":
+                continue
+            inp = r["input_text"][4:]  # strip "[R] " / "[X] "
+            assert _reconstruct(inp, r["target_text"]) == byid[r["doc_id"]]
+            n_checked += 1
+        assert n_checked > 10
+
+    def test_plan_is_scan_projection(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["a", "b", "c"])], "doc_id long, t array<string>"
+        )
+        out = ul2_prep(df)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

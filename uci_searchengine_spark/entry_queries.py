@@ -7668,53 +7668,14 @@ def q_span_corruption(spark, sf_dir):
 def _sql_span_corruption() -> str:
     from uci_searchengine_spark.operators.denoise import (
         MASK_RATE,
-        mask_flag_sql,
+        SALT,
+        span_corrupt_sql_ctes,
     )
 
-    m = mask_flag_sql("doc_id", "pos", MASK_RATE)
+    chain = span_corrupt_sql_ctes("", MASK_RATE, SALT)
     return f"""
 WITH {_TOKS_CTE},
-tk AS (
-  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos
-  FROM toks
-),
-fl AS (SELECT doc_id, tok, pos, {m} AS m FROM tk),
-mk AS (
-  SELECT doc_id, tok, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM fl WHERE m
-),
-sp0 AS (
-  SELECT doc_id, grp, min(pos) AS start,
-         string_agg(tok, ' ' ORDER BY pos) AS body
-  FROM mk GROUP BY doc_id, grp
-),
-sp AS (
-  SELECT doc_id, start, body,
-         row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS k
-  FROM sp0
-),
-inp_pieces AS (
-  SELECT doc_id, pos, tok AS piece FROM fl WHERE NOT m
-  UNION ALL
-  SELECT doc_id, start AS pos,
-         '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece FROM sp
-),
-inp AS (
-  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
-  FROM inp_pieces GROUP BY doc_id
-),
-tgt AS (
-  SELECT doc_id,
-         string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' || body,
-                    ' ' ORDER BY k) AS target_text,
-         count(*) AS n_spans
-  FROM sp GROUP BY doc_id
-),
-nm AS (
-  SELECT doc_id, count(*) FILTER (WHERE m) AS n_masked
-  FROM fl GROUP BY doc_id
-)
+{chain}
 SELECT t.doc_id,
        coalesce(i.input_text, '') AS input_text,
        coalesce(g.target_text, '') AS target_text,
@@ -7729,6 +7690,82 @@ ORDER BY t.doc_id
 
 
 QUERIES["span_corruption"] = (q_span_corruption, _sql_span_corruption())
+
+
+def q_ul2_prep(spark, sf_dir):
+    """UL2 mixture-of-denoisers (operators/denoise.ul2_prep — Tay et
+    al. 2022): each doc hash-assigned one paradigm (equal thirds) —
+    [R] the T5 span fold at 0.15, [X] the extreme family at 0.5, [S]
+    the prefix-LM split with both sides nonempty — mode token
+    prefixed to the input. One scan projection: mode hash, both span
+    folds, and the split are in-row conditional branches; four
+    independent salted streams. Oracle composes the SAME shared
+    span-fold CTE chain twice (R and X prefixes) plus a relational
+    prefix split, dispatched by the mirrored mode hash — full strings
+    hashed for all 500 docs."""
+    from uci_searchengine_spark.operators.denoise import ul2_prep
+
+    toks = _doc_tokens(spark, sf_dir)
+    return ul2_prep(toks).orderBy("doc_id")
+
+
+def _sql_ul2_prep() -> str:
+    from uci_searchengine_spark.operators.denoise import (
+        UL2_MODE_SALT,
+        UL2_R_RATE,
+        UL2_R_SALT,
+        UL2_S_SALT,
+        UL2_X_RATE,
+        UL2_X_SALT,
+        span_corrupt_sql_ctes,
+    )
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    r_chain = span_corrupt_sql_ctes("r_", UL2_R_RATE, UL2_R_SALT)
+    x_chain = span_corrupt_sql_ctes("x_", UL2_X_RATE, UL2_X_SALT)
+    um = hash_uniform_sql("doc_id", salt=UL2_MODE_SALT)
+    us = hash_uniform_sql("doc_id", salt=UL2_S_SALT)
+    return f"""
+WITH {_TOKS_CTE},
+{r_chain},
+{x_chain},
+smode AS (
+  SELECT doc_id, t,
+         CASE WHEN {um} < 1.0/3.0 THEN '[R]'
+              WHEN {um} < 2.0/3.0 THEN '[X]'
+              ELSE '[S]' END AS mode,
+         CASE WHEN len(t) >= 2
+              THEN 1 + CAST(floor({us} * (len(t) - 1)) AS INT)
+              ELSE len(t) END AS k
+  FROM toks
+),
+sout AS (
+  SELECT doc_id,
+         array_to_string(list_append(t[1:k], '<extra_id_0>'), ' ')
+           AS s_inp,
+         array_to_string(list_prepend('<extra_id_0>', t[k+1:len(t)]), ' ')
+           AS s_tgt
+  FROM smode
+)
+SELECT m.doc_id, m.mode,
+       m.mode || ' ' ||
+         CASE m.mode WHEN '[R]' THEN coalesce(ri.input_text, '')
+                     WHEN '[X]' THEN coalesce(xi.input_text, '')
+                     ELSE so.s_inp END AS input_text,
+       CASE m.mode WHEN '[R]' THEN coalesce(rt.target_text, '')
+                   WHEN '[X]' THEN coalesce(xt.target_text, '')
+                   ELSE so.s_tgt END AS target_text
+FROM smode m
+LEFT JOIN r_inp ri USING(doc_id)
+LEFT JOIN r_tgt rt USING(doc_id)
+LEFT JOIN x_inp xi USING(doc_id)
+LEFT JOIN x_tgt xt USING(doc_id)
+JOIN sout so USING(doc_id)
+ORDER BY m.doc_id
+"""
+
+
+QUERIES["ul2_prep"] = (q_ul2_prep, _sql_ul2_prep())
 
 
 FS_SLOTS = 2  # per-domain fetches per round

@@ -226,3 +226,134 @@ def mlm_prep(
         F.col("_c.labels_text").alias("labels_text"),
         F.col("_c.n_masked").alias("n_masked"),
     )
+
+
+# --------------------------------------------- UL2 mixture-of-denoisers
+UL2_MODE_SALT = "ul2mode"
+UL2_R_RATE, UL2_R_SALT = 0.15, "ul2r"
+UL2_X_RATE, UL2_X_SALT = 0.5, "ul2x"
+UL2_S_SALT = "ul2s"
+_SENT0 = "<extra_id_0>"
+
+
+def prefix_lm_split(
+    id_col: Column, toks: Column, salt: str = UL2_S_SALT
+) -> Column:
+    """struct(input_text, target_text) — UL2's S-denoiser (sequential
+    prefix-LM): split the doc at K = 1 + ⌊u·(len−1)⌋ with u a salted
+    doc hash (K ∈ [1, len−1], both sides nonempty); inputs end with
+    the sentinel and targets start with it, the T5 continuation
+    convention. Docs with < 2 tokens keep the whole text as input and
+    get an empty continuation — total and deterministic."""
+    n = F.size(toks)
+    u = hash_uniform_col(id_col.cast("string"), salt=salt)
+    k = (
+        F.when(n >= 2, (F.lit(1) + F.floor(u * (n - F.lit(1)))))
+        .otherwise(n)
+        .cast("int")
+    )
+    inp = F.concat_ws(
+        " ",
+        F.concat(F.slice(toks, F.lit(1), k), F.array(F.lit(_SENT0))),
+    )
+    tgt = F.concat_ws(
+        " ",
+        F.concat(F.array(F.lit(_SENT0)), F.slice(toks, k + F.lit(1), n - k)),
+    )
+    return F.struct(inp.alias("input_text"), tgt.alias("target_text"))
+
+
+def ul2_prep(
+    toks: DataFrame, id_col: str = "doc_id", toks_col: str = "t"
+) -> DataFrame:
+    """UL2 mixture-of-denoisers trainer prep (Tay et al. 2022): every
+    doc is deterministically assigned ONE of the three paradigms by a
+    salted hash (equal thirds, pinned) and corrupted accordingly —
+
+    * ``[R]`` regular denoising: the T5 span fold at rate 0.15;
+    * ``[X]`` extreme denoising: the same fold at rate 0.5 (the
+      paper's high-corruption family — span-length µ is rate-driven
+      here, the pinned simplification of its µ/r grid);
+    * ``[S]`` sequential prefix-LM: :func:`prefix_lm_split`.
+
+    The paradigm token prefixes the input (the paper's mode tokens the
+    model conditions on). One scan projection: the mode hash, both
+    span folds, and the prefix split are all in-row expressions —
+    conditional branches, zero shuffle, zero Python. Three INDEPENDENT
+    salted hash streams (mode / R-mask / X-mask / S-split) per the
+    hash-correlation rule."""
+    idc, tc = F.col(id_col), F.col(toks_col)
+    u = hash_uniform_col(idc.cast("string"), salt=UL2_MODE_SALT)
+    mode = (
+        F.when(u < F.lit(1.0 / 3.0), F.lit("[R]"))
+        .when(u < F.lit(2.0 / 3.0), F.lit("[X]"))
+        .otherwise(F.lit("[S]"))
+    )
+    r = span_corrupt(idc, tc, rate=UL2_R_RATE, salt=UL2_R_SALT)
+    x = span_corrupt(idc, tc, rate=UL2_X_RATE, salt=UL2_X_SALT)
+    s = prefix_lm_split(idc, tc)
+
+    def pick(field):
+        return (
+            F.when(mode == F.lit("[R]"), r[field])
+            .when(mode == F.lit("[X]"), x[field])
+            .otherwise(s[field])
+        )
+
+    return toks.select(
+        id_col,
+        mode.alias("mode"),
+        F.concat(mode, F.lit(" "), pick("input_text")).alias("input_text"),
+        pick("target_text").alias("target_text"),
+    )
+
+
+def span_corrupt_sql_ctes(prefix: str, rate: float, salt: str) -> str:
+    """The parameterized DuckDB mirror of the span fold as a CTE chain
+    (expects a ``toks(doc_id, t)`` CTE in scope) — exposes
+    ``{prefix}inp(doc_id, input_text)`` and ``{prefix}tgt(doc_id,
+    target_text, n_spans)``. Shared by the span_corruption and
+    ul2_prep gates so the two oracles cannot drift."""
+    m = mask_flag_sql("doc_id", "pos", rate, salt=salt)
+    p = prefix
+    return f"""{p}tk AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos
+  FROM toks
+),
+{p}fl AS (SELECT doc_id, tok, pos, {m} AS m FROM {p}tk),
+{p}mk AS (
+  SELECT doc_id, tok, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM {p}fl WHERE m
+),
+{p}sp0 AS (
+  SELECT doc_id, grp, min(pos) AS start,
+         string_agg(tok, ' ' ORDER BY pos) AS body
+  FROM {p}mk GROUP BY doc_id, grp
+),
+{p}sp AS (
+  SELECT doc_id, start, body,
+         row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS k
+  FROM {p}sp0
+),
+{p}inp_pieces AS (
+  SELECT doc_id, pos, tok AS piece FROM {p}fl WHERE NOT m
+  UNION ALL
+  SELECT doc_id, start AS pos,
+         '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece FROM {p}sp
+),
+{p}inp AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+  FROM {p}inp_pieces GROUP BY doc_id
+),
+{p}tgt AS (
+  SELECT doc_id,
+         string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' || body,
+                    ' ' ORDER BY k) AS target_text,
+         count(*) AS n_spans
+  FROM {p}sp GROUP BY doc_id
+),
+{p}nm AS (
+  SELECT doc_id, count(*) FILTER (WHERE m) AS n_masked
+  FROM {p}fl GROUP BY doc_id
+)"""
