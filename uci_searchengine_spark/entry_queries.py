@@ -7768,6 +7768,50 @@ ORDER BY m.doc_id
 QUERIES["ul2_prep"] = (q_ul2_prep, _sql_ul2_prep())
 
 
+_ADJ_FILTERS_SQL = {
+    "urgent": "o_orderpriority = '1-URGENT'",
+    "high": "o_orderpriority = '2-HIGH'",
+    "big": "o_totalprice > 150000",
+    "open_status": "o_orderstatus = 'O'",
+}
+
+
+def q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix agg (operators/adjacency.py): one bucket per
+    named filter and per filter PAIR 'a&b' — exact co-occurrence
+    counts, not inclusion-exclusion estimates, because pair keys are
+    generated IN-ROW from the row's own matched-name list (conditional
+    array concat → nested transform pairs → one explode → one
+    map-combined count; zero joins). 'urgent' and 'high' are disjoint
+    so their pair bucket must NOT appear (ES omits empty buckets)."""
+    from uci_searchengine_spark.operators.adjacency import (
+        adjacency_matrix,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    filters = {
+        "urgent": F.col("o_orderpriority") == "1-URGENT",
+        "high": F.col("o_orderpriority") == "2-HIGH",
+        "big": F.col("o_totalprice") > 150000,
+        "open_status": F.col("o_orderstatus") == "O",
+    }
+    return adjacency_matrix(orders, filters).orderBy("key")
+
+
+def _sql_adjacency_matrix() -> str:
+    from uci_searchengine_spark.operators.adjacency import (
+        adjacency_matrix_sql,
+    )
+
+    inner = adjacency_matrix_sql(
+        "SELECT * FROM orders", _ADJ_FILTERS_SQL
+    )
+    return f"SELECT key, doc_count FROM ({inner}) ORDER BY key"
+
+
+QUERIES["adjacency_matrix"] = (q_adjacency_matrix, _sql_adjacency_matrix())
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 
