@@ -7812,6 +7812,124 @@ def _sql_adjacency_matrix() -> str:
 QUERIES["adjacency_matrix"] = (q_adjacency_matrix, _sql_adjacency_matrix())
 
 
+_LR_DIM = 16
+_LR_W = [((i % 5) - 2) / 10 for i in range(_LR_DIM)]
+_LR_B = 0.05
+
+
+def q_lr_grad_step(spark, sf_dir):
+    """The trained-quality-classifier stage's SQL-mirrorable slice
+    (operators/lrclassifier — the GPT-3/LLaMA linear classifier over
+    hashed bag-of-words): the FIRST full-batch gradient from w=0, b=0
+    with labels y = (lang='en'). At the zero start σ is exactly 0.5,
+    so every component is Σ ±0.5·count / n — pure dyadic integer
+    arithmetic, cross-engine exact before the paranoia rounding. One
+    map-combined aggregate (per-component sums); the iterative loop is
+    pytest-pinned (the bpe_train / kmeans_fit contract). Bias gradient
+    rides as feature −1."""
+    from uci_searchengine_spark.operators.lrclassifier import gradient
+
+    toks = _doc_tokens(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents", rebalance=False).select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+        ),
+        "doc_id",
+    )
+    gw, gb, _n = gradient(toks, "y", [0.0] * _LR_DIM, 0.0)
+    rows = [(-1, round(gb, 9))] + [
+        (i, round(g, 9)) for i, g in enumerate(gw)
+    ]
+    return spark.createDataFrame(rows, "feature int, grad double").orderBy(
+        "feature"
+    )
+
+
+def _sql_lr_grad_step() -> str:
+    from uci_searchengine_spark.operators.lrclassifier import (
+        feature_id_sql,
+    )
+
+    fid = feature_id_sql("tok", _LR_DIM)
+    return f"""
+WITH src AS (
+  SELECT doc_id, {tokens_sql_expr('text')} AS t,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM src),
+tk AS (SELECT doc_id, y, unnest(t) AS tok FROM src),
+fid AS (SELECT doc_id, y, CAST({fid} AS INT) AS f FROM tk),
+cnt AS (SELECT doc_id, y, f, count(*) AS c FROM fid GROUP BY doc_id, y, f),
+gw AS (
+  SELECT f, round(sum((0.5 - y) * c) / (SELECT n FROM n), 9) AS grad
+  FROM cnt GROUP BY f
+),
+gb AS (
+  SELECT -1 AS f, round(sum(0.5 - y) / (SELECT n FROM n), 9) AS grad
+  FROM src
+),
+feats AS (SELECT unnest(range(0, {_LR_DIM})) AS f)
+SELECT CAST(f.f AS INT) AS feature, coalesce(g.grad, 0.0) AS grad
+FROM feats f LEFT JOIN gw g ON f.f = g.f
+UNION ALL
+SELECT CAST(f AS INT) AS feature, grad FROM gb
+ORDER BY feature
+"""
+
+
+def q_lr_quality_scores(spark, sf_dir):
+    """Classifier scoring under a FIXED literal model (the deploy-time
+    shape: weights ride in the plan as literals, σ(w·x+b) is one
+    in-row dot per doc — a scan projection, no join). Scores rounded
+    to 6: σ is transcendental, the last ulps are libm noise (the
+    perplexity-gate convention)."""
+    from uci_searchengine_spark.operators.lrclassifier import score_docs
+
+    toks = _doc_tokens(spark, sf_dir)
+    return (
+        score_docs(toks, _LR_W, _LR_B, dim=_LR_DIM)
+        .select(F.col("id").alias("doc_id"), "score")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_lr_quality_scores() -> str:
+    from uci_searchengine_spark.operators.lrclassifier import (
+        feature_id_sql,
+    )
+
+    fid = feature_id_sql("tok", _LR_DIM)
+    wvals = ", ".join(
+        f"({i}, CAST({w!r} AS DOUBLE))" for i, w in enumerate(_LR_W)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, {tokens_sql_expr('text')} AS t FROM documents
+),
+tk AS (SELECT doc_id, unnest(t) AS tok FROM src),
+fid AS (SELECT doc_id, CAST({fid} AS INT) AS f FROM tk),
+cnt AS (SELECT doc_id, f, count(*) AS c FROM fid GROUP BY doc_id, f),
+w(f, wt) AS (VALUES {wvals}),
+z AS (
+  SELECT c.doc_id, sum(c.c * w.wt) AS dot
+  FROM cnt c JOIN w ON c.f = w.f
+  GROUP BY c.doc_id
+)
+SELECT s.doc_id,
+       round(1.0 / (1.0 + exp(-(coalesce(z.dot, 0.0) + {_LR_B}))), 6)
+         AS score
+FROM src s LEFT JOIN z ON s.doc_id = z.doc_id
+ORDER BY s.doc_id
+"""
+
+
+QUERIES["lr_grad_step"] = (q_lr_grad_step, _sql_lr_grad_step())
+QUERIES["lr_quality_scores"] = (
+    q_lr_quality_scores,
+    _sql_lr_quality_scores(),
+)
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 
