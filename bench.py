@@ -142,6 +142,8 @@ HEADLINE_V2 = [
     "suffix_dup_spans",
     "suffix_span_removal",
     "ul2_prep",
+    "adjacency_matrix",
+    "lr_quality_scores",
 ]
 
 BENCH_QUERIES = [

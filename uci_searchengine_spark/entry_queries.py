@@ -7930,6 +7930,167 @@ QUERIES["lr_quality_scores"] = (
 )
 
 
+def q_cdc_apply(spark, sf_dir):
+    """MERGE-INTO / Delta-upsert semantics as a general operator
+    (operators/cdc.apply_changelog — the GDPR-delete and incremental-
+    refresh primitive): a synthesized changelog over customer — deletes
+    (key%7=0, v2), updates with a STALE v1 shadowed by a v2 winner
+    (key%7=1 — pins latest-wins through the aggregate argmax, never a
+    window), inserts at key+1000 (key%7=2, v1) — applied to the
+    snapshot; untouched keys pass through. Full resulting table
+    hashed."""
+    from uci_searchengine_spark.operators.cdc import apply_changelog
+
+    c = _t(spark, sf_dir, "customer")
+    d = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "*", F.lit(2).alias("version"), F.lit("D").alias("op")
+    )
+    u2 = c.filter(F.col("c_custkey") % 7 == 1).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    u1 = c.filter(F.col("c_custkey") % 7 == 1).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.lit("STALE").alias("c_mktsegment"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    ins = c.filter(F.col("c_custkey") % 7 == 2).select(
+        (F.col("c_custkey") + 1000).alias("c_custkey"),
+        F.concat("c_name", F.lit("_new")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+    )
+    changes = d.unionByName(u2).unionByName(u1).unionByName(ins)
+    return apply_changelog(c, changes, ["c_custkey"]).orderBy("c_custkey")
+
+
+SQL_CDC_APPLY = """
+WITH c AS (SELECT * FROM customer),
+changes AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         2 AS version, 'D' AS op FROM c WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000, 'UPDATED',
+         2, 'U' FROM c WHERE c_custkey % 7 = 1
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'STALE',
+         1, 'U' FROM c WHERE c_custkey % 7 = 1
+  UNION ALL
+  SELECT c_custkey + 1000, c_name || '_new', c_nationkey, c_acctbal,
+         c_mktsegment, 1, 'I' FROM c WHERE c_custkey % 7 = 2
+),
+win AS (
+  SELECT c_custkey,
+         max(struct_pack(v := version, op := op, c_name := c_name,
+                         c_nationkey := c_nationkey,
+                         c_acctbal := c_acctbal,
+                         c_mktsegment := c_mktsegment)) AS w
+  FROM changes GROUP BY c_custkey
+)
+SELECT coalesce(w.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN w.c_custkey IS NOT NULL THEN (w.w).c_name
+            ELSE s.c_name END AS c_name,
+       CASE WHEN w.c_custkey IS NOT NULL THEN (w.w).c_nationkey
+            ELSE s.c_nationkey END AS c_nationkey,
+       CASE WHEN w.c_custkey IS NOT NULL THEN (w.w).c_acctbal
+            ELSE s.c_acctbal END AS c_acctbal,
+       CASE WHEN w.c_custkey IS NOT NULL THEN (w.w).c_mktsegment
+            ELSE s.c_mktsegment END AS c_mktsegment
+FROM c s FULL OUTER JOIN win w ON s.c_custkey = w.c_custkey
+WHERE w.c_custkey IS NULL OR (w.w).op <> 'D'
+ORDER BY c_custkey
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """The inverse CDC direction (operators/cdc.snapshot_diff): diff
+    two snapshots into the I/U/D changelog — new = customer with
+    key%5=0 dropped, key%5=1 resegmented, key+2000 inserted for
+    key%5=2. D rows tombstone with last-known payload (the Delta CDF
+    convention); unchanged rows emit nothing. The round-trip law
+    apply(old, diff(old,new)) ≡ new is pytest-pinned."""
+    from uci_searchengine_spark.operators.cdc import snapshot_diff
+
+    old = _t(spark, sf_dir, "customer")
+    kept = old.filter(F.col("c_custkey") % 5 != 0)
+    new = (
+        kept.withColumn(
+            "c_mktsegment",
+            F.when(
+                F.col("c_custkey") % 5 == 1, F.lit("RESEGMENTED")
+            ).otherwise(F.col("c_mktsegment")),
+        )
+        .unionByName(
+            old.filter(F.col("c_custkey") % 5 == 2).select(
+                (F.col("c_custkey") + 2000).alias("c_custkey"),
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["c_custkey"]).orderBy("c_custkey")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT * FROM customer),
+new AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         CASE WHEN c_custkey % 5 = 1 THEN 'RESEGMENTED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM old WHERE c_custkey % 5 <> 0
+  UNION ALL
+  SELECT c_custkey + 2000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM old WHERE c_custkey % 5 = 2
+),
+j AS (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_custkey IS NOT NULL AS po, n.c_custkey IS NOT NULL AS pn,
+         o.c_name AS o_name, o.c_nationkey AS o_nk,
+         o.c_acctbal AS o_bal, o.c_mktsegment AS o_seg,
+         n.c_name AS n_name, n.c_nationkey AS n_nk,
+         n.c_acctbal AS n_bal, n.c_mktsegment AS n_seg
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN op = 'D' THEN o_name ELSE n_name END AS c_name,
+       CASE WHEN op = 'D' THEN o_nk ELSE n_nk END AS c_nationkey,
+       CASE WHEN op = 'D' THEN o_bal ELSE n_bal END AS c_acctbal,
+       CASE WHEN op = 'D' THEN o_seg ELSE n_seg END AS c_mktsegment,
+       CAST(1 AS BIGINT) AS version, op
+FROM (
+  SELECT *,
+         CASE WHEN NOT po THEN 'I'
+              WHEN NOT pn THEN 'D'
+              WHEN NOT (o_name IS NOT DISTINCT FROM n_name
+                        AND o_nk IS NOT DISTINCT FROM n_nk
+                        AND o_bal IS NOT DISTINCT FROM n_bal
+                        AND o_seg IS NOT DISTINCT FROM n_seg)
+              THEN 'U' END AS op
+  FROM j
+)
+WHERE op IS NOT NULL
+ORDER BY c_custkey
+"""
+
+
+QUERIES["cdc_apply"] = (q_cdc_apply, SQL_CDC_APPLY)
+QUERIES["snapshot_diff"] = (q_snapshot_diff, SQL_SNAPSHOT_DIFF)
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 
