@@ -1062,3 +1062,62 @@ def test_reciprocal_knn_candidate_path_equals_exact(spark):
         vecs2, range(60), n_tables=6, n_planes=4, hamming=2
     )
     assert got2 == exact2 and len(exact2) > 0
+
+
+def test_retro_neighbors_exact_vs_candidates_and_exclusion(spark):
+    """retro_neighbors: candidate path ≡ exact path at generous probes,
+    the same-document exclusion holds, ranks are 1..k by descending
+    cosine, and continuation ids follow the next map."""
+    import numpy as np
+
+    from uci_searchengine_spark.operators.similarity import (
+        knn_candidate_pairs,
+        retro_neighbors,
+    )
+
+    rng = np.random.default_rng(31)
+    n, dim = 80, 16
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    rows = [
+        (
+            i,
+            [float(x) for x in vecs[i]],
+            i % 10,
+            i + 10 if i + 10 < n else None,
+        )
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, doc long, nxt long"
+    )
+    exact = retro_neighbors(emb, k=3, doc_col="doc", next_col="nxt")
+    cand = knn_candidate_pairs(
+        emb, n_tables=8, n_planes=3, hamming=3, dim=dim, seed=5
+    )
+    through = retro_neighbors(
+        emb, k=3, doc_col="doc", next_col="nxt", candidates=cand
+    )
+    ex = sorted(tuple(r) for r in exact.collect())
+    th = sorted(tuple(r) for r in through.collect())
+    assert ex == th
+    # brute-force reference: exclusion + ordering + continuation.
+    # float64 mirror of the engine's double fold over float32 inputs
+    v64 = vecs.astype("float64")
+    norms = np.linalg.norm(v64, axis=1)
+    cos = (v64 @ v64.T) / np.outer(norms, norms)
+    byid = {}
+    for (i, r, nb, c, cont) in ex:
+        byid.setdefault(i, []).append((r, nb, round(c, 6), cont))
+    for i in range(n):
+        cands = [
+            (round(-round(float(cos[i, j]), 6), 6), j)
+            for j in range(n)
+            if j % 10 != i % 10
+        ]
+        cands.sort()
+        want = [
+            (r + 1, j, round(-nc, 6), j + 10 if j + 10 < n else None)
+            for r, (nc, j) in enumerate(cands[:3])
+        ]
+        got = sorted(byid[i])
+        assert got == want, i

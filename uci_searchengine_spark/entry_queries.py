@@ -8091,6 +8091,68 @@ QUERIES["cdc_apply"] = (q_cdc_apply, SQL_CDC_APPLY)
 QUERIES["snapshot_diff"] = (q_snapshot_diff, SQL_SNAPSHOT_DIFF)
 
 
+def q_retro_neighbors(spark, sf_dir):
+    """RETRO chunk-neighbor prep (similarity.retro_neighbors —
+    Borgeaud et al. 2022): top-2 cross-document cosine neighbors per
+    chunk with the same-document leakage exclusion, each carrying its
+    continuation chunk id (the [neighbour; continuation] pair the
+    encoder attends to). Fixture adapter: vec_id%100 is the document,
+    vec_id+100 the continuation — 5 chunks per doc, the deterministic
+    chunk layout this corpus supports (the tokens_from_vec precedent).
+    Runs THROUGH THE CANDIDATE PATH (knn_candidate_pairs bucket
+    equi-join, never n²); the oracle is the exact all-pairs
+    definition."""
+    from uci_searchengine_spark.operators.similarity import (
+        knn_candidate_pairs,
+        retro_neighbors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 100).alias("doc"),
+        F.when(
+            F.col("vec_id") + 100 <= 499, F.col("vec_id") + 100
+        ).alias("nxt"),
+    )
+    cand = knn_candidate_pairs(
+        emb, n_tables=6, n_planes=4, hamming=2, dim=64, seed=11
+    )
+    return retro_neighbors(
+        emb, k=2, doc_col="doc", next_col="nxt", candidates=cand
+    ).orderBy("id", "rank")
+
+
+SQL_RETRO_NEIGHBORS = """
+WITH e AS (
+  SELECT vec_id, vec_id % 100 AS doc,
+         CASE WHEN vec_id + 100 <= 499 THEN vec_id + 100 END AS nxt,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS nb, b.nxt AS cont,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.doc <> b.doc
+),
+topk AS (
+  SELECT id, nb, cont, cos,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb ASC)
+           AS rn
+  FROM pairs
+)
+SELECT id, CAST(rn AS INT) AS rank, nb AS neighbor_id, cos,
+       cont AS continuation_id
+FROM topk WHERE rn <= 2
+ORDER BY id, rank
+"""
+
+
+QUERIES["retro_neighbors"] = (q_retro_neighbors, SQL_RETRO_NEIGHBORS)
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 

@@ -724,3 +724,125 @@ def hamming_rerank(
         .orderBy(F.col("cos").desc(), id_col)
         .limit(k)
     )
+
+
+def retro_neighbors(
+    emb: DataFrame,
+    k: int = 2,
+    doc_col: str = "doc",
+    next_col: "str | None" = None,
+    candidates: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RETRO chunk-neighbor retrieval prep (Borgeaud et al. 2022
+    §2.2-2.3): for every chunk, its top-``k`` nearest retrieval-corpus
+    chunks by cosine EXCLUDING chunks of the same document (the
+    paper's leakage rule — a chunk must not retrieve its own
+    continuation), each neighbor carrying its continuation chunk id
+    when ``next_col`` names one: the ``[neighbour; continuation]``
+    pair is what RETRO's encoder cross-attends to.
+
+    DIRECTED top-k (every chunk gets neighbors — no mutual filter),
+    otherwise the exact scoring shape of :func:`reciprocal_knn`: each
+    undirected candidate pair scored once (norms computed per VECTOR
+    pre-join), mirrored in-row, per-chunk top-k as a bounded aggregate
+    sort+slice on the 6-rounded cosine with (cos desc, id asc) ties —
+    never a window. ``candidates`` has the same contract as
+    ``reciprocal_knn`` (undirected half or symmetric directed;
+    ``knn_candidate_pairs`` output plugs straight in); None is the
+    exact n² oracle path for gate/test scale only.
+
+    Returns (id, rank, neighbor_id, cos[, continuation_id])."""
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(doc_col).alias("_doc"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).select("_id", "_doc", "_v", _norm(F.col("_v")).alias("_n"))
+    a = e.select(
+        F.col("_id").alias("ia"),
+        F.col("_doc").alias("da"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = e.select(
+        F.col("_id").alias("ib"),
+        F.col("_doc").alias("db"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    if candidates is None:
+        scored = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    else:
+        scored = (
+            candidates.select("ia", "ib")
+            .filter(F.col("ia") < F.col("ib"))
+            .join(a, "ia")
+            .join(b, "ib")
+        )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    half = scored.filter(F.col("da") != F.col("db")).select(
+        "ia",
+        "ib",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos"),
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("ia"),
+                    F.col("ib").alias("ib"),
+                    F.col("cos").alias("cos"),
+                ),
+                F.struct(
+                    F.col("ib").alias("ia"),
+                    F.col("ia").alias("ib"),
+                    F.col("cos").alias("cos"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.ia", "_p.ib", "_p.cos")
+    topk = pairs.groupBy("ia").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cos")).alias("nc"), F.col("ib").alias("ib")
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("nn")
+    )
+    out = topk.select(
+        F.col("ia").alias("id"), F.posexplode("nn").alias("_r", "e")
+    ).select(
+        "id",
+        (F.col("_r") + 1).alias("rank"),
+        F.col("e.ib").alias("neighbor_id"),
+        (-F.col("e.nc")).alias("cos"),
+    )
+    if next_col is None:
+        return out
+    nxt = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(next_col).alias("continuation_id"),
+    )
+    return out.join(nxt, "neighbor_id", "left").select(
+        "id", "rank", "neighbor_id", "cos", "continuation_id"
+    )
