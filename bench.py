@@ -144,6 +144,9 @@ HEADLINE_V2 = [
     "ul2_prep",
     "adjacency_matrix",
     "lr_quality_scores",
+    "cdc_apply",
+    "retro_neighbors",
+    "fim_prep",
 ]
 
 BENCH_QUERIES = [

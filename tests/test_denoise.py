@@ -344,3 +344,76 @@ class TestUL2:
         assert "Window" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------- FIM
+from uci_searchengine_spark.operators.denoise import (  # noqa: E402
+    FIM_C1_SALT,
+    FIM_C2_SALT,
+    FIM_SEL_SALT,
+    fim_prep,
+)
+
+
+def _fim_ref(doc_id, text, rate=0.5, mode="psm"):
+    if _uhash(doc_id, FIM_SEL_SALT) >= rate:
+        return False, text
+    n = len(text)
+    c1 = int(_uhash(doc_id, FIM_C1_SALT) * (n + 1))
+    c2 = int(_uhash(doc_id, FIM_C2_SALT) * (n + 1))
+    lo, hi = min(c1, c2), max(c1, c2)
+    p, m, s = text[:lo], text[lo:hi], text[hi:]
+    if mode == "psm":
+        return True, f"<PRE>{p}<SUF>{s}<MID>{m}"
+    return True, f"<SUF>{s}<PRE>{p}<MID>{m}"
+
+
+class TestFIM:
+    def test_equals_python_reference_both_modes(self, spark):
+        rng = random.Random(19)
+        docs = [
+            (i, "".join(rng.choice("abcdef gh") for _ in range(rng.randrange(0, 40))))
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for mode in ("psm", "spm"):
+            got = {
+                r["doc_id"]: (r["fim_applied"], r["output_text"])
+                for r in fim_prep(df, mode=mode).collect()
+            }
+            want = {i: _fim_ref(i, t, mode=mode) for i, t in docs}
+            assert got == want, mode
+        # both populations present
+        applied = [v for v, _ in got.values()]
+        assert any(applied) and not all(applied)
+
+    def test_reconstruction(self, spark):
+        """PSM output reassembles to the original: prefix + middle +
+        suffix recovered from the sentinel layout."""
+        rng = random.Random(21)
+        docs = [(i, "x" * 0 if i == 0 else "".join(rng.choice("pqrs")
+                 for _ in range(rng.randrange(1, 30)))) for i in range(40)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        byid = dict(docs)
+        for r in fim_prep(df, rate=1.0).collect():
+            assert r["fim_applied"]
+            out = r["output_text"]
+            assert out.startswith("<PRE>")
+            p, rest = out[5:].split("<SUF>", 1)
+            s, m = rest.split("<MID>", 1)
+            assert p + m + s == byid[r["doc_id"]]
+
+    def test_rate_edges_and_guard(self, spark):
+        df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+        assert fim_prep(df, rate=0.0).collect()[0]["output_text"] == "hello"
+        assert not fim_prep(df, rate=0.0).collect()[0]["fim_applied"]
+        with pytest.raises(ValueError):
+            fim_prep(df, mode="mps")
+
+    def test_plan_scan_projection(self, spark):
+        df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+        out = fim_prep(df)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -8153,6 +8153,59 @@ ORDER BY id, rank
 QUERIES["retro_neighbors"] = (q_retro_neighbors, SQL_RETRO_NEIGHBORS)
 
 
+def q_fim_prep(spark, sf_dir):
+    """Fill-in-the-middle (denoise.fim_prep — Bavarian et al. 2022,
+    the code-LLM prep): a hash-chosen half of docs rearranged as
+    <PRE>prefix<SUF>suffix<MID>middle at two uniform character cut
+    points (independent salted streams), the rest passing through as
+    the AR slice. Pure scan projection — three hashes + three substrs
+    per row. Full output strings hashed for all 500 docs."""
+    from uci_searchengine_spark.operators.denoise import fim_prep
+
+    docs = _t(spark, sf_dir, "documents")
+    return fim_prep(docs).orderBy("doc_id")
+
+
+def _sql_fim_prep() -> str:
+    from uci_searchengine_spark.operators.denoise import (
+        FIM_C1_SALT,
+        FIM_C2_SALT,
+        FIM_RATE,
+        FIM_SEL_SALT,
+    )
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    sel = hash_uniform_sql("doc_id", salt=FIM_SEL_SALT)
+    u1 = hash_uniform_sql("doc_id", salt=FIM_C1_SALT)
+    u2 = hash_uniform_sql("doc_id", salt=FIM_C2_SALT)
+    return f"""
+WITH cuts AS (
+  SELECT doc_id, text, length(text) AS n,
+         ({sel} < {FIM_RATE}) AS sel,
+         floor({u1} * (length(text) + 1)) AS c1,
+         floor({u2} * (length(text) + 1)) AS c2
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, text, n, sel,
+         CAST(least(c1, c2) AS INT) AS lo,
+         CAST(greatest(c1, c2) AS INT) AS hi
+  FROM cuts
+)
+SELECT doc_id, sel AS fim_applied,
+       CASE WHEN sel THEN
+         '<PRE>' || substr(text, 1, lo)
+         || '<SUF>' || substr(text, hi + 1, n - hi)
+         || '<MID>' || substr(text, lo + 1, hi - lo)
+       ELSE text END AS output_text
+FROM sp
+ORDER BY doc_id
+"""
+
+
+QUERIES["fim_prep"] = (q_fim_prep, _sql_fim_prep())
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 

@@ -357,3 +357,63 @@ def span_corrupt_sql_ctes(prefix: str, rate: float, salt: str) -> str:
   SELECT doc_id, count(*) FILTER (WHERE m) AS n_masked
   FROM {p}fl GROUP BY doc_id
 )"""
+
+
+# ------------------------------------------------- fill-in-the-middle
+FIM_RATE = 0.5
+FIM_SEL_SALT = "fimsel"
+FIM_C1_SALT = "fim1"
+FIM_C2_SALT = "fim2"
+PRE, SUF, MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def fim_prep(
+    docs: DataFrame,
+    rate: float = FIM_RATE,
+    mode: str = "psm",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022 — the
+    code-LLM prep: applying FIM to a fraction of documents teaches
+    infilling "for free" without hurting left-to-right loss). A
+    hash-chosen ``rate`` fraction of docs is rearranged: two uniform
+    character cut points (independent salted streams) split the doc
+    into prefix/middle/suffix, emitted as
+
+    * ``psm``: ``<PRE>prefix<SUF>suffix<MID>middle``
+    * ``spm``: ``<SUF>suffix<PRE>prefix<MID>middle``
+
+    (the paper's two orders; the middle always trails so generation
+    ends by producing it). Unselected docs pass through unchanged —
+    the AR slice of the mixture. Character-level splitting is the
+    published implementation (split first, tokenize after), which
+    also keeps the operator a pure scan projection: three hashes +
+    three substrs per row, zero shuffle, zero Python, trivially
+    deterministic on re-run."""
+    if mode not in ("psm", "spm"):
+        raise ValueError("mode must be 'psm' or 'spm'")
+    idc = F.col(id_col).cast("string")
+    t = F.col(text_col)
+    n = F.length(t)
+    sel = hash_uniform_col(idc, salt=FIM_SEL_SALT) < F.lit(rate)
+    c1 = F.floor(hash_uniform_col(idc, salt=FIM_C1_SALT) * (n + 1))
+    c2 = F.floor(hash_uniform_col(idc, salt=FIM_C2_SALT) * (n + 1))
+    lo = F.least(c1, c2).cast("int")
+    hi = F.greatest(c1, c2).cast("int")
+    prefix = t.substr(F.lit(1), lo)
+    middle = t.substr(lo + 1, hi - lo)
+    suffix = t.substr(hi + 1, n - hi)
+    if mode == "psm":
+        fim = F.concat(
+            F.lit(PRE), prefix, F.lit(SUF), suffix, F.lit(MID), middle
+        )
+    else:
+        fim = F.concat(
+            F.lit(SUF), suffix, F.lit(PRE), prefix, F.lit(MID), middle
+        )
+    return docs.select(
+        id_col,
+        sel.alias("fim_applied"),
+        F.when(sel, fim).otherwise(t).alias("output_text"),
+    )
