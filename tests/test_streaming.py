@@ -239,3 +239,66 @@ def test_stateful_sessionization_survives_restart(spark, tmp_path_factory):
         n_sess = 1 + int(((ts[1:] - ts[:-1]) > 30 * 60 * 1_000_000_000).sum())
         want[user] = (n_sess, len(g))
     assert got == want
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_dedup_pages_stream_removes_duplicates(spark, tmp_path_factory):
+    """Streaming exact dedup: duplicated texts collapse to one survivor
+    per fingerprint across micro-batches, distinct texts all survive,
+    and the url-keyed variant dedups recrawls. Survivor IDENTITY is
+    arrival-order (pinned semantics) so assertions are set-level."""
+    from uci_searchengine_spark.schema import PAGES_SCHEMA
+    from uci_searchengine_spark.sources.synth import synth_pages_local
+    from uci_searchengine_spark.streaming.ingest import (
+        dedup_pages_stream,
+        stream_pages,
+    )
+
+    base = str(tmp_path_factory.mktemp("streamdd"))
+    pages_dir = os.path.join(base, "pages")
+    pdf = synth_pages_local(30, 1337)
+    # duplicate every third page's text under a fresh url
+    dup = pdf.iloc[::3].copy()
+    dup["url"] = dup["url"] + "?copy=1"
+    both = __import__("pandas").concat([pdf, dup], ignore_index=True)
+    df = spark.createDataFrame(both, PAGES_SCHEMA).repartition(4)
+    df.write.parquet(pages_dir)
+
+    out = dedup_pages_stream(
+        stream_pages(spark, pages_dir, max_files=1), watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select fp, text from dedup_stream").collect()
+    fps = [r["fp"] for r in rows]
+    assert len(fps) == len(set(fps)), "duplicate fingerprints survived"
+    import hashlib
+
+    want = {hashlib.md5((t or "").encode()).hexdigest() for t in both["text"]}
+    assert set(fps) == want, "some distinct content lost or invented"
+    assert len(rows) == len(set(both["text"]))
+
+    # url-keyed variant: the recrawl dedup — distinct urls all survive
+    out_u = dedup_pages_stream(
+        stream_pages(spark, pages_dir, max_files=2), key="url"
+    )
+    qu = (
+        out_u.writeStream.format("memory")
+        .queryName("dedup_stream_url")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qu.awaitTermination(120)
+    urls = [r["fp"] for r in spark.sql("select fp from dedup_stream_url").collect()]
+    assert len(urls) == len(set(urls)) == len(set(both["url"]))
+
+    with pytest.raises(ValueError):
+        dedup_pages_stream(stream_pages(spark, pages_dir), key="nope")

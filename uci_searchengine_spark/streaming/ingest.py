@@ -149,3 +149,38 @@ def sessionize_events(events_stream: DataFrame, gap_minutes: int = 30) -> DataFr
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_pages_stream(
+    pages_stream: DataFrame,
+    watermark: str = "10 minutes",
+    key: str = "content",
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-time form of
+    ``dedup.dedup_exact`` (the batch operator keeps min-doc-id; a
+    stream has no global order, so the pinned streaming semantics is
+    FIRST-ARRIVAL-wins within the watermark horizon).
+
+    ``key='content'`` fingerprints the extracted text (md5 — the same
+    fingerprint relation the batch dedup and the incremental store
+    probes use, so a batch-built store and this stream agree on
+    identity); ``key='url'`` dedups recrawls of one url instead.
+
+    Uses ``dropDuplicatesWithinWatermark``: state is BOUNDED by the
+    event-time horizon instead of growing with the corpus — the
+    production requirement for an unbounded crawl stream; a duplicate
+    arriving past the horizon re-admits (at 100 TB that residue is
+    exactly what the periodic batch `incremental_dedup` sweep
+    removes — the published lambda shape: streaming bounds the hot
+    window, batch owns history)."""
+    if key == "content":
+        fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    elif key == "url":
+        fp = F.col("url")
+    else:
+        raise ValueError("key must be 'content' or 'url'")
+    return (
+        pages_stream.withColumn("fp", fp)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
