@@ -8206,6 +8206,46 @@ ORDER BY doc_id
 QUERIES["fim_prep"] = (q_fim_prep, _sql_fim_prep())
 
 
+def q_csv_source(spark, sf_dir):
+    """CSV source round-trip (sources/csv — RFC 4180 quoting, explicit
+    schema, PERMISSIVE corrupt-row quarantine, line-splittable writer):
+    the documents table written and read back in full; oracle = the
+    table itself, so read(write(x)) == x checks quoting/escaping of
+    the wide text column without the oracle touching files (the
+    jsonl_source contract; gate corpus text is newline-free so the
+    splittability substitution is the identity). Quote/comma torture
+    and the quarantine path are pytest-pinned (tests/test_csv.py)."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from uci_searchengine_spark.sources.csv import read_csv, write_csv
+    from uci_searchengine_spark.sources.jsonl import DOCUMENTS_DDL
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("s")
+    ).collect()[0]
+    h = _hl.md5(f"{sf_dir}|csv|{agg['n']}|{agg['s']}".encode()).hexdigest()[
+        :12
+    ]
+    path = _os.path.join(_tf.gettempdir(), f"uci_gate_csv_{h}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        write_csv(
+            docs.select("doc_id", "text", "lang", "source", "n_chars"), path
+        )
+    return read_csv(spark, path, DOCUMENTS_DDL).orderBy("doc_id")
+
+
+SQL_CSV_SOURCE = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES["csv_source"] = (q_csv_source, SQL_CSV_SOURCE)
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 
