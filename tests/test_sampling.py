@@ -232,3 +232,67 @@ class TestTemperatureMixture:
 
         with pytest.raises(ValueError):
             temperature_weights(self._docs(spark), "source", "tok", 0.0)
+
+
+def test_stratified_sample_exact(spark):
+    """Exact quotas per stratum, value-determined winners (≡ python
+    reference ranking by (hash, key)), under-quota passthrough,
+    partition invariance, slack-retry path, and guards."""
+    import hashlib
+
+    from uci_searchengine_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "big" if i < 300 else ("mid" if i < 340 else "tiny"))
+            for i in range(345)]
+    df = spark.createDataFrame(rows, "k long, s string")
+
+    def u(k):
+        return int(
+            hashlib.md5(f"{k}:strat".encode()).hexdigest()[:8], 16
+        ) / 2**32
+
+    def ref(n):
+        out = []
+        for s in ("big", "mid", "tiny"):
+            ks = [k for k, g in rows if g == s]
+            ks.sort(key=lambda k: (u(k), k))
+            out += [(k, s) for k in ks[:n]]
+        return sorted(out)
+
+    for n in (10, 40):
+        got = sorted(
+            (r["k"], r["s"])
+            for r in stratified_sample_exact(
+                df, "s", n=n, key_col="k"
+            ).collect()
+        )
+        assert got == ref(n), n
+        from collections import Counter
+
+        c = Counter(s for _, s in got)
+        assert c["big"] == n and c["mid"] == min(n, 40)
+        assert c["tiny"] == min(n, 5)
+    # tight slack forces the widen loop; same value-determined answer
+    got_tight = sorted(
+        (r["k"], r["s"])
+        for r in stratified_sample_exact(
+            df, "s", n=40, key_col="k", slack=1.01
+        ).collect()
+    )
+    assert got_tight == ref(40)
+    # partition invariance
+    got_p = sorted(
+        (r["k"], r["s"])
+        for r in stratified_sample_exact(
+            df.repartition(7), "s", n=10, key_col="k"
+        ).collect()
+    )
+    assert got_p == ref(10)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stratified_sample_exact(df, "s", n=0, key_col="k")
+    with _pt.raises(ValueError):
+        stratified_sample_exact(df, "s", n=5, key_col="k", slack=1.0)

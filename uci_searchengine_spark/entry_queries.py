@@ -8246,6 +8246,47 @@ FROM documents ORDER BY doc_id
 QUERIES["csv_source"] = (q_csv_source, SQL_CSV_SOURCE)
 
 
+def q_stratified_exact(spark, sf_dir):
+    """Exact per-stratum quota sampling (sampling.
+    stratified_sample_exact — "exactly n docs per language", the
+    trainer quota fractional sampling can't give): per language the
+    rows with the 75 smallest (salted-hash, doc_id) pairs win —
+    value-determined independent of the two-phase threshold-prune +
+    bounded-trim execution (the rank window sees only the ~slack·n
+    survivors, never the stratum). zh/de/es/fr sit under 82 docs at
+    sf0.001 so the under-quota passthrough is exercised beside the
+    en trim."""
+    from uci_searchengine_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents", rebalance=False).select(
+        "doc_id", "lang"
+    )
+    return stratified_sample_exact(
+        docs, "lang", n=75, key_col="doc_id"
+    ).orderBy("doc_id")
+
+
+def _sql_stratified_exact() -> str:
+    from uci_searchengine_spark.operators.sampling import hash_uniform_sql
+
+    u = hash_uniform_sql("doc_id", salt="strat")
+    return f"""
+WITH d AS (SELECT doc_id, lang, {u} AS u FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC)
+           AS rk
+  FROM d
+)
+SELECT doc_id, lang FROM r WHERE rk <= 75 ORDER BY doc_id
+"""
+
+
+QUERIES["stratified_exact"] = (q_stratified_exact, _sql_stratified_exact())
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 

@@ -190,3 +190,73 @@ def apply_mixture(
         )
         .drop("sample_frac")
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "strat",
+    slack: float = 4.0,
+) -> DataFrame:
+    """EXACTLY ``min(n, |stratum|)`` rows per stratum — the trainer
+    quota shape ("exactly 1M docs per language") that fractional
+    sampling cannot give. The result is VALUE-DETERMINED independent
+    of execution path: per stratum, the rows with the ``n`` smallest
+    ``(hash_uniform(key), key)`` pairs win.
+
+    Scale-honest two-phase plan (`df.sampleBy` is approximate;
+    ranking a whole 10^10-row stratum in one sorted partition is the
+    window anti-pattern this repo avoids):
+
+    1. threshold prune — per-stratum counts (one tiny aggregate,
+       broadcast back) turn the quota into a hash threshold
+       ``slack·n/count``, a scan-side predicate that keeps an expected
+       ``slack·n`` rows per stratum (strata at or under quota skip
+       straight through);
+    2. exact trim — a per-stratum rank over the SURVIVORS only
+       (bounded ≈ slack·n rows per stratum, never corpus-sized).
+
+    A driver check re-runs with doubled slack for any stratum whose
+    survivor count fell under quota (probability ~e^{-Θ(n)} at
+    slack 4, but the loop makes exactness total, and the winner set is
+    threshold-invariant so the retry cannot change the answer)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if slack <= 1.0:
+        raise ValueError("slack must be > 1")
+    from pyspark.sql import Window
+
+    u = hash_uniform_col(F.col(key_col).cast("string"), salt=salt)
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_cnt"))
+    base = df.withColumn("_u", u).join(F.broadcast(counts), strata_col)
+    cur_slack = float(slack)
+    while True:
+        thr = F.when(F.col("_cnt") <= F.lit(n), F.lit(2.0)).otherwise(
+            F.least(
+                F.lit(1.0000001),
+                F.lit(cur_slack) * F.lit(float(n)) / F.col("_cnt"),
+            )
+        )
+        cand = base.filter(F.col("_u") < thr)
+        short = (
+            cand.groupBy(strata_col)
+            .agg(F.count("*").alias("_got"), F.first("_cnt").alias("_c"))
+            .filter(
+                (F.col("_got") < F.lit(n)) & (F.col("_c") > F.col("_got"))
+            )
+            .count()
+        )
+        if short == 0:
+            break
+        cur_slack *= 2.0  # deterministic widen; winner set unchanged
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_u").asc(), F.col(key_col).asc()
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.lit(n))
+        .drop("_u", "_cnt", "_rk")
+        .select(*df.columns)
+    )
