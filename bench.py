@@ -147,6 +147,8 @@ HEADLINE_V2 = [
     "cdc_apply",
     "retro_neighbors",
     "fim_prep",
+    "stratified_exact",
+    "unimax_alloc",
 ]
 
 BENCH_QUERIES = [

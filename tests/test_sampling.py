@@ -296,3 +296,67 @@ def test_stratified_sample_exact(spark):
         stratified_sample_exact(df, "s", n=0, key_col="k")
     with _pt.raises(ValueError):
         stratified_sample_exact(df, "s", n=5, key_col="k", slack=1.0)
+
+
+def test_unimax_allocation(spark):
+    """UNIMAX waterfilling vs a python iterative reference: exact
+    budget conservation, cap respect, uniformity among unsaturated
+    domains, the budget-exhaustion edge, and guards."""
+    from uci_searchengine_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    rows = []
+    sizes = {"a": 100, "b": 400, "c": 1000, "d": 5000, "e": 70}
+    for dom, tot in sizes.items():
+        rows.append((dom + "_doc", dom, tot))
+    df = spark.createDataFrame(rows, "k string, dom string, toks long")
+
+    def ref(budget, cap_mult):
+        caps = {d: s * cap_mult for d, s in sizes.items()}
+        alloc = {}
+        remaining = dict(caps)
+        b = budget
+        while remaining and b > 1e-9:
+            share = b / len(remaining)
+            sat = {d: c for d, c in remaining.items() if c <= share}
+            if not sat:
+                for d in remaining:
+                    alloc[d] = share
+                b = 0
+                break
+            for d, c in sat.items():
+                alloc[d] = c
+                b -= c
+                del remaining[d]
+        for d in remaining:
+            alloc.setdefault(d, remaining[d] if b <= 1e-9 else remaining[d])
+        # domains never reached (b exhausted exactly): 0? cannot happen
+        # with positive budget; exhaustion case: all get caps
+        return {d: alloc.get(d, caps[d]) for d in sizes}
+
+    import pytest as _pt
+
+    for budget, capm in ((3000.0, 2.0), (800.0, 1.0), (100000.0, 3.0)):
+        got = {
+            r["domain"]: (r["alloc_tokens"], r["epochs"])
+            for r in unimax_allocation(
+                df, "dom", "toks", budget=budget, epoch_cap=capm
+            ).collect()
+        }
+        want = ref(budget, capm)
+        total_cap = sum(s * capm for s in sizes.values())
+        for d in sizes:
+            assert got[d][0] == _pt.approx(want[d], rel=1e-9), (
+                budget, capm, d, got, want)
+            assert got[d][0] <= sizes[d] * capm + 1e-6  # cap respected
+            assert got[d][1] == _pt.approx(
+                round(got[d][0] / sizes[d], 6), abs=1e-6
+            )
+        assert sum(v for v, _ in got.values()) == _pt.approx(
+            min(budget, total_cap), rel=1e-9
+        )
+    with _pt.raises(ValueError):
+        unimax_allocation(df, "dom", "toks", budget=0)
+    with _pt.raises(ValueError):
+        unimax_allocation(df, "dom", "toks", budget=10, epoch_cap=0)

@@ -8287,6 +8287,68 @@ SELECT doc_id, lang FROM r WHERE rk <= 75 ORDER BY doc_id
 QUERIES["stratified_exact"] = (q_stratified_exact, _sql_stratified_exact())
 
 
+def q_unimax_alloc(spark, sf_dir):
+    """UNIMAX token-budget allocation (sampling.unimax_allocation —
+    Chung et al. 2023, the successor to temperature scaling): spend
+    the budget as uniformly as possible across languages but never
+    exceed epoch_cap repeats of any language. At budget 140k /
+    epoch_cap 1 the four tail languages SATURATE at their full corpus
+    and English waterfills the remainder — both branches of the
+    closed-form waterfill are exercised and value-checked. One
+    groupBy-sum over the corpus; every window runs on the 5-row
+    domain aggregate."""
+    from uci_searchengine_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents", rebalance=False)
+    return unimax_allocation(
+        docs, "lang", "n_chars", budget=140000.0, epoch_cap=1.0
+    ).orderBy("domain")
+
+
+SQL_UNIMAX_ALLOC = """
+WITH totals AS (
+  SELECT lang AS domain, sum(n_chars) AS tokens
+  FROM documents GROUP BY lang
+),
+d AS (
+  SELECT domain, tokens, CAST(tokens AS DOUBLE) * 1.0 AS cap,
+         row_number() OVER (ORDER BY CAST(tokens AS DOUBLE) * 1.0 ASC,
+                            domain ASC) AS i,
+         count(*) OVER () AS m
+  FROM totals
+),
+c AS (
+  SELECT *, coalesce(sum(cap) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+            AS cum_prev
+  FROM d
+),
+s AS (
+  SELECT *,
+         (cum_prev + cap * (m - i + 1)) <= 140000.0 AS sat,
+         (140000.0 - cum_prev) / (m - i + 1) AS wrow
+  FROM c
+),
+wl AS (
+  SELECT wrow AS w FROM s WHERE NOT sat ORDER BY i LIMIT 1
+)
+SELECT domain, tokens,
+       round(CASE WHEN sat THEN cap
+                  ELSE coalesce((SELECT w FROM wl), cap) END, 6)
+         AS alloc_tokens,
+       round(CASE WHEN sat THEN cap
+                  ELSE coalesce((SELECT w FROM wl), cap) END
+             / CAST(tokens AS DOUBLE), 6) AS epochs
+FROM s
+ORDER BY domain
+"""
+
+
+QUERIES["unimax_alloc"] = (q_unimax_alloc, SQL_UNIMAX_ALLOC)
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 

@@ -260,3 +260,78 @@ def stratified_sample_exact(
         .drop("_u", "_cnt", "_rk")
         .select(*df.columns)
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    domain_col: str,
+    tok_col: str,
+    budget: float,
+    epoch_cap: float = 4.0,
+) -> DataFrame:
+    """UNIMAX language/domain sampling (Chung et al. 2023 — the
+    successor to temperature scaling that `temperature_weights` names
+    as its baseline): spend a total token ``budget`` as UNIFORMLY as
+    possible across domains, but never repeat a domain more than
+    ``epoch_cap`` epochs — low-resource domains saturate at their cap
+    instead of being oversampled into memorization, and the freed
+    budget waterfills the rest.
+
+    Closed-form waterfilling, fully relational: caps = epoch_cap·c_d;
+    sort ascending, a domain SATURATES when its cap fits the
+    even-share test cum_prev + cap·(m−i+1) ≤ B; the waterline w =
+    (B − cum_prev)/(m−i+1) at the FIRST unsaturated row; allocation
+    b_d = cap_d if saturated else w; epochs e_d = b_d/c_d. One
+    groupBy-sum over the corpus — every window here runs over the
+    #domains-row aggregate (the `mixture_weights` scale contract),
+    never the corpus. Budget beyond Σcaps allocates every cap (the
+    documented exhaustion case). Returns
+    (domain, tokens, alloc_tokens, epochs), floats rounded to 6."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if epoch_cap <= 0:
+        raise ValueError("epoch_cap must be positive")
+    totals = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(tok_col)).alias("tokens")
+    )
+    w_ord = Window.orderBy(F.col("_cap").asc(), F.col("domain").asc())
+    w_all = Window.partitionBy()
+    d = (
+        totals.withColumn(
+            "_cap", F.col("tokens").cast("double") * F.lit(float(epoch_cap))
+        )
+        .withColumn("_i", F.row_number().over(w_ord))
+        .withColumn(
+            "_cum_prev",
+            F.coalesce(
+                F.sum("_cap").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("_m", F.count("*").over(w_all))
+        .withColumn(
+            "_sat",
+            F.col("_cum_prev")
+            + F.col("_cap") * (F.col("_m") - F.col("_i") + 1)
+            <= F.lit(float(budget)),
+        )
+        .withColumn(
+            "_wrow",
+            (F.lit(float(budget)) - F.col("_cum_prev"))
+            / (F.col("_m") - F.col("_i") + 1),
+        )
+    )
+    wl = F.min(
+        F.when(~F.col("_sat"), F.struct(F.col("_i"), F.col("_wrow")))
+    ).over(w_all)["_wrow"]
+    alloc = F.when(F.col("_sat"), F.col("_cap")).otherwise(
+        F.coalesce(wl, F.col("_cap"))
+    )
+    return d.select(
+        "domain",
+        "tokens",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("tokens").cast("double"), 6).alias("epochs"),
+    )
