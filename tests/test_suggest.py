@@ -151,3 +151,85 @@ class TestPhraseSuggest:
         # "dat" expands to both data and date (and dart)
         got = phrase_suggest_pairs(self._toks(spark), "dat", "sprk").collect()
         assert got and got[0]["suggestion"] == "data spark"
+
+
+def test_noisy_channel_correct(spark):
+    """Channel+context scoring vs a python reference, and the property
+    the op exists for: a context-frequent candidate at equal edit
+    distance outranks a context-rare one, while plain distance-df
+    ranking cannot distinguish context."""
+    import math
+    from collections import Counter
+
+    from uci_searchengine_spark.operators.lm_quality import (
+        train_kn_bigram,
+    )
+    from uci_searchengine_spark.operators.suggest import (
+        noisy_channel_correct,
+    )
+
+    ref_texts = [
+        "the cat sat on the mat",
+        "the cat ran to the cart",
+        "the cat and the cat again",
+    ]
+    # typo 'cas': dist 1 to both 'cat' (frequent after 'the') and
+    # 'cart'?  lev(cart,cas)=2; use vocab with a planted competitor
+    vocab_words = ["cat", "car", "mat", "ran", "on", "the", "sat"]
+    ref = spark.createDataFrame([(s,) for s in ref_texts], ["text"])
+    vocab_df = spark.createDataFrame([(w,) for w in vocab_words], ["term"])
+    hist, big, cont, nt, v = train_kn_bigram(ref)
+    got = [
+        (r["term"], r["dist"], r["lp"], r["score"])
+        for r in noisy_channel_correct(
+            vocab_df, hist, big, cont, nt, v, prev_word="the", typo="cas"
+        ).collect()
+    ]
+    # python reference
+    uni, bigc = Counter(), Counter()
+    for s in ref_texts:
+        t = s.split()
+        uni.update(t)
+        bigc.update(zip(t, t[1:]))
+    cv = Counter(); n1h = Counter(); n1c = Counter()
+    for (a, b), c in bigc.items():
+        cv[a] += c; n1h[a] += 1; n1c[b] += 1
+    nt_r, v_r = len(bigc), len(uni)
+    denom = nt_r + v_r + 1
+    assert (nt, v) == (nt_r, v_r)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def p(aw, bw):
+        pc = (n1c.get(bw, 0) + 1.0) / denom
+        if cv.get(aw, 0) > 0:
+            return (
+                max(bigc.get((aw, bw), 0) - 0.75, 0.0) / cv[aw]
+                + 0.75 * n1h[aw] / cv[aw] * pc
+            )
+        return pc
+
+    want = []
+    for w in vocab_words:
+        d = lev(w, "cas")
+        if abs(len(w) - 3) <= 2 and d <= 2:
+            lp = round(math.log(p("the", w)), 6)
+            want.append((w, d, lp, round(lp - d, 6)))
+    want.sort(key=lambda x: (-x[3], x[0]))
+    assert got == want[:5]
+    # context property: 'cat' (frequent after 'the') outranks 'car'
+    # (same distance 1, unseen after 'the')
+    ranks = {t: i for i, (t, *_rest) in enumerate(got)}
+    assert ranks["cat"] < ranks["car"]
+    with pytest.raises(ValueError):
+        noisy_channel_correct(
+            vocab_df, hist, big, cont, nt, v, "the", "cas", max_dist=0
+        )

@@ -8349,6 +8349,92 @@ ORDER BY domain
 QUERIES["unimax_alloc"] = (q_unimax_alloc, SQL_UNIMAX_ALLOC)
 
 
+def q_noisy_channel(spark, sf_dir):
+    """Noisy-channel spell correction (suggest.noisy_channel_correct —
+    Kernighan/Church/Gale 1990): candidates for typo 'sprk' after
+    context word 'the', scored ln P_KN(cand|'the') − λ·dist — the
+    composition of the suggest module's candidate generation with the
+    Kneser-Ney source model (lm_quality relations, lang='en'
+    training). Plain suggest ranks 'sprk' by (dist, df); the channel
+    score instead prefers what the LM expects after 'the'. One
+    length-pruned vocab scan + codegen levenshtein + three broadcast
+    LM joins."""
+    from uci_searchengine_spark.operators.lm_quality import (
+        train_kn_bigram,
+    )
+    from uci_searchengine_spark.operators.suggest import (
+        noisy_channel_correct,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens(spark, sf_dir)
+    vocab_df = toks.select(F.explode("t").alias("term")).distinct()
+    hist, big, cont, nt, v = train_kn_bigram(
+        docs.filter(F.col("lang") == "en")
+    )
+    return noisy_channel_correct(
+        vocab_df, hist, big, cont, nt, v, prev_word="the", typo="sprk"
+    )
+
+
+def _sql_noisy_channel() -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, {tokens_sql_expr('text')} AS t,
+         lang = 'en' AS is_ref
+  FROM documents
+),
+ref AS (SELECT t FROM src WHERE is_ref),
+uni AS (
+  SELECT v, count(*) AS c1
+  FROM (SELECT unnest(t) AS v FROM ref) GROUP BY v
+),
+vsize AS (SELECT count(*) AS V FROM uni),
+big AS (
+  SELECT v, w, count(*) AS c2 FROM (
+    SELECT unnest(t[1:len(t)-1]) AS v, unnest(t[2:]) AS w
+    FROM ref WHERE len(t) >= 2
+  ) GROUP BY v, w
+),
+hist AS (SELECT v, sum(c2) AS cv, count(*) AS n1h FROM big GROUP BY v),
+cont AS (SELECT w, count(*) AS n1c FROM big GROUP BY w),
+tot AS (SELECT count(*) AS nt FROM big),
+vocab AS (
+  SELECT DISTINCT unnest(t) AS term FROM src
+),
+cand AS (
+  SELECT term, levenshtein(term, 'sprk') AS dist
+  FROM vocab
+  WHERE abs(length(term) - 4) <= 2
+    AND levenshtein(term, 'sprk') <= 2
+),
+scored AS (
+  SELECT c.term, c.dist,
+         round(ln(
+           CASE WHEN coalesce(h.cv, 0) > 0 THEN
+             greatest(coalesce(b.c2, 0) - 0.75, 0.0) / h.cv
+             + 0.75 * h.n1h / h.cv
+               * ((coalesce(ct.n1c, 0) + 1.0) / (t.nt + s.V + 1))
+           ELSE (coalesce(ct.n1c, 0) + 1.0) / (t.nt + s.V + 1)
+           END), 6) AS lp
+  FROM cand c
+  LEFT JOIN big b ON b.v = 'the' AND b.w = c.term
+  LEFT JOIN hist h ON h.v = 'the'
+  LEFT JOIN cont ct ON ct.w = c.term
+  CROSS JOIN tot t
+  CROSS JOIN vsize s
+)
+SELECT term, CAST(dist AS INT) AS dist, lp,
+       round(lp - 1.0 * dist, 6) AS score
+FROM scored
+ORDER BY score DESC, term ASC
+LIMIT 5
+"""
+
+
+QUERIES["noisy_channel"] = (q_noisy_channel, _sql_noisy_channel())
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 

@@ -221,3 +221,83 @@ def phrase_suggest_pairs(
         .orderBy(F.desc("score"), F.asc("suggestion"))
         .limit(k)
     )
+
+
+def noisy_channel_correct(
+    vocab_df: DataFrame,
+    hist: DataFrame,
+    big: DataFrame,
+    cont: DataFrame,
+    n_types: int,
+    vocab_size: int,
+    prev_word: str,
+    typo: str,
+    max_dist: int = 2,
+    k: int = 5,
+    lam: float = 1.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Noisy-channel spell correction (Kernighan/Church/Gale 1990,
+    Norvig's formulation): argmax_c P(c | context) · P(typo | c) —
+    the composition of this module's candidate generation with the
+    Kneser-Ney source model (`lm_quality.train_kn_bigram` relations).
+    The plain `suggest` ranks by (distance, df): "spakr" → whichever
+    frequent term is one edit away; the channel+context score instead
+    prefers the candidate the LANGUAGE MODEL expects after
+    ``prev_word``.
+
+    Pinned models: channel ln P(typo|c) = −lam·dist (the
+    distance-exponential simplification used when no confusion matrix
+    is available); source ln P(c|prev) = interpolated KN exactly as
+    `kn_perplexity` scores it. score = ln P_KN − lam·dist, rank
+    (score desc, term asc), top-k.
+
+    Plan shape: one length-pruned vocabulary scan (|len−len(typo)| ≤
+    max_dist pushed into the scan) → codegen levenshtein filter →
+    three broadcast LM joins → TakeOrdered k. The vocabulary relation
+    is corpus-vocab-sized, never posting-sized; SymSpell deletion
+    neighborhoods remain the named high-QPS refinement (module
+    docstring)."""
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    dd = F.lit(0.75)
+    cand = (
+        vocab_df.filter(
+            F.abs(F.length("term") - F.lit(len(typo))) <= F.lit(max_dist)
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(typo)))
+        .filter(F.col("dist") <= F.lit(max_dist))
+    )
+    b = F.broadcast
+    denom = F.lit(float(n_types + vocab_size + 1))
+    pcont = (
+        F.coalesce(F.col("n1c"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / denom
+    p = F.when(
+        F.col("cv").isNotNull() & (F.col("cv") > 0),
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double") - dd,
+            F.lit(0.0),
+        )
+        / F.col("cv")
+        + dd * F.col("n1h") / F.col("cv") * pcont,
+    ).otherwise(pcont)
+    joined = (
+        cand.withColumn("v", F.lit(prev_word))
+        .withColumnRenamed("term", "w")
+        .join(b(big), ["v", "w"], "left")
+        .join(b(hist), "v", "left")
+        .join(b(cont), "w", "left")
+        .select(
+            F.col("w").alias("term"),
+            "dist",
+            F.round(F.log(p), digits).alias("lp"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("lp") - F.lit(float(lam)) * F.col("dist"), digits
+            ),
+        )
+    )
+    return joined.orderBy(F.desc("score"), F.asc("term")).limit(k)
