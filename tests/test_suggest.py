@@ -233,3 +233,73 @@ def test_noisy_channel_correct(spark):
         noisy_channel_correct(
             vocab_df, hist, big, cont, nt, v, "the", "cas", max_dist=0
         )
+
+
+def test_symspell_plane_and_lookup(spark):
+    """The deletion-plane path: in-row delete generation ≡ python,
+    SymSpell's no-false-negative guarantee on random word pairs, plane
+    size bound, and lookup ≡ the full levenshtein scan ranking —
+    including an adversarial case the trigram heuristic drops."""
+    import random as _r
+
+    from uci_searchengine_spark.operators.suggest import (
+        _delete_variants_py,
+        _deletes_col,
+        suggest_symspell,
+        symspell_plane,
+    )
+
+    rng = _r.Random(37)
+    words = list(
+        {"".join(rng.choice("abcdx") for _ in range(rng.randrange(1, 9)))
+         for _ in range(60)}
+    )
+    vocab_df = spark.createDataFrame(
+        [(w, i + 1) for i, w in enumerate(sorted(words))], "term string, df long"
+    )
+    # in-row deletes == python
+    got = {
+        r["term"]: sorted(r["d"])
+        for r in vocab_df.select(
+            "term", _deletes_col("term", 2).alias("d")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == sorted(_delete_variants_py(w, 2)), w
+        L = len(w)
+        assert len(got[w]) <= 1 + L + L * (L - 1) // 2
+    plane = symspell_plane(vocab_df, max_dist=2).cache()
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    # lookup == full-scan ranking for random typos + the adversarial
+    # 4-char distance-2 edit ('abcd'→'axcy') the trigram filter drops
+    typos = ["axcy", "abcd", "dxa", "abcdx"] + [
+        "".join(rng.choice("abcdxy") for _ in range(rng.randrange(2, 8)))
+        for _ in range(10)
+    ]
+    for typo in typos:
+        want = sorted(
+            (
+                (lev(w, typo), -(i + 1), w)
+                for i, w in enumerate(sorted(words))
+                if lev(w, typo) <= 2
+            ),
+        )[:5]
+        want = [(w, -negdf, d) for d, negdf, w in want]
+        got_rows = [
+            (r["term"], r["df"], r["dist"])
+            for r in suggest_symspell(plane, typo, k=5).collect()
+        ]
+        assert got_rows == want, typo
+    plane.unpersist()
+    with pytest.raises(ValueError):
+        symspell_plane(vocab_df, max_dist=3)

@@ -301,3 +301,108 @@ def noisy_channel_correct(
         )
     )
     return joined.orderBy(F.desc("score"), F.asc("term")).limit(k)
+
+
+def _delete_variants_py(w: str, max_dist: int) -> "set[str]":
+    """All strings reachable from ``w`` by ≤ max_dist deletions —
+    driver-side (used for the QUERY word only; the plane side is the
+    in-row SQL expression below)."""
+    out = {w}
+    frontier = {w}
+    for _ in range(max_dist):
+        nxt = set()
+        for s in frontier:
+            for i in range(len(s)):
+                nxt.add(s[:i] + s[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _deletes_col(term, max_dist: int):
+    """array<string> of every ≤``max_dist``-deletion variant of
+    ``term`` (the term itself included) — pure in-row HOFs: distance-1
+    variants from one position sweep, distance-2 from the position
+    pairs, deduped with array_distinct."""
+    t = F.col(term) if isinstance(term, str) else term
+    n = F.length(t)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    d1 = F.transform(
+        idx,
+        lambda i: F.concat(
+            t.substr(F.lit(1), i), t.substr(i + F.lit(2), n)
+        ),
+    )
+    out = F.concat(F.array(t), d1)
+    if max_dist >= 2:
+        d2 = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.filter(idx, lambda j: j > i),
+                    # delete positions i < j (0-based): keep [1..i],
+                    # (i+2..j], (j+2..end] in 1-based substr terms
+                    lambda j: F.concat(
+                        t.substr(F.lit(1), i),
+                        t.substr(i + F.lit(2), j - i - 1),
+                        t.substr(j + F.lit(2), n),
+                    ),
+                ),
+            )
+        )
+        out = F.concat(out, d2)
+    if max_dist >= 3:
+        raise ValueError("max_dist > 2 not supported by the plane")
+    return F.array_distinct(out)
+
+
+def symspell_plane(vocab_df: DataFrame, max_dist: int = 2) -> DataFrame:
+    """(dkey, term, df) — the SymSpell deletion-neighborhood relation
+    (Garbe): every ≤max_dist-deletion variant of every vocabulary
+    term. THE high-QPS refinement the module docstring names: lookup
+    stops scanning the vocabulary and becomes an equi-join keyed by
+    the (tiny) delete set of the query. Size bound: a length-L term
+    contributes ≤ 1 + L + L(L−1)/2 rows — quadratic in word length,
+    linear in vocabulary. Persist sorted by dkey (the trigram-plane
+    pattern) so probes prune row groups."""
+    cols = ["term"] + (["df"] if "df" in vocab_df.columns else [])
+    return (
+        vocab_df.select(
+            *cols, F.explode(_deletes_col("term", max_dist)).alias("dkey")
+        )
+        .select("dkey", *cols)
+    )
+
+
+def suggest_symspell(
+    plane: DataFrame,
+    word: str,
+    k: int = 5,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Top-k (term, df, dist) corrections through the deletion plane —
+    the same output contract as :func:`suggest` (rank dist asc, df
+    desc, term asc) WITHOUT the vocabulary scan and WITHOUT the
+    trigram recall trade: SymSpell's guarantee is exact — lev(a,b) ≤ d
+    ⟹ the two ≤d-deletion sets intersect — so the candidate set has
+    NO false negatives (pytest pins scan-path equality; the plain
+    `suggest` path can drop adversarial 4-8 char dist-2 edits, and
+    that long-standing heuristic gap closes here). Lookup = literal
+    IN-list probe of the plane (pushed to the scan) → distinct terms →
+    exact levenshtein verify → TakeOrdered k."""
+    w = word.lower()
+    probes = sorted(_delete_variants_py(w, max_dist))
+    cand_cols = [c for c in plane.columns if c != "dkey"]
+    cand = (
+        plane.filter(F.col("dkey").isin(probes))
+        .select(*cand_cols)
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(w)))
+        .filter(F.col("dist") <= F.lit(max_dist))
+    )
+    order = [F.asc("dist")] + (
+        [F.desc("df")] if "df" in cand.columns else []
+    ) + [F.asc("term")]
+    return cand.orderBy(*order).limit(k)
