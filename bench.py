@@ -149,6 +149,9 @@ HEADLINE_V2 = [
     "fim_prep",
     "stratified_exact",
     "unimax_alloc",
+    "noisy_channel",
+    "symspell_search",
+    "bitext_mining",
 ]
 
 BENCH_QUERIES = [

@@ -1121,3 +1121,85 @@ def test_retro_neighbors_exact_vs_candidates_and_exclusion(spark):
         ]
         got = sorted(byid[i])
         assert got == want, i
+
+
+def test_mine_bitext_reference_and_hub_suppression(spark):
+    """mine_bitext: exact path ≡ candidate path ≡ a float64 numpy
+    reference of the Artetxe–Schwenk ratio margin with the 'max'
+    strategy, and the property the margin exists for: a HUB target
+    (close to everything) stops swallowing sources that have a
+    dedicated high-margin partner."""
+    import numpy as np
+
+    from uci_searchengine_spark.operators.similarity import (
+        knn_candidate_pairs,
+        mine_bitext,
+    )
+
+    rng = np.random.default_rng(43)
+    dim, k = 12, 3
+    # planted: each source i has a dedicated partner i (noisy copy);
+    # target 0 is a hub = normalized mean direction of all sources
+    A = rng.normal(size=(12, dim))
+    B = A + 0.1 * rng.normal(size=(12, dim))
+    B[0] = A.mean(axis=0)
+    rows_a = [(i, [float(x) for x in A[i]]) for i in range(12)]
+    rows_b = [(100 + i, [float(x) for x in B[i]]) for i in range(12)]
+    ea = spark.createDataFrame(rows_a, "vec_id long, embedding array<float>")
+    eb = spark.createDataFrame(rows_b, "vec_id long, embedding array<float>")
+
+    got = sorted(
+        tuple(r)
+        for r in mine_bitext(ea, eb, k=k, threshold=0.0).collect()
+    )
+
+    # numpy reference (float32-cast then float64, mirroring the engine)
+    A64 = np.array([r[1] for r in rows_a], dtype="float32").astype("float64")
+    B64 = np.array([r[1] for r in rows_b], dtype="float32").astype("float64")
+    cos = np.round(
+        (A64 @ B64.T)
+        / np.outer(
+            np.linalg.norm(A64, axis=1), np.linalg.norm(B64, axis=1)
+        ),
+        6,
+    )
+    avg_a = np.array([np.mean(sorted(cos[i], reverse=True)[:k]) for i in range(12)])
+    avg_b = np.array([np.mean(sorted(cos[:, j], reverse=True)[:k]) for j in range(12)])
+    want = []
+    for i in range(12):
+        margins = [
+            (round(cos[i, j] / (avg_a[i] / 2 + avg_b[j] / 2), 6), -(100 + j), j)
+            for j in range(12)
+        ]
+        mbest, negid, j = max(margins)
+        want.append((rows_a[i][0], 100 + j, cos[i, j], mbest))
+    assert got == sorted(want)
+    # hub suppression: every source with a planted partner mines IT,
+    # not the hub (except source 0, whose true partner IS slot 0 but
+    # was replaced by the hub)
+    mined = {a: b for a, b, _c, _m in got}
+    hub_hits = sum(1 for i in range(1, 12) if mined[i] == 100)
+    assert hub_hits == 0, mined
+    assert all(mined[i] == 100 + i for i in range(1, 12))
+    # candidate path ≡ exact at generous probes
+    both = ea.unionByName(eb)
+    cu = knn_candidate_pairs(
+        both, n_tables=8, n_planes=3, hamming=3, dim=dim, seed=7
+    )
+    from pyspark.sql import functions as F
+
+    a_ids = ea.select(F.col("vec_id").alias("ia"))
+    b_ids = eb.select(F.col("vec_id").alias("ib"))
+    fwd = cu.join(a_ids, "ia", "left_semi").join(b_ids, "ib", "left_semi")
+    rev = (
+        cu.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+        .join(a_ids, "ia", "left_semi")
+        .join(b_ids, "ib", "left_semi")
+    )
+    got_c = sorted(
+        tuple(r)
+        for r in mine_bitext(
+            ea, eb, k=k, threshold=0.0, candidates=fwd.unionByName(rev)
+        ).collect()
+    )
+    assert got_c == got

@@ -8491,6 +8491,91 @@ FROM cand WHERE rn <= 5
 QUERIES["symspell_search"] = (q_symspell_search, SQL_SYMSPELL_SEARCH)
 
 
+def q_bitext_mining(spark, sf_dir):
+    """Margin-based bitext mining (similarity.mine_bitext — Artetxe &
+    Schwenk 2019, the LASER/CCMatrix pipeline): embeddings split by
+    label parity stand in for the two languages; each pair scores
+    cos/(avg kNN-neighborhood of both sides) — the hub correction raw
+    cosine lacks — and mining keeps the per-source argmax-margin
+    partner above threshold (the paper's 'max' strategy). Runs
+    THROUGH the candidate path: knn_candidate_pairs over the union,
+    oriented A→B; the oracle is the exact all-pairs definition."""
+    from uci_searchengine_spark.operators.similarity import (
+        knn_candidate_pairs,
+        mine_bitext,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") % 2 == 0)
+    b = emb.filter(F.col("label") % 2 == 1)
+    cand_u = knn_candidate_pairs(
+        emb, n_tables=6, n_planes=4, hamming=2, dim=64, seed=11
+    )
+    a_ids = a.select(F.col("vec_id").alias("ia"))
+    b_ids = b.select(F.col("vec_id").alias("ib"))
+    fwd = cand_u.join(a_ids, "ia", "left_semi").join(
+        b_ids, "ib", "left_semi"
+    )
+    rev = (
+        cand_u.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib")
+        )
+        .join(a_ids, "ia", "left_semi")
+        .join(b_ids, "ib", "left_semi")
+    )
+    cand = fwd.unionByName(rev)
+    return mine_bitext(
+        a, b, k=3, threshold=1.0, candidates=cand
+    ).orderBy("id_a")
+
+
+SQL_BITEXT_MINING = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+a AS (SELECT vec_id, v FROM e WHERE label % 2 = 0),
+b AS (SELECT vec_id, v FROM e WHERE label % 2 = 1),
+scored AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM a CROSS JOIN b
+),
+ra AS (
+  SELECT ia, cos, row_number() OVER (PARTITION BY ia
+           ORDER BY cos DESC, ib ASC) AS rn
+  FROM scored
+),
+avg_a AS (SELECT ia, avg(cos) AS avg_ia FROM ra WHERE rn <= 3 GROUP BY ia),
+rb AS (
+  SELECT ib, cos, row_number() OVER (PARTITION BY ib
+           ORDER BY cos DESC, ia ASC) AS rn
+  FROM scored
+),
+avg_b AS (SELECT ib, avg(cos) AS avg_ib FROM rb WHERE rn <= 3 GROUP BY ib),
+m AS (
+  SELECT s.ia, s.ib, s.cos,
+         round(s.cos / (x.avg_ia / 2 + y.avg_ib / 2), 6) AS margin
+  FROM scored s JOIN avg_a x ON s.ia = x.ia JOIN avg_b y ON s.ib = y.ib
+),
+best AS (
+  SELECT ia, ib, cos, margin,
+         row_number() OVER (PARTITION BY ia
+           ORDER BY margin DESC, ib ASC) AS rn
+  FROM m
+)
+SELECT ia AS id_a, ib AS id_b, cos, margin
+FROM best WHERE rn = 1 AND margin >= 1.0
+ORDER BY id_a
+"""
+
+
+QUERIES["bitext_mining"] = (q_bitext_mining, SQL_BITEXT_MINING)
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 

@@ -846,3 +846,128 @@ def retro_neighbors(
     return out.join(nxt, "neighbor_id", "left").select(
         "id", "rank", "neighbor_id", "cos", "continuation_id"
     )
+
+
+def mine_bitext(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    candidates: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix pipeline that built WMT-scale parallel corpora from
+    web crawls): raw cosine cannot rank translation pairs across a
+    corpus because some sentences are "hubs" (close to everything), so
+    each pair is scored by its MARGIN over both sides' neighborhoods —
+
+        margin(x, y) = cos(x, y) /
+                       (avgₖNN_B(x)/2 + avgₖNN_A(y)/2)
+
+    (the paper's "ratio" margin) — and mining keeps, per source
+    sentence x, the argmax-margin y when its margin clears
+    ``threshold`` (the paper's "max" strategy).
+
+    Everything is aggregates over the scored pair relation: one
+    cosine evaluation per (candidate) pair, both neighborhood
+    averages from bounded per-id sort+slice aggregates (no window),
+    the per-x argmax as a max-struct. ``candidates`` has the
+    reciprocal_knn contract ((ia → A side, ib → B side) directed
+    pairs; required at corpus scale — None is the exact
+    all-pairs oracle path). Returns (id_a, id_b, cos, margin),
+    margins and cosines rounded for engine-order determinism."""
+
+    def _prep(df, side):
+        v = F.transform(vec_col, lambda x: x.cast("double"))
+        n = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(f"v{side}"), lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+        return df.select(
+            F.col(id_col).alias(f"i{side}"), v.alias(f"v{side}")
+        ).withColumn(f"n{side}", n)
+
+    a = _prep(emb_a, "a")
+    b = _prep(emb_b, "b")
+    if candidates is None:
+        pairs = a.crossJoin(b)
+    else:
+        pairs = candidates.select("ia", "ib").join(a, "ia").join(b, "ib")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "ia",
+        "ib",
+        F.round(dot / (F.col("na") * F.col("nb")), digits).alias("cos"),
+    )
+
+    def _avg_top(df, key):
+        return (
+            df.groupBy(key)
+            .agg(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("cos")).alias("nc"),
+                                F.col("ib" if key == "ia" else "ia").alias(
+                                    "o"
+                                ),
+                            )
+                        )
+                    ),
+                    1,
+                    k,
+                ).alias("nn")
+            )
+            .select(
+                key,
+                (
+                    F.aggregate(
+                        "nn", F.lit(0.0), lambda s, e: s - e["nc"]
+                    )
+                    / F.size("nn")
+                ).alias(f"avg_{key}"),
+            )
+        )
+    avg_a = _avg_top(scored, "ia")
+    avg_b = _avg_top(scored, "ib")
+    m = (
+        scored.join(avg_a, "ia")
+        .join(avg_b, "ib")
+        .select(
+            "ia",
+            "ib",
+            "cos",
+            F.round(
+                F.col("cos")
+                / (F.col("avg_ia") / 2 + F.col("avg_ib") / 2),
+                digits,
+            ).alias("margin"),
+        )
+    )
+    best = m.groupBy("ia").agg(
+        F.max(
+            F.struct(
+                F.col("margin"), (-F.col("ib")).alias("nib"), F.col("cos")
+            )
+        ).alias("w")
+    )
+    return (
+        best.select(
+            F.col("ia").alias("id_a"),
+            (-F.col("w.nib")).alias("id_b"),
+            F.col("w.cos").alias("cos"),
+            F.col("w.margin").alias("margin"),
+        )
+        .filter(F.col("margin") >= F.lit(float(threshold)))
+    )
