@@ -217,3 +217,49 @@ def test_sort_by_field_and_mode_and_missing_plane(
     assert [r["value"] for r in got2] == [0.0] * len(got2)
     ids = [r["doc_id"] for r in got2]
     assert ids == sorted(ids)
+
+
+def test_rank_feature_functions(spark):
+    """The three ES rank_feature transforms vs python formulas, the
+    boundedness/monotonicity contract, negative clamping, pivot
+    semantics (f == pivot scores boost/2), and the guard."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from uci_searchengine_spark.operators.docvalues import (
+        rank_feature_expr,
+        saturation_pivot,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate([0, 1, 5, 10, 50, -3, 100])]
+    df = spark.createDataFrame(rows, "id long, f double")
+    pv = saturation_pivot(df, "f")
+    import numpy as np
+
+    want_pv = math.exp(np.mean([math.log(v) for _, v in rows if v > 0]))
+    assert pv == pytest.approx(want_pv, rel=1e-12)
+    got = {
+        r["id"]: (r["s"], r["l"], r["g"])
+        for r in df.select(
+            "id",
+            rank_feature_expr("f", "saturation", pivot=pv, boost=2.0).alias("s"),
+            rank_feature_expr("f", "log", scaling=1.0).alias("l"),
+            rank_feature_expr("f", "sigmoid", pivot=pv, exponent=2.0).alias("g"),
+        ).collect()
+    }
+    for i, v in rows:
+        c = max(v, 0.0)
+        assert got[i][0] == pytest.approx(2.0 * c / (c + pv), rel=1e-12)
+        assert got[i][1] == pytest.approx(math.log(1.0 + c), rel=1e-12)
+        assert got[i][2] == pytest.approx(
+            c**2 / (c**2 + pv**2) if c > 0 else 0.0, rel=1e-12
+        )
+        assert 0.0 <= got[i][0] <= 2.0 and 0.0 <= got[i][2] <= 1.0
+    # pivot semantics: f == pivot scores exactly boost/2
+    half = spark.createDataFrame([(0, float(pv))], "id long, f double").select(
+        rank_feature_expr("f", "saturation", pivot=pv, boost=2.0).alias("s")
+    ).collect()[0]["s"]
+    assert half == pytest.approx(1.0, rel=1e-12)
+    with pytest.raises(ValueError):
+        rank_feature_expr("f", "linear")

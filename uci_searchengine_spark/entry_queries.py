@@ -8576,6 +8576,62 @@ ORDER BY id_a
 QUERIES["bitext_mining"] = (q_bitext_mining, SQL_BITEXT_MINING)
 
 
+def q_rank_feature(spark, sf_dir):
+    """ES rank_feature scoring functions (docvalues.rank_feature_expr):
+    saturation (pivot = the field's geometric mean, ES's documented
+    default via `saturation_pivot`), log, and sigmoid over the
+    documents' n_chars static signal — the bounded monotone transforms
+    that fold per-doc signals into relevance without a runaway raw
+    value. The pivot is COMPUTED (one aggregate both engines mirror),
+    so the gate value-checks the default-pivot contract, not just the
+    arithmetic. Scores rounded 6 (libm convention)."""
+    from uci_searchengine_spark.operators.docvalues import (
+        rank_feature_expr,
+        saturation_pivot,
+    )
+
+    docs = _t(spark, sf_dir, "documents", rebalance=False)
+    pv = saturation_pivot(docs, "n_chars")
+    return docs.select(
+        "doc_id",
+        F.round(
+            rank_feature_expr("n_chars", "saturation", pivot=pv, boost=2.0),
+            6,
+        ).alias("sat"),
+        F.round(
+            rank_feature_expr("n_chars", "log", scaling=1.0), 6
+        ).alias("logv"),
+        F.round(
+            rank_feature_expr(
+                "n_chars", "sigmoid", pivot=pv, exponent=2.0
+            ),
+            6,
+        ).alias("sig"),
+    ).orderBy("doc_id")
+
+
+SQL_RANK_FEATURE = """
+WITH pv AS (
+  SELECT exp(avg(ln(CAST(n_chars AS DOUBLE)))) AS p
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id,
+       round(2.0 * (greatest(CAST(n_chars AS DOUBLE), 0.0)
+             / (greatest(CAST(n_chars AS DOUBLE), 0.0) + pv.p)), 6)
+         AS sat,
+       round(1.0 * ln(1.0 + greatest(CAST(n_chars AS DOUBLE), 0.0)), 6)
+         AS logv,
+       round(1.0 * (pow(greatest(CAST(n_chars AS DOUBLE), 0.0), 2.0)
+             / (pow(greatest(CAST(n_chars AS DOUBLE), 0.0), 2.0)
+                + pow(pv.p, 2.0))), 6) AS sig
+FROM documents CROSS JOIN pv
+ORDER BY doc_id
+"""
+
+
+QUERIES["rank_feature"] = (q_rank_feature, SQL_RANK_FEATURE)
+
+
 FS_SLOTS = 2  # per-domain fetches per round
 FS_DOMAINS = 7
 

@@ -690,3 +690,62 @@ def sort_by_field_topk(
     per_bucket = apply_per_bucket(seg, excl, make_fn, _SORT_SCHEMA)
     val_order = F.asc("value") if asc else F.desc("value")
     return per_bucket.orderBy(val_order, F.asc("doc_id")).limit(k)
+
+
+def saturation_pivot(df, col):
+    """ES's default rank_feature pivot: (approximately) the geometric
+    mean of the feature — exp(mean(ln f)) over positive values, one
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.filter(F.col(col) > 0)
+        .agg(F.exp(F.avg(F.log(F.col(col)))).alias("pivot"))
+        .collect()[0]["pivot"]
+    )
+
+
+def rank_feature_expr(
+    feature,
+    fn: str = "saturation",
+    pivot: float = 1.0,
+    exponent: float = 2.0,
+    scaling: float = 1.0,
+    boost: float = 1.0,
+):
+    """ES `rank_feature` query scoring as a Column (Elasticsearch
+    rank_feature docs): static per-doc signals (pagerank, freshness,
+    url depth) folded into relevance with a BOUNDED monotone transform
+    so no document rides a runaway raw value —
+
+    * ``saturation``: boost·f/(f+pivot)  (bounded by boost; pivot =
+      the feature value scoring 0.5·boost — ES defaults it to the
+      field's approximate geometric mean, `saturation_pivot`);
+    * ``log``: boost·ln(scaling + f)  (unbounded, for features already
+      log-shaped);
+    * ``sigmoid``: boost·f^exp/(f^exp + pivot^exp)  (saturation with a
+      tunable knee).
+
+    Pure scan-side arithmetic; negative features are clamped to 0
+    (ES requires non-negative rank_feature fields). The doc-values
+    machinery above (`blended_topk`) is where such a score joins
+    BM25 with admissible pruning; this expression is the scoring
+    contract itself, engine-portable."""
+    from pyspark.sql import functions as F
+
+    f = F.greatest(
+        (feature if not isinstance(feature, str) else F.col(feature)).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    if fn == "saturation":
+        s = f / (f + F.lit(float(pivot)))
+    elif fn == "log":
+        s = F.log(F.lit(float(scaling)) + f)
+    elif fn == "sigmoid":
+        fp = F.pow(f, F.lit(float(exponent)))
+        s = fp / (fp + F.pow(F.lit(float(pivot)), F.lit(float(exponent))))
+    else:
+        raise ValueError("fn must be saturation, log, or sigmoid")
+    return F.lit(float(boost)) * s
