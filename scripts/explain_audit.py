@@ -1098,6 +1098,60 @@ def main() -> None:
         )
     )
 
+    # SymSpell lookup: the delete-probe must push an In/isin filter
+    # into the plane scan (never a full-plane levenshtein pass) and
+    # contain no Python.
+    from uci_searchengine_spark.operators.suggest import (
+        suggest_symspell as _ssym,
+        symspell_plane as _spl,
+    )
+
+    sv = spark.createDataFrame(
+        [("scan", 3), ("sort", 2)], "term string, df long"
+    )
+    spl = _spl(sv, max_dist=2)
+    ss = _ssym(spl, "scrn", k=3)
+    plan = ss._sc._jvm.PythonSQLUtils.explainString(
+        ss._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "symspell: IN-probe filter present, no Python",
+            (" IN (" in plan or "INSET" in plan or " IN [" in plan)
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
+    # Bitext mining: aggregates only — no Window, no Python; with a
+    # candidate relation no cartesian product either.
+    from uci_searchengine_spark.operators.similarity import (
+        mine_bitext as _mbt,
+    )
+
+    ea = spark.createDataFrame(
+        [(1, [0.1] * 4), (2, [0.2] * 4)], "vec_id long, embedding array<float>"
+    )
+    eb = spark.createDataFrame(
+        [(11, [0.3] * 4)], "vec_id long, embedding array<float>"
+    )
+    cnd = spark.createDataFrame([(1, 11), (2, 11)], "ia long, ib long")
+    mb = _mbt(ea, eb, k=2, threshold=0.0, candidates=cnd)
+    plan = mb._sc._jvm.PythonSQLUtils.explainString(
+        mb._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "bitext: no Window / Python / cartesian with candidates",
+            "Window" not in plan
+            and "CartesianProduct" not in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)
