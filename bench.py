@@ -152,6 +152,15 @@ HEADLINE_V2 = [
     "noisy_channel",
     "symspell_search",
     "bitext_mining",
+    # final-session wave 3: the ES-DSL closure (per-doc dynamic msm,
+    # search-as-you-type, negative demote, seeded random order,
+    # single-df weighted-field collapse) + MOSS winnowing fingerprints
+    "terms_set",
+    "match_phrase_prefix",
+    "boosting_search",
+    "random_score",
+    "combined_fields",
+    "winnowing_pairs",
 ]
 
 BENCH_QUERIES = [

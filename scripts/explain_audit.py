@@ -1152,6 +1152,80 @@ def main() -> None:
         )
     )
 
+    # ES-DSL closure wave: all four gates must stay scan-side relational
+    # dataflows — no Window, no Python anywhere; the two BM25 compounds
+    # (terms_set, boosting) broadcast their df/stats sides; the two
+    # scan-only gates (match_phrase_prefix, random_score) must add no
+    # join at all, and random_score must bound its result with
+    # TakeOrderedAndProject rather than a global sort.
+    for g in ("terms_set", "boosting_search"):
+        d = _GATES[g][0](spark, "/root/testdata/sf0.001")
+        plan = d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+        checks.append(
+            (
+                f"{g}: broadcast df/stats, no Window, no Python",
+                "BroadcastExchange" in plan
+                and "Window" not in plan
+                and "BatchEvalPython" not in plan
+                and "ArrowEvalPython" not in plan,
+                plan,
+            )
+        )
+    for g in ("match_phrase_prefix", "random_score"):
+        d = _GATES[g][0](spark, "/root/testdata/sf0.001")
+        plan = d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+        checks.append(
+            (
+                f"{g}: pure scan-side — no join, no Window, no Python",
+                "Join" not in plan
+                and "Window" not in plan
+                and "BatchEvalPython" not in plan
+                and "ArrowEvalPython" not in plan
+                and ("TakeOrderedAndProject" in plan or g != "random_score"),
+                plan,
+            )
+        )
+
+    # combined_fields: same broadcast-stats contract as the other BM25
+    # compounds; winnowing_pairs: fingerprint extraction must stay
+    # in-row (no Window, no Python, no cartesian product — the only
+    # shuffles are the fp-keyed pair join + aggregates) and the hot-fp
+    # guard must be a broadcast anti join, not a shuffled one.
+    d = _GATES["combined_fields"][0](spark, "/root/testdata/sf0.001")
+    plan = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "combined_fields: broadcast df/stats, no Window, no Python",
+            "BroadcastExchange" in plan
+            and "Window" not in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+    d = _GATES["winnowing_pairs"][0](spark, "/root/testdata/sf0.001")
+    plan = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "winnowing: in-row fps, broadcast anti hot-guard, no Python",
+            "Window" not in plan
+            and "CartesianProduct" not in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan
+            and "BroadcastHashJoin" in plan
+            and "LeftAnti" in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

@@ -9167,6 +9167,527 @@ FROM d LEFT JOIN clean ON d.doc_id = clean.doc_id
 QUERIES["suffix_span_removal"] = (q_suffix_span_removal, SQL_SUFFIX_SPAN_REMOVAL)
 
 
+# ----------------------------------------------- ES query-DSL closure wave
+# The four compound-query types from the Elasticsearch DSL still absent
+# after the round-4/5 waves (dis_max, rank_feature, function_score decay,
+# boosts, msm, fuzzy/regex/prefix/wildcard, percolate, rescore, collapse,
+# search_after all landed earlier): terms_set (per-DOC dynamic
+# minimum_should_match), match_phrase_prefix (search-as-you-type),
+# boosting (negative-demote compound), and function_score random_score
+# (seeded deterministic sampling order). All four are scan-side
+# relational dataflows — the same one-pass token-scan → tiny broadcast
+# aggregates shape as bm25_topk/dismax_search — with no Window, no
+# Python, no new shuffle beyond the doc-keyed score aggregate.
+
+
+def q_terms_set(spark, sf_dir):
+    """ES terms_set query: like minimum_should_match, but the REQUIRED
+    match count is a per-document field, not a query constant
+    (minimum_should_match_field — e.g. a skills/tags table where each
+    doc declares how many of the queried tags must hit). The stored
+    field is synthesised deterministically as 1 + doc_id % 3 (the gate's
+    stand-in for a stored INT doc value; the product path would read it
+    from the operators/docvalues.py plane). Eligibility changes, scores
+    never do: score = the SAME OR-sum BM25 as msm_search
+    (wand._score_bucket_msm is the scalar-threshold product path; the
+    per-doc threshold generalization is this relational form). One
+    token-stream scan, broadcast stats/df, doc-keyed aggregate —
+    no Window, no Python."""
+    toks = _doc_tokens(spark, sf_dir)
+    dl = toks.select(
+        "doc_id", F.size("t").cast("long").alias("doc_len")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    tf_pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter(F.col("t"), lambda x: x == F.lit(t)))
+                .cast("long")
+                .alias("tf"),
+            )
+            for t in BM25_QUERY_TERMS
+        ]
+    )
+    posts = (
+        toks.select(
+            "doc_id",
+            F.size("t").cast("long").alias("doc_len"),
+            F.explode(tf_pairs).alias("p"),
+        )
+        .select("doc_id", "doc_len", F.col("p.term").alias("term"),
+                F.col("p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    sat = tfd * (BM25_K1 + 1.0) / (
+        tfd
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doc_len") / F.col("avgdl"))
+    )
+    scored = (
+        posts.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("matched"),
+            F.round(F.sum(idf * sat), 6).alias("score"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "required", (F.lit(1) + F.col("doc_id") % 3).cast("int")
+        )
+        .filter(F.col("matched") >= F.col("required"))
+        .select("doc_id", "matched", "required", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_TERMS_SET = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('data','spark','join') GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         count(*)::INT AS matched,
+         round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+               * (p.tf*{BM25_K1 + 1.0})
+               / (p.tf + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*d.doc_len/s.avgdl)) ), 6) AS score
+  FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, matched, (1 + doc_id % 3)::INT AS required, score
+FROM scored
+WHERE matched >= 1 + doc_id % 3
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+QUERIES["terms_set"] = (q_terms_set, SQL_TERMS_SET)
+
+
+MPP_SEQ = ["data"]
+MPP_PREFIX = "s"
+
+
+def q_match_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix ("data s*" — search-as-you-type): exact
+    positional phrase on every word but the last, which is a PREFIX; ES
+    rewrites the last position to the first max_expansions (50)
+    dictionary terms under the prefix. Against this corpus's vocab the
+    expansion set (scan/slow/small/sort/spark/stream, 6 terms — and any
+    vocab this tokenizer yields stays far under the cap, checkable at
+    scale from the operators/prefix.py vocab plane) fits the cap, so the
+    rewrite is EXACTLY a starts-with test on the next token position —
+    evaluated scan-side by a JVM HOF (functions/phrase.
+    phrase_prefix_count_col), zero shuffle, zero expansion list. Output
+    mirrors phrase_match: (doc_id, n_occ) for every matching doc."""
+    from uci_searchengine_spark.functions.phrase import (
+        phrase_prefix_count_col,
+    )
+
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select(
+            "doc_id",
+            phrase_prefix_count_col(
+                F.col("t"), MPP_SEQ, MPP_PREFIX
+            ).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_match_phrase_prefix() -> str:
+    from uci_searchengine_spark.functions.phrase import (
+        phrase_prefix_count_sql,
+    )
+
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, n_occ FROM (
+  SELECT doc_id,
+         {phrase_prefix_count_sql(MPP_SEQ, MPP_PREFIX)}::INT AS n_occ
+  FROM toks
+) WHERE n_occ > 0 ORDER BY doc_id
+"""
+
+
+QUERIES["match_phrase_prefix"] = (
+    q_match_phrase_prefix,
+    _sql_match_phrase_prefix(),
+)
+
+
+BOOSTING_POS = ["data", "spark"]
+BOOSTING_NEG = "join"
+BOOSTING_NEGATIVE_BOOST = 0.5
+
+
+def q_boosting_search(spark, sf_dir):
+    """ES boosting query: positive clause scored normally (OR-sum BM25
+    over 'data','spark' — its OWN df/stats, exactly the bm25_topk
+    dataflow), and docs that ALSO match the negative clause ('join')
+    are not excluded but DEMOTED — score × negative_boost (0.5). The
+    downranking compound no bool query can express (must_not excludes;
+    boosting demotes). The negative test rides the same token-scan
+    projection as the tf columns (array_contains on the already-read
+    array) — no second scan, no join against a negative posting list."""
+    toks = _doc_tokens(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("doc_len"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    tf_pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter(F.col("t"), lambda x: x == F.lit(t)))
+                .cast("long")
+                .alias("tf"),
+            )
+            for t in BOOSTING_POS
+        ]
+    )
+    posts = (
+        toks.select(
+            "doc_id",
+            F.size("t").cast("long").alias("doc_len"),
+            F.array_contains("t", BOOSTING_NEG).alias("neg"),
+            F.explode(tf_pairs).alias("p"),
+        )
+        .select("doc_id", "doc_len", "neg",
+                F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    sat = tfd * (BM25_K1 + 1.0) / (
+        tfd
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doc_len") / F.col("avgdl"))
+    )
+    return (
+        posts.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * sat)
+                * F.when(
+                    F.first("neg"), F.lit(BOOSTING_NEGATIVE_BOOST)
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_BOOSTING_SEARCH = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+neg AS (SELECT doc_id, list_contains(t, '{BOOSTING_NEG}') AS is_neg FROM toks),
+posts AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ({", ".join(f"'{t}'" for t in BOOSTING_POS)})
+  GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term)
+SELECT p.doc_id,
+       round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+             * (p.tf*{BM25_K1 + 1.0})
+             / (p.tf + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*d.doc_len/s.avgdl)) )
+             * CASE WHEN any_value(n.is_neg)
+                    THEN {BOOSTING_NEGATIVE_BOOST} ELSE 1.0 END, 6) AS score
+FROM posts p JOIN dfs f ON p.term=f.term JOIN dl d ON p.doc_id=d.doc_id
+JOIN neg n ON p.doc_id=n.doc_id
+CROSS JOIN stats s
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
+
+
+QUERIES["boosting_search"] = (q_boosting_search, SQL_BOOSTING_SEARCH)
+
+
+RANDOM_SCORE_SEED = 42
+
+
+def q_random_score(spark, sf_dir):
+    """ES function_score random_score with a seed+field: a DETERMINISTIC
+    per-doc pseudo-random ordering (reproducible shuffles for sampling
+    UIs, A/B-stable "random" result pages) — NOT SQL rand(); the score
+    must be a pure function of (seed, doc_id) so both engines (and any
+    re-run, on any partitioning, at any parallelism) agree. rkey = the
+    first 8 md5 hex digits of 'seed:doc_id' as a uint32 (the exact
+    integer is part of the gate hash, so cross-engine agreement is
+    bit-level, not rounded), rscore = rkey/2^32 ∈ [0,1). Filtered to
+    docs matching 'spark' (function_score over a match filter). Same
+    scan-side-md5 technique as the sampling/minhash gates."""
+    toks = _doc_tokens(spark, sf_dir)
+    rkey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{RANDOM_SCORE_SEED}:"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        toks.filter(F.array_contains("t", "spark"))
+        .select(
+            "doc_id",
+            rkey.alias("rkey"),
+            F.round(rkey / F.lit(4294967296.0), 6).alias("rscore"),
+        )
+        .orderBy(F.desc("rkey"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_RANDOM_SCORE = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{RANDOM_SCORE_SEED}:' || CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT)::BIGINT AS rkey
+  FROM toks WHERE list_contains(t, 'spark')
+)
+SELECT doc_id, rkey, round(rkey / 4294967296.0, 6) AS rscore
+FROM m ORDER BY rkey DESC, doc_id ASC LIMIT 10
+"""
+
+
+QUERIES["random_score"] = (q_random_score, SQL_RANDOM_SCORE)
+
+
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+WINNOW_FP_CAP = 50
+
+
+def q_winnowing_pairs(spark, sf_dir):
+    """Winnowing document fingerprinting (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS selector; operators/dedup.winnowing_pairs):
+    per doc, hash word 5-grams, slide a 4-hash window, keep each
+    window's minimum (rightmost on ties); near-dup candidate pairs =
+    docs sharing >= 2 selected fingerprints. Winnowing guarantees any
+    shared run of >= w+k-1 = 8 tokens surfaces a shared fingerprint
+    while sampling only ~2/(w+1) of the gram stream — the sublinear
+    candidate index for the span-dedup family (duplicate_spans answers
+    the same question exactly; this is what you index at corpus
+    scale). Fingerprint extraction is fully IN-ROW (JVM HOFs, zero
+    shuffle); the only shuffle is the fingerprint-keyed pair join,
+    boilerplate-guarded by fp_cap like the LSH bucket cap. On this
+    corpus the surviving pairs are exactly the planted near-dup set at
+    both SFs (verified: no coincidental pair shares 2 distinct
+    5-grams)."""
+    from uci_searchengine_spark.operators.dedup import winnowing_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        winnowing_pairs(
+            docs,
+            "doc_id",
+            "text",
+            k=WINNOW_K,
+            w=WINNOW_W,
+            min_shared=WINNOW_MIN_SHARED,
+            fp_cap=WINNOW_FP_CAP,
+        )
+        .orderBy("a", "b")
+    )
+
+
+def _sql_winnowing_pairs() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH wt AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+              ELSE [array_to_string(t[i:i+{k - 1}], ' ')
+                    for i in generate_series(1, len(t)-{k - 1})]
+         END AS grams
+  FROM wt
+),
+hh AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(g),1,8)) AS UBIGINT)::BIGINT
+          for g in grams] AS h,
+         least({w}, len(grams)) AS we
+  FROM gr
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct([
+           list_max([j for j in generate_series(s, s+we-1)
+                     if h[j] = list_min(h[s:s+we-1])])
+           for s in generate_series(1, len(h)-we+1)
+         ]) AS pos,
+         h
+  FROM hh WHERE len(h) > 0
+),
+fp AS (
+  SELECT DISTINCT doc_id, unnest([h[p] for p in pos]) AS fp
+  FROM sel
+),
+cold AS (
+  SELECT doc_id, fp FROM fp
+  WHERE fp IN (SELECT fp FROM fp GROUP BY fp
+               HAVING count(*) <= {WINNOW_FP_CAP})
+)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS shared_fp
+FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+ORDER BY a, b
+"""
+
+
+QUERIES["winnowing_pairs"] = (q_winnowing_pairs, _sql_winnowing_pairs())
+
+
+COMBINED_FIELDS_TITLE_WEIGHT = 2.0
+
+
+def q_combined_fields(spark, sf_dir):
+    """ES combined_fields query (7.13+): the PRINCIPLED multi-field
+    match — instead of BM25F's per-field scores (bm25f_topk) or
+    dis_max's best-field (dismax_search), term statistics are merged
+    into ONE pseudo-field: tf' = Σ_f w_f·tf_f, |d|' = Σ_f w_f·|d_f|,
+    and a SINGLE df/idf over the combined field (a doc counts once no
+    matter which field matched) — the BM25F simplification Robertson
+    calls "the simple but effective" weighted-field collapse, and the
+    only one of the three whose score is provably term-independent of
+    field count. Title = first {BM25F_TITLE_LEN} tokens at weight 2,
+    body = the rest at weight 1. Same one-scan broadcast-stats shape
+    as bm25_topk; the field split is pure projection arithmetic."""
+    n = BM25F_TITLE_LEN
+    wt = COMBINED_FIELDS_TITLE_WEIGHT
+    toks = _doc_tokens(spark, sf_dir)
+    fielded = toks.select(
+        "doc_id",
+        F.slice("t", 1, n).alias("ft"),
+        F.expr(f"slice(t, {n + 1}, greatest(size(t) - {n}, 0))").alias("fb"),
+    )
+
+    def tf_in(col, term):
+        return F.size(
+            F.filter(F.col(col), lambda x: x == F.lit(term))
+        ).cast("double")
+
+    lens = fielded.select(
+        "doc_id",
+        "ft",
+        "fb",
+        (
+            F.lit(wt) * F.size("ft") + F.size("fb").cast("double")
+        ).alias("dlen"),
+    )
+    stats = lens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dlen").alias("avgdl"),
+    )
+    tf_pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                (F.lit(wt) * tf_in("ft", t) + tf_in("fb", t)).alias("tf"),
+            )
+            for t in BM25_QUERY_TERMS
+        ]
+    )
+    posts = (
+        lens.select("doc_id", "dlen", F.explode(tf_pairs).alias("p"))
+        .select("doc_id", "dlen", F.col("p.term").alias("term"),
+                F.col("p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sat = F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+    )
+    return (
+        posts.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_combined_fields() -> str:
+    n = BM25F_TITLE_LEN
+    wt = COMBINED_FIELDS_TITLE_WEIGHT
+    terms = ",".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+fields AS (
+  SELECT doc_id, t[1:{n}] AS ft, t[{n + 1}:] AS fb,
+         {wt}*len(t[1:{n}]) + CAST(len(t[{n + 1}:]) AS DOUBLE) AS dlen
+  FROM toks
+),
+stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM fields),
+posts AS (
+  SELECT doc_id, dlen, q.term,
+         {wt}*len(list_filter(ft, x -> x = q.term))
+           + CAST(len(list_filter(fb, x -> x = q.term)) AS DOUBLE) AS tf
+  FROM fields CROSS JOIN (SELECT unnest([{terms}]) AS term) q
+  WHERE {wt}*len(list_filter(ft, x -> x = q.term))
+        + len(list_filter(fb, x -> x = q.term)) > 0
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term)
+SELECT p.doc_id,
+       round(sum( ln((s.n_docs - f.df + 0.5)/(f.df + 0.5) + 1.0)
+             * (p.tf*{BM25_K1 + 1.0})
+             / (p.tf + {BM25_K1}*(1.0 - {BM25_B} + {BM25_B}*p.dlen/s.avgdl)) ), 6) AS score
+FROM posts p JOIN dfs f ON p.term=f.term
+CROSS JOIN stats s
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
+
+
+QUERIES["combined_fields"] = (q_combined_fields, _sql_combined_fields())
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
@@ -9284,19 +9805,28 @@ _WINDOW_R5 = [
     "hll_grouped",
     "percentile_ranks",
     "percolate_indexed",
-    # (b) implementation touched after the r4 driver check
-    "composite_agg",
-    "federated_search",
-    "phrase_suggest",
     # (c) last driver-checked in round 2 (oldest code-to-check gap)
     "bm25_tombstones",
     "dup_clusters",
-    "events_hourly",
     "hybrid_rrf",
-    "latest_event_per_user",
     "pagerank",
-    "revenue_topk",
     "search_facets",
+    # (f) the final-session ES-DSL closure + winnowing wave — never
+    # driver-checked by definition, so they take window priority over
+    # six gates whose driver evidence is strongest elsewhere:
+    # composite_agg / federated_search / phrase_suggest were driver-
+    # green in r4 and their post-check ADVICE fixes (cursor-quote
+    # escaping, member-overlap url dedup, empty-word guard) are each
+    # pytest-pinned AND full-registry-replica green on final code;
+    # events_hourly / latest_event_per_user / revenue_topk are r2-era
+    # relational shapes, untouched since r2, replica-green at both SFs
+    # this session and re-verified by the r4 judge's own replay.
+    "terms_set",
+    "match_phrase_prefix",
+    "boosting_search",
+    "random_score",
+    "winnowing_pairs",
+    "combined_fields",
     # (d) new in round 5 — never checked by definition (displaces the
     # r2-era token_counts, embedding_norms, fingerprints,
     # quantize_embeddings, postings_for_term, term_df_top20,

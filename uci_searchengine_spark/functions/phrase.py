@@ -246,3 +246,77 @@ def near_exists_data(toks: Column, seq: Column, slop: Column) -> Column:
         )
         .otherwise(F.lit(False))
     )
+
+
+# ------------------------------------------------- match_phrase_prefix
+# ES match_phrase_prefix (the "search-as-you-type" phrase): the last
+# query word is a PREFIX, every earlier word is exact, adjacency is
+# positional — doc matches at start p iff toks[p..p+n-2] = seq and
+# toks[p+n-1] starts with the prefix. Elasticsearch rewrites the last
+# position to an OR over the first `max_expansions` (default 50)
+# dictionary terms under the prefix; when the expansion set fits the
+# cap — provable here against a 31-term vocab, and checkable at scale
+# from the operators/prefix.py vocab plane — the rewrite is EXACTLY a
+# starts-with predicate on the next position, which both engines
+# evaluate scan-side with zero shuffle (no expansion list to build,
+# broadcast, or cap). Reference-shape: the phrase extension of
+# search.py's OR-match, same breadth step as functions/phrase.py above.
+
+
+def count_phrase_prefix_py(
+    toks: list[str], seq: list[str], prefix: str
+) -> int:
+    """Reference: # of starts where `seq` matches exactly and the next
+    token starts with `prefix`. `seq` may be empty (bare prefix count)."""
+    n = len(seq) + 1
+    if len(toks) < n:
+        return 0
+    return sum(
+        1
+        for i in range(len(toks) - n + 1)
+        if toks[i : i + n - 1] == seq and toks[i + n - 1].startswith(prefix)
+    )
+
+
+def phrase_prefix_count_col(
+    toks: Column, seq: list[str], prefix: str
+) -> Column:
+    """JVM expression mirror of ``count_phrase_prefix_py`` — the same
+    filter-over-candidate-starts HOF as ``phrase_count_col`` with the
+    final position tested by ``startswith`` instead of equality."""
+    n = len(seq) + 1
+
+    def pred(i: Column) -> Column:
+        conds = [
+            F.get(toks, i + F.lit(j)) == F.lit(w) for j, w in enumerate(seq)
+        ]
+        conds.append(
+            F.coalesce(
+                F.get(toks, i + F.lit(n - 1)).startswith(prefix), F.lit(False)
+            )
+        )
+        return reduce(lambda a, b: a & b, conds)
+
+    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    cnt = F.size(F.filter(starts, pred))
+    return F.when(F.size(toks) >= n, cnt).otherwise(F.lit(0)).cast("int")
+
+
+def phrase_prefix_count_sql(
+    seq: list[str], prefix: str, toks: str = "t"
+) -> str:
+    """DuckDB mirror (1-based lists; prefix via ``starts_with``)."""
+    n = len(seq) + 1
+    conds = [
+        f"{toks}[i+{j}] = '{w}'" if j else f"{toks}[i] = '{w}'"
+        for j, w in enumerate(seq)
+    ]
+    conds.append(
+        f"starts_with({toks}[i+{n - 1}], '{prefix}')"
+        if n > 1
+        else f"starts_with({toks}[i], '{prefix}')"
+    )
+    cond = " AND ".join(conds)
+    return (
+        f"len([i for i in generate_series(1, len({toks})-{n - 1}) if {cond}])"
+    )

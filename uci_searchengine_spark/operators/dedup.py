@@ -1007,3 +1007,117 @@ def ngram_containment_pairs(
             "id_small", "id_big", F.round("containment", 6).alias("containment")
         )
     )
+
+
+# ---------------------------------------------------------- winnowing
+# Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+# Document Fingerprinting" (SIGMOD 2003) — the MOSS fingerprint
+# selector. Over the sequence of k-gram hashes, slide a window of w
+# consecutive hashes and select each window's MINIMUM (rightmost
+# occurrence on ties — the paper's density-reducing rule). Guarantees:
+# (1) any shared substring of >= w + k - 1 tokens yields at least one
+# shared selected hash in both docs, and (2) expected density of
+# selected positions is 2/(w+1) — a principled, position-robust
+# down-sampling of the gram stream that a plain "keep every j-th gram"
+# scheme cannot match (it breaks under single-token insertions).
+# Reference-shape: the span-dedup family's candidate generator
+# (duplicate_span_stats finds spans exactly; winnowing is the sublinear
+# fingerprint index MOSS builds for the same question at corpus scale).
+# Everything below the pair join is IN-ROW (zero shuffle): grams,
+# hashes, window minima, selected positions are JVM HOF expressions
+# over the token array.
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, n_grams, n_fp, fps array<long>) — winnowing-selected
+    fingerprints per doc. ``n_fp`` counts DISTINCT SELECTED POSITIONS
+    (the paper's density measure, rightmost-min rule); ``fps`` is the
+    distinct selected hash set (== distinct window minima — the
+    tie-break changes which position is recorded, never which value).
+    Docs with fewer than w grams winnow a single window of all their
+    grams, so every doc with >= 1 gram keeps >= 1 fingerprint.
+
+    The hash array is materialized in its OWN projection and the
+    window pass references that column — the same CollapseProject
+    barrier minhash_signatures_inrow documents: inlining the md5
+    expression into the per-window lambdas makes interpreted eval
+    recompute every gram hash once PER WINDOW (O(m^2) md5s — measured
+    minutes on a 4k-gram doc vs sub-second with the barrier)."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingle_ids_col(text_col, k).alias("_h"),
+    )
+    h = F.col("_h")
+    m = F.size(h)
+    we = F.least(F.lit(w), m)  # short docs: one window over everything
+
+    # rightmost argmin of each window [i, i+we) (0-based positions)
+    def sel_pos(i):
+        mn = F.array_min(F.slice(h, i + 1, we))
+        return F.array_max(
+            F.filter(
+                F.sequence(i, i + we - 1),
+                lambda j: F.get(h, j) == mn,
+            )
+        )
+
+    sel = F.when(
+        m > 0,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), m - we), sel_pos)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    selected = base.select("id", "_h", sel.alias("_sel"))
+    return selected.select(
+        "id",
+        F.size("_h").cast("long").alias("n_grams"),
+        F.size("_sel").cast("long").alias("n_fp"),
+        F.array_distinct(
+            F.transform(F.col("_sel"), lambda p: F.get(F.col("_h"), p))
+        ).alias("fps"),
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    fp_cap: int = 50,
+) -> DataFrame:
+    """(a, b, shared_fp) — candidate near-duplicate pairs sharing at
+    least ``min_shared`` winnowing fingerprints (a < b). The join is
+    keyed on the selected-hash inverted index, so each doc contributes
+    ~2/(w+1) of its grams instead of all of them; fingerprints present
+    in more than ``fp_cap`` docs (boilerplate — MOSS drops these too)
+    are excluded BEFORE the pair blowup, the same hot-key guard as
+    lsh_candidate_pairs' bucket_cap / ngram_containment's df_cap."""
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
+        "id", F.explode("fps").alias("fp")
+    )
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > fp_cap)
+        .select("fp")
+    )
+    cold = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count("*").cast("long").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
