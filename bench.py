@@ -161,6 +161,12 @@ HEADLINE_V2 = [
     "random_score",
     "combined_fields",
     "winnowing_pairs",
+    # final-session wave 4: the ES agg closure (decimal-exact moments,
+    # robust dispersion, windowless diversified sampling)
+    "extended_stats",
+    "weighted_avg",
+    "mad_dispersion",
+    "diversified_sample",
 ]
 
 BENCH_QUERIES = [

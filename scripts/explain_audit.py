@@ -1226,6 +1226,55 @@ def main() -> None:
         )
     )
 
+    # ES agg closure: the moment aggs must be plain partial-agg
+    # pipelines (no Window, no Python); MAD's median table must come
+    # back via broadcast; the diversified sampler's per-key cap must be
+    # the windowless sort-slice aggregate with a bounded global top-k.
+    for g in ("extended_stats", "weighted_avg"):
+        d = _GATES[g][0](spark, "/root/testdata/sf0.001")
+        plan = d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+        checks.append(
+            (
+                f"{g}: partial-agg pipeline, no Window/Join/Python",
+                "HashAggregate" in plan
+                and "Window" not in plan
+                and "Join" not in plan
+                and "BatchEvalPython" not in plan
+                and "ArrowEvalPython" not in plan,
+                plan,
+            )
+        )
+    d = _GATES["mad_dispersion"][0](spark, "/root/testdata/sf0.001")
+    plan = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "mad: broadcast median join, no Window, no Python",
+            "BroadcastHashJoin" in plan
+            and "Window" not in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+    d = _GATES["diversified_sample"][0](spark, "/root/testdata/sf0.001")
+    plan = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "diversified: windowless per-key cap + bounded top-k",
+            "Window" not in plan
+            and "TakeOrderedAndProject" in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

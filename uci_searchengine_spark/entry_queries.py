@@ -9688,6 +9688,217 @@ ORDER BY score DESC, p.doc_id ASC LIMIT 10
 QUERIES["combined_fields"] = (q_combined_fields, _sql_combined_fields())
 
 
+# ---------------------------------------------- ES aggregation closure
+# The metric/bucket aggregations from the ES agg DSL still absent after
+# the sketch wave (cardinality→HLL, percentiles→quantile sketch,
+# significant/rare/composite/pipeline all landed earlier):
+# extended_stats, weighted_avg, median_absolute_deviation, and the
+# diversified sampler. The moment-based aggs derive every output from
+# EXACT decimal sums (the pricing_summary convention) so the doubles
+# the two engines hash are bit-identical regardless of summation order
+# — the scale-safe answer to "floating-point aggregates shuffle-order
+# nondeterminism" that a naive var_pop() would flunk.
+
+
+def q_extended_stats(spark, sf_dir):
+    """ES extended_stats metric agg over lineitem price by return flag:
+    count/min/max/avg/sum/sum_of_squares/variance(population)/
+    std_deviation and the ±2σ bounds ES reports. All moments come from
+    exact DECIMAL(38,12) sums (map-side-combinable, order-independent),
+    cast to double once — variance = E[x²]−E[x]² evaluated in identical
+    IEEE arithmetic by both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(18,6)")
+    x2 = (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+        "decimal(38,12)"
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.col("l_extendedprice").cast("double")).alias("mn"),
+        F.max(F.col("l_extendedprice").cast("double")).alias("mx"),
+        F.sum(x).cast("double").alias("s"),
+        F.sum(x2).cast("double").alias("s2"),
+    )
+    avg = F.col("s") / F.col("cnt")
+    varp = F.col("s2") / F.col("cnt") - avg * avg
+    std = F.sqrt(varp)
+    return g.select(
+        "l_returnflag",
+        "cnt",
+        "mn",
+        "mx",
+        F.round(avg, 6).alias("avg"),
+        "s",
+        "s2",
+        F.round(varp, 4).alias("var_pop"),
+        F.round(std, 6).alias("std_pop"),
+        F.round(avg + 2 * std, 6).alias("std_upper"),
+        F.round(avg - 2 * std, 6).alias("std_lower"),
+    ).orderBy("l_returnflag")
+
+
+SQL_EXTENDED_STATS = """
+WITH g AS (
+  SELECT l_returnflag,
+         count(*) AS cnt,
+         min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+         max(CAST(l_extendedprice AS DOUBLE)) AS mx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, cnt, mn, mx,
+       round(s/cnt, 6) AS avg, s, s2,
+       round(s2/cnt - (s/cnt)*(s/cnt), 4) AS var_pop,
+       round(sqrt(s2/cnt - (s/cnt)*(s/cnt)), 6) AS std_pop,
+       round(s/cnt + 2*sqrt(s2/cnt - (s/cnt)*(s/cnt)), 6) AS std_upper,
+       round(s/cnt - 2*sqrt(s2/cnt - (s/cnt)*(s/cnt)), 6) AS std_lower
+FROM g ORDER BY l_returnflag
+"""
+
+
+QUERIES["extended_stats"] = (q_extended_stats, SQL_EXTENDED_STATS)
+
+
+def q_weighted_avg(spark, sf_dir):
+    """ES weighted_avg metric agg: Σ(value·weight)/Σ(weight) — price
+    weighted by quantity per return flag (the "average unit economics"
+    question a plain avg answers wrongly). Both sums exact decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    vw = (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+        "decimal(38,12)"
+    )
+    w = F.col("l_quantity").cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(vw).cast("double").alias("svw"),
+            F.sum(w).cast("double").alias("sw"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("svw") / F.col("sw"), 6).alias("weighted_avg"),
+            "sw",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_WEIGHTED_AVG = """
+SELECT l_returnflag,
+       round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS weighted_avg,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sw
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES["weighted_avg"] = (q_weighted_avg, SQL_WEIGHTED_AVG)
+
+
+def q_mad_dispersion(spark, sf_dir):
+    """ES median_absolute_deviation agg (the robust dispersion measure
+    — immune to the outliers that blow up std): MAD = median(|x −
+    median(x)|), price by return flag. Exact two-pass form: per-group
+    interpolated median (percentile_cont semantics — identical linear
+    interpolation in both engines), BROADCAST the 3-row median table
+    back, second aggregate over |x − med|. ES itself computes this on
+    a TDigest; the exact form is the gate oracle, and the repo's
+    quantile sketch (sketches.py) is the documented 100 TB swap —
+    same two-aggregate dataflow, sketch instead of exact sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("x", F.lit(0.5)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("x") - F.col("med")), F.lit(0.5)), 6
+            ).alias("mad"),
+            F.round(F.first("med"), 6).alias("med"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_MAD_DISPERSION = """
+WITH li AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+med AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med FROM li GROUP BY l_returnflag)
+SELECT li.l_returnflag,
+       round(quantile_cont(abs(li.x - med.med), 0.5), 6) AS mad,
+       round(any_value(med.med), 6) AS med
+FROM li JOIN med USING (l_returnflag)
+GROUP BY li.l_returnflag ORDER BY li.l_returnflag
+"""
+
+
+QUERIES["mad_dispersion"] = (q_mad_dispersion, SQL_MAD_DISPERSION)
+
+
+DIVERSIFIED_MAX_PER_KEY = 2
+DIVERSIFIED_K = 10
+
+
+def q_diversified_sample(spark, sf_dir):
+    """ES diversified sampler agg: the top-k sample with a de-dup
+    constraint — at most max_docs_per_value (2) docs per key (customer)
+    survive, THEN the global top-10 by price is taken, so one prolific
+    customer cannot monopolize the sample. Windowless per-key cap: each
+    customer's rows fold into one sort_array(collect_list(struct))[:2]
+    aggregate (bounded by orders-per-customer — the skew-safe per-key
+    top-N this repo uses instead of a rank Window), explode, global
+    TakeOrdered."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = (
+        o.select(
+            "o_custkey",
+            F.struct(
+                F.col("o_totalprice").cast("double").alias("p"),
+                (-F.col("o_orderkey")).alias("nk"),
+                "o_orderkey",
+            ).alias("s"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list("s"))),
+                1,
+                DIVERSIFIED_MAX_PER_KEY,
+            ).alias("top")
+        )
+    )
+    return (
+        per_key.select("o_custkey", F.explode("top").alias("s"))
+        .select(
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            "o_custkey",
+            F.col("s.p").alias("o_totalprice"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(DIVERSIFIED_K)
+    )
+
+
+SQL_DIVERSIFIED_SAMPLE = f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM ranked WHERE rn <= {DIVERSIFIED_MAX_PER_KEY}
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {DIVERSIFIED_K}
+"""
+
+
+QUERIES["diversified_sample"] = (q_diversified_sample, SQL_DIVERSIFIED_SAMPLE)
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no
