@@ -167,6 +167,10 @@ HEADLINE_V2 = [
     "weighted_avg",
     "mad_dispersion",
     "diversified_sample",
+    # final-session wave 5: positional span queries + corpus diversity
+    "span_first",
+    "span_not",
+    "ngram_diversity",
 ]
 
 BENCH_QUERIES = [

@@ -1275,6 +1275,39 @@ def main() -> None:
         )
     )
 
+    # span queries: pure scan-side positional predicates; diversity:
+    # a partial-agg rollup with no Window/Python.
+    for g in ("span_first", "span_not"):
+        d = _GATES[g][0](spark, "/root/testdata/sf0.001")
+        plan = d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+        checks.append(
+            (
+                f"{g}: pure scan-side — no join, no Window, no Python",
+                "Join" not in plan
+                and "Window" not in plan
+                and "BatchEvalPython" not in plan
+                and "ArrowEvalPython" not in plan,
+                plan,
+            )
+        )
+    d = _GATES["ngram_diversity"][0](spark, "/root/testdata/sf0.001")
+    plan = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    checks.append(
+        (
+            "ngram_diversity: partial-agg rollup, no Window/Join/Python",
+            "HashAggregate" in plan
+            and "Window" not in plan
+            and "Join" not in plan
+            and "BatchEvalPython" not in plan
+            and "ArrowEvalPython" not in plan,
+            plan,
+        )
+    )
+
     failures = 0
     for name, ok, plan in checks:
         print(("PASS " if ok else "FAIL ") + name)

@@ -9899,6 +9899,158 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {DIVERSIFIED_K}
 QUERIES["diversified_sample"] = (q_diversified_sample, SQL_DIVERSIFIED_SAMPLE)
 
 
+SPAN_FIRST_TERM = "spark"
+SPAN_FIRST_END = 10
+
+
+def q_span_first(spark, sf_dir):
+    """Lucene/ES span_first query: occurrences of 'spark' whose span
+    ends within the first 10 positions — positional early-in-doc
+    evidence (the title-ish boost when there is no field split).
+    Scan-side slice+filter HOF (functions/phrase.span_first_count_col),
+    zero shuffle. Output mirrors phrase_match: (doc_id, n_occ) for
+    matching docs."""
+    from uci_searchengine_spark.functions.phrase import span_first_count_col
+
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select(
+            "doc_id",
+            span_first_count_col(
+                F.col("t"), SPAN_FIRST_TERM, SPAN_FIRST_END
+            ).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_span_first() -> str:
+    from uci_searchengine_spark.functions.phrase import span_first_count_sql
+
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, n_occ FROM (
+  SELECT doc_id,
+         {span_first_count_sql(SPAN_FIRST_TERM, SPAN_FIRST_END)}::INT AS n_occ
+  FROM toks
+) WHERE n_occ > 0 ORDER BY doc_id
+"""
+
+
+QUERIES["span_first"] = (q_span_first, _sql_span_first())
+
+
+SPAN_NOT_TERM = "data"
+SPAN_NOT_EXCLUDE = ["data", "join"]
+
+
+def q_span_not(spark, sf_dir):
+    """Lucene/ES span_not query: occurrences of 'data' EXCEPT those
+    overlapping the phrase "data join" — the positional negation no
+    boolean filter can express (must_not drops whole docs; span_not
+    drops individual occurrences). For a single-term include opening a
+    multi-term exclude, overlap reduces to phrase-start identity —
+    evaluated by one scan-side HOF (functions/phrase.
+    span_not_count_col). Output (doc_id, n_occ) for docs retaining at
+    least one non-excluded occurrence."""
+    from uci_searchengine_spark.functions.phrase import span_not_count_col
+
+    return (
+        _doc_tokens(spark, sf_dir)
+        .select(
+            "doc_id",
+            span_not_count_col(
+                F.col("t"), SPAN_NOT_TERM, SPAN_NOT_EXCLUDE
+            ).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_span_not() -> str:
+    from uci_searchengine_spark.functions.phrase import span_not_count_sql
+
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, n_occ FROM (
+  SELECT doc_id,
+         {span_not_count_sql(SPAN_NOT_TERM, SPAN_NOT_EXCLUDE)}::INT AS n_occ
+  FROM toks
+) WHERE n_occ > 0 ORDER BY doc_id
+"""
+
+
+QUERIES["span_not"] = (q_span_not, _sql_span_not())
+
+
+DIVERSITY_N = 3
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Corpus diversity per source: distinct-trigram ratio (distinct
+    word 3-grams / total 3-gram occurrences) — the self-repetition
+    signal data-curation pipelines track at corpus level (a collapsing
+    or templated source scores low; repetition_stats is the WITHIN-doc
+    complement). One explode + per-source (count, count distinct)
+    aggregate over the md5 shingle ids; at 100 TB the exact distinct
+    swaps for the repo's HLL register aggregate (sketches.py) with the
+    same dataflow. Ratio rounded at 6."""
+    from uci_searchengine_spark.operators.dedup import shingle_ids_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "source", F.explode(shingle_ids_col("text", DIVERSITY_N)).alias("g")
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.countDistinct("g").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams"), 6
+            ).alias("diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_NGRAM_DIVERSITY = f"""
+WITH wt AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+gr AS (
+  SELECT source,
+         unnest(CASE WHEN len(t) < {DIVERSITY_N}
+                     THEN [array_to_string(t, ' ')]
+                     ELSE [array_to_string(t[i:i+{DIVERSITY_N - 1}], ' ')
+                           for i in generate_series(1, len(t)-{DIVERSITY_N - 1})]
+                END) AS g
+  FROM wt
+),
+ids AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(g),1,8)) AS UBIGINT)::BIGINT AS gid
+  FROM gr
+)
+SELECT source,
+       count(*) AS total_ngrams,
+       count(DISTINCT gid) AS distinct_ngrams,
+       round(count(DISTINCT gid) / CAST(count(*) AS DOUBLE), 6) AS diversity
+FROM ids GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["ngram_diversity"] = (q_ngram_diversity, SQL_NGRAM_DIVERSITY)
+
+
 # Late-round-4 window rotation (supersedes the literal order above): the
 # 22 gates added after the early-round rotation had landed sat past the
 # driver's 50-entry window and would have gone a full round with no

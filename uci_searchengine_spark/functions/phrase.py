@@ -320,3 +320,91 @@ def phrase_prefix_count_sql(
     return (
         f"len([i for i in generate_series(1, len({toks})-{n - 1}) if {cond}])"
     )
+
+
+# ------------------------------------------------ span_first / span_not
+# Lucene/ES span queries beyond span_near (covered by the slop family):
+# span_first restricts matches to spans ENDING within the first `end`
+# positions (title-ish boosting without a field split); span_not keeps
+# include-spans that do NOT overlap any exclude-span (e.g. the term
+# 'data' except where it starts the phrase "data join"). Both are pure
+# counting predicates over the token array — scan-side HOFs with DuckDB
+# list-comprehension mirrors, zero shuffle.
+
+
+def count_span_first_py(toks: list[str], term: str, end: int) -> int:
+    """# of `term` occurrences whose span end (0-based pos + 1) <= end."""
+    return sum(1 for p, t in enumerate(toks[: max(end, 0)]) if t == term)
+
+
+def span_first_count_col(toks: Column, term: str, end: int) -> Column:
+    return (
+        F.size(
+            F.filter(
+                F.slice(toks, 1, max(end, 0)),
+                lambda x: x == F.lit(term),
+            )
+        )
+        .cast("int")
+    )
+
+
+def span_first_count_sql(term: str, end: int, toks: str = "t") -> str:
+    return (
+        f"len(list_filter({toks}[1:{max(end, 0)}], x -> x = '{term}'))"
+    )
+
+
+def count_span_not_py(
+    toks: list[str], term: str, exclude_seq: list[str]
+) -> int:
+    """# of `term` occurrences that do not START the exclude phrase
+    (for a single-term include inside a multi-term exclude beginning
+    with that term, span overlap reduces to phrase-start identity)."""
+    n = len(exclude_seq)
+    c = 0
+    for p, t in enumerate(toks):
+        if t != term:
+            continue
+        if toks[p : p + n] == exclude_seq:
+            continue
+        c += 1
+    return c
+
+
+def span_not_count_col(
+    toks: Column, term: str, exclude_seq: list[str]
+) -> Column:
+    def pred(i: Column) -> Column:
+        hit = F.get(toks, i) == F.lit(term)
+        phr = reduce(
+            lambda a, b: a & b,
+            [
+                F.coalesce(
+                    F.get(toks, i + F.lit(j)) == F.lit(w), F.lit(False)
+                )
+                for j, w in enumerate(exclude_seq)
+            ],
+        )
+        return hit & ~phr
+
+    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(1))
+    return (
+        F.when(F.size(toks) > 0, F.size(F.filter(starts, pred)))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
+def span_not_count_sql(
+    term: str, exclude_seq: list[str], toks: str = "t"
+) -> str:
+    phr = " AND ".join(
+        f"coalesce({toks}[i+{j}] = '{w}', false)" if j
+        else f"{toks}[i] = '{w}'"
+        for j, w in enumerate(exclude_seq)
+    )
+    return (
+        f"len([i for i in generate_series(1, len({toks})) "
+        f"if {toks}[i] = '{term}' AND NOT ({phr})])"
+    )
