@@ -1043,46 +1043,57 @@ def winnow_fingerprints(
     Docs with fewer than w grams winnow a single window of all their
     grams, so every doc with >= 1 gram keeps >= 1 fingerprint.
 
-    The hash array is materialized in its OWN projection and the
-    window pass references that column — the same CollapseProject
-    barrier minhash_signatures_inrow documents: inlining the md5
-    expression into the per-window lambdas makes interpreted eval
-    recompute every gram hash once PER WINDOW (O(m^2) md5s — measured
-    minutes on a 4k-gram doc vs sub-second with the barrier)."""
+    The hash array is bound as a LAMBDA VARIABLE (the whole selection
+    runs inside transform(array(h), hh -> ...)) so the md5/gram chain
+    is evaluated exactly once per row NO MATTER what the optimizer does
+    to projections. A plain aliased-column barrier (the
+    minhash_signatures_inrow CollapseProject trick) is NOT enough here:
+    downstream column pruning (winnowing_pairs keeps only `fps`)
+    collapses the projections and inlines the hash expression into the
+    per-window filter lambdas — interpreted HOF eval then recomputes
+    every gram hash once PER WINDOW PROBE, O(m^2) tokenize+md5 per doc
+    (observed as a multi-minute stall at sf0.1 in bench suite_v2,
+    jstack showing StringSplit under ArrayFilter). Lambda-bound
+    variables are evaluated once by construction and can never be
+    inlined into."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingle_ids_col(text_col, k).alias("_h"),
-    )
-    h = F.col("_h")
-    m = F.size(h)
-    we = F.least(F.lit(w), m)  # short docs: one window over everything
 
-    # rightmost argmin of each window [i, i+we) (0-based positions)
-    def sel_pos(i):
-        mn = F.array_min(F.slice(h, i + 1, we))
-        return F.array_max(
-            F.filter(
-                F.sequence(i, i + we - 1),
-                lambda j: F.get(h, j) == mn,
+    def winnow(hh):
+        m = F.size(hh)
+        we = F.least(F.lit(w), m)  # short docs: one window over all
+
+        # rightmost argmin of each window [i, i+we) (0-based)
+        def sel_pos(i):
+            mn = F.array_min(F.slice(hh, i + 1, we))
+            return F.array_max(
+                F.filter(
+                    F.sequence(i, i + we - 1),
+                    lambda j: F.get(hh, j) == mn,
+                )
             )
+
+        sel = F.when(
+            m > 0,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(0), m - we), sel_pos)
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.struct(
+            m.cast("long").alias("n_grams"),
+            F.size(sel).cast("long").alias("n_fp"),
+            F.array_distinct(
+                F.transform(sel, lambda p: F.get(hh, p))
+            ).alias("fps"),
         )
 
-    sel = F.when(
-        m > 0,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(0), m - we), sel_pos)
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    selected = base.select("id", "_h", sel.alias("_sel"))
-    return selected.select(
-        "id",
-        F.size("_h").cast("long").alias("n_grams"),
-        F.size("_sel").cast("long").alias("n_fp"),
-        F.array_distinct(
-            F.transform(F.col("_sel"), lambda p: F.get(F.col("_h"), p))
-        ).alias("fps"),
+    # inline() is a generator: the 1-element struct array is evaluated
+    # exactly once per row and explodes into the three output columns
+    # (three field projections of a shared struct alias could each
+    # re-inline the whole expression; a generator cannot).
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.inline(F.transform(F.array(shingle_ids_col(text_col, k)), winnow)),
     )
 
 
