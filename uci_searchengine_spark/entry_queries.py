@@ -3077,7 +3077,7 @@ def q_reciprocal_knn(spark, sf_dir):
     cand = knn_candidate_pairs(
         emb, n_tables=6, n_planes=4, hamming=2, dim=64, seed=11
     )
-    return reciprocal_knn(emb, k=RKNN_K, candidates=cand).orderBy(
+    return reciprocal_knn(emb, k=RKNN_K, candidates=cand, dim=64).orderBy(
         "id_a", "id_b"
     )
 
@@ -7227,9 +7227,9 @@ def q_semdedup_pairs(spark, sf_dir):
     relation into the keep-min-id drop list."""
     from uci_searchengine_spark.operators.clustering import semdedup_pairs
 
-    return semdedup_pairs(_km_assigned(spark, sf_dir), SEMDEDUP_T).orderBy(
-        "cell", "ia", "ib"
-    )
+    return semdedup_pairs(
+        _km_assigned(spark, sf_dir), SEMDEDUP_T, dim=64
+    ).orderBy("cell", "ia", "ib")
 
 
 def _sql_semdedup_pairs() -> str:
@@ -8119,7 +8119,7 @@ def q_retro_neighbors(spark, sf_dir):
         emb, n_tables=6, n_planes=4, hamming=2, dim=64, seed=11
     )
     return retro_neighbors(
-        emb, k=2, doc_col="doc", next_col="nxt", candidates=cand
+        emb, k=2, doc_col="doc", next_col="nxt", candidates=cand, dim=64
     ).orderBy("id", "rank")
 
 
@@ -8525,7 +8525,7 @@ def q_bitext_mining(spark, sf_dir):
     )
     cand = fwd.unionByName(rev)
     return mine_bitext(
-        a, b, k=3, threshold=1.0, candidates=cand
+        a, b, k=3, threshold=1.0, candidates=cand, dim=64
     ).orderBy("id_a")
 
 

@@ -79,20 +79,84 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def int_dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``int_dot`` for fixed-width vectors as a flat codegen expression
+    (higher-order folds evaluate interpreted and allocate the product
+    array per row). Integer math — exact either way, so results are
+    identical; only valid when every array has exactly ``dim``
+    elements."""
+    acc: Column = F.lit(0).cast("long")
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def int_dot_lit_unrolled(a: Column, coeffs: "list[int]") -> Column:
+    """Unrolled exact int64 dot against a literal centroid vector."""
+    acc: Column = F.lit(0).cast("long")
+    for i, c in enumerate(coeffs):
+        acc = acc + a[i] * F.lit(int(c))
+    return acc
+
+
+INLINE_K_MAX = 64  # small-k inline-argmax cutoff (expression-size bound)
+
+
 def kmeans_assign(
     emb: DataFrame,
     cents: DataFrame,
     id_col: str = "vec_id",
     qvec_col: str = "qv",
+    inline: "bool | str" = "auto",
 ) -> DataFrame:
     """One Lloyd assignment pass: ``emb`` (id, quantized vector) ×
-    broadcast ``cents`` (cid, cv) → (id, cell, qv). Ties break to the
-    smallest centroid id. The centroid side is always broadcast — k×dim
-    int64s; at k = 10^5, dim = 1024 that is still < 1 GB and shardable
-    by splitting the scoring pass, which is why Lloyd scales where
-    all-pairs methods do not."""
+    ``cents`` (cid, cv) → (id, cell, qv). Ties break to the smallest
+    centroid id.
+
+    Two physically different, value-identical paths:
+
+    * ``inline`` (default "auto": when k ≤ ``INLINE_K_MAX``): the k
+      centroids are collected (k×dim int64s — metadata) and the argmax
+      becomes one scan-side projection — k literal-dot scores in an
+      ARRAY, cell = array_position(array_max) (first-occurrence =
+      smallest cid, the same tie rule as the max-struct) — ZERO
+      exchange: the k-fold row blowup, the qv-carrying shuffle and the
+      max-struct aggregate all disappear.
+    * broadcast path (``inline=False``, or k above the cutoff): the
+      previous shape — broadcast cross join + map-combined max-struct
+      aggregate. At k = 10^5, dim = 1024 the centroid relation is
+      still < 1 GB broadcast, which is why Lloyd scales where
+      all-pairs methods do not; a literal expression does not reach
+      that regime, hence the cutoff."""
     # true Lloyd: argmin ||x - c||² = argmax (2·x·c − |c|²) since |x|²
     # is constant per row — exact int64 throughout (no sqrt, no floats)
+    if inline == "auto" or inline is True:
+        probe = (
+            cents.collect()
+            if inline is True
+            else cents.limit(INLINE_K_MAX + 1).collect()
+        )
+        if probe and (inline is True or len(probe) <= INLINE_K_MAX):
+            rows = sorted(
+                (int(r["cid"]), [int(x) for x in r["cv"]]) for r in probe
+            )
+            scores = F.array(
+                *[
+                    F.lit(2) * int_dot_lit_unrolled(F.col(qvec_col), cv)
+                    - F.lit(int(sum(c * c for c in cv)))
+                    for _cid, cv in rows
+                ]
+            )
+            cid_arr = F.array(*[F.lit(int(cid)) for cid, _cv in rows])
+            return emb.select(
+                F.col(id_col),
+                F.element_at(
+                    cid_arr, F.array_position(scores, F.array_max(scores)).cast("int")
+                )
+                .cast("long")
+                .alias("cell"),
+                F.col(qvec_col),
+            )
     scored = emb.join(F.broadcast(cents), how="cross").withColumn(
         "_score",
         F.lit(2) * int_dot(F.col(qvec_col), F.col("cv"))
@@ -197,6 +261,7 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     qvec_col: str = "qv",
     cell_cap: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Within-cluster duplicate pairs (ia < ib, cosine ≥ threshold).
     The self-join key is the CELL — candidate count is Σ cell², bounded
@@ -204,29 +269,39 @@ def semdedup_pairs(
     computed in double from the quantized vectors; both engines fold
     the same integer products, so rounding to 6 dp is stable.
     ``cell_cap`` (optional) drops cells larger than the cap from pair
-    generation — the hot-cell star guard for adversarial corpora."""
+    generation — the hot-cell star guard for adversarial corpora.
+
+    Per-vector norms are computed ONCE in the pre-join projection (the
+    self-join fans every vector out to its cell size, so a per-pair
+    norm fold would triple the dominant per-pair work — the
+    reciprocal_knn precedent); sqrt of the same exact integer dot →
+    identical doubles. ``dim`` additionally unrolls the integer dots
+    out of interpreted HOF eval (exact int math — identical values)."""
+    idot = (
+        (lambda x, y: int_dot_unrolled(x, y, dim))
+        if dim is not None
+        else int_dot
+    )
     a = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("ia"),
         F.col(qvec_col).alias("va"),
-    )
+    ).withColumn("na", F.sqrt(idot(F.col("va"), F.col("va")).cast("double")))
     b = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("ib"),
         F.col(qvec_col).alias("vb"),
-    )
+    ).withColumn("nb", F.sqrt(idot(F.col("vb"), F.col("vb")).cast("double")))
     if cell_cap is not None:
         sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
         keep = sizes.filter(F.col("_n") <= cell_cap).select("cell")
         a = a.join(F.broadcast(keep), "cell", "left_semi")
         b = b.join(F.broadcast(keep), "cell", "left_semi")
-    dot = int_dot(F.col("va"), F.col("vb")).cast("double")
-    na = F.sqrt(int_dot(F.col("va"), F.col("va")).cast("double"))
-    nb = F.sqrt(int_dot(F.col("vb"), F.col("vb")).cast("double"))
+    dot = idot(F.col("va"), F.col("vb")).cast("double")
     return (
         a.join(b, "cell")
         .filter(F.col("ia") < F.col("ib"))
-        .withColumn("cos", F.round(dot / (na * nb), 6))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("cell", "ia", "ib", "cos")
     )

@@ -29,6 +29,40 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``dot_expr`` with the SAME left-fold associativity —
+    ((0.0 + a0*b0) + a1*b1) + ... — but as a flat codegen-friendly
+    expression instead of a zip_with + aggregate higher-order fold.
+    HOFs evaluate interpreted (outside whole-stage codegen) and
+    materialize the product array per row; the unrolled chain compiles
+    to straight-line JVM code with no allocation. Bit-identical floats
+    (identical op sequence), so rounded outputs hash the same; only
+    valid when every array has exactly ``dim`` elements."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * b[i]
+    return acc
+
+
+def dot_lit_unrolled(a: Column, coeffs, cast_elems: bool = False) -> Column:
+    """Unrolled dot against a LITERAL coefficient vector, same fold
+    order as ``dot_expr(transform(a, cast), array(lits))``."""
+    acc: Column = F.lit(0.0)
+    for i, c in enumerate(coeffs):
+        e = a[i].cast("double") if cast_elems else a[i]
+        acc = acc + e * F.lit(float(c))
+    return acc
+
+
+def sq_norm_unrolled(a: Column, dim: int) -> Column:
+    """Unrolled Σ aᵢ² with fold-identical associativity (matches
+    ``aggregate(transform(a, x*x), 0.0, +)``)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i] * a[i]
+    return acc
+
+
 def norm_expr(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -52,12 +86,16 @@ def _srp_planes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
 
 
 def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 11) -> Column:
-    """Sign-random-projection bucket id (int) from JVM expressions only."""
+    """Sign-random-projection bucket id (int) from JVM expressions only.
+
+    Per-plane dots are unrolled literal chains (fold-identical float
+    order to the previous zip_with/aggregate form → identical bucket
+    ids) so the projection stays inside whole-stage codegen instead of
+    interpreted HOF eval."""
     planes = _srp_planes(dim, n_planes, seed)
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        d = dot_expr(F.transform(vec, lambda x: x.cast("double")), plane)
+        d = dot_lit_unrolled(vec, planes[p], cast_elems=True)
         bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(0)
     return bucket.cast("int")
 
@@ -452,43 +490,45 @@ def knn_candidate_pairs(
             for p2 in range(p1 + 1, n_planes)
             for p3 in range(p2 + 1, n_planes)
         ]
-    out = None
-    for t in range(n_tables):
-        s = seed + 97 * t
-        base = emb.select(
-            F.col(id_col).alias("ib"),
-            srp_bucket(F.col(vec_col), n_planes, dim, seed=s).alias("bucket"),
+    # All n_tables buckets are computed in ONE scan projection and
+    # posexploded to a (id, t, bucket) relation; the per-table pair
+    # joins then collapse into a SINGLE equi-join on the composite key
+    # (t, bucket) — same pair set per table (the table id rides the
+    # join key), same distinct union, but 1 join + 1 exchange pair
+    # instead of n_tables joins + a union tree, and each vector's
+    # buckets are evaluated once per side instead of once per table.
+    # The Generate (posexplode) boundary keeps CollapseProject from
+    # re-inlining the bucket array into the mask explode below.
+    bucket_arr = F.array(
+        *[
+            srp_bucket(F.col(vec_col), n_planes, dim, seed=seed + 97 * t)
+            for t in range(n_tables)
+        ]
+    )
+    flat = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(bucket_arr).alias("t", "bucket"),
+    )
+    base = flat.select(
+        F.col("_id").alias("ib"), F.col("t"), F.col("bucket")
+    )
+    probes = (
+        flat.select(
+            F.col("_id").alias("ia"),
+            "t",
+            "bucket",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
         )
-        # bucket once per row, THEN explode the (tiny, literal) mask
-        # array and XOR after the Generate. Inlining srp_bucket into
-        # each of the |masks| array slots (the obvious one-select form)
-        # re-evaluates its ~500-node expression tree 11x per row and
-        # pushes the projection past the codegen limit into interpreted
-        # eval — measured 8 s per table for 2k rows vs ~1 s this way;
-        # the Generate boundary stops CollapseProject from re-inlining.
-        probes = (
-            emb.select(
-                F.col(id_col).alias("ia"),
-                srp_bucket(F.col(vec_col), n_planes, dim, seed=s).alias(
-                    "_b"
-                ),
-            )
-            .select(
-                "ia",
-                "_b",
-                F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
-            )
-            .select(
-                "ia", F.col("_b").bitwiseXOR(F.col("_m")).alias("bucket")
-            )
+        .select(
+            "ia", "t", F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket")
         )
-        pairs_t = (
-            probes.join(base, "bucket")
-            .filter(F.col("ia") < F.col("ib"))
-            .select("ia", "ib")
-        )
-        out = pairs_t if out is None else out.unionByName(pairs_t)
-    return out.distinct()
+    )
+    return (
+        probes.join(base, ["t", "bucket"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
 
 
 def reciprocal_knn(
@@ -497,6 +537,7 @@ def reciprocal_knn(
     candidates: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Mutual (reciprocal) k-NN pairs: (a, b) kept only when b is in
     a's cosine top-k AND a is in b's — the hub-suppressing criterion
@@ -513,8 +554,15 @@ def reciprocal_knn(
     in-row. None falls back to the exact all-pairs cross join (the
     oracle path; n² — gate/test scale only). With candidates the plan
     is join-score-aggregate, linear in candidate volume: the 100 TB
-    path. Returns (id_a, id_b, cos) with id_a < id_b."""
+    path. Returns (id_a, id_b, cos) with id_a < id_b.
+
+    ``dim`` (optional, when every vector has exactly that length)
+    switches the per-pair dot and per-vector norm to the unrolled
+    codegen form — fold-identical float order, so the 6-rounded cos
+    (and the gate hash) is unchanged."""
     def _norm(c):
+        if dim is not None:
+            return F.sqrt(sq_norm_unrolled(c, dim))
         return F.sqrt(
             F.aggregate(
                 F.transform(c, lambda x: x * x),
@@ -555,11 +603,14 @@ def reciprocal_knn(
             .join(a, "ia")
             .join(b, "ib")
         )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if dim is not None:
+        dot = dot_unrolled(F.col("va"), F.col("vb"), dim)
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     half = scored.select(
         "ia",
         "ib",
@@ -734,6 +785,7 @@ def retro_neighbors(
     candidates: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """RETRO chunk-neighbor retrieval prep (Borgeaud et al. 2022
     §2.2-2.3): for every chunk, its top-``k`` nearest retrieval-corpus
@@ -753,9 +805,14 @@ def retro_neighbors(
     ``knn_candidate_pairs`` output plugs straight in); None is the
     exact n² oracle path for gate/test scale only.
 
-    Returns (id, rank, neighbor_id, cos[, continuation_id])."""
+    Returns (id, rank, neighbor_id, cos[, continuation_id]).
+
+    ``dim`` — unrolled-dot fast path, same contract as
+    :func:`reciprocal_knn`."""
 
     def _norm(c):
+        if dim is not None:
+            return F.sqrt(sq_norm_unrolled(c, dim))
         return F.sqrt(
             F.aggregate(
                 F.transform(c, lambda x: x * x),
@@ -790,11 +847,14 @@ def retro_neighbors(
             .join(a, "ia")
             .join(b, "ib")
         )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if dim is not None:
+        dot = dot_unrolled(F.col("va"), F.col("vb"), dim)
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     half = scored.filter(F.col("da") != F.col("db")).select(
         "ia",
         "ib",
@@ -857,6 +917,7 @@ def mine_bitext(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     LASER/CCMatrix pipeline that built WMT-scale parallel corpora from
@@ -882,13 +943,16 @@ def mine_bitext(
 
     def _prep(df, side):
         v = F.transform(vec_col, lambda x: x.cast("double"))
-        n = F.sqrt(
-            F.aggregate(
-                F.transform(F.col(f"v{side}"), lambda x: x * x),
-                F.lit(0.0),
-                lambda s, x: s + x,
+        if dim is not None:
+            n = F.sqrt(sq_norm_unrolled(F.col(f"v{side}"), dim))
+        else:
+            n = F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(f"v{side}"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
             )
-        )
         return df.select(
             F.col(id_col).alias(f"i{side}"), v.alias(f"v{side}")
         ).withColumn(f"n{side}", n)
@@ -899,11 +963,14 @@ def mine_bitext(
         pairs = a.crossJoin(b)
     else:
         pairs = candidates.select("ia", "ib").join(a, "ia").join(b, "ib")
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if dim is not None:
+        dot = dot_unrolled(F.col("va"), F.col("vb"), dim)
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     scored = pairs.select(
         "ia",
         "ib",

@@ -49,6 +49,21 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", partitions: int | None
     ).drop("_pid")
 
 
+def dense_rank_global_with_count(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str = "rank",
+    partitions: int | None = None,
+) -> "tuple[DataFrame, int]":
+    """:func:`dense_rank_global` plus the TOTAL distinct-key count,
+    which the two-pass scheme computes anyway (the driver prefix-sum's
+    final accumulator). Callers that would otherwise run a separate
+    ``countDistinct`` action per invocation (the suffix-array doubling
+    loop's convergence check) get it for free — one fewer job per
+    round."""
+    return _dense_rank_global_impl(df, key_cols, out_col, partitions)
+
+
 def dense_rank_global(
     df: DataFrame,
     key_cols: list[str],
@@ -71,6 +86,15 @@ def dense_rank_global(
     across any number of straddled partitions.
 
     Returns a *cached* DataFrame — caller unpersists when done."""
+    return _dense_rank_global_impl(df, key_cols, out_col, partitions)[0]
+
+
+def _dense_rank_global_impl(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str,
+    partitions: int | None,
+) -> "tuple[DataFrame, int]":
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(c) for c in key_cols]
     ranged = (
@@ -90,7 +114,10 @@ def dense_rank_global(
         .collect()
     }
     if not stats:  # empty input: zero-arg create_map below would fail
-        return ranged.withColumn(out_col, F.lit(0).cast("long")).drop("_pid")
+        return (
+            ranged.withColumn(out_col, F.lit(0).cast("long")).drop("_pid"),
+            0,
+        )
     bases, acc, prev_hi = {}, 0, None
     for pid in sorted(stats):
         nd, lo, hi = stats[pid]
@@ -103,7 +130,12 @@ def dense_rank_global(
         *[x for pid, b in bases.items() for x in (F.lit(pid), F.lit(b))]
     )
     w = Window.partitionBy("_pid").orderBy(*key_cols)
-    return ranged.withColumn(
-        out_col,
-        (F.dense_rank().over(w) - 1 + base_expr[F.col("_pid")]).cast("long"),
-    ).drop("_pid")
+    return (
+        ranged.withColumn(
+            out_col,
+            (F.dense_rank().over(w) - 1 + base_expr[F.col("_pid")]).cast(
+                "long"
+            ),
+        ).drop("_pid"),
+        acc,
+    )
