@@ -3077,7 +3077,7 @@ def q_reciprocal_knn(spark, sf_dir):
     cand = knn_candidate_pairs(
         emb, n_tables=6, n_planes=4, hamming=2, dim=64, seed=11
     )
-    return reciprocal_knn(emb, k=RKNN_K, candidates=cand, dim=64).orderBy(
+    return reciprocal_knn(emb, k=RKNN_K, candidates=cand).orderBy(
         "id_a", "id_b"
     )
 
@@ -7145,7 +7145,7 @@ KM_STAT_DIMS = 8  # hash the first 8 component sums per cell
 SEMDEDUP_T = 0.40  # near-dup bar calibrated to the synthetic corpus
 
 
-def _km_assigned(spark, sf_dir):
+def _km_assigned(spark, sf_dir, inline: "bool | str" = "auto"):
     from uci_searchengine_spark.operators.clustering import (
         kmeans_assign,
         quantize_vec,
@@ -7154,10 +7154,19 @@ def _km_assigned(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", quantize_vec(F.col("embedding")).alias("qv")
     )
-    cents = emb.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    # centroid branch reads un-rebalanced: the inline-argmax path
+    # collects these 8 rows at plan time, and a single pushed-down scan
+    # task is cheaper than routing the collect through the rebalance
+    # exchange the big scan wants
+    cents = (
+        _t(spark, sf_dir, "embeddings", rebalance=False)
+        .filter(F.col("vec_id") < KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            quantize_vec(F.col("embedding")).alias("cv"),
+        )
     )
-    return kmeans_assign(emb, cents)
+    return kmeans_assign(emb, cents, inline=inline)
 
 
 def q_kmeans_cells(spark, sf_dir):
@@ -7175,7 +7184,13 @@ def q_kmeans_cells(spark, sf_dir):
     full-corpus shape semantic dedup and corpus cartography need."""
     from uci_searchengine_spark.operators.clustering import kmeans_update
 
-    stats = kmeans_update(_km_assigned(spark, sf_dir), KM_STAT_DIMS)
+    # broadcast-assign path: the update aggregate reads the assignment
+    # exactly once, so the inline path's plan-time centroid collect
+    # would be a whole extra job for no reuse (semdedup_pairs, whose
+    # self-join evaluates the assignment twice, uses inline instead)
+    stats = kmeans_update(
+        _km_assigned(spark, sf_dir, inline=False), KM_STAT_DIMS
+    )
     return stats.select(
         "cell", "cnt", *[f"s{i}" for i in range(KM_STAT_DIMS)]
     ).orderBy("cell")
@@ -7227,9 +7242,9 @@ def q_semdedup_pairs(spark, sf_dir):
     relation into the keep-min-id drop list."""
     from uci_searchengine_spark.operators.clustering import semdedup_pairs
 
-    return semdedup_pairs(
-        _km_assigned(spark, sf_dir), SEMDEDUP_T, dim=64
-    ).orderBy("cell", "ia", "ib")
+    return semdedup_pairs(_km_assigned(spark, sf_dir), SEMDEDUP_T).orderBy(
+        "cell", "ia", "ib"
+    )
 
 
 def _sql_semdedup_pairs() -> str:
@@ -8119,7 +8134,7 @@ def q_retro_neighbors(spark, sf_dir):
         emb, n_tables=6, n_planes=4, hamming=2, dim=64, seed=11
     )
     return retro_neighbors(
-        emb, k=2, doc_col="doc", next_col="nxt", candidates=cand, dim=64
+        emb, k=2, doc_col="doc", next_col="nxt", candidates=cand
     ).orderBy("id", "rank")
 
 
@@ -8525,7 +8540,7 @@ def q_bitext_mining(spark, sf_dir):
     )
     cand = fwd.unionByName(rev)
     return mine_bitext(
-        a, b, k=3, threshold=1.0, candidates=cand, dim=64
+        a, b, k=3, threshold=1.0, candidates=cand
     ).orderBy("id_a")
 
 

@@ -79,24 +79,12 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
-def int_dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """``int_dot`` for fixed-width vectors as a flat codegen expression
-    (higher-order folds evaluate interpreted and allocate the product
-    array per row). Integer math — exact either way, so results are
-    identical; only valid when every array has exactly ``dim``
-    elements."""
-    acc: Column = F.lit(0).cast("long")
-    for i in range(dim):
-        acc = acc + a[i] * b[i]
-    return acc
-
-
-def int_dot_lit_unrolled(a: Column, coeffs: "list[int]") -> Column:
-    """Unrolled exact int64 dot against a literal centroid vector."""
-    acc: Column = F.lit(0).cast("long")
-    for i, c in enumerate(coeffs):
-        acc = acc + a[i] * F.lit(int(c))
-    return acc
+def int_dot_lit(a: Column, coeffs: "list[int]") -> Column:
+    """Exact int64 dot against a LITERAL centroid vector — the same
+    zip_with/aggregate fold as :func:`int_dot` (measured faster than a
+    flat unrolled a[0]*c0 + ... chain, which falls out of codegen into
+    per-node interpreted eval)."""
+    return int_dot(a, F.array(*[F.lit(int(c)).cast("long") for c in coeffs]))
 
 
 INLINE_K_MAX = 64  # small-k inline-argmax cutoff (expression-size bound)
@@ -142,7 +130,7 @@ def kmeans_assign(
             )
             scores = F.array(
                 *[
-                    F.lit(2) * int_dot_lit_unrolled(F.col(qvec_col), cv)
+                    F.lit(2) * int_dot_lit(F.col(qvec_col), cv)
                     - F.lit(int(sum(c * c for c in cv)))
                     for _cid, cv in rows
                 ]
@@ -261,7 +249,6 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     qvec_col: str = "qv",
     cell_cap: int | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Within-cluster duplicate pairs (ia < ib, cosine ≥ threshold).
     The self-join key is the CELL — candidate count is Σ cell², bounded
@@ -275,13 +262,8 @@ def semdedup_pairs(
     self-join fans every vector out to its cell size, so a per-pair
     norm fold would triple the dominant per-pair work — the
     reciprocal_knn precedent); sqrt of the same exact integer dot →
-    identical doubles. ``dim`` additionally unrolls the integer dots
-    out of interpreted HOF eval (exact int math — identical values)."""
-    idot = (
-        (lambda x, y: int_dot_unrolled(x, y, dim))
-        if dim is not None
-        else int_dot
-    )
+    identical doubles."""
+    idot = int_dot
     a = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("ia"),

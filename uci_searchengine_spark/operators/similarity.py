@@ -29,38 +29,12 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """``dot_expr`` with the SAME left-fold associativity —
-    ((0.0 + a0*b0) + a1*b1) + ... — but as a flat codegen-friendly
-    expression instead of a zip_with + aggregate higher-order fold.
-    HOFs evaluate interpreted (outside whole-stage codegen) and
-    materialize the product array per row; the unrolled chain compiles
-    to straight-line JVM code with no allocation. Bit-identical floats
-    (identical op sequence), so rounded outputs hash the same; only
-    valid when every array has exactly ``dim`` elements."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a[i] * b[i]
-    return acc
-
-
-def dot_lit_unrolled(a: Column, coeffs, cast_elems: bool = False) -> Column:
-    """Unrolled dot against a LITERAL coefficient vector, same fold
-    order as ``dot_expr(transform(a, cast), array(lits))``."""
-    acc: Column = F.lit(0.0)
-    for i, c in enumerate(coeffs):
-        e = a[i].cast("double") if cast_elems else a[i]
-        acc = acc + e * F.lit(float(c))
-    return acc
-
-
-def sq_norm_unrolled(a: Column, dim: int) -> Column:
-    """Unrolled Σ aᵢ² with fold-identical associativity (matches
-    ``aggregate(transform(a, x*x), 0.0, +)``)."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a[i] * a[i]
-    return acc
+# NOTE (r6, measured): unrolling these folds into flat
+# a[0]*b[0] + a[1]*b[1] + ... chains is 3-5x SLOWER than the
+# zip_with/aggregate form on Spark 4 (64-dim, sf0.1: candidate pass
+# 1.9s -> 7.4s, pair scoring 2.1s -> 11.3s) — the deep Add chains fall
+# out of whole-stage codegen into per-node interpreted eval, while the
+# HOF fold runs one tight interpreted loop. Keep the folds.
 
 
 def norm_expr(a: Column) -> Column:
@@ -86,16 +60,12 @@ def _srp_planes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
 
 
 def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 11) -> Column:
-    """Sign-random-projection bucket id (int) from JVM expressions only.
-
-    Per-plane dots are unrolled literal chains (fold-identical float
-    order to the previous zip_with/aggregate form → identical bucket
-    ids) so the projection stays inside whole-stage codegen instead of
-    interpreted HOF eval."""
+    """Sign-random-projection bucket id (int) from JVM expressions only."""
     planes = _srp_planes(dim, n_planes, seed)
     bucket = F.lit(0)
     for p in range(n_planes):
-        d = dot_lit_unrolled(vec, planes[p], cast_elems=True)
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        d = dot_expr(F.transform(vec, lambda x: x.cast("double")), plane)
         bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(0)
     return bucket.cast("int")
 
@@ -537,7 +507,6 @@ def reciprocal_knn(
     candidates: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Mutual (reciprocal) k-NN pairs: (a, b) kept only when b is in
     a's cosine top-k AND a is in b's — the hub-suppressing criterion
@@ -554,15 +523,8 @@ def reciprocal_knn(
     in-row. None falls back to the exact all-pairs cross join (the
     oracle path; n² — gate/test scale only). With candidates the plan
     is join-score-aggregate, linear in candidate volume: the 100 TB
-    path. Returns (id_a, id_b, cos) with id_a < id_b.
-
-    ``dim`` (optional, when every vector has exactly that length)
-    switches the per-pair dot and per-vector norm to the unrolled
-    codegen form — fold-identical float order, so the 6-rounded cos
-    (and the gate hash) is unchanged."""
+    path. Returns (id_a, id_b, cos) with id_a < id_b."""
     def _norm(c):
-        if dim is not None:
-            return F.sqrt(sq_norm_unrolled(c, dim))
         return F.sqrt(
             F.aggregate(
                 F.transform(c, lambda x: x * x),
@@ -603,14 +565,11 @@ def reciprocal_knn(
             .join(a, "ia")
             .join(b, "ib")
         )
-    if dim is not None:
-        dot = dot_unrolled(F.col("va"), F.col("vb"), dim)
-    else:
-        dot = F.aggregate(
-            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     half = scored.select(
         "ia",
         "ib",
@@ -785,7 +744,6 @@ def retro_neighbors(
     candidates: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """RETRO chunk-neighbor retrieval prep (Borgeaud et al. 2022
     §2.2-2.3): for every chunk, its top-``k`` nearest retrieval-corpus
@@ -805,14 +763,9 @@ def retro_neighbors(
     ``knn_candidate_pairs`` output plugs straight in); None is the
     exact n² oracle path for gate/test scale only.
 
-    Returns (id, rank, neighbor_id, cos[, continuation_id]).
-
-    ``dim`` — unrolled-dot fast path, same contract as
-    :func:`reciprocal_knn`."""
+    Returns (id, rank, neighbor_id, cos[, continuation_id])."""
 
     def _norm(c):
-        if dim is not None:
-            return F.sqrt(sq_norm_unrolled(c, dim))
         return F.sqrt(
             F.aggregate(
                 F.transform(c, lambda x: x * x),
@@ -847,14 +800,11 @@ def retro_neighbors(
             .join(a, "ia")
             .join(b, "ib")
         )
-    if dim is not None:
-        dot = dot_unrolled(F.col("va"), F.col("vb"), dim)
-    else:
-        dot = F.aggregate(
-            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     half = scored.filter(F.col("da") != F.col("db")).select(
         "ia",
         "ib",
@@ -917,7 +867,6 @@ def mine_bitext(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
-    dim: int | None = None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     LASER/CCMatrix pipeline that built WMT-scale parallel corpora from
@@ -943,16 +892,13 @@ def mine_bitext(
 
     def _prep(df, side):
         v = F.transform(vec_col, lambda x: x.cast("double"))
-        if dim is not None:
-            n = F.sqrt(sq_norm_unrolled(F.col(f"v{side}"), dim))
-        else:
-            n = F.sqrt(
-                F.aggregate(
-                    F.transform(F.col(f"v{side}"), lambda x: x * x),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                )
+        n = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(f"v{side}"), lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
             )
+        )
         return df.select(
             F.col(id_col).alias(f"i{side}"), v.alias(f"v{side}")
         ).withColumn(f"n{side}", n)
@@ -963,14 +909,11 @@ def mine_bitext(
         pairs = a.crossJoin(b)
     else:
         pairs = candidates.select("ia", "ib").join(a, "ia").join(b, "ib")
-    if dim is not None:
-        dot = dot_unrolled(F.col("va"), F.col("vb"), dim)
-    else:
-        dot = F.aggregate(
-            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = pairs.select(
         "ia",
         "ib",
