@@ -1116,19 +1116,28 @@ def winnowing_pairs(
     fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).select(
         "id", F.explode("fps").alias("fp")
     )
-    hot = (
-        fp.groupBy("fp")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") > fp_cap)
-        .select("fp")
+    # ONE groupBy(fp) gathers each fingerprint's (distinct) doc set;
+    # oversize sets are the hot/boilerplate fingerprints and drop here
+    # (same nd > fp_cap rule as before — per-doc fps are distinct, so
+    # row count per fp == set size). The a<b pairs are then generated
+    # IN-ROW from the bounded set (≤ fp_cap members → ≤ C(cap,2) pairs)
+    # instead of a fp-keyed self-join: the expensive winnow projection
+    # is evaluated once rather than three times (hot-count branch plus
+    # both join sides), and two aggregations replace agg + join + agg.
+    groups = fp.groupBy("fp").agg(F.collect_set("id").alias("ids"))
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    cold = fp.join(F.broadcast(hot), "fp", "left_anti")
-    a = cold.alias("a")
-    b = cold.alias("b")
     return (
-        a.join(b, "fp")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        groups.filter(F.size("ids") <= fp_cap)
+        .select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").cast("long").alias("shared_fp"))
         .filter(F.col("shared_fp") >= min_shared)
     )

@@ -271,6 +271,13 @@ def train_kn_bigram(
     ``vocab_cap`` folds tail tokens into ``<unk>`` before counting,
     exactly as in :func:`train_bigram_lm`; apply the same mapping at
     scoring via ``kn_perplexity(..., vocab=...)``."""
+    # ``big`` is read FIVE times (n_types count, the big/hist/cont
+    # branches of the scoring plan, and vocab counting shares its token
+    # scan); without a persist every branch re-tokenizes the reference
+    # corpus and re-aggregates the bigrams. The bigram-type relation is
+    # vocabulary-bounded (|types| ≪ corpus), so caching it is the
+    # metadata-sized persist the KenLM shape assumes — the corpus scan
+    # itself happens once per training call.
     toks = ref_docs.select(tokens_col(F.col(text_col)).alias("t"))
     raw_uni = (
         toks.select(F.explode("t").alias("v"))
@@ -280,13 +287,14 @@ def train_kn_bigram(
     raw_big = _bigram_pairs(toks)
     if vocab_cap is None:
         vocab_size = raw_uni.count()
-        big = raw_big.groupBy("v", "w").agg(F.count("*").alias("c2"))
+        big = raw_big.groupBy("v", "w").agg(F.count("*").alias("c2")).cache()
     else:
         vocab = _cap_vocab(raw_uni, vocab_cap)
         big = (
             _map_unk(raw_big, vocab, "v", "w")
             .groupBy("v", "w")
             .agg(F.count("*").alias("c2"))
+            .cache()
         )
         vocab_size = (
             _map_unk(raw_uni.select("v"), vocab, "v").distinct().count()
