@@ -509,9 +509,14 @@ def _segments_index_dir(spark, sf_dir: str, positions: bool = False) -> str:
     from uci_searchengine_spark.operators.index_build import build_index
 
     docs = _t(spark, sf_dir, "documents")
-    agg = docs.agg(
-        F.count("*").alias("n"), F.sum("n_chars").alias("s")
-    ).collect()[0]
+    # fingerprint agg reads un-rebalanced: count+sum of one parquet
+    # column needs no 32-way exchange (the rebalance exists for the
+    # expensive tokenize projections, not this metadata probe)
+    agg = (
+        _t(spark, sf_dir, "documents", rebalance=False)
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .collect()[0]
+    )
     pos_tag = ":pos" if positions else ""
     snap = f"gate-docs:n={agg['n']}:chars={agg['s']}{pos_tag}"
     h = hashlib.md5(f"{sf_dir}|{snap}".encode()).hexdigest()[:12]
@@ -555,13 +560,20 @@ def _federated_index_dirs(spark, sf_dir: str) -> "list[str]":
     from uci_searchengine_spark.operators.index_build import build_index
 
     docs = _t(spark, sf_dir, "documents")
+    # both halves' fingerprints in ONE un-rebalanced aggregate (the
+    # old per-parity agg paid two jobs through the rebalance exchange)
+    st = {
+        int(r["p"]): (r["n"], r["s"])
+        for r in _t(spark, sf_dir, "documents", rebalance=False)
+        .groupBy((F.col("doc_id") % 2).alias("p"))
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
     dirs = []
     for parity in (0, 1):
         half = docs.filter(F.col("doc_id") % 2 == parity)
-        agg = half.agg(
-            F.count("*").alias("n"), F.sum("n_chars").alias("s")
-        ).collect()[0]
-        snap = f"gate-fed{parity}:n={agg['n']}:chars={agg['s']}"
+        n, s = st.get(parity, (0, None))
+        snap = f"gate-fed{parity}:n={n}:chars={s}"
         h = hashlib.md5(f"{sf_dir}|{snap}".encode()).hexdigest()[:12]
         idx = os.path.join(tempfile.gettempdir(), f"uci_gate_fedidx_{h}")
         build_index(
@@ -8528,17 +8540,25 @@ def q_bitext_mining(spark, sf_dir):
     )
     a_ids = a.select(F.col("vec_id").alias("ia"))
     b_ids = b.select(F.col("vec_id").alias("ib"))
-    fwd = cand_u.join(a_ids, "ia", "left_semi").join(
-        b_ids, "ib", "left_semi"
-    )
-    rev = (
+    # both orientations of each undirected candidate in ONE in-row
+    # explode, then the A/B-side semi filters — the old fwd/rev union
+    # ran the whole candidate pipeline twice (no exchange reuse across
+    # the swapped projection)
+    cand = (
         cand_u.select(
-            F.col("ib").alias("ia"), F.col("ia").alias("ib")
+            F.explode(
+                F.array(
+                    F.struct(F.col("ia"), F.col("ib")),
+                    F.struct(
+                        F.col("ib").alias("ia"), F.col("ia").alias("ib")
+                    ),
+                )
+            ).alias("_p")
         )
+        .select("_p.ia", "_p.ib")
         .join(a_ids, "ia", "left_semi")
         .join(b_ids, "ib", "left_semi")
     )
-    cand = fwd.unionByName(rev)
     return mine_bitext(
         a, b, k=3, threshold=1.0, candidates=cand
     ).orderBy("id_a")

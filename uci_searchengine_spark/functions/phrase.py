@@ -22,17 +22,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _bind(col: Column, body) -> Column:
-    """Evaluate ``col`` once per row and hand it to ``body`` as a
-    LAMBDA-BOUND variable. The positional predicates below probe the
-    token array element-by-element (``F.get`` inside a filter lambda);
-    when the array is a derived expression (the tokenizer projection),
-    CollapseProject inlines that expression into every probe and
-    interpreted HOF eval then re-tokenizes the document once PER PROBE
-    — measured 2.5 s vs 0.25 s for span_not over 5k docs at sf0.1.
-    Lambda variables are evaluated once by construction and can never
-    be inlined into (the ``winnow_fingerprints`` precedent)."""
-    return F.element_at(F.transform(F.array(col), body), 1)
+# The positional predicates below probe the token array element-by-
+# element (``F.get`` inside a filter lambda); when the array is a
+# derived expression (the tokenizer projection), CollapseProject
+# inlines that expression into every probe and interpreted HOF eval
+# then re-tokenizes the document once PER PROBE — measured 2.5 s vs
+# 0.25 s for span_not over 5k docs at sf0.1. ``bind_once`` makes the
+# array a lambda variable: evaluated once, impossible to inline into.
+from uci_searchengine_spark.functions.hof import bind_once as _bind
 
 
 def count_phrase_py(toks: list[str], seq: list[str]) -> int:

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from uci_searchengine_spark.functions.hof import bind_once
+
 # tiny per-language stopword marker sets for the heuristic language ID
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
@@ -46,25 +48,30 @@ def quality_score(c: Column) -> Column:
     toks = F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
         F.split(F.trim(c), r"\s+")
     )
-    n_tokens = F.size(toks)
-    punct = F.length(F.regexp_replace(c, r"[^!?.,;:]", ""))
-    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
-    stop_hits = F.size(
-        F.array_intersect(
-            F.transform(toks, lambda t: F.lower(t)),
-            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
+
+    def score_of(tt: Column) -> Column:
+        n_tokens = F.size(tt)
+        punct = F.length(F.regexp_replace(c, r"[^!?.,;:]", ""))
+        punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+        stop_hits = F.size(
+            F.array_intersect(
+                F.transform(tt, lambda t: F.lower(t)),
+                F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
+            )
         )
-    )
-    mean_wlen = n_chars / F.greatest(n_tokens, F.lit(1))
-    len_ok = (n_tokens >= 10) & (n_tokens <= 100000)
-    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
-    score = (
-        F.when(len_ok, 0.4).otherwise(0.0)
-        + F.when(wlen_ok, 0.2).otherwise(0.0)
-        + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
-        + F.when(stop_hits >= 2, 0.2).otherwise(0.0)
-    )
-    return score.cast("double")
+        mean_wlen = n_chars / F.greatest(n_tokens, F.lit(1))
+        len_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+        wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+        score = (
+            F.when(len_ok, 0.4).otherwise(0.0)
+            + F.when(wlen_ok, 0.2).otherwise(0.0)
+            + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
+            + F.when(stop_hits >= 2, 0.2).otherwise(0.0)
+        )
+        return score.cast("double")
+
+    # the token split is referenced several times; bind it once
+    return bind_once(toks, score_of)
 
 
 def lang_id(c: Column) -> Column:
@@ -76,20 +83,34 @@ def lang_id(c: Column) -> Column:
         ),
         lambda t: F.regexp_replace(t, r"[^\p{L}\p{N}_]", ""),
     )
-    hits = {
-        lang: F.size(
-            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+    order = ["en", "de", "es", "fr"]
+
+    def pick(hh: Column) -> Column:
+        # hh = per-language hit counts in ``order``; bound once so the
+        # when-chain's repeated references don't re-run the splits
+        best = F.greatest(*[hh[i] for i in range(len(order))])
+        expr = F.lit("und")
+        # deterministic priority order on ties: en > de > es > fr
+        for i, lang in reversed(list(enumerate(order))):
+            expr = F.when(
+                (hh[i] > 0) & (hh[i] == best), F.lit(lang)
+            ).otherwise(expr)
+        return expr
+
+    def inner(tt: Column) -> Column:
+        hits_arr = F.array(
+            *[
+                F.size(
+                    F.array_intersect(
+                        tt, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+                    )
+                )
+                for lang in order
+            ]
         )
-        for lang, words in LANG_MARKERS.items()
-    }
-    best = F.greatest(*hits.values())
-    expr = F.lit("und")
-    # deterministic priority order on ties: en > de > es > fr
-    for lang in reversed(["en", "de", "es", "fr"]):
-        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
-            expr
-        )
-    return expr
+        return bind_once(hits_arr, pick)
+
+    return bind_once(toks, inner)
 
 
 def fingerprint(c: Column) -> Column:
@@ -158,10 +179,14 @@ def _max_run_frac(arr: Column) -> Column:
             F.greatest(acc["best"], run).alias("best"),
         )
 
-    best = F.aggregate(F.array_sort(arr), acc0, merge, lambda a: a["best"])
-    return F.when(F.size(arr) <= 0, F.lit(0.0)).otherwise(
-        best / F.size(arr)
-    )
+    def frac(aa: Column) -> Column:
+        best = F.aggregate(F.array_sort(aa), acc0, merge, lambda a: a["best"])
+        return F.when(F.size(aa) <= 0, F.lit(0.0)).otherwise(
+            best / F.size(aa)
+        )
+
+    # three references (sort+fold, two sizes); bind the array once
+    return bind_once(arr, frac)
 
 
 def _ws_tokens(c: Column) -> Column:
@@ -179,14 +204,19 @@ def top_word_fraction(c: Column) -> Column:
 def top_bigram_fraction(c: Column) -> Column:
     """Fraction of adjacent-token bigrams taken by the most frequent
     bigram (0.0 for docs with < 2 tokens)."""
-    toks = _ws_tokens(c)
-    grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    def grams_of(tt: Column) -> Column:
+        # slice probes inside the per-position lambda: without the bind
+        # the tokenizer split re-runs once per position
+        return F.when(
+            F.size(tt) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tt) - 2),
+                lambda i: F.concat_ws(" ", F.slice(tt, i + 1, 2)),
+            )
         )
-    )
-    return _max_run_frac(grams)
+
+    return _max_run_frac(bind_once(_ws_tokens(c), grams_of))
 
 
 def duplicate_line_fraction(c: Column) -> Column:
@@ -195,6 +225,10 @@ def duplicate_line_fraction(c: Column) -> Column:
     lines = F.filter(
         F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != ""
     )
-    return F.when(F.size(lines) <= 0, F.lit(0.0)).otherwise(
-        (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
-    )
+
+    def frac(ll: Column) -> Column:
+        return F.when(F.size(ll) <= 0, F.lit(0.0)).otherwise(
+            (F.size(ll) - F.size(F.array_distinct(ll))) / F.size(ll)
+        )
+
+    return bind_once(lines, frac)

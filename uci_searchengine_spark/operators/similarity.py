@@ -70,6 +70,57 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 11) ->
     return bucket.cast("int")
 
 
+def srp_bucket_array(
+    vec: Column,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+    seed: int,
+    seed_stride: int = 97,
+) -> Column:
+    """array<int> of the ``n_tables`` SRP bucket ids of ``vec`` (table
+    t seeded ``seed + seed_stride*t``) — value-identical to
+    ``array(srp_bucket(vec, ..., seed + 97*t) for t)`` (same per-plane
+    zip_with/aggregate fold, same plane order), but the plane matrix
+    appears in the plan ONCE as a lambda-bound nested literal instead
+    of once per (table, plane) reference, and the double-cast of the
+    input vector happens once per row instead of once per plane.
+    n_tables×n_planes×dim literals vs ~2× that many expression TREES:
+    Catalyst analysis and the serialized task binary shrink ~5x, which
+    is a per-query constant the bench pays on every plan build."""
+    from uci_searchengine_spark.functions.hof import bind_once
+
+    planes = [
+        _srp_planes(dim, n_planes, seed + seed_stride * t)
+        for t in range(n_tables)
+    ]
+    planes_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for tbl in planes
+            for row in tbl
+        ]
+    )
+
+    def buckets(pp: Column):
+        def over_vd(vd: Column) -> Column:
+            def bucket_t(t: int) -> Column:
+                b = F.lit(0)
+                for p in range(n_planes):
+                    plane = F.element_at(pp, t * n_planes + p + 1)
+                    d = dot_expr(vd, plane)
+                    b = b + F.when(d >= 0, F.lit(1 << p)).otherwise(0)
+                return b.cast("int")
+
+            return F.array(*[bucket_t(t) for t in range(n_tables)])
+
+        return bind_once(
+            F.transform(vec, lambda x: x.cast("double")), over_vd
+        )
+
+    return bind_once(planes_lit, buckets)
+
+
 def quantize_int8(vec: Column) -> Column:
     """Per-vector symmetric int8 quantization: scale = max|x|/127,
     q_i = round(x_i/scale) clamped to [-127,127]. Returns a struct
@@ -469,11 +520,8 @@ def knn_candidate_pairs(
     # buckets are evaluated once per side instead of once per table.
     # The Generate (posexplode) boundary keeps CollapseProject from
     # re-inlining the bucket array into the mask explode below.
-    bucket_arr = F.array(
-        *[
-            srp_bucket(F.col(vec_col), n_planes, dim, seed=seed + 97 * t)
-            for t in range(n_tables)
-        ]
+    bucket_arr = srp_bucket_array(
+        F.col(vec_col), n_tables, n_planes, dim, seed
     )
     flat = emb.select(
         F.col(id_col).alias("_id"),
@@ -608,13 +656,22 @@ def reciprocal_knn(
         topk.select("ia", F.explode("nn").alias("e"))
         .select("ia", F.col("e.ib").alias("ib"), (-F.col("e.nc")).alias("cos"))
     )
-    rev = edges.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
-    mutual = edges.join(rev, ["ia", "ib"], "left_semi").filter(
-        F.col("ia") < F.col("ib")
+    # mutuality as ONE aggregate on the unordered pair key: (ib, ia)
+    # is an edge iff the undirected key appears twice ((ia, ib) is
+    # unique within a top-k list, so the count is exactly 1 or 2), and
+    # both directions carry the same once-scored cos. The previous
+    # edges ⋉ reversed(edges) semi-join could not reuse any exchange
+    # (the reversed side shuffles a different projection), so Spark
+    # evaluated the ENTIRE candidate+scoring+topk pipeline twice.
+    mutual = (
+        edges.groupBy(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("cos").alias("cos"))
+        .filter(F.col("_n") == 2)
     )
-    return mutual.select(
-        F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos"
-    )
+    return mutual.select("id_a", "id_b", "cos")
 
 
 # ---------------------------------------------------------------------------
@@ -914,11 +971,16 @@ def mine_bitext(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # the scored pair relation feeds THREE consumers (both neighborhood
+    # averages and the margin join); persist it so the candidate join +
+    # cosine pass runs once — this is the score matrix the
+    # LASER/CCMatrix pipeline materializes anyway, O(candidate pairs)
+    # narrow rows, disk-backed at corpus scale
     scored = pairs.select(
         "ia",
         "ib",
         F.round(dot / (F.col("na") * F.col("nb")), digits).alias("cos"),
-    )
+    ).persist()
 
     def _avg_top(df, key):
         return (
