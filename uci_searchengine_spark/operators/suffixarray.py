@@ -212,12 +212,20 @@ def suffix_ranks(
         n or 1, partitions or spark.sparkContext.defaultParallelism
     )
     tables: list[tuple[int, DataFrame]]
+    # Every per-round table is LINEAGE-TRUNCATED (lazy localCheckpoint,
+    # materialized by the next round's own action): a cache alone
+    # truncates execution but NOT analysis, so by round k every driver
+    # collect was re-analyzing the whole k-round join tree and the LCP
+    # walk's 2-joins-per-table plan grew quadratically — measured 6.8 s
+    # of WARM plan-time driver work for the 1 KB gate corpus, 0.36 s
+    # for the actual final action. Checkpointed tables are leaf plans;
+    # the trade (a lost block cannot recompute from lineage) is the
+    # guide's documented localCheckpoint contract.
     if seed_width == 8 and n and mx is not None and mx < 128:
         cur = chars.select(
             "pos", F.col("code").cast("long").alias("rank")
-        ).cache()
+        ).localCheckpoint(eager=False)
         tables = [(1, cur)]
-        handles = [cur]  # the actually-cached frames, for unpersist
         w = 1
         while w < 8:
             shifted = cur.select(
@@ -233,11 +241,8 @@ def suffix_ranks(
                         + F.coalesce("_r2", F.lit(0))
                     ).alias("rank"),
                 )
-                .cache()
+                .localCheckpoint(eager=False)
             )
-            if not keep_tables:
-                handles.pop().unpersist()
-            handles.append(cur)
             w *= 2
             tables.append((w, cur))
         r, k, dense = cur, 8, False
@@ -249,10 +254,10 @@ def suffix_ranks(
             "rank",
             parts,
         )
-        r = cached.select("pos", "rank")
+        r = cached.select("pos", "rank").localCheckpoint(eager=False)
         tables = [(1, r)]
-        handles = [cached]
         k, dense = 1, True
+    handles: list = []
     while ndist < n:
         shifted = r.select(
             (F.col("pos") - F.lit(k)).alias("pos"), F.col("rank").alias("k2")
@@ -267,9 +272,9 @@ def suffix_ranks(
         cached, ndist = dense_rank_global_with_count(
             paired, ["k1", "k2"], "rank", parts
         )
-        if not keep_tables:
+        r = cached.select("pos", "rank").localCheckpoint(eager=False)
+        if not keep_tables and handles:
             handles.pop().unpersist()
-        r = cached.select("pos", "rank")
         handles.append(cached)
         dense = True
         k *= 2
@@ -283,9 +288,9 @@ def suffix_ranks(
         cached = dense_rank_global(
             r.select("pos", F.col("rank").alias("k1")), ["k1"], "rank", parts
         )
-        if not keep_tables:
+        r = cached.select("pos", "rank").localCheckpoint(eager=False)
+        if not keep_tables and handles:
             handles.pop().unpersist()
-        r = cached.select("pos", "rank")
         handles.append(cached)
     if not keep_tables:
         return r, []
@@ -439,6 +444,10 @@ def drop_duplicate_spans(
         )
         .filter(F.col("_c") != F.lit(SEP_CODE))
         .select("rnk", "pos_a", "pos_b", "lcp")
+        # hits is the sparse duplicate-pair set, consumed by the run
+        # detector and (via isl) three more aggregates — truncate the
+        # LCP-walk join tree here so each doesn't re-analyze it
+        .localCheckpoint(eager=False)
     )
     ranked = dense_rank_global(hits, ["rnk"], "_rn", parts)
     isl = ranked.withColumn("_isl", F.col("rnk") - F.col("_rn"))
