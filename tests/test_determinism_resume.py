@@ -81,6 +81,50 @@ class TestBuildDeterminism:
         self._build(spark, d2, partitions=11, write_partitions=7)
         assert self._segment_contents(spark, d1) == self._segment_contents(spark, d2)
 
+    def test_fast_resume_runs_zero_spark_jobs(self, spark, tmp_path_factory):
+        """A fully committed index (meta.json present, stage-docs
+        committed, same snapshot + layout) must resume WITHOUT any
+        Spark job — no url-stats pre-pass, no stage-2 manifest sweep."""
+        from uci_searchengine_spark.operators.index_build import build_index
+
+        from uci_searchengine_spark.operators.index_build import IndexMeta
+
+        d = str(tmp_path_factory.mktemp("idx_fast"))
+        self._build(spark, d, partitions=4, write_partitions=4)
+        committed = IndexMeta.load(d)
+        tracker = spark.sparkContext._jsc.sc().statusTracker()
+        jobs_before = len(tracker.getJobIdsForGroup(None))
+        meta = build_index(
+            spark,
+            None,  # fast resume must not touch the pages side at all
+            d,
+            num_shards=4,
+            n_buckets=4,
+            input_snapshot=f"synth:seed={SEED}:n={N}",
+            write_partitions=4,
+        )
+        assert meta == committed
+        assert len(tracker.getJobIdsForGroup(None)) == jobs_before
+        # a DIFFERENT snapshot must not fast-resume (stale guard)
+        from uci_searchengine_spark.operators.index_build import (
+            _try_fast_resume,
+        )
+
+        assert (
+            _try_fast_resume(
+                d,
+                "synth:seed=999:n=1",
+                num_shards=4,
+                n_buckets=4,
+                write_partitions=4,
+                stem=False,
+                positions=False,
+                doc_id_base=0,
+                bucket_size_override=None,
+            )
+            is None
+        )
+
     def test_resume_skips_committed_and_is_bit_equal(self, spark, tmp_path_factory):
         from uci_searchengine_spark.operators.index_build import _read_manifest
 
@@ -90,7 +134,11 @@ class TestBuildDeterminism:
         self._build(spark, d_kill, partitions=4, write_partitions=4)
 
         # simulate a kill after some manifests committed: delete half the
-        # segment manifests + their files, keep the docs stage
+        # segment manifests + their files, keep the docs stage. meta.json
+        # must go too — it is written LAST and atomically, so no real
+        # kill can leave a meta.json alongside missing stage manifests
+        # (its presence is what build_index's fast-resume path trusts).
+        os.remove(os.path.join(d_kill, "meta.json"))
         seg_manifests = sorted(
             glob.glob(os.path.join(d_kill, "_manifest", "segments-*.json"))
         )

@@ -1335,6 +1335,51 @@ def derive_n_buckets(n_rows: int) -> int:
     return max(16, math.ceil(max(n_rows, 1) / DOCS_PER_BUCKET))
 
 
+def _try_fast_resume(
+    index_dir: str,
+    input_snapshot: str,
+    *,
+    num_shards: int,
+    n_buckets: int | None,
+    write_partitions: int,
+    stem: bool,
+    positions: bool,
+    doc_id_base: int,
+    bucket_size_override: int | None,
+) -> "IndexMeta | None":
+    """IndexMeta when ``index_dir`` holds a COMPLETED build of the same
+    snapshot + layout, else None (fall through to the staged path)."""
+    import re
+
+    if not os.path.isfile(os.path.join(index_dir, "meta.json")):
+        return None
+    docs_stage = _read_manifest(index_dir, "stage-docs")
+    if not docs_stage or docs_stage.get("status") != "committed":
+        return None
+    stored = docs_stage.get("input_snapshot") or ""
+    if "#" not in stored:
+        return None
+    prefix, rest = stored.rsplit("#", 1)
+    if prefix != input_snapshot:
+        return None
+    b_pat = r"\d+" if n_buckets is None else str(int(n_buckets))
+    flags = (
+        f"{'+stem' if stem else ''}{'+pos' if positions else ''}"
+        f"{f'+base{doc_id_base}' if doc_id_base else ''}"
+        f"{f'+bs{bucket_size_override}' if bucket_size_override else ''}"
+    )
+    pat = (
+        rf"^s{num_shards}b{b_pat}p{write_partitions}x\d+"
+        rf"{re.escape(flags)}(\+map\d+)?v2$"
+    )
+    if not re.match(pat, rest):
+        return None
+    try:
+        return IndexMeta.load(index_dir)
+    except (OSError, json.JSONDecodeError, KeyError, ValueError):
+        return None
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -1377,6 +1422,30 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     parallelism = spark.sparkContext.defaultParallelism
     write_partitions = write_partitions or parallelism
+
+    # FAST RESUME: a fully committed index (meta.json is written last,
+    # atomically) whose stored internal snapshot carries the same
+    # caller snapshot + layout knobs needs NO Spark work at all. The
+    # full path below still runs two jobs just to decide to do nothing
+    # (the url-stats pre-pass that derives n_buckets, then a stage-2
+    # task sweep that reads per-partition manifests and skips) — per
+    # call, on every gate that opens a build-or-resume index. The
+    # derived values (b…, x…, +map…) are deterministic functions of
+    # the same corpus the caller's snapshot fingerprints, so they are
+    # accepted as stored; everything else must match exactly.
+    fast = _try_fast_resume(
+        index_dir,
+        input_snapshot,
+        num_shards=num_shards,
+        n_buckets=n_buckets,
+        write_partitions=write_partitions,
+        stem=stem,
+        positions=positions,
+        doc_id_base=doc_id_base,
+        bucket_size_override=bucket_size_override,
+    )
+    if fast is not None:
+        return fast
     url_stats: list | None = None
 
     map_groups: list | None = None
