@@ -397,15 +397,25 @@ def label_propagation(
             .groupBy(F.col("u").alias("node"), F.col("nl").alias("cand"))
             .agg(F.count("*").alias("cnt"))
         )
-        # Tie-break = "most frequent, then smallest label" WITHOUT
-        # arithmetic negation (labels may be strings — urls — where
-        # ``-col`` would throw CAST_INVALID_INPUT under ANSI mode):
-        # per-node max cnt, join back on (node, cnt), min(cand).
-        best_cnt = nbr.groupBy("node").agg(F.max("cnt").alias("cnt"))
+        # Tie-break = "most frequent, then smallest label" as ONE
+        # min-struct aggregate: the COUNT is always numeric (negating
+        # it is safe whatever the label type — the thing that may be a
+        # string/url is ``cand``, which rides the struct unnegated), so
+        # min(struct(-cnt, cand)) picks max cnt then min cand exactly.
+        # The old shape (per-node max cnt, join back on (node, cnt),
+        # min(cand)) paid an extra aggregate + join — two more
+        # exchanges per round for the same deterministic result.
         labels = (
-            nbr.join(best_cnt, ["node", "cnt"])
-            .groupBy("node")
-            .agg(F.min("cand").alias("label"))
+            nbr.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("cand").alias("cand"),
+                    )
+                ).alias("w")
+            )
+            .select("node", F.col("w.cand").alias("label"))
         )
         if (i + 1) % 2 == 0:
             labels = labels.localCheckpoint(eager=False)

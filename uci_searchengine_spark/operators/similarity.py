@@ -530,21 +530,37 @@ def knn_candidate_pairs(
     base = flat.select(
         F.col("_id").alias("ib"), F.col("t"), F.col("bucket")
     )
-    probes = (
-        flat.select(
-            F.col("_id").alias("ia"),
-            "t",
-            "bucket",
-            F.explode(F.array(*[F.lit(m) for m in masks])).alias("_m"),
-        )
-        .select(
-            "ia", "t", F.col("bucket").bitwiseXOR(F.col("_m")).alias("bucket")
-        )
+    # DIRECTED probing: a pair {A, B} whose table-t buckets differ by
+    # mask m is reachable from either side (A probing bucket_a^m = b's
+    # bucket, or B probing bucket_b^m = a's), so symmetric probing
+    # generated every cross-bucket pair TWICE and the old ia<ib filter
+    # threw half the join output away. Emitting a probe only when it
+    # points at a bucket >= its own (bucket^m > bucket ⟺ bucket has a
+    # 0 at m's highest set bit; m=0 keeps the self-bucket probe via
+    # >=) produces each cross-bucket pair exactly once — the probe
+    # side shrinks from |masks| to ~(|masks|+1)/2 rows per (id, t) and
+    # the join output halves, with the SAME candidate set: same-bucket
+    # pairs still arrive in both orientations and collapse under the
+    # least/greatest normalization + distinct.
+    probe_buckets = F.filter(
+        F.transform(
+            F.array(*[F.lit(m) for m in masks]),
+            lambda m: F.col("bucket").bitwiseXOR(m),
+        ),
+        lambda b: b >= F.col("bucket"),
+    )
+    probes = flat.select(
+        F.col("_id").alias("ia"),
+        "t",
+        F.explode(probe_buckets).alias("bucket"),
     )
     return (
         probes.join(base, ["t", "bucket"])
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("ia"),
+            F.greatest("ia", "ib").alias("ib"),
+        )
         .distinct()
     )
 
