@@ -882,8 +882,13 @@ def main() -> None:
     )
     checks.append(
         (
-            "kmeans: broadcast centroids, partial-combined sums, no Python",
-            "Broadcast" in plan
+            "kmeans: literal-inlined assign (no join), partial-combined sums, no Python",
+            # r6: the small-k assignment inlines collected centroid
+            # literals into the scan projection — the update plan has
+            # NO join of any kind (stronger than the old broadcast
+            # assertion: the corpus is never joined against k at all)
+            "Join" not in plan
+            and "CartesianProduct" not in plan
             and "partial_sum" in plan
             and "BatchEvalPython" not in plan
             and "ArrowEvalPython" not in plan
@@ -1215,13 +1220,16 @@ def main() -> None:
     )
     checks.append(
         (
-            "winnowing: in-row fps, broadcast anti hot-guard, no Python",
+            "winnowing: in-row fps, joinless set-cap pair expansion, no Python",
+            # r6: pairs come from groupBy(fp) -> collect_set + bounded
+            # in-row a<b expansion; the hot-fp guard is the in-row
+            # set-size cap, so the plan has NO join at all (the old
+            # shape needed a broadcast-anti hot-guard + fp self-join)
             "Window" not in plan
+            and "Join" not in plan
             and "CartesianProduct" not in plan
             and "BatchEvalPython" not in plan
-            and "ArrowEvalPython" not in plan
-            and "BroadcastHashJoin" in plan
-            and "LeftAnti" in plan,
+            and "ArrowEvalPython" not in plan,
             plan,
         )
     )
