@@ -1792,22 +1792,82 @@ def _read_union(spark: SparkSession, dirs: list[str], sub: str) -> DataFrame:
     return out
 
 
-def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+# Analyzed-relation memo for the two index relations every query path
+# re-opens. spark.read.parquet pays ~90 ms per call (file listing +
+# footer schema job) on a relation whose FILES have not changed between
+# the calls of one serving/bench process — 25-30% of a cold
+# score_wand() call. The memo caches the LAZY analyzed DataFrame (a
+# plan, never results: every query still executes from the parquet
+# inputs) keyed on the Spark application id + a filesystem fingerprint
+# of every file that could change what the relation reads: the sub
+# dir's parquet files per committed generation, each generation's
+# meta.json (gen_avgdl literal in _read_union), and the root meta.json
+# (the gens counter that gates generation visibility). Any append /
+# delete / compact / tombstone-rewrite / rebuild changes a fingerprint
+# component → fresh read. Non-local paths (object stores at cluster
+# scale) skip the memo: no cheap stat there, and a resident Searcher
+# is the serving-tier answer instead.
+_ANALYZED_CACHE: "dict[tuple, DataFrame]" = {}
+_ANALYZED_CACHE_MAX = 64
+
+
+def _fs_fingerprint(root: str) -> tuple:
+    entries = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            entries.append(
+                (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+            )
+    entries.sort()
+    return tuple(entries)
+
+
+def _load_relation(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
     dirs = generation_dirs(index_dir)
-    if len(dirs) == 1:
-        return spark.read.option(
-            "basePath", os.path.join(index_dir, "segments")
-        ).parquet(os.path.join(index_dir, "segments"))
-    return _read_union(spark, dirs, "segments")
+
+    def _read() -> DataFrame:
+        if len(dirs) == 1:
+            return spark.read.option(
+                "basePath", os.path.join(index_dir, sub)
+            ).parquet(os.path.join(index_dir, sub))
+        return _read_union(spark, dirs, sub)
+
+    if not os.path.isdir(index_dir):
+        return _read()
+    fp = []
+    for d in dirs:
+        try:
+            st = os.stat(os.path.join(d, "meta.json"))
+            fp.append((d, st.st_size, st.st_mtime_ns))
+        except OSError:
+            fp.append((d, -1, -1))
+        fp.append(_fs_fingerprint(os.path.join(d, sub)))
+    key = (
+        spark.sparkContext.applicationId,
+        index_dir,
+        sub,
+        tuple(fp),
+    )
+    df = _ANALYZED_CACHE.get(key)
+    if df is None:
+        df = _read()
+        if len(_ANALYZED_CACHE) >= _ANALYZED_CACHE_MAX:
+            _ANALYZED_CACHE.clear()
+        _ANALYZED_CACHE[key] = df
+    return df
+
+
+def load_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    return _load_relation(spark, index_dir, "segments")
 
 
 def load_docs(spark: SparkSession, index_dir: str) -> DataFrame:
-    dirs = generation_dirs(index_dir)
-    if len(dirs) == 1:
-        return spark.read.option("basePath", os.path.join(index_dir, "docs")).parquet(
-            os.path.join(index_dir, "docs")
-        )
-    return _read_union(spark, dirs, "docs")
+    return _load_relation(spark, index_dir, "docs")
 
 
 def build_metrics(index_dir: str) -> dict:
